@@ -1,13 +1,493 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import graft.core.{EventOpLog, GraftSession, OpLog, Tables}
+import graft.operators.{Dedup, Multimodal, Similarity, TextAnalysis}
+import graft.plugs.{HiveEngine, Podping, Polls}
+import graft.serving.{PodpingQueries, PollsQueries}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Driver contract — one `queries` entry (plus DuckDB oracle SQL where the
+  * operator is SQL-expressible) per implemented operator from SURVEY.md §2
+  * and the training-data-pipeline extensions. Column names are aligned
+  * between the Spark plan and the oracle SQL (the driver sorts columns by
+  * name before hashing); every query carries a total ORDER BY so results
+  * are order-deterministic in both engines.
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
-  def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+
+  private case class Q(
+    name: String,
+    run: (SparkSession, String) => DataFrame,
+    oracle: Option[String])
+
+  private def ev(s: SparkSession, dir: String): DataFrame =
+    Tables.events(GraftSession.configure(s), dir)
+  private def k = get_json_object(col("props"), "$.k").cast("int")
+  private def dec(p: Int, sc: Int) = DecimalType(p, sc)
+
+  // ------------------------------------------------------------------ specs
+
+  private lazy val specs: Seq[Q] = Seq(
+
+    // ---- S1: block-range op-log scan (range + set-membership predicates,
+    //      pushed to the parquet scan)
+    Q("s1_oplog_scan",
+      (s, d) => ev(s, d)
+        .filter(col("event_id").between(2000, 8000) &&
+          col("event_type").isin("purchase", "signup"))
+        .select(col("event_id"), col("ts"), col("user_id"), col("event_type"), col("value"))
+        .orderBy(col("event_id")),
+      Some("""SELECT event_id, CAST(ts AS TIMESTAMP) AS ts, user_id, event_type, value
+             |FROM events
+             |WHERE event_id BETWEEN 2000 AND 8000 AND event_type IN ('purchase','signup')
+             |ORDER BY event_id""".stripMargin)),
+
+    // ---- S2: head-of-log probe
+    Q("s2_head_probe",
+      (s, d) => ev(s, d).orderBy(col("event_id").desc).limit(1)
+        .select(col("event_id"), col("ts")),
+      Some("SELECT event_id, CAST(ts AS TIMESTAMP) AS ts FROM events ORDER BY event_id DESC LIMIT 1")),
+
+    // ---- A1: group-count + top-k (podping url-counts shape)
+    Q("a1_topk_counts",
+      (s, d) => ev(s, d)
+        .filter(col("event_id").between(0, 8000))
+        .groupBy(col("user_id")).agg(count(lit(1)).as("cnt"))
+        .orderBy(col("cnt").desc, col("user_id")).limit(20),
+      Some("""SELECT user_id, CAST(count(*) AS BIGINT) AS cnt
+             |FROM events WHERE event_id BETWEEN 0 AND 8000
+             |GROUP BY user_id ORDER BY cnt DESC, user_id LIMIT 20""".stripMargin)),
+
+    // ---- A2: distinct-count per group (poll voters shape)
+    Q("a2_distinct_per_group",
+      (s, d) => ev(s, d)
+        .groupBy(col("event_type"))
+        .agg(countDistinct(col("user_id")).as("voters"))
+        .orderBy(col("event_type")),
+      Some("""SELECT event_type, CAST(count(DISTINCT user_id) AS BIGINT) AS voters
+             |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin)),
+
+    // ---- P2: JSON field extraction (props ->> k)
+    Q("p2_json_extract",
+      (s, d) => ev(s, d)
+        .withColumn("k", k).filter(col("k") >= 90)
+        .select(col("event_id"), col("k")).orderBy(col("event_id")),
+      Some("""SELECT event_id, CAST(json_extract_string(props,'$.k') AS INTEGER) AS k
+             |FROM events WHERE CAST(json_extract_string(props,'$.k') AS INTEGER) >= 90
+             |ORDER BY event_id""".stripMargin)),
+
+    // ---- F3/F4: temporal liveness predicate with injected clock
+    Q("f3_temporal_filter",
+      (s, d) => ev(s, d)
+        .filter(col("ts") >= lit(java.sql.Timestamp.valueOf("2024-01-20 00:00:00")) &&
+          col("event_type") =!= "error")
+        .select(col("event_id"), col("ts"), col("event_type"))
+        .orderBy(col("event_id")),
+      Some("""SELECT event_id, CAST(ts AS TIMESTAMP) AS ts, event_type
+             |FROM events
+             |WHERE CAST(ts AS TIMESTAMP) >= TIMESTAMP '2024-01-20 00:00:00' AND event_type <> 'error'
+             |ORDER BY event_id""".stripMargin)),
+
+    // ---- window: per-key latest-N (generalized feed_updates)
+    Q("w1_latest_per_key",
+      (s, d) => {
+        val w = Window.partitionBy(col("user_id")).orderBy(col("event_id").desc)
+        ev(s, d).withColumn("rank", row_number().over(w))
+          .filter(col("rank") <= 3)
+          .select(col("user_id"), col("event_id"), col("event_type"), col("rank"))
+          .orderBy(col("user_id"), col("event_id"))
+      },
+      Some("""SELECT user_id, event_id, event_type, CAST(rank AS INT) AS rank FROM (
+             |  SELECT user_id, event_id, event_type,
+             |         row_number() OVER (PARTITION BY user_id ORDER BY event_id DESC) AS rank
+             |  FROM events) WHERE rank <= 3 ORDER BY user_id, event_id""".stripMargin)),
+
+    // ---- O5: one user's history, newest first
+    Q("o5_user_history",
+      (s, d) => ev(s, d).filter(col("user_id") === 7)
+        .select(col("event_id"), col("event_type"), col("value"))
+        .orderBy(col("event_id").desc),
+      Some("""SELECT event_id, event_type, value FROM events
+             |WHERE user_id = 7 ORDER BY event_id DESC""".stripMargin)),
+
+    // ---- F6: version-gate dispatch (podping v0.3 vs v1.0 shape)
+    Q("f6_version_dispatch",
+      (s, d) => ev(s, d)
+        .withColumn("version", when(k % 2 === 0, "0.3").otherwise("1.0"))
+        .withColumn("medium", when(k % 2 === 0, "blog").otherwise("podcast"))
+        .groupBy(col("version"), col("medium"))
+        .agg(count(lit(1)).as("n"), countDistinct(col("user_id")).as("publishers"))
+        .orderBy(col("version")),
+      Some("""SELECT CASE WHEN CAST(json_extract_string(props,'$.k') AS INTEGER) % 2 = 0
+             |         THEN '0.3' ELSE '1.0' END AS version,
+             |       CASE WHEN CAST(json_extract_string(props,'$.k') AS INTEGER) % 2 = 0
+             |         THEN 'blog' ELSE 'podcast' END AS medium,
+             |       CAST(count(*) AS BIGINT) AS n,
+             |       CAST(count(DISTINCT user_id) AS BIGINT) AS publishers
+             |FROM events GROUP BY 1, 2 ORDER BY version""".stripMargin)),
+
+    // ---- set op: unionByName of two filtered shapes
+    Q("u1_union_shapes",
+      (s, d) => {
+        val e = ev(s, d)
+        e.filter(col("event_type") === "purchase")
+          .select(col("event_id"), col("value"), lit("purchase").as("src"))
+          .unionByName(
+            e.filter(col("event_type") === "error")
+              .select(col("event_id"), col("value"), lit("error").as("src")))
+          .orderBy(col("event_id"))
+      },
+      Some("""SELECT event_id, value, 'purchase' AS src FROM events WHERE event_type = 'purchase'
+             |UNION ALL
+             |SELECT event_id, value, 'error' AS src FROM events WHERE event_type = 'error'
+             |ORDER BY event_id""".stripMargin)),
+
+    // ---- TPC-H Q1 shape: multi-aggregate pricing summary (exact decimal
+    //      arithmetic so sums are reproducible across engines)
+    Q("q1_pricing_summary",
+      (s, d) => {
+        val price = col("l_extendedprice").cast(dec(18, 2))
+        val disc = col("l_discount").cast(dec(4, 2))
+        val tax = col("l_tax").cast(dec(4, 2))
+        Tables.lineitem(s, d)
+          .filter(col("l_shipdate") <= lit(java.sql.Timestamp.valueOf("2000-12-01 00:00:00")))
+          .groupBy(col("l_returnflag"), col("l_linestatus"))
+          .agg(
+            sum(col("l_quantity").cast(dec(18, 2))).cast(dec(38, 2)).as("sum_qty"),
+            sum(price).cast(dec(38, 2)).as("sum_base_price"),
+            sum(price * (lit(1) - disc)).cast(dec(38, 4)).as("sum_disc_price"),
+            sum(price * (lit(1) - disc) * (lit(1) + tax)).cast(dec(38, 6)).as("sum_charge"),
+            round(sum(col("l_quantity").cast(dec(18, 2))).cast("double") / count(lit(1)), 6).as("avg_qty"),
+            round(sum(price).cast("double") / count(lit(1)), 6).as("avg_price"),
+            count(lit(1)).as("count_order"))
+          .orderBy(col("l_returnflag"), col("l_linestatus"))
+      },
+      Some("""SELECT l_returnflag, l_linestatus,
+             |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS sum_qty,
+             |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS sum_base_price,
+             |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(4,2)))) AS DECIMAL(38,4)) AS sum_disc_price,
+             |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(4,2))) * (1 + CAST(l_tax AS DECIMAL(4,2)))) AS DECIMAL(38,6)) AS sum_charge,
+             |  round(CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / count(*), 6) AS avg_qty,
+             |  round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / count(*), 6) AS avg_price,
+             |  CAST(count(*) AS BIGINT) AS count_order
+             |FROM lineitem
+             |WHERE l_shipdate <= TIMESTAMP '2000-12-01 00:00:00'
+             |GROUP BY l_returnflag, l_linestatus
+             |ORDER BY l_returnflag, l_linestatus""".stripMargin)),
+
+    // ---- J1: left outer enrich (broadcast the small dimension)
+    Q("j1_order_enrich",
+      (s, d) => Tables.orders(s, d)
+        .join(broadcast(Tables.customer(s, d)),
+          col("o_custkey") === col("c_custkey"), "left")
+        .select(col("o_orderkey"), col("o_orderdate"), col("o_totalprice"),
+          col("c_name"), col("c_mktsegment"))
+        .orderBy(col("o_orderkey")),
+      Some("""SELECT o_orderkey, o_orderdate, o_totalprice, c_name, c_mktsegment
+             |FROM orders LEFT JOIN customer ON o_custkey = c_custkey
+             |ORDER BY o_orderkey""".stripMargin)),
+
+    // ---- J2: equi join + theta residual (vote-validity window shape)
+    Q("j2_theta_residual",
+      (s, d) => Tables.orders(s, d)
+        .join(Tables.lineitem(s, d),
+          col("l_orderkey") === col("o_orderkey") &&
+            col("l_shipdate") <= col("o_orderdate") + expr("INTERVAL 60 DAYS"))
+        .groupBy(col("o_orderkey"))
+        .agg(count(lit(1)).as("n_lines"),
+          sum(col("l_extendedprice").cast(dec(18, 2))).cast(dec(38, 2)).as("early_value"))
+        .orderBy(col("o_orderkey")),
+      Some("""SELECT o_orderkey, CAST(count(*) AS BIGINT) AS n_lines,
+             |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS early_value
+             |FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+             |WHERE l_shipdate <= o_orderdate + INTERVAL 60 DAY
+             |GROUP BY o_orderkey ORDER BY o_orderkey""".stripMargin)),
+
+    // ---- J5: semi join (EXISTS probe)
+    Q("j5_semi_exists",
+      (s, d) => Tables.customer(s, d)
+        .join(Tables.orders(s, d).filter(col("o_totalprice") > 450000)
+          .select(col("o_custkey").as("c_custkey")), Seq("c_custkey"), "left_semi")
+        .select(col("c_custkey"), col("c_name"))
+        .orderBy(col("c_custkey")),
+      Some("""SELECT c_custkey, c_name FROM customer
+             |WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey AND o_totalprice > 450000)
+             |ORDER BY c_custkey""".stripMargin)),
+
+    // ---- anti join (INSERT ... WHERE NOT EXISTS dedup shape)
+    Q("j6_anti_not_exists",
+      (s, d) => Tables.customer(s, d)
+        .join(Tables.orders(s, d).filter(col("o_totalprice") > 400000)
+          .select(col("o_custkey").as("c_custkey")), Seq("c_custkey"), "left_anti")
+        .select(col("c_custkey"), col("c_name"))
+        .orderBy(col("c_custkey")),
+      Some("""SELECT c_custkey, c_name FROM customer
+             |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey AND o_totalprice > 400000)
+             |ORDER BY c_custkey""".stripMargin)),
+
+    // ---- 3-way join + agg + top-k revenue
+    Q("q3_top_revenue",
+      (s, d) => Tables.customer(s, d).filter(col("c_mktsegment") === "BUILDING")
+        .join(Tables.orders(s, d), col("c_custkey") === col("o_custkey"))
+        .join(Tables.lineitem(s, d), col("o_orderkey") === col("l_orderkey"))
+        .groupBy(col("o_orderkey"), col("o_orderdate"))
+        .agg(sum((col("l_extendedprice").cast(dec(18, 2)) *
+          (lit(1) - col("l_discount").cast(dec(4, 2)))).cast(dec(18, 4)))
+          .cast(dec(38, 4)).as("revenue"))
+        .orderBy(col("revenue").desc, col("o_orderkey")).limit(10),
+      Some("""SELECT o_orderkey, o_orderdate,
+             |  CAST(sum(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(4,2))) AS DECIMAL(18,4))) AS DECIMAL(38,4)) AS revenue
+             |FROM customer JOIN orders ON c_custkey = o_custkey
+             |JOIN lineitem ON o_orderkey = l_orderkey
+             |WHERE c_mktsegment = 'BUILDING'
+             |GROUP BY o_orderkey, o_orderdate
+             |ORDER BY revenue DESC, o_orderkey LIMIT 10""".stripMargin)),
+
+    // ---- 4-way dimension rollup (region -> nation -> customer -> orders)
+    Q("q5_region_rollup",
+      (s, d) => Tables.region(s, d)
+        .join(Tables.nation(s, d), col("n_regionkey") === col("r_regionkey"))
+        .join(Tables.customer(s, d), col("c_nationkey") === col("n_nationkey"))
+        .join(Tables.orders(s, d), col("o_custkey") === col("c_custkey"))
+        .groupBy(col("r_name"), col("n_name"))
+        .agg(count(lit(1)).as("n_orders"),
+          sum(col("o_totalprice").cast(dec(18, 2))).cast(dec(38, 2)).as("total_value"))
+        .orderBy(col("r_name"), col("n_name")),
+      Some("""SELECT r_name, n_name, CAST(count(*) AS BIGINT) AS n_orders,
+             |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS total_value
+             |FROM region JOIN nation ON n_regionkey = r_regionkey
+             |JOIN customer ON c_nationkey = n_nationkey
+             |JOIN orders ON o_custkey = c_custkey
+             |GROUP BY r_name, n_name ORDER BY r_name, n_name""".stripMargin)),
+
+    // ---- explode (json_array_elements_text / FOREACH shape)
+    Q("x1_explode_words",
+      (s, d) => Tables.documents(s, d)
+        .select(explode(TextAnalysis.tokens(col("text"))).as("word"))
+        .groupBy(col("word")).agg(count(lit(1)).as("cnt"))
+        .orderBy(col("cnt").desc, col("word")).limit(50),
+      Some("""SELECT w AS word, CAST(count(*) AS BIGINT) AS cnt
+             |FROM (SELECT unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS w
+             |      FROM documents)
+             |GROUP BY 1 ORDER BY cnt DESC, word LIMIT 50""".stripMargin)),
+
+    // ---- full podping pipeline: op-log synth -> envelope parse (corrupt
+    //      isolation) -> version dispatch -> explode -> top-k counts
+    Q("plug_podping_counts",
+      (s, d) => {
+        val oplog = EventOpLog.fromEvents(ev(s, d))
+        val updates = Podping.transform(oplog)("updates")
+        PodpingQueries.urlCounts(updates, 0, Int.MaxValue, 20)
+      },
+      Some("""WITH src AS (
+             |  SELECT event_id, CAST(json_extract_string(props,'$.k') AS INTEGER) AS k
+             |  FROM events WHERE event_type IN ('click','view')),
+             |u AS (SELECT event_id, unnest([k % 20, (k + 1) % 20]) AS uk FROM src)
+             |SELECT concat('url_', uk) AS url, CAST(count(*) AS BIGINT) AS url_count
+             |FROM u GROUP BY 1 ORDER BY url_count DESC, url LIMIT 20""".stripMargin)),
+
+    // ---- podping ops table: envelope decomposition + op-id counts
+    Q("plug_podping_ops",
+      (s, d) => {
+        val oplog = EventOpLog.fromEvents(ev(s, d))
+        Podping.transform(oplog)("ops")
+          .groupBy(col("op_id")).agg(count(lit(1)).as("n"))
+          .orderBy(col("op_id"))
+      },
+      Some("""SELECT CASE WHEN event_type = 'click' THEN 'podping' ELSE 'pp_video_update' END AS op_id,
+             |       CAST(count(*) AS BIGINT) AS n
+             |FROM events WHERE event_type IN ('click','view')
+             |GROUP BY 1 ORDER BY op_id""".stripMargin)),
+
+    // ---- hive-engine pipeline: contract dispatch + NUMERIC(18,10) sums
+    Q("plug_hive_transfers",
+      (s, d) => {
+        val oplog = EventOpLog.fromEvents(ev(s, d))
+        HiveEngine.transform(oplog)("transfers")
+          .groupBy(col("symbol"))
+          .agg(sum(col("quantity")).cast(dec(38, 10)).as("total_qty"),
+            count(lit(1)).as("n"))
+          .orderBy(col("symbol"))
+      },
+      Some("""WITH src AS (
+             |  SELECT CAST(json_extract_string(props,'$.k') AS INTEGER) AS k
+             |  FROM events WHERE event_type = 'purchase')
+             |SELECT concat('TK', k % 5) AS symbol,
+             |       CAST(sum(CAST(concat(k, '.', k % 10) AS DECIMAL(18,10))) AS DECIMAL(38,10)) AS total_qty,
+             |       CAST(count(*) AS BIGINT) AS n
+             |FROM src GROUP BY 1 ORDER BY symbol""".stripMargin)),
+
+    // ---- text analysis -------------------------------------------------
+    Q("text_quality",
+      (s, d) => TextAnalysis.quality(Tables.documents(s, d))
+        .select(col("doc_id"), col("n_tokens"), col("n_chars_obs"),
+          col("avg_token_len"), col("stopword_ratio"), col("punct_ratio"),
+          col("quality_score"))
+        .orderBy(col("doc_id")),
+      Some("""WITH t AS (
+             |  SELECT doc_id, text, list_filter(string_split(text, ' '), x -> x <> '') AS toks
+             |  FROM documents),
+             |q AS (SELECT doc_id,
+             |  CAST(len(toks) AS BIGINT) AS n_tokens,
+             |  CAST(length(text) AS BIGINT) AS n_chars_obs,
+             |  list_sum(list_transform(toks, x -> length(x))) AS tok_chars,
+             |  CAST(len(list_filter(toks, x -> x IN ('the','a','and','of','to','in','is','it','on','for'))) AS BIGINT) AS stop,
+             |  CAST(length(text) - length(regexp_replace(text, '[^a-zA-Z0-9 ]', '', 'g')) AS BIGINT) AS punct
+             |  FROM t)
+             |SELECT doc_id, n_tokens, n_chars_obs,
+             |  round(tok_chars * 1.0 / n_tokens, 6) AS avg_token_len,
+             |  round(stop * 1.0 / n_tokens, 6) AS stopword_ratio,
+             |  round(punct * 1.0 / n_chars_obs, 6) AS punct_ratio,
+             |  round((CASE WHEN n_tokens BETWEEN 5 AND 1000 THEN CAST(0.4 AS DOUBLE) ELSE CAST(0.0 AS DOUBLE) END)
+             |      + (CASE WHEN round(punct * 1.0 / n_chars_obs, 6) <= 0.1 THEN CAST(0.3 AS DOUBLE) ELSE CAST(0.0 AS DOUBLE) END)
+             |      + (CASE WHEN round(stop * 1.0 / n_tokens, 6) BETWEEN 0.01 AND 0.6 THEN CAST(0.3 AS DOUBLE) ELSE CAST(0.0 AS DOUBLE) END), 6) AS quality_score
+             |FROM q ORDER BY doc_id""".stripMargin)),
+
+    Q("text_langid",
+      (s, d) => TextAnalysis.languageId(Tables.documents(s, d))
+        .select(col("doc_id"), col("predicted_lang"), col("lang_hits"))
+        .orderBy(col("doc_id")),
+      Some("""WITH t AS (
+             |  SELECT doc_id, list_filter(string_split(lower(text), ' '), x -> x <> '') AS toks
+             |  FROM documents),
+             |h AS (SELECT doc_id,
+             |  CAST(len(list_filter(toks, x -> x IN ('der','die','und','das','ist'))) AS BIGINT) AS h_de,
+             |  CAST(len(list_filter(toks, x -> x IN ('the','and','of','is','it'))) AS BIGINT) AS h_en,
+             |  CAST(len(list_filter(toks, x -> x IN ('el','la','de','que','y'))) AS BIGINT) AS h_es,
+             |  CAST(len(list_filter(toks, x -> x IN ('le','la','et','les','des'))) AS BIGINT) AS h_fr,
+             |  CAST(len(list_filter(toks, x -> x IN ('de','shi','le','wo','bu'))) AS BIGINT) AS h_zh
+             |  FROM t)
+             |SELECT doc_id,
+             |  CASE WHEN greatest(h_de,h_en,h_es,h_fr,h_zh) = 0 THEN 'und'
+             |       WHEN h_de = greatest(h_de,h_en,h_es,h_fr,h_zh) THEN 'de'
+             |       WHEN h_en = greatest(h_de,h_en,h_es,h_fr,h_zh) THEN 'en'
+             |       WHEN h_es = greatest(h_de,h_en,h_es,h_fr,h_zh) THEN 'es'
+             |       WHEN h_fr = greatest(h_de,h_en,h_es,h_fr,h_zh) THEN 'fr'
+             |       ELSE 'zh' END AS predicted_lang,
+             |  greatest(h_de,h_en,h_es,h_fr,h_zh) AS lang_hits
+             |FROM h ORDER BY doc_id""".stripMargin)),
+
+    Q("text_token_counts",
+      (s, d) => TextAnalysis.tokenCounts(Tables.documents(s, d))
+        .select(col("doc_id"), col("ws_tokens"), col("re_tokens"))
+        .orderBy(col("doc_id")),
+      Some("""SELECT doc_id,
+             |  CAST(len(list_filter(string_split(text, ' '), x -> x <> '')) AS BIGINT) AS ws_tokens,
+             |  CAST(len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+')) AS BIGINT) AS re_tokens
+             |FROM documents ORDER BY doc_id""".stripMargin)),
+
+    Q("text_fingerprint",
+      (s, d) => Tables.documents(s, d)
+        .select(col("doc_id"), TextAnalysis.fingerprint(col("text")).as("fp"))
+        .orderBy(col("doc_id")),
+      Some("""SELECT doc_id,
+             |  md5(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g'))) AS fp
+             |FROM documents ORDER BY doc_id""".stripMargin)),
+
+    // ---- dedup ---------------------------------------------------------
+    Q("dedup_exact",
+      (s, d) => Dedup.exact(Tables.documents(s, d), "text", "doc_id")
+        .select(col("keep_id"), col("dup_count"))
+        .orderBy(col("keep_id")),
+      Some("""SELECT CAST(min(doc_id) AS BIGINT) AS keep_id, CAST(count(*) AS BIGINT) AS dup_count
+             |FROM documents GROUP BY text ORDER BY keep_id""".stripMargin)),
+
+    Q("dedup_normalized",
+      (s, d) => Dedup.normalized(Tables.documents(s, d), "text", "doc_id")
+        .select(col("fp"), col("keep_id"), col("dup_count"))
+        .orderBy(col("keep_id")),
+      Some("""SELECT md5(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g'))) AS fp,
+             |  CAST(min(doc_id) AS BIGINT) AS keep_id, CAST(count(*) AS BIGINT) AS dup_count
+             |FROM documents GROUP BY 1 ORDER BY keep_id""".stripMargin)),
+
+    Q("dedup_ngram_jaccard",
+      (s, d) => Dedup.ngramJaccardPairs(Tables.documents(s, d), "text", "doc_id", 3, 0.8)
+        .orderBy(col("doc_a"), col("doc_b")),
+      Some(jaccardOracleSql)),
+
+    // MinHash+LSH candidates, exactly verified — oracle is the exact-Jaccard
+    // pair set (LSH recall at j>=0.8 with 128 perms / 32 bands is ~1).
+    Q("dedup_minhash_lsh",
+      (s, d) => Dedup.minhashLshPairs(Tables.documents(s, d), "text", "doc_id",
+        3, 128, 32, 0.8)
+        .orderBy(col("doc_a"), col("doc_b")),
+      Some(jaccardOracleSql)),
+
+    Q("dedup_simhash_pairs",
+      (s, d) => Dedup.simhashPairs(Tables.documents(s, d), "text", "doc_id", 3)
+        .orderBy(col("doc_a"), col("doc_b")),
+      None), // candidate metric (hamming) is not SQL-oracle-expressible cheaply
+
+    // ---- similarity search ---------------------------------------------
+    Q("sim_bruteforce_topk",
+      (s, d) => {
+        val emb = Tables.embeddings(s, d)
+        Similarity.bruteForceTopK(emb, emb.filter(col("vec_id") < 10), 5)
+          .orderBy(col("probe_id"), col("rank"))
+      },
+      Some("""WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+             |s AS (SELECT p.vec_id AS probe_id, c.vec_id AS neighbor_id,
+             |        list_dot_product(p.e, c.e) /
+             |          (sqrt(list_dot_product(p.e, p.e)) * sqrt(list_dot_product(c.e, c.e))) AS cos
+             |      FROM v p JOIN v c ON c.vec_id <> p.vec_id
+             |      WHERE p.vec_id < 10),
+             |r AS (SELECT probe_id, neighbor_id, cos,
+             |        row_number() OVER (PARTITION BY probe_id ORDER BY cos DESC, neighbor_id) AS rank
+             |      FROM s)
+             |SELECT probe_id, neighbor_id, round(cos, 6) AS cosine, CAST(rank AS INT) AS rank
+             |FROM r WHERE rank <= 5 ORDER BY probe_id, rank""".stripMargin)),
+
+    Q("sim_lsh_topk",
+      (s, d) => {
+        val emb = Tables.embeddings(s, d)
+        Similarity.lshTopK(emb, emb.filter(col("vec_id") < 10), 5)
+          .orderBy(col("probe_id"), col("rank"))
+      },
+      None), // bucketed ANN — recall-traded; checked by unit test vs brute force
+
+    // ---- multimodal plumbing (stubbed decode; mapPartitions batch shape)
+    Q("multimodal_meta",
+      (s, d) => {
+        val media = Multimodal.fromDocuments(s, Tables.documents(s, d))
+        Multimodal.extractMeta(media).toDF()
+          .orderBy(col("doc_id"))
+      },
+      None)
+  )
+
+  private lazy val jaccardOracleSql: String =
+    """WITH toks AS (
+      |  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS t
+      |  FROM documents),
+      |sh AS (SELECT DISTINCT doc_id, concat_ws(' ', t[i], t[i+1], t[i+2]) AS s
+      |       FROM (SELECT doc_id, t, unnest(range(1, len(t) - 1)) AS i FROM toks)
+      |       WHERE len(t) >= 3),
+      |sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+      |inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i
+      |          FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+      |          GROUP BY 1, 2)
+      |SELECT doc_a, doc_b, round(i * 1.0 / (x.n + y.n - i), 6) AS jaccard
+      |FROM inter JOIN sz x ON x.doc_id = doc_a JOIN sz y ON y.doc_id = doc_b
+      |WHERE round(i * 1.0 / (x.n + y.n - i), 6) >= 0.8
+      |ORDER BY doc_a, doc_b""".stripMargin
+
+  // ------------------------------------------------------------- contract
+
+  /** Flagship query on sf=0.001: the full podping pipeline (op-log synth ->
+    * envelope parse -> version dispatch -> explode -> top-k counts).
+    */
+  def entry(spark: SparkSession): DataFrame = {
+    val s = GraftSession.configure(spark)
+    val oplog = EventOpLog.fromEvents(Tables.events(s, "/root/testdata/sf0.001"))
+    PodpingQueries.urlCounts(Podping.transform(oplog)("updates"), 0, Int.MaxValue, 20)
+  }
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] =
+    specs.map(q => q.name -> q.run).toMap
+
+  def oracleSql: Map[String, String] =
+    specs.flatMap(q => q.oracle.map(q.name -> _)).toMap
 }

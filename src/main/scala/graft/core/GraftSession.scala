@@ -1,0 +1,41 @@
+package graft.core
+
+import org.apache.spark.sql.SparkSession
+
+/** Session factory with the engine's standard configuration.
+  *
+  * Tuned for correctness-determinism (UTC, ANSI off for permissive casts)
+  * and for scale (AQE, modest shuffle partitions on local[*]; on a real
+  * cluster `spark.sql.shuffle.partitions` should track 2-3x total cores
+  * and AQE coalescing handles the rest).
+  */
+object GraftSession {
+
+  /** Apply engine configs onto an arbitrary (possibly driver-provided)
+    * session. All of these are runtime-settable SQL confs.
+    */
+  def configure(spark: SparkSession): SparkSession = {
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    // events.parquet carries TIMESTAMP(NANOS) which Spark's parquet reader
+    // rejects; read as epoch-nanos long and convert (Tables.events).
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.adaptive.enabled", "true")
+    spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "true")
+    spark
+  }
+
+  def local(cores: Int = Runtime.getRuntime.availableProcessors()): SparkSession = {
+    val spark = SparkSession
+      .builder()
+      .master(s"local[$cores]")
+      .appName("graft")
+      .config("spark.sql.shuffle.partitions", math.min(cores * 2, 64).toString)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+      .config("spark.driver.host", "127.0.0.1")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    configure(spark)
+  }
+}

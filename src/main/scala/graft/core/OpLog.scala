@@ -1,0 +1,87 @@
+package graft.core
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** The raw operation log — the engine's single source (reference:
+  * `hive.operations_view` left-joined to `hive.transactions_view`;
+  * haf_plug_play/database/sql/sync.sql:83-100).
+  *
+  * Ops are ordered by the composite natural key `(block_num, trx_in_block, id)`
+  * (sync.sql:99); `block_num` is the logical clock / watermark column. The
+  * `BIGSERIAL` surrogate ids of the reference are replaced by this natural key,
+  * which is stable under distribution.
+  */
+object OpLog {
+
+  /** Op-log row shape (FIXTURES.md §1). */
+  val schema: StructType = StructType(Seq(
+    StructField("id", LongType),
+    StructField("op_type_id", ShortType),
+    StructField("block_num", IntegerType),
+    StructField("timestamp", TimestampType),
+    StructField("trx_in_block", IntegerType),
+    StructField("trx_hash", BinaryType),
+    StructField("body", StringType)))
+
+  /** custom_json op type id (reference: docs/plug-definitions.md:27). */
+  val CustomJsonOpType = 18
+
+  /** Envelope of a custom_json op body:
+    * `{"value": {"required_auths": [...], "required_posting_auths": [...],
+    *   "id": "<op_id>", "json": "<doubly-encoded payload>"}}`
+    * (reference: plugs/podping/functions.sql:80-83).
+    */
+  val bodySchema: StructType = StructType(Seq(
+    StructField("value", StructType(Seq(
+      StructField("required_auths", ArrayType(StringType)),
+      StructField("required_posting_auths", ArrayType(StringType)),
+      StructField("id", StringType),
+      StructField("json", StringType))))))
+
+  /** Block-range scan with op-type filter — the S1 source operator.
+    * Declarative so Catalyst pushes both predicates to the parquet scan.
+    */
+  def blockRange(ops: DataFrame, first: Int, last: Int, opTypeIds: Seq[Int]): DataFrame = {
+    val ranged = ops.filter(col("block_num").between(first, last))
+    if (opTypeIds.isEmpty) ranged
+    else ranged.filter(col("op_type_id").isin(opTypeIds: _*))
+  }
+
+  /** Decompose the custom_json envelope. Corrupt body JSON yields null
+    * columns rather than failing the job (mirrors the reference's per-op
+    * exception swallow, plugs/podping/functions.sql:91-96); route rows with
+    * `op_id IS NULL` to a dead-letter sink if auditing is needed.
+    *
+    * Output adds: req_auths, req_posting_auths, op_id, op_payload (the
+    * doubly-encoded inner JSON string, still unparsed).
+    */
+  def parseEnvelope(ops: DataFrame): DataFrame = {
+    val parsed = from_json(col("body"), bodySchema)
+    ops
+      .withColumn("_env", parsed)
+      .withColumn("req_auths", col("_env.value.required_auths"))
+      .withColumn("req_posting_auths", col("_env.value.required_posting_auths"))
+      .withColumn("op_id", col("_env.value.id"))
+      .withColumn("op_payload", col("_env.value.json"))
+      .drop("_env")
+  }
+
+  /** CJOS-01 positional envelope `[[version, app], op_name, payload]`
+    * (reference: docs/op-standard.md:15-35). Returns (header, opType,
+    * payload) columns extracted from a JSON-array string column; the
+    * positional access maps to `from_json(ArrayType(StringType))` +
+    * 1-based `element_at`, matching Postgres `json->>0` semantics.
+    */
+  def cjosColumns(payload: Column): (Column, Column, Column) = {
+    val arr = from_json(payload, ArrayType(StringType))
+    (element_at(arr, 1), element_at(arr, 2), element_at(arr, 3))
+  }
+
+  /** Parse the CJOS header `[version, app]`. */
+  def cjosHeader(header: Column): (Column, Column) = {
+    val arr = from_json(header, ArrayType(StringType))
+    (element_at(arr, 1), element_at(arr, 2))
+  }
+}

@@ -1,0 +1,194 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators for training-data pipelines.
+  *
+  * Scale design: every variant is a shuffle-on-key groupBy/join — no
+  * driver-side state, no collect. At 100 TB the shingle explosion is the
+  * expensive step; MinHash reduces the candidate-pair join from O(n^2) to
+  * the LSH band buckets, and exact verification touches only candidates.
+  */
+object Dedup {
+
+  /** Exact dedup: keep the smallest id per identical key (hash-groupBy).
+    * Returns the kept rows plus `dup_count`.
+    */
+  def exact(df: DataFrame, keyCol: String, idCol: String): DataFrame =
+    df.groupBy(col(keyCol))
+      .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("dup_count"))
+
+  /** Normalized exact dedup via the canonical-form fingerprint. */
+  def normalized(df: DataFrame, textCol: String, idCol: String): DataFrame =
+    df.withColumn("fp", TextAnalysis.fingerprint(col(textCol)))
+      .groupBy(col("fp"))
+      .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("dup_count"))
+
+  // ---------------------------------------------------------------- shingles
+
+  /** Distinct word-w shingles per document: (id, shingle). Built with
+    * sequence+transform so it stays in codegen; `explode` fans out.
+    */
+  def shingles(df: DataFrame, textCol: String, idCol: String, w: Int = 3): DataFrame = {
+    val toks = TextAnalysis.tokens(col(textCol))
+    df.select(col(idCol).as("doc"), toks.as("_t"))
+      .filter(size(col("_t")) >= w)
+      .select(col("doc"),
+        explode(transform(
+          sequence(lit(0), size(col("_t")) - w),
+          i => concat_ws(" ", slice(col("_t"), i + 1, lit(w))))).as("shingle"))
+      .distinct()
+  }
+
+  /** Exact n-gram Jaccard similarity for all pairs sharing >=1 shingle.
+    * Self-join on shingle (shuffle on shingle), pair-count, then
+    * `|A∩B| / (|A|+|B|-|A∩B|)`. Returns pairs with jaccard >= threshold.
+    */
+  def ngramJaccardPairs(df: DataFrame, textCol: String, idCol: String,
+                        w: Int = 3, threshold: Double = 0.8): DataFrame = {
+    val sh = shingles(df, textCol, idCol, w).cache()
+    val sizes = sh.groupBy(col("doc")).agg(count(lit(1)).as("n"))
+    val inter = sh.as("a")
+      .join(sh.as("b"),
+        col("a.shingle") === col("b.shingle") && col("a.doc") < col("b.doc"))
+      .groupBy(col("a.doc").as("doc_a"), col("b.doc").as("doc_b"))
+      .agg(count(lit(1)).as("i"))
+    inter
+      .join(sizes.withColumnRenamed("doc", "doc_a").withColumnRenamed("n", "na"), "doc_a")
+      .join(sizes.withColumnRenamed("doc", "doc_b").withColumnRenamed("n", "nb"), "doc_b")
+      .withColumn("jaccard",
+        round(col("i").cast("double") / (col("na") + col("nb") - col("i")), 6))
+      .filter(col("jaccard") >= threshold)
+      .select("doc_a", "doc_b", "jaccard")
+  }
+
+  // ---------------------------------------------------------------- minhash
+
+  /** Deterministic 60-bit shingle hash shared with the SQL oracle:
+    * first 15 hex chars of md5, parsed base-16.
+    */
+  def shingleHash(shingle: Column): Column =
+    conv(substring(md5(shingle), 1, 15), 16, 10).cast("long")
+
+  /** Mersenne-ish prime for the permutation family (fits 31 bits so
+    * a*h+b stays inside signed 64-bit).
+    */
+  val MinhashPrime: Long = 2147483647L
+
+  /** Fixed LCG-generated permutation coefficients (a, b) — deterministic
+    * across runs/engines.
+    */
+  def permutations(n: Int, seed: Long = 42L): Seq[(Long, Long)] = {
+    var s = seed
+    def next(): Long = { s = (s * 6364136223846793005L + 1442695040888963407L); (s >>> 33) % (MinhashPrime - 1) + 1 }
+    Seq.fill(n)((next(), next()))
+  }
+
+  /** MinHash signatures: for each doc, minhash_i = min over shingles of
+    * (a_i * (h mod p) + b_i) mod p. One groupBy(doc) computes all
+    * permutations map-side (partial aggregation) — a single shuffle.
+    */
+  def minhashSignatures(sh: DataFrame, numPerm: Int = 128): DataFrame = {
+    val perms = permutations(numPerm)
+    val h = shingleHash(col("shingle")) % MinhashPrime
+    val mins = perms.zipWithIndex.map { case ((a, b), i) =>
+      min((h * a + b) % MinhashPrime).as(s"mh_$i")
+    }
+    sh.groupBy(col("doc")).agg(mins.head, mins.tail: _*)
+  }
+
+  /** MinHash + LSH near-dup candidate pairs, exactly verified.
+    *
+    * bands x rowsPerBand = numPerm; docs sharing any band bucket become
+    * candidates (join on band hash — the LSH bucket join), then candidates
+    * are verified with exact Jaccard so the output contains no false
+    * positives; recall follows the standard 1-(1-s^r)^b curve.
+    */
+  def minhashLshPairs(df: DataFrame, textCol: String, idCol: String,
+                      w: Int = 3, numPerm: Int = 128, bands: Int = 32,
+                      threshold: Double = 0.8): DataFrame = {
+    require(numPerm % bands == 0)
+    val r = numPerm / bands
+    val sh = shingles(df, textCol, idCol, w)
+    val sig = minhashSignatures(sh, numPerm)
+    val bandCols = (0 until bands).map { b =>
+      struct(lit(b).as("band"),
+        hash((b * r until (b + 1) * r).map(i => col(s"mh_$i")): _*).as("bucket"))
+    }
+    val buckets = sig.select(col("doc"), explode(array(bandCols: _*)).as("bk"))
+      .select(col("doc"), col("bk.band"), col("bk.bucket"))
+    val candidates = buckets.as("x")
+      .join(buckets.as("y"),
+        col("x.band") === col("y.band") && col("x.bucket") === col("y.bucket") &&
+          col("x.doc") < col("y.doc"))
+      .select(col("x.doc").as("doc_a"), col("y.doc").as("doc_b"))
+      .distinct()
+    verifyPairsExact(candidates, sh, threshold)
+  }
+
+  /** Exact-Jaccard verification restricted to candidate pairs — the
+    * intersection join fans out only over candidates' shingles, never the
+    * full cross of all docs (this is what keeps LSH sub-quadratic at scale).
+    */
+  def verifyPairsExact(candidates: DataFrame, sh: DataFrame, threshold: Double): DataFrame = {
+    val shc = sh.cache()
+    val sizes = shc.groupBy(col("doc")).agg(count(lit(1)).as("n"))
+    val inter = candidates
+      .join(shc.select(col("doc").as("doc_a"), col("shingle").as("s_a")), Seq("doc_a"))
+      .join(shc.select(col("doc").as("doc_b"), col("shingle").as("s_a")), Seq("doc_b", "s_a"))
+      .groupBy(col("doc_a"), col("doc_b"))
+      .agg(count(lit(1)).as("i"))
+    inter
+      .join(sizes.select(col("doc").as("doc_a"), col("n").as("na")), Seq("doc_a"))
+      .join(sizes.select(col("doc").as("doc_b"), col("n").as("nb")), Seq("doc_b"))
+      .withColumn("jaccard",
+        round(col("i").cast("double") / (col("na") + col("nb") - col("i")), 6))
+      .filter(col("jaccard") >= threshold)
+      .select("doc_a", "doc_b", "jaccard")
+  }
+
+  // ---------------------------------------------------------------- simhash
+
+  /** 60-bit SimHash fingerprint per document from md5-derived token hashes:
+    * bit j of the fingerprint is 1 iff sum over distinct tokens of
+    * (2*bit_j(h)-1) > 0. Pure higher-order-function arithmetic — engine
+    * independent and oracle-expressible.
+    */
+  def simhash(df: DataFrame, textCol: String, idCol: String, bits: Int = 60): DataFrame = {
+    val toks = array_distinct(TextAnalysis.tokens(lower(col(textCol))))
+    val hashes = transform(toks, t => conv(substring(md5(t), 1, 15), 16, 10).cast("long"))
+    val bitSums = transform(sequence(lit(0), lit(bits - 1)),
+      j => aggregate(hashes, lit(0L),
+        (acc, h) => acc + (call_function("shiftright", h, j).bitwiseAND(1) * 2 - 1)))
+    val fp = aggregate(
+      zip_with(bitSums, sequence(lit(0), lit(bits - 1)),
+        (s, j) => when(s > 0, call_function("shiftleft", lit(1L), j)).otherwise(lit(0L))),
+      lit(0L), (a, x) => a.bitwiseOR(x))
+    df.select(col(idCol).as("doc"), fp.as("simhash"))
+  }
+
+  /** SimHash near-dup pairs: candidate generation by exact-match on quarter
+    * fingerprint chunks (any pair within hamming distance <= 3 shares at
+    * least one of 4 chunks — pigeonhole), verified by full hamming distance.
+    */
+  def simhashPairs(df: DataFrame, textCol: String, idCol: String,
+                   maxHamming: Int = 3): DataFrame = {
+    val fps = simhash(df, textCol, idCol).cache()
+    val chunks = fps.select(col("doc"), col("simhash"),
+      explode(array((0 until 4).map(c =>
+        struct(lit(c).as("c"),
+          shiftright(col("simhash"), c * 15).bitwiseAND(0x7FFF).as("v"))): _*)).as("ck"))
+    val cands = chunks.as("x").join(chunks.as("y"),
+        col("x.ck.c") === col("y.ck.c") && col("x.ck.v") === col("y.ck.v") &&
+          col("x.doc") < col("y.doc"))
+      .select(col("x.doc").as("doc_a"), col("x.simhash").as("fp_a"),
+        col("y.doc").as("doc_b"), col("y.simhash").as("fp_b"))
+      .distinct()
+    cands
+      .withColumn("hamming", bit_count(col("fp_a").bitwiseXOR(col("fp_b"))))
+      .filter(col("hamming") <= maxHamming)
+      .select("doc_a", "doc_b", "hamming")
+  }
+}

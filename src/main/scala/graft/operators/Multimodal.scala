@@ -1,0 +1,73 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Multimodal column plumbing: image/audio/video payloads travel as opaque
+  * `binary` columns with typed metadata alongside. The Spark-side contract —
+  * schema, partition-preserving batch iteration, output shape — is real;
+  * the actual codec call is STUBBED (media libraries are not available in
+  * this environment) behind `decodeStub`, which a deployment replaces with
+  * a JNI/external-process decoder without touching the plan.
+  *
+  * Scale notes: decode runs per-partition (`mapPartitions`), so codec
+  * initialization amortizes across a partition's rows exactly like a Pandas
+  * UDF batch; binary columns should be stored in their own parquet column
+  * chunk so metadata-only queries never read the bytes (column pruning).
+  */
+object Multimodal {
+
+  case class MediaRow(doc_id: Long, media_type: String, payload: Array[Byte])
+  case class MediaMeta(doc_id: Long, media_type: String, byte_len: Long,
+                       width: Int, height: Int, n_frames: Int, sha: String)
+
+  /** STUB decoder: deterministic fake metadata derived from the payload
+    * bytes. Replace with a real codec (??? boundary) in deployment.
+    */
+  def decodeStub(payload: Array[Byte], mediaType: String): (Int, Int, Int) = {
+    val n = payload.length
+    mediaType match {
+      case "image" => (320 + n % 320, 240 + n % 240, 1)
+      case "video" => (640, 360, 1 + n % 300)
+      case _       => (0, 0, 1 + n % 9000)
+    }
+  }
+
+  /** Batch feature extraction over binary payloads. Partition-preserving;
+    * no shuffle.
+    */
+  def extractMeta(media: Dataset[MediaRow]): Dataset[MediaMeta] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { it =>
+      // per-partition codec init would happen here (amortized like a
+      // Pandas-UDF batch)
+      val digest = java.security.MessageDigest.getInstance("SHA-256")
+      it.map { r =>
+        val (w, h, f) = decodeStub(r.payload, r.media_type)
+        val sha = digest.digest(r.payload).map("%02x".format(_)).mkString
+        MediaMeta(r.doc_id, r.media_type, r.payload.length.toLong, w, h, f, sha)
+      }
+    }
+  }
+
+  /** Frame-sampling plumbing: every k-th frame index, exploded — shape of a
+    * video->frames fanout without a real decoder.
+    */
+  def sampleFrames(meta: DataFrame, every: Int): DataFrame =
+    meta.filter(col("n_frames") > 1)
+      .withColumn("frame_idx",
+        explode(sequence(lit(0), col("n_frames") - 1, lit(every))))
+      .select("doc_id", "media_type", "frame_idx")
+
+  /** Build a synthetic media table from the documents table (text bytes as
+    * payload) — exercises the plumbing on driver test data.
+    */
+  def fromDocuments(spark: SparkSession, docs: DataFrame): Dataset[MediaRow] = {
+    import spark.implicits._
+    docs.select(col("doc_id"),
+        element_at(array(lit("image"), lit("audio"), lit("video")),
+          (col("doc_id") % 3 + 1).cast("int")).as("media_type"),
+        encode(col("text"), "UTF-8").as("payload"))
+      .as[MediaRow]
+  }
+}

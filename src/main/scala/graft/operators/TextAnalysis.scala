@@ -1,0 +1,106 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for training-data pipelines: tokenization,
+  * language ID, quality scoring, fingerprinting. Everything is built from
+  * codegen'd builtins (split / higher-order array functions / regexp) — no
+  * UDFs — so the whole pipeline stays inside WholeStageCodegen and scales
+  * linearly with input splits at 100 TB.
+  *
+  * All arithmetic is integer- or exactly-reproducible double arithmetic so
+  * results are engine-independent (DuckDB-oracle-comparable).
+  */
+object TextAnalysis {
+
+  /** Space-tokenize, dropping empties (mirrors DuckDB
+    * `list_filter(string_split(text,' '), x -> x <> '')`).
+    */
+  def tokens(text: Column): Column =
+    filter(split(text, " ", -1), t => t =!= "")
+
+  /** BPE-ish subword segments: maximal runs of lowercase letters or digits. */
+  def regexTokens(text: Column): Column =
+    regexp_extract_all(lower(text), lit("[a-z]+|[0-9]+"), lit(0))
+
+  /** Small fixed stopword list used by quality scoring and language ID. */
+  val stopwords: Seq[String] =
+    Seq("the", "a", "and", "of", "to", "in", "is", "it", "on", "for")
+
+  /** Per-language marker lexicons for the n-gram/lexicon language-ID
+    * heuristic. Deliberately tiny and deterministic; real deployments swap
+    * in larger lexicons without changing the plan shape.
+    */
+  val langMarkers: Map[String, Seq[String]] = Map(
+    "en" -> Seq("the", "and", "of", "is", "it"),
+    "es" -> Seq("el", "la", "de", "que", "y"),
+    "fr" -> Seq("le", "la", "et", "les", "des"),
+    "de" -> Seq("der", "die", "und", "das", "ist"),
+    "zh" -> Seq("de", "shi", "le", "wo", "bu"))
+
+  private def countIn(toks: Column, words: Seq[String]): Column =
+    size(filter(toks, t => t.isin(words: _*)))
+
+  /** doc_id, n_tokens, n_chars_obs, avg_token_len, stopword_ratio,
+    * punct_ratio, quality_score — one pass, all map-side.
+    */
+  def quality(docs: DataFrame, textCol: String = "text"): DataFrame = {
+    val toks = tokens(col(textCol))
+    docs
+      .withColumn("_toks", toks)
+      .withColumn("n_tokens", size(col("_toks")).cast("long"))
+      .withColumn("n_chars_obs", length(col(textCol)).cast("long"))
+      .withColumn("_tok_chars",
+        aggregate(transform(col("_toks"), t => length(t)), lit(0), (a, x) => a + x))
+      .withColumn("_stop", countIn(col("_toks"), stopwords).cast("long"))
+      .withColumn("_punct",
+        (length(col(textCol)) -
+          length(regexp_replace(col(textCol), "[^a-zA-Z0-9 ]", ""))).cast("long"))
+      .withColumn("avg_token_len",
+        round(col("_tok_chars").cast("double") / col("n_tokens"), 6))
+      .withColumn("stopword_ratio",
+        round(col("_stop").cast("double") / col("n_tokens"), 6))
+      .withColumn("punct_ratio",
+        round(col("_punct").cast("double") / col("n_chars_obs"), 6))
+      // score: in-range token count, low punctuation, some-but-not-all stopwords
+      .withColumn("quality_score", round(
+        when(col("n_tokens").between(5, 1000), lit(0.4)).otherwise(lit(0.0))
+          + when(col("punct_ratio") <= 0.1, lit(0.3)).otherwise(lit(0.0))
+          + when(col("stopword_ratio").between(0.01, 0.6), lit(0.3)).otherwise(lit(0.0)), 6))
+      .drop("_toks", "_tok_chars", "_stop", "_punct")
+  }
+
+  /** Language ID: lexicon-hit counts per language, argmax with deterministic
+    * lexicographic tiebreak, 'und' when nothing matches.
+    */
+  def languageId(docs: DataFrame, textCol: String = "text"): DataFrame = {
+    val toks = tokens(lower(col(textCol)))
+    val scored = langMarkers.toSeq.sortBy(_._1).map { case (lang, words) =>
+      struct(countIn(toks, words).as("hits"), lit(lang).as("lang"))
+    }
+    // argmax = array_max over (hits, lang) structs; ties resolve to the
+    // lexicographically LAST lang at equal hits, deterministically — we
+    // invert by sorting langs descending so ties pick the alphabetical first.
+    val best = array_max(array(scored.reverse: _*))
+    docs
+      .withColumn("_best", best)
+      .withColumn("predicted_lang",
+        when(col("_best.hits") > 0, col("_best.lang")).otherwise(lit("und")))
+      .withColumn("lang_hits", col("_best.hits").cast("long"))
+      .drop("_best")
+  }
+
+  /** Document fingerprint: md5 over whitespace-collapsed, lowercased,
+    * punctuation-stripped text — the canonical-form hash used for
+    * normalized exact dedup.
+    */
+  def fingerprint(text: Column): Column =
+    md5(trim(regexp_replace(regexp_replace(lower(text), "[^a-z0-9 ]", ""), " +", " ")))
+
+  /** Token counts via both tokenizers. */
+  def tokenCounts(docs: DataFrame, textCol: String = "text"): DataFrame =
+    docs
+      .withColumn("ws_tokens", size(tokens(col(textCol))).cast("long"))
+      .withColumn("re_tokens", size(regexTokens(col(textCol))).cast("long"))
+}

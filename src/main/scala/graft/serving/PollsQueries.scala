@@ -1,0 +1,58 @@
+package graft.serving
+
+import java.sql.Timestamp
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Serving queries of the polls API (reference:
+  * haf_plug_play/plugs/polls/polls.py; intended semantics per SURVEY §2.12).
+  * `now` is an injected clock (SURVEY §7.3.4) replacing the reference's
+  * `NOW() AT TIME ZONE 'utc'`.
+  */
+object PollsQueries {
+
+  /** Active polls (polls.py:38-44): not expired, not deleted (F3 + F4). */
+  def activePolls(content: DataFrame, now: Timestamp): DataFrame =
+    content
+      .filter(col("expires") >= lit(now) && !col("deleted"))
+      .select("author", "permlink", "question", "answers", "expires", "tag", "created")
+
+  /** Polls by tag (polls.py:47-56). */
+  def pollsByTag(content: DataFrame, tag: String): DataFrame =
+    content.filter(col("tag") === tag && !col("deleted"))
+      .select("author", "permlink", "question", "answers", "expires", "tag", "created")
+
+  /** Poll vote summary (polls.py:59-73): J2 equi join with the vote-validity
+    * theta residual `v.created <= coalesce(expires, c.created + 7 days)`,
+    * then per-answer distinct-voter counts (A2). `element_at` is 1-based,
+    * matching Postgres `answers[answer]` (polls.py:62).
+    */
+  def pollSummary(content: DataFrame, votes: DataFrame): DataFrame = {
+    val c = content.filter(!col("deleted"))
+      .select(col("author"), col("permlink"), col("answers"),
+        col("expires"), col("created").as("c_created"))
+    val v = votes.select(col("author"), col("permlink"),
+      col("account"), col("answer"), col("created").as("v_created"))
+    c.join(v, Seq("author", "permlink"))
+      .filter(col("v_created") <=
+        coalesce(col("expires"), col("c_created") + expr("INTERVAL 7 DAYS")))
+      .withColumn("parsed_answer", element_at(col("answers"), col("answer").cast("int")))
+      .filter(col("parsed_answer").isNotNull)
+      .groupBy(col("author"), col("permlink"), col("parsed_answer"))
+      .agg(countDistinct(col("account")).as("votes"))
+  }
+
+  /** Full vote list for a poll (polls.py:76-84, J3). */
+  def pollVotes(content: DataFrame, votes: DataFrame, author: String, permlink: String): DataFrame =
+    content.filter(!col("deleted") &&
+        col("author") === author && col("permlink") === permlink)
+      .select("author", "permlink")
+      .join(votes, Seq("author", "permlink"))
+      .select("account", "answer", "created")
+
+  /** A user's polls, newest first (polls.py:87-100, O5). */
+  def userPolls(content: DataFrame, author: String): DataFrame =
+    content.filter(col("author") === author && !col("deleted"))
+      .orderBy(col("created").desc, col("permlink"))
+      .select("author", "permlink", "question", "answers", "expires", "tag", "created")
+}
