@@ -21,6 +21,11 @@ object GraftSession {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark.conf.set("spark.sql.adaptive.enabled", "true")
     spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "true")
+    // Permissive evaluation: the reference swallows per-op errors (invalid
+    // JSON, bad indexes — plugs/podping/functions.sql:91-96) instead of
+    // failing the stream; ANSI strict mode would abort the job on the
+    // first malformed op.
+    spark.conf.set("spark.sql.ansi.enabled", "false")
     spark
   }
 

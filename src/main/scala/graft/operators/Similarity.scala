@@ -62,32 +62,45 @@ object Similarity {
   def lshBucket(vec: Column, planes: Array[Array[Double]]): Column = {
     val bits = planes.zipWithIndex.map { case (p, i) =>
       val planeCol = array(p.map(lit(_)): _*)
-      when(dot(vec, planeCol) > 0, shiftleft(lit(1L), i)).otherwise(lit(0L))
+      when(dot(vec, planeCol) > 0, lit(1L << i)).otherwise(lit(0L))
     }
     bits.reduce((a, b) => a.bitwiseOR(b))
   }
 
-  /** LSH-bucketed ANN: candidates share a bucket with the probe (plus, for
-    * recall, buckets at hamming distance 1 — probe-side fanout only), then
-    * exact cosine + top-k within candidates. Trades recall for a candidate
-    * set ~n/2^bits per bucket; at 100 TB the bucket id doubles as the
-    * partition key so each probe touches a few partitions, not the corpus.
+  /** Multi-table sign-LSH ANN: L independent hash tables of b hyperplane
+    * bits each; a corpus vector is a candidate for a probe when they share
+    * a bucket in ANY table (classic OR-amplification), then exact cosine +
+    * top-k within candidates only.
+    *
+    * Scale shape: each (table, bucket) is a join key — the corpus is hashed
+    * once per table map-side, candidates arrive via an equi join instead of
+    * a cross product, and at 100 TB the (table, bucket) pair doubles as the
+    * storage partition key so a probe touches L small partitions, never the
+    * full corpus. Recall is tuned by (b, L) per the 1-(1-p^b)^L curve.
     */
   def lshTopK(corpus: DataFrame, probes: DataFrame, k: Int,
-              nPlanes: Int = 8, dim: Int = 64,
+              bitsPerTable: Int = 4, nTables: Int = 8, dim: Int = 64,
               idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
-    val planes = hyperplanes(nPlanes, dim)
-    val c = corpus.select(col(idCol).as("neighbor_id"), asDouble(col(vecCol)).as("_cv"))
-      .withColumn("bucket", lshBucket(col("_cv"), planes))
-    val p0 = probes.select(col(idCol).as("probe_id"), asDouble(col(vecCol)).as("_pv"))
-      .withColumn("bucket", lshBucket(col("_pv"), planes))
-    // probe-side fanout to hamming<=1 neighbor buckets
-    val fan = p0.withColumn("bucket",
-      explode(array((lit(0L) +: (0 until nPlanes).map(i => shiftleft(lit(1L), i)))
-        .map(m => col("bucket").bitwiseXOR(m)): _*)))
-    val scored = c.join(broadcast(fan), Seq("bucket"))
+    val tables = (0 until nTables).map(t =>
+      t -> hyperplanes(bitsPerTable, dim, seed = 7L + 131 * t))
+    def bucketed(df: DataFrame, idName: String): DataFrame = {
+      val entries = tables.map { case (t, planes) =>
+        struct(lit(t).as("tbl"), lshBucket(col("_v"), planes).as("bucket"))
+      }
+      df.select(col(idName), col("_v"), explode(array(entries: _*)).as("tb"))
+        .select(col(idName), col("_v"), col("tb.tbl").as("tbl"), col("tb.bucket").as("bucket"))
+    }
+    val c = bucketed(
+      corpus.select(col(idCol).as("neighbor_id"), asDouble(col(vecCol)).as("_v")), "neighbor_id")
+      .withColumnRenamed("_v", "_cv")
+    val p = bucketed(
+      probes.select(col(idCol).as("probe_id"), asDouble(col(vecCol)).as("_v")), "probe_id")
+      .withColumnRenamed("_v", "_pv")
+    val candidates = c.join(broadcast(p), Seq("tbl", "bucket"))
       .filter(col("probe_id") =!= col("neighbor_id"))
-      .withColumn("cosine", cosine(col("_pv"), col("_cv")))
+      .select("probe_id", "_pv", "neighbor_id", "_cv")
+      .dropDuplicates("probe_id", "neighbor_id")
+    val scored = candidates.withColumn("cosine", cosine(col("_pv"), col("_cv")))
     val w = Window.partitionBy(col("probe_id"))
       .orderBy(col("cosine").desc, col("neighbor_id"))
     scored.withColumn("_rn", row_number().over(w))

@@ -34,7 +34,8 @@ object HiveEngine extends Plug {
   def transform(raw: DataFrame): Map[String, DataFrame] = {
     val env = OpLog.parseEnvelope(filter(raw)).filter(col("op_id") === opId)
     val signer = coalesce(
-      element_at(col("req_auths"), 1), element_at(col("req_posting_auths"), 1))
+      try_element_at(col("req_auths"), lit(1)),
+      try_element_at(col("req_posting_auths"), lit(1)))
 
     val parsed = env
       .withColumn("_p", from_json(col("op_payload"), payloadSchema))

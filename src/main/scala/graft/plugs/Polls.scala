@@ -48,7 +48,7 @@ object Polls extends Plug {
   /** Chain-order window per poll key — deterministic first-writer-wins. */
   private val perPoll =
     Window.partitionBy(col("author"), col("permlink"))
-      .orderBy(col("block_num"), col("trx_in_block"), col("id"))
+      .orderBy(col("block_num"), col("trx_in_block"), col("poll_opid"))
 
   def transform(raw: DataFrame): Map[String, DataFrame] = {
     val env = OpLog.parseEnvelope(filter(raw)).filter(col("op_id") === opId)
@@ -76,7 +76,8 @@ object Polls extends Plug {
     // The acting account: first posting auth, else first active auth
     // (custom_json ops carry exactly one signer in practice).
     val signer = coalesce(
-      element_at(col("req_posting_auths"), 1), element_at(col("req_auths"), 1))
+      try_element_at(col("req_posting_auths"), lit(1)),
+      try_element_at(col("req_auths"), lit(1)))
 
     // -- create: first create per (author, permlink) wins ------------------
     val creates = cjos.filter(col("op_type") === "create")
@@ -128,6 +129,7 @@ object Polls extends Plug {
           col("expires").isNotNull && col("expires") >= col("del_created"))
       .drop("del_created")
 
-    Map("ops" -> opsTable, "content" -> content, "votes" -> votes)
+    Map("ops" -> opsTable, "content" -> content, "votes" -> votes,
+        "deletes" -> deletes)
   }
 }

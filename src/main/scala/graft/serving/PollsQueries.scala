@@ -36,7 +36,9 @@ object PollsQueries {
     c.join(v, Seq("author", "permlink"))
       .filter(col("v_created") <=
         coalesce(col("expires"), col("c_created") + expr("INTERVAL 7 DAYS")))
-      .withColumn("parsed_answer", element_at(col("answers"), col("answer").cast("int")))
+      // 1-based like Postgres `answers[answer]`; out-of-range yields null
+      // (filtered below), matching Postgres array-index semantics
+      .withColumn("parsed_answer", try_element_at(col("answers"), col("answer").cast("int")))
       .filter(col("parsed_answer").isNotNull)
       .groupBy(col("author"), col("permlink"), col("parsed_answer"))
       .agg(countDistinct(col("account")).as("votes"))

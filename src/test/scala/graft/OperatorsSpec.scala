@@ -1,0 +1,101 @@
+package graft
+
+import graft.operators.{Dedup, Multimodal, Similarity, TextAnalysis}
+import org.apache.spark.sql.functions._
+
+/** Training-data operator semantics on controlled inputs. */
+class OperatorsSpec extends SparkSpec {
+
+  private lazy val docs = {
+    val s = spark
+    import s.implicits._
+    Seq(
+      (0L, "the quick brown fox jumps over the lazy dog near the river bank today"),
+      (1L, "the quick brown fox jumps over the lazy dog near the river bank tonight"), // near-dup of 0
+      (2L, "completely different text about spark catalyst optimizer and shuffle exchange plans"),
+      (3L, "the quick brown fox jumps over the lazy dog near the river bank today"), // exact dup of 0
+      (4L, "El rapido zorro marron salta sobre el perro perezoso de la ciudad y de la era")
+    ).toDF("doc_id", "text")
+  }
+
+  test("exact dedup keeps min id and counts duplicates") {
+    val r = Dedup.exact(docs, "text", "doc_id").collect()
+      .map(x => x.getAs[Long]("keep_id") -> x.getAs[Long]("dup_count")).toMap
+    assert(r(0L) === 2L) // docs 0 and 3
+    assert(r.size === 4)
+  }
+
+  test("ngram jaccard finds the near-dup pair and the exact-dup pair") {
+    val pairs = Dedup.ngramJaccardPairs(docs, "text", "doc_id", 3, 0.5).collect()
+      .map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"))).toSet
+    assert(pairs.contains((0L, 3L)) && pairs.contains((0L, 1L)) && pairs.contains((1L, 3L)))
+    assert(!pairs.exists(p => p._1 == 2L || p._2 == 2L))
+  }
+
+  test("minhash LSH pairs equal exact jaccard pairs on this corpus") {
+    val exact = Dedup.ngramJaccardPairs(docs, "text", "doc_id", 3, 0.5).collect()
+      .map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"), r.getAs[Double]("jaccard"))).toSet
+    val lsh = Dedup.minhashLshPairs(docs, "text", "doc_id", 3, 128, 32, 0.5).collect()
+      .map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"), r.getAs[Double]("jaccard"))).toSet
+    assert(lsh === exact)
+  }
+
+  test("simhash: exact dups collide, near-dups within small hamming distance") {
+    val fps = Dedup.simhash(docs, "text", "doc_id").collect()
+      .map(r => r.getAs[Long]("doc") -> r.getAs[Long]("simhash")).toMap
+    assert(fps(0L) === fps(3L))
+    val nearDup = java.lang.Long.bitCount(fps(0L) ^ fps(1L))
+    val unrelated = java.lang.Long.bitCount(fps(0L) ^ fps(2L))
+    assert(nearDup < unrelated, s"near=$nearDup unrelated=$unrelated")
+  }
+
+  test("language id picks the language with most marker hits") {
+    val r = TextAnalysis.languageId(docs).collect()
+      .map(x => x.getAs[Long]("doc_id") -> x.getAs[String]("predicted_lang")).toMap
+    assert(r(0L) === "en")
+    assert(r(4L) === "es")
+  }
+
+  test("quality: ratios and score are deterministic and bounded") {
+    val r = TextAnalysis.quality(docs).collect()
+    r.foreach { row =>
+      assert(row.getAs[Double]("quality_score") >= 0.0 && row.getAs[Double]("quality_score") <= 1.0)
+      assert(row.getAs[Double]("stopword_ratio") <= 1.0)
+    }
+  }
+
+  test("brute-force cosine top-k: self excluded, ranks deterministic") {
+    val s = spark
+    import s.implicits._
+    val emb = Seq(
+      (0L, Array(1.0f, 0.0f, 0.0f)),
+      (1L, Array(0.9f, 0.1f, 0.0f)),
+      (2L, Array(0.0f, 1.0f, 0.0f)),
+      (3L, Array(-1.0f, 0.0f, 0.0f))).toDF("vec_id", "embedding")
+    val r = Similarity.bruteForceTopK(emb, emb.filter(col("vec_id") === 0), 3).collect()
+    assert(r.map(_.getAs[Long]("neighbor_id")).toSeq === Seq(1L, 2L, 3L))
+    assert(r.head.getAs[Double]("cosine") > 0.99)
+  }
+
+  test("LSH top-k achieves high recall vs brute force on real embeddings") {
+    val emb = graft.core.Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val probes = emb.filter(col("vec_id") < 5)
+    val bf = Similarity.bruteForceTopK(emb, probes, 3).collect()
+      .map(r => (r.getAs[Long]("probe_id"), r.getAs[Long]("neighbor_id"))).toSet
+    val lsh = Similarity.lshTopK(emb, probes, 3).collect()
+      .map(r => (r.getAs[Long]("probe_id"), r.getAs[Long]("neighbor_id"))).toSet
+    val recall = (bf & lsh).size.toDouble / bf.size
+    assert(recall >= 0.5, s"recall $recall") // hamming<=1 fanout on 8 planes
+  }
+
+  test("multimodal: stubbed decode plumbing produces typed metadata per row") {
+    val media = Multimodal.fromDocuments(spark, docs.withColumn("doc_id", col("doc_id")))
+    val meta = Multimodal.extractMeta(media).collect()
+    assert(meta.length === 5)
+    assert(meta.forall(_.sha.length === 64))
+    assert(meta.forall(m => m.byte_len > 0))
+    val frames = Multimodal.sampleFrames(
+      Multimodal.extractMeta(media).toDF(), every = 10)
+    assert(frames.count() > 0)
+  }
+}

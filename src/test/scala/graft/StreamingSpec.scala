@@ -1,0 +1,85 @@
+package graft
+
+import java.nio.file.Files
+import graft.core.OpLog
+import graft.plugs.Podping
+import graft.streaming.{PlugRunner, PollsStreaming}
+import org.apache.spark.sql.functions._
+
+/** End-to-end Structured Streaming: file source -> plug transform ->
+  * idempotent sinks, across multiple micro-batches with checkpoint restart
+  * (T1-T3, T9).
+  */
+class StreamingSpec extends SparkSpec {
+  import Fixtures._
+
+  private def tmp(): String = Files.createTempDirectory("graft").toString
+
+  private def writeBatch(dir: String, part: Int, rows: Seq[org.apache.spark.sql.Row]): Unit =
+    opLog(spark, rows).write.mode("append").parquet(s"$dir/b$part")
+
+  private def stream(srcDir: String) =
+    spark.readStream.schema(OpLog.schema).option("maxFilesPerTrigger", "64")
+      .parquet(s"$srcDir/b*")
+
+  test("podping stream: ingest -> explode -> append sinks, then restart picks up new data") {
+    val src = tmp(); val out = tmp(); val ckpt = tmp()
+    writeBatch(src, 1, Seq(
+      op(1, 100, 0, "2024-01-01 00:00:00", "podping", podpingV03(Seq("u1", "u2"))),
+      corruptOp(2, 100, "2024-01-01 00:00:03")))
+
+    val runner = new PlugRunner(Podping, out)
+    runner.start(stream(src), ckpt).awaitTermination()
+    assert(runner.table(spark, "updates").count() === 2)
+
+    // new arrivals + restart from the same checkpoint (cursor resume, T3)
+    writeBatch(src, 2, Seq(
+      op(3, 101, 0, "2024-01-01 00:00:06", "podping", podpingV10(Seq("u1")))))
+    runner.start(stream(src), ckpt).awaitTermination()
+    val updates = runner.table(spark, "updates")
+    assert(updates.count() === 3)
+    assert(updates.filter(col("url") === "u1").count() === 2)
+  }
+
+  test("batch replay is idempotent (exactly-once append sink)") {
+    val src = tmp(); val out = tmp()
+    writeBatch(src, 1, Seq(
+      op(1, 100, 0, "2024-01-01 00:00:00", "podping", podpingV03(Seq("u1", "u2")))))
+    val runner = new PlugRunner(Podping, out)
+    val batch = spark.read.schema(OpLog.schema).parquet(s"$src/b1")
+    runner.processBatch(batch, 7)
+    runner.processBatch(batch, 7) // replay same batch id
+    assert(runner.table(spark, "updates").count() === 2)
+  }
+
+  test("polls stateful stream: first-create-wins and deletes across batches") {
+    val src = tmp(); val out = tmp(); val ckpt = tmp()
+    writeBatch(src, 1, Seq(
+      op(1, 100, 0, "2024-01-01 00:00:00", "polls",
+        pollCreate("p1", "Q1?", Seq("a", "b"), "2024-02-01 00:00:00", "t"),
+        postingAuth = "alice")))
+    val runner = PollsStreaming.runner(out)
+    runner.start(stream(src), ckpt).awaitTermination()
+    assert(runner.table(spark, "content").count() === 1)
+
+    writeBatch(src, 2, Seq(
+      // duplicate create in a LATER batch — prior state must win
+      op(2, 200, 0, "2024-01-02 00:00:00", "polls",
+        pollCreate("p1", "Hijack!", Seq("x"), "2024-03-01 00:00:00", "t"),
+        postingAuth = "alice"),
+      op(3, 201, 0, "2024-01-02 00:00:10", "polls",
+        pollCreate("p2", "Q2?", Seq("y", "n"), "2024-02-01 00:00:00", "t"),
+        postingAuth = "bob"),
+      // delete of the batch-1 poll, pre-expiry — must apply to prior state
+      op(4, 202, 0, "2024-01-03 00:00:00", "polls", pollDelete("p1"),
+        postingAuth = "alice")))
+    runner.start(stream(src), ckpt).awaitTermination()
+
+    val content = runner.table(spark, "content").collect()
+    assert(content.length === 2)
+    val p1 = content.find(_.getAs[String]("permlink") == "p1").get
+    assert(p1.getAs[String]("question") === "Q1?") // first create won across batches
+    assert(p1.getAs[Boolean]("deleted")) // cross-batch delete applied
+    assert(!content.find(_.getAs[String]("permlink") == "p2").get.getAs[Boolean]("deleted"))
+  }
+}
