@@ -412,7 +412,7 @@ object SparkEntry {
     // pair set (LSH recall at j>=0.8 with 128 perms / 32 bands is ~1).
     Q("dedup_minhash_lsh",
       (s, d) => Dedup.minhashLshPairs(Tables.documents(s, d), "text", "doc_id",
-        3, 128, 32, 0.8)
+        3, 128, 16, 0.8)
         .orderBy(col("doc_a"), col("doc_b")),
       Some(jaccardOracleSql)),
 

@@ -18,41 +18,57 @@ import org.apache.spark.sql.functions._
   *
   * block_num = event_id DIV 10, trx_in_block = event_id % 10 — ten ops per
   * block, preserving chain order == event order.
+  *
+  * Bodies are assembled with `concat` string literals rather than
+  * `to_json`: StructsToJson is an interpreted (CodegenFallback) expression
+  * and dominated the pipeline cost; plain concat stays inside whole-stage
+  * codegen. The inner payload is emitted directly in its \"-escaped form
+  * (it is a JSON string *inside* the envelope JSON — doubly encoded, like
+  * the reference's `->>'json'` then `::json`).
   */
 object EventOpLog {
 
-  private def k: Column = get_json_object(col("props"), "$.k").cast("int")
+  // `k` is materialized as a column up front: it feeds ~8 expressions per
+  // row and inlining the JSON extraction into each would re-parse props
+  // every time.
+  private def k: Column = col("_k")
   private def acct: Column = concat(lit("user_"), col("user_id"))
 
-  def fromEvents(events: DataFrame): DataFrame = {
-    val podpingInner =
-      when(k % 2 === 0,
-        to_json(struct(
-          lit("0.3").as("version"), lit("feed_update").as("reason"),
-          array(concat(lit("url_"), k % 20), concat(lit("url_"), (k + 1) % 20)).as("urls"))))
-      .otherwise(
-        to_json(struct(
-          lit("1.0").as("version"), lit("update").as("reason"),
-          lit("podcast").as("medium"),
-          array(concat(lit("url_"), k % 20), concat(lit("url_"), (k + 1) % 20)).as("iris"))))
+  private def esc(parts: Column*): Column = concat(parts: _*)
 
-    val hiveInner = to_json(struct(
-      lit("tokens").as("contractName"), lit("transfer").as("contractAction"),
-      struct(
-        concat(lit("TK"), k % 5).as("symbol"),
-        concat(lit("user_"), col("user_id") % 7).as("to"),
-        concat(k, lit("."), k % 10).as("quantity"),
-        lit("memo").as("memo")).as("contractPayload")))
+  def fromEvents(events0: DataFrame): DataFrame = {
+    // single-file source = one split; spread the JSON-heavy synthesis
+    val events = events0
+      .repartition(events0.sparkSession.sparkContext.defaultParallelism)
+      .withColumn("_k", get_json_object(col("props"), "$.k").cast("int"))
 
-    val pollsInner = to_json(array(
-      to_json(array(lit("1"), lit("polls-app/0.01"))),
-      lit("create"),
-      to_json(struct(
-        concat(lit("poll_"), k % 25).as("permlink"),
-        concat(lit("q"), k).as("question"),
-        array(lit("yes"), lit("no"), lit("maybe")).as("answers"),
-        date_format(col("ts") + expr("INTERVAL 7 DAYS"), "yyyy-MM-dd HH:mm:ss").as("expires"),
-        concat(lit("tag"), k % 3).as("tag")))))
+    // {"version": "0.3", "reason": "feed_update", "urls": ["url_A", "url_B"]}
+    val podpingInner03 = esc(
+      lit("{\\\"version\\\": \\\"0.3\\\", \\\"reason\\\": \\\"feed_update\\\", \\\"urls\\\": [\\\"url_"),
+      k % 20, lit("\\\", \\\"url_"), (k + 1) % 20, lit("\\\"]}"))
+    // {"version": "1.0", "reason": "update", "medium": "podcast", "iris": [...]}
+    val podpingInner10 = esc(
+      lit("{\\\"version\\\": \\\"1.0\\\", \\\"reason\\\": \\\"update\\\", \\\"medium\\\": \\\"podcast\\\", \\\"iris\\\": [\\\"url_"),
+      k % 20, lit("\\\", \\\"url_"), (k + 1) % 20, lit("\\\"]}"))
+    val podpingInner = when(k % 2 === 0, podpingInner03).otherwise(podpingInner10)
+
+    val hiveInner = esc(
+      lit("{\\\"contractName\\\": \\\"tokens\\\", \\\"contractAction\\\": \\\"transfer\\\", \\\"contractPayload\\\": {\\\"symbol\\\": \\\"TK"),
+      k % 5,
+      lit("\\\", \\\"to\\\": \\\"user_"), col("user_id") % 7,
+      lit("\\\", \\\"quantity\\\": \\\""), k, lit("."), k % 10,
+      lit("\\\", \\\"memo\\\": \\\"memo\\\"}}"))
+
+    // CJOS-01: [[1, "polls-app/0.01"], "create", {...}] (op-standard.md),
+    // \"-escaped once for embedding in the envelope body
+    val pollsInner = esc(
+      lit("[[1, \\\"polls-app/0.01\\\"], \\\"create\\\", {\\\"permlink\\\": \\\"poll_"),
+      k % 25,
+      lit("\\\", \\\"question\\\": \\\"q"), k,
+      lit("\\\", \\\"answers\\\": [\\\"yes\\\", \\\"no\\\", \\\"maybe\\\"], \\\"expires\\\": \\\""),
+      date_format(col("ts") + expr("INTERVAL 7 DAYS"), "yyyy-MM-dd HH:mm:ss"),
+      lit("\\\", \\\"tag\\\": \\\"tag"), k % 3,
+      lit("\\\"}]"))
 
     val opId = when(col("event_type") === "click", "podping")
       .when(col("event_type") === "view", "pp_video_update")
@@ -63,17 +79,16 @@ object EventOpLog {
       .when(col("event_type") === "purchase", hiveInner)
       .when(col("event_type") === "signup", pollsInner)
 
-    val activeAuths = when(col("event_type") === "purchase", array(acct))
-      .otherwise(array().cast("array<string>"))
-    val postingAuths = when(col("event_type") === "purchase", array().cast("array<string>"))
-      .otherwise(array(acct))
+    val acctJson = concat(lit("\"user_"), col("user_id"), lit("\""))
+    val activeAuths = when(col("event_type") === "purchase", acctJson).otherwise(lit(""))
+    val postingAuths = when(col("event_type") === "purchase", lit("")).otherwise(acctJson)
 
     val body = when(col("event_type") === "error", lit("{corrupt json!"))
-      .otherwise(to_json(struct(struct(
-        activeAuths.as("required_auths"),
-        postingAuths.as("required_posting_auths"),
-        opId.as("id"),
-        inner.as("json")).as("value"))))
+      .otherwise(concat(
+        lit("{\"value\": {\"required_auths\": ["), activeAuths,
+        lit("], \"required_posting_auths\": ["), postingAuths,
+        lit("], \"id\": \""), opId,
+        lit("\", \"json\": \""), inner, lit("\"}}")))
 
     events.select(
       col("event_id").as("id"),

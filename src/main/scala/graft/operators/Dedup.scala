@@ -13,6 +13,12 @@ import org.apache.spark.sql.functions._
   */
 object Dedup {
 
+  /** Repartition a (possibly single-split) source so CPU-heavy downstream
+    * work parallelizes; no-op cost at scale, unlocks all cores locally.
+    */
+  private[operators] def spread(df: DataFrame): DataFrame =
+    df.repartition(df.sparkSession.sparkContext.defaultParallelism)
+
   /** Exact dedup: keep the smallest id per identical key (hash-groupBy).
     * Returns the kept rows plus `dup_count`.
     */
@@ -29,17 +35,21 @@ object Dedup {
   // ---------------------------------------------------------------- shingles
 
   /** Distinct word-w shingles per document: (id, shingle). Built with
-    * sequence+transform so it stays in codegen; `explode` fans out.
+    * sequence+transform so it stays in codegen; the per-doc dedup happens
+    * inside the row (`array_distinct` before explode) so no global
+    * distinct shuffle is needed — at scale this is the difference between
+    * a map-only fanout and shuffling every shingle.
     */
   def shingles(df: DataFrame, textCol: String, idCol: String, w: Int = 3): DataFrame = {
     val toks = TextAnalysis.tokens(col(textCol))
-    df.select(col(idCol).as("doc"), toks.as("_t"))
+    // single-file sources arrive as one split; spread the CPU-heavy
+    // shingle explode + hashing across the cluster before fanning out
+    spread(df).select(col(idCol).as("doc"), toks.as("_t"))
       .filter(size(col("_t")) >= w)
       .select(col("doc"),
-        explode(transform(
+        explode(array_distinct(transform(
           sequence(lit(0), size(col("_t")) - w),
-          i => concat_ws(" ", slice(col("_t"), i + 1, lit(w))))).as("shingle"))
-      .distinct()
+          i => concat_ws(" ", slice(col("_t"), i + 1, lit(w)))))).as("shingle"))
   }
 
   /** Exact n-gram Jaccard similarity for all pairs sharing >=1 shingle.
@@ -88,15 +98,18 @@ object Dedup {
 
   /** MinHash signatures: for each doc, minhash_i = min over shingles of
     * (a_i * (h mod p) + b_i) mod p. One groupBy(doc) computes all
-    * permutations map-side (partial aggregation) — a single shuffle.
+    * permutations map-side (partial aggregation) — a single shuffle. The
+    * md5-based shingle hash is materialized ONCE per row; the permutation
+    * family is cheap integer arithmetic on that column (inlining it would
+    * re-evaluate md5 per permutation — 128x the hash cost).
     */
   def minhashSignatures(sh: DataFrame, numPerm: Int = 128): DataFrame = {
     val perms = permutations(numPerm)
-    val h = shingleHash(col("shingle")) % MinhashPrime
+    val withH = sh.select(col("doc"), (shingleHash(col("shingle")) % MinhashPrime).as("_h"))
     val mins = perms.zipWithIndex.map { case ((a, b), i) =>
-      min((h * a + b) % MinhashPrime).as(s"mh_$i")
+      min((col("_h") * a + b) % MinhashPrime).as(s"mh_$i")
     }
-    sh.groupBy(col("doc")).agg(mins.head, mins.tail: _*)
+    withH.groupBy(col("doc")).agg(mins.head, mins.tail: _*)
   }
 
   /** MinHash + LSH near-dup candidate pairs, exactly verified.
@@ -107,11 +120,11 @@ object Dedup {
     * positives; recall follows the standard 1-(1-s^r)^b curve.
     */
   def minhashLshPairs(df: DataFrame, textCol: String, idCol: String,
-                      w: Int = 3, numPerm: Int = 128, bands: Int = 32,
+                      w: Int = 3, numPerm: Int = 128, bands: Int = 16,
                       threshold: Double = 0.8): DataFrame = {
     require(numPerm % bands == 0)
     val r = numPerm / bands
-    val sh = shingles(df, textCol, idCol, w)
+    val sh = shingles(df, textCol, idCol, w).cache()
     val sig = minhashSignatures(sh, numPerm)
     val bandCols = (0 until bands).map { b =>
       struct(lit(b).as("band"),
@@ -153,20 +166,26 @@ object Dedup {
 
   /** 60-bit SimHash fingerprint per document from md5-derived token hashes:
     * bit j of the fingerprint is 1 iff sum over distinct tokens of
-    * (2*bit_j(h)-1) > 0. Pure higher-order-function arithmetic — engine
-    * independent and oracle-expressible.
+    * (2*bit_j(h)-1) > 0.
+    *
+    * Shape: explode tokens -> one hash per row -> groupBy(doc) with 60 sum
+    * aggregates (partial aggregation map-side, one shuffle). A nested
+    * higher-order-function formulation computes the same thing but
+    * generates a pathological whole-stage-codegen method (~20s JIT);
+    * the explode+agg form compiles and runs in under a second.
     */
   def simhash(df: DataFrame, textCol: String, idCol: String, bits: Int = 60): DataFrame = {
-    val toks = array_distinct(TextAnalysis.tokens(lower(col(textCol))))
-    val hashes = transform(toks, t => conv(substring(md5(t), 1, 15), 16, 10).cast("long"))
-    val bitSums = transform(sequence(lit(0), lit(bits - 1)),
-      j => aggregate(hashes, lit(0L),
-        (acc, h) => acc + (call_function("shiftright", h, j).bitwiseAND(1) * 2 - 1)))
-    val fp = aggregate(
-      zip_with(bitSums, sequence(lit(0), lit(bits - 1)),
-        (s, j) => when(s > 0, call_function("shiftleft", lit(1L), j)).otherwise(lit(0L))),
-      lit(0L), (a, x) => a.bitwiseOR(x))
-    df.select(col(idCol).as("doc"), fp.as("simhash"))
+    val toks = spread(df).select(col(idCol).as("doc"),
+      explode(array_distinct(TextAnalysis.tokens(lower(col(textCol))))).as("tok"))
+    val withH = toks.select(col("doc"),
+      conv(substring(md5(col("tok")), 1, 15), 16, 10).cast("long").as("_h"))
+    val bitSums = (0 until bits).map(j =>
+      sum(shiftright(col("_h"), j).bitwiseAND(1) * 2 - 1).as(s"b_$j"))
+    val summed = withH.groupBy(col("doc")).agg(bitSums.head, bitSums.tail: _*)
+    val fp = (0 until bits).map(j =>
+      when(col(s"b_$j") > 0, lit(1L << j)).otherwise(lit(0L)))
+      .reduce((a, b) => a.bitwiseOR(b))
+    summed.select(col("doc"), fp.as("simhash"))
   }
 
   /** SimHash near-dup pairs: candidate generation by exact-match on quarter

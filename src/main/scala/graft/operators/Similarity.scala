@@ -27,13 +27,19 @@ object Similarity {
 
   private def asDouble(c: Column): Column = transform(c, x => x.cast("double"))
 
+  /** Spread a (possibly single-split) corpus across all cores before the
+    * per-vector scoring work.
+    */
+  private def spread(df: DataFrame): DataFrame =
+    df.repartition(df.sparkSession.sparkContext.defaultParallelism)
+
   /** Brute-force cosine top-k: for each probe vector, the k nearest corpus
     * vectors (excluding itself). The probe side is broadcast — the corpus
     * is scanned exactly once regardless of probe count.
     */
   def bruteForceTopK(corpus: DataFrame, probes: DataFrame, k: Int,
                      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
-    val c = corpus.select(col(idCol).as("neighbor_id"), asDouble(col(vecCol)).as("_cv"))
+    val c = spread(corpus).select(col(idCol).as("neighbor_id"), asDouble(col(vecCol)).as("_cv"))
     val p = probes.select(col(idCol).as("probe_id"), asDouble(col(vecCol)).as("_pv"))
     val scored = c.join(broadcast(p), col("probe_id") =!= col("neighbor_id"))
       .withColumn("cosine", cosine(col("_pv"), col("_cv")))
@@ -91,7 +97,7 @@ object Similarity {
         .select(col(idName), col("_v"), col("tb.tbl").as("tbl"), col("tb.bucket").as("bucket"))
     }
     val c = bucketed(
-      corpus.select(col(idCol).as("neighbor_id"), asDouble(col(vecCol)).as("_v")), "neighbor_id")
+      spread(corpus).select(col(idCol).as("neighbor_id"), asDouble(col(vecCol)).as("_v")), "neighbor_id")
       .withColumnRenamed("_v", "_cv")
     val p = bucketed(
       probes.select(col(idCol).as("probe_id"), asDouble(col(vecCol)).as("_v")), "probe_id")

@@ -28,8 +28,12 @@ object HiveEngine extends Plug {
       StructField("id", StringType),
       StructField("properties", StringType))))))
 
+  /** Cheap superset prefilter (see Podping.filter): exact op-id equality
+    * still applies post-parse.
+    */
   def filter(ops: DataFrame): DataFrame =
-    ops.filter(col("op_type_id") === OpLog.CustomJsonOpType)
+    ops.filter(col("op_type_id") === OpLog.CustomJsonOpType &&
+      col("body").contains("\"ssc-mainnet-hive\""))
 
   def transform(raw: DataFrame): Map[String, DataFrame] = {
     val env = OpLog.parseEnvelope(filter(raw)).filter(col("op_id") === opId)
@@ -37,9 +41,11 @@ object HiveEngine extends Plug {
       try_element_at(col("req_auths"), lit(1)),
       try_element_at(col("req_posting_auths"), lit(1)))
 
+    // no isNotNull filter on _p: a null parse yields null contract and
+    // falls out of the contract dispatch below (an explicit filter here
+    // would be pushed down with alias substitution and re-run from_json)
     val parsed = env
       .withColumn("_p", from_json(col("op_payload"), payloadSchema))
-      .filter(col("_p").isNotNull)
       .withColumn("from_acct", signer)
 
     val base = parsed.select(

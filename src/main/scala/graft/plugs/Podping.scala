@@ -36,8 +36,14 @@ object Podping extends Plug {
     StructField("urls", ArrayType(StringType)),
     StructField("iris", ArrayType(StringType))))
 
+  /** Cheap superset prefilter: op type + body substring probe. The exact
+    * op-id equality still applies after envelope parsing; the substring
+    * test just keeps non-matching ops away from the JSON parser (and is
+    * pushable to the scan).
+    */
   def filter(ops: DataFrame): DataFrame =
-    ops.filter(col("op_type_id") === OpLog.CustomJsonOpType)
+    ops.filter(col("op_type_id") === OpLog.CustomJsonOpType &&
+      (col("body").contains("\"podping\"") || col("body").contains("\"pp_video_update\"")))
 
   def transform(raw: DataFrame): Map[String, DataFrame] = {
     val env = OpLog.parseEnvelope(filter(raw))
@@ -49,26 +55,26 @@ object Podping extends Plug {
       col("timestamp").as("created"), col("trx_hash").as("trx_id"),
       col("req_auths"), col("req_posting_auths"), col("op_id"), col("op_payload"))
 
-    val payload = from_json(col("op_payload"), payloadSchema)
-    val withP = env.withColumn("_p", payload)
+    // Parse the payload ONCE into a materialized struct column, then
+    // version-dispatch + explode in a separate projection. No explicit
+    // null filter: explode() drops null/empty arrays itself — an isNotNull
+    // filter here would be pushed down with full alias substitution and
+    // re-evaluate the nested from_json many times per row
+    // (PushDownPredicates duplicates expensive expressions).
+    val withP = env.select(
+      col("id"), col("block_num"), col("trx_in_block"), col("timestamp"),
+      from_json(col("op_payload"), payloadSchema).as("_p"))
 
-    // Version dispatch -> unified (reason, medium, url-array) then explode.
-    val unified = withP
-      .withColumn("_urls",
-        when(col("_p.version") === "0.3", col("_p.urls"))
-          .when(col("_p.version") === "1.0", col("_p.iris")))
-      .withColumn("reason", col("_p.reason"))
-      .withColumn("medium",
-        when(col("_p.version") === "0.3", lit("blog"))
-          .when(col("_p.version") === "1.0", col("_p.medium")))
-      .filter(col("_urls").isNotNull)
-
-    val updates = unified
+    val updates = withP
       .select(
         col("id").as("podping_id"), col("block_num"), col("trx_in_block"),
         col("timestamp").as("created"),
-        explode(col("_urls")).as("url"),
-        col("reason"), col("medium"))
+        explode(
+          when(col("_p.version") === "0.3", col("_p.urls"))
+            .when(col("_p.version") === "1.0", col("_p.iris"))).as("url"),
+        col("_p.reason").as("reason"),
+        when(col("_p.version") === "0.3", lit("blog"))
+          .when(col("_p.version") === "1.0", col("_p.medium")).as("medium"))
 
     Map("ops" -> opsTable, "updates" -> updates)
   }

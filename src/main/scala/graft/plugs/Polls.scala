@@ -42,8 +42,12 @@ object Polls extends Plug {
   val deleteSchema: StructType = StructType(Seq(
     StructField("permlink", StringType)))
 
+  /** Cheap superset prefilter (see Podping.filter): exact op-id equality
+    * still applies post-parse.
+    */
   def filter(ops: DataFrame): DataFrame =
-    ops.filter(col("op_type_id") === OpLog.CustomJsonOpType)
+    ops.filter(col("op_type_id") === OpLog.CustomJsonOpType &&
+      col("body").contains("\"polls\""))
 
   /** Chain-order window per poll key — deterministic first-writer-wins. */
   private val perPoll =
