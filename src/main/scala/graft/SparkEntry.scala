@@ -320,6 +320,98 @@ object SparkEntry {
              |       CAST(count(*) AS BIGINT) AS n
              |FROM src GROUP BY 1 ORDER BY symbol""".stripMargin)),
 
+    // ---- A3: min/max probe
+    Q("a3_minmax",
+      (s, d) => ev(s, d).agg(max(col("event_id")).as("head_block"),
+        max(col("ts")).as("head_time")),
+      Some("""SELECT CAST(max(event_id) AS BIGINT) AS head_block,
+             |       CAST(max(ts) AS TIMESTAMP) AS head_time FROM events""".stripMargin)),
+
+    // ---- J4: latest-N for one url, joined back to ops for the hex trx id
+    Q("j4_feed_updates",
+      (s, d) => {
+        val t = Podping.transform(EventOpLog.fromEvents(ev(s, d)))
+        PodpingQueries.feedUpdates(t("updates"), t("ops"), "url_5", 5)
+      },
+      Some("""WITH src AS (
+             |  SELECT event_id, CAST(json_extract_string(props,'$.k') AS INTEGER) AS k,
+             |         CAST(ts AS TIMESTAMP) AS ts
+             |  FROM events WHERE event_type IN ('click','view')),
+             |u AS (
+             |  SELECT event_id, k, ts, concat('url_', k % 20) AS url FROM src
+             |  UNION ALL
+             |  SELECT event_id, k, ts, concat('url_', (k + 1) % 20) AS url FROM src)
+             |SELECT CAST(event_id // 10 AS INT) AS block_num, ts AS created,
+             |       md5(CAST(event_id AS VARCHAR)) AS trx_id, url,
+             |       CASE WHEN k % 2 = 0 THEN 'feed_update' ELSE 'update' END AS reason,
+             |       CASE WHEN k % 2 = 0 THEN 'blog' ELSE 'podcast' END AS medium
+             |FROM u WHERE url = 'url_5' ORDER BY event_id DESC LIMIT 5""".stripMargin)),
+
+    // ---- polls pipeline: CJOS parse -> state machine -> serving queries
+    Q("plug_polls_content",
+      (s, d) => Polls.transform(EventOpLog.fromEvents(ev(s, d)))("content")
+        .select(col("author"), col("permlink"), col("question"),
+          col("expires"), col("tag"), col("deleted"))
+        .orderBy(col("permlink")),
+      Some("""WITH c AS (
+             |  SELECT event_id, CAST(json_extract_string(props,'$.k') AS INTEGER) AS k,
+             |         CAST(ts AS TIMESTAMP) AS ts
+             |  FROM events WHERE event_type = 'signup'),
+             |f AS (SELECT *, row_number() OVER (PARTITION BY k % 25 ORDER BY event_id) AS rn FROM c)
+             |SELECT concat('owner_', k % 25) AS author, concat('poll_', k % 25) AS permlink,
+             |       concat('q', k) AS question,
+             |       date_trunc('second', ts) + INTERVAL 7 DAY AS expires,
+             |       concat('tag', k % 3) AS tag, false AS deleted
+             |FROM f WHERE rn = 1 ORDER BY permlink""".stripMargin)),
+
+    Q("plug_polls_summary",
+      (s, d) => {
+        val t = Polls.transform(EventOpLog.fromEvents(ev(s, d)))
+        PollsQueries.pollSummary(t("content"), t("votes"))
+          .orderBy(col("permlink"), col("parsed_answer"))
+      },
+      Some("""WITH c AS (
+             |  SELECT event_id, CAST(json_extract_string(props,'$.k') AS INTEGER) AS k,
+             |         CAST(ts AS TIMESTAMP) AS ts
+             |  FROM events WHERE event_type = 'signup'),
+             |f AS (SELECT *, row_number() OVER (PARTITION BY k % 25 ORDER BY event_id) AS rn FROM c),
+             |polls AS (SELECT k % 25 AS pk, concat('owner_', k % 25) AS author,
+             |                 concat('poll_', k % 25) AS permlink,
+             |                 date_trunc('second', ts) + INTERVAL 7 DAY AS expires
+             |          FROM f WHERE rn = 1),
+             |v AS (SELECT CAST(json_extract_string(props,'$.k') AS INTEGER) AS k,
+             |             user_id, CAST(ts AS TIMESTAMP) AS ts
+             |      FROM events
+             |      WHERE event_type = 'error' AND CAST(json_extract_string(props,'$.k') AS INTEGER) % 2 = 0)
+             |SELECT p.author, p.permlink,
+             |       (['yes','no','maybe'])[v.k % 4 + 1] AS parsed_answer,
+             |       CAST(count(DISTINCT concat('user_', v.user_id)) AS BIGINT) AS votes
+             |FROM v JOIN polls p ON v.k % 25 = p.pk
+             |WHERE v.ts <= p.expires AND v.k % 4 + 1 <= 3
+             |GROUP BY 1, 2, 3 ORDER BY permlink, parsed_answer""".stripMargin)),
+
+    Q("plug_polls_active",
+      (s, d) => {
+        val t = Polls.transform(EventOpLog.fromEvents(ev(s, d)))
+        PollsQueries.activePolls(t("content"),
+          java.sql.Timestamp.valueOf("2024-01-20 00:00:00"))
+          .select(col("author"), col("permlink"), col("question"),
+            col("expires"), col("tag"), col("created"))
+          .orderBy(col("permlink"))
+      },
+      Some("""WITH c AS (
+             |  SELECT event_id, CAST(json_extract_string(props,'$.k') AS INTEGER) AS k,
+             |         CAST(ts AS TIMESTAMP) AS ts
+             |  FROM events WHERE event_type = 'signup'),
+             |f AS (SELECT *, row_number() OVER (PARTITION BY k % 25 ORDER BY event_id) AS rn FROM c)
+             |SELECT concat('owner_', k % 25) AS author, concat('poll_', k % 25) AS permlink,
+             |       concat('q', k) AS question,
+             |       date_trunc('second', ts) + INTERVAL 7 DAY AS expires,
+             |       concat('tag', k % 3) AS tag, ts AS created
+             |FROM f WHERE rn = 1
+             |  AND date_trunc('second', ts) + INTERVAL 7 DAY >= TIMESTAMP '2024-01-20 00:00:00'
+             |ORDER BY permlink""".stripMargin)),
+
     // ---- text analysis -------------------------------------------------
     Q("text_quality",
       (s, d) => TextAnalysis.quality(Tables.documents(s, d))

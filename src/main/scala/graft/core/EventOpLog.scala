@@ -13,8 +13,14 @@ import org.apache.spark.sql.functions._
   *                   odd k publishes v1.0 {iris:[...same...], medium:'podcast'}
   *  - purchase    -> hive-engine 'ssc-mainnet-hive' tokens/transfer ops:
   *                   symbol TK(k%5), to user_(uid%7), quantity "k.(k%10)"
-  *  - signup      -> polls 'create' (permlink poll_(k%25), expires ts+7d)
-  *  - error       -> corrupt body (must be isolated, not fail the pipeline)
+  *  - signup      -> polls 'create' for (author owner_(k%25), permlink
+  *                   poll_(k%25), expires ts+7d) — poll identity derives
+  *                   from k, so concurrent signups race on the same poll
+  *                   key and first-create-wins is exercised globally
+  *  - error, k even -> polls 'vote' on poll_(k%25) by user_(uid), answer
+  *                   1+(k%4) (answer 4 is out of range -> dropped, the
+  *                   Postgres array-index null semantic)
+  *  - error, k odd -> corrupt body (must be isolated, not fail the pipeline)
   *
   * block_num = event_id DIV 10, trx_in_block = event_id % 10 — ten ops per
   * block, preserving chain order == event order.
@@ -61,7 +67,7 @@ object EventOpLog {
 
     // CJOS-01: [[1, "polls-app/0.01"], "create", {...}] (op-standard.md),
     // \"-escaped once for embedding in the envelope body
-    val pollsInner = esc(
+    val pollsCreateInner = esc(
       lit("[[1, \\\"polls-app/0.01\\\"], \\\"create\\\", {\\\"permlink\\\": \\\"poll_"),
       k % 25,
       lit("\\\", \\\"question\\\": \\\"q"), k,
@@ -70,20 +76,33 @@ object EventOpLog {
       lit("\\\", \\\"tag\\\": \\\"tag"), k % 3,
       lit("\\\"}]"))
 
+    val pollsVoteInner = esc(
+      lit("[[1, \\\"polls/0.01\\\"], \\\"vote\\\", {\\\"author\\\": \\\"owner_"),
+      k % 25,
+      lit("\\\", \\\"permlink\\\": \\\"poll_"), k % 25,
+      lit("\\\", \\\"answer\\\": "), k % 4 + 1, lit("}]"))
+
+    val isVote = col("event_type") === "error" && k % 2 === 0
+
     val opId = when(col("event_type") === "click", "podping")
       .when(col("event_type") === "view", "pp_video_update")
       .when(col("event_type") === "purchase", "ssc-mainnet-hive")
-      .when(col("event_type") === "signup", "polls")
+      .when(col("event_type") === "signup" || isVote, "polls")
 
     val inner = when(col("event_type").isin("click", "view"), podpingInner)
       .when(col("event_type") === "purchase", hiveInner)
-      .when(col("event_type") === "signup", pollsInner)
+      .when(col("event_type") === "signup", pollsCreateInner)
+      .when(isVote, pollsVoteInner)
 
-    val acctJson = concat(lit("\"user_"), col("user_id"), lit("\""))
-    val activeAuths = when(col("event_type") === "purchase", acctJson).otherwise(lit(""))
-    val postingAuths = when(col("event_type") === "purchase", lit("")).otherwise(acctJson)
+    // creates are signed by the poll owner (derived from k); votes and
+    // podping ops by the event's user
+    val signer = when(col("event_type") === "signup",
+        concat(lit("\"owner_"), k % 25, lit("\"")))
+      .otherwise(concat(lit("\"user_"), col("user_id"), lit("\"")))
+    val activeAuths = when(col("event_type") === "purchase", signer).otherwise(lit(""))
+    val postingAuths = when(col("event_type") === "purchase", lit("")).otherwise(signer)
 
-    val body = when(col("event_type") === "error", lit("{corrupt json!"))
+    val body = when(col("event_type") === "error" && !isVote, lit("{corrupt json!"))
       .otherwise(concat(
         lit("{\"value\": {\"required_auths\": ["), activeAuths,
         lit("], \"required_posting_auths\": ["), postingAuths,
