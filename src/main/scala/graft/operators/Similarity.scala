@@ -17,8 +17,19 @@ import org.apache.spark.sql.functions._
   */
 object Similarity {
 
-  /** Sequential-fold dot product of two double arrays. */
+  /** Dot product of two double arrays — native codegen'd Catalyst
+    * expression (see graft.functions.DoubleDotProduct). Same sequential
+    * left-to-right summation as the composable
+    * `aggregate(zip_with(a,b,_*_), 0.0, _+_)` form, so results are
+    * bit-identical, without the per-row intermediate array.
+    */
   def dot(a: Column, b: Column): Column =
+    org.apache.spark.sql.GraftBridge.dotProduct(a, b)
+
+  /** Builtin-only formulation of `dot` (reference semantics / test oracle
+    * for the native expression).
+    */
+  def dotHof(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
 
   def norm(a: Column): Column = sqrt(dot(a, a))

@@ -1,0 +1,18 @@
+package org.apache.spark.sql
+
+import graft.functions.DoubleDotProduct
+import org.apache.spark.sql.classic.ExpressionUtils
+
+/** Bridge into Spark's private[sql] surface: wraps custom Catalyst
+  * expressions as user-facing Columns. Lives in org.apache.spark.sql by
+  * necessity (the Column <- Expression constructor is private[sql] since
+  * the Spark 4 column-node refactor); contains no Spark-internal logic of
+  * its own.
+  */
+object GraftBridge {
+
+  /** Column over the native codegen'd double-array dot product. */
+  def dotProduct(a: Column, b: Column): Column =
+    ExpressionUtils.column(DoubleDotProduct(
+      ExpressionUtils.expression(a), ExpressionUtils.expression(b)))
+}

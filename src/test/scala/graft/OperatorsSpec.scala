@@ -88,6 +88,18 @@ class OperatorsSpec extends SparkSpec {
     assert(recall >= 0.5, s"recall $recall") // hamming<=1 fanout on 8 planes
   }
 
+  test("native dot product expression matches the builtin HOF formulation bitwise") {
+    val emb = graft.core.Tables.embeddings(spark, "/root/testdata/sf0.001")
+      .select(col("vec_id"), transform(col("embedding"), x => x.cast("double")).as("e"))
+    val both = emb.select(
+      Similarity.dot(col("e"), col("e")).as("native"),
+      Similarity.dotHof(col("e"), col("e")).as("hof")).collect()
+    both.foreach { r =>
+      assert(java.lang.Double.doubleToLongBits(r.getDouble(0)) ===
+        java.lang.Double.doubleToLongBits(r.getDouble(1)))
+    }
+  }
+
   test("multimodal: stubbed decode plumbing produces typed metadata per row") {
     val media = Multimodal.fromDocuments(spark, docs.withColumn("doc_id", col("doc_id")))
     val meta = Multimodal.extractMeta(media).collect()
