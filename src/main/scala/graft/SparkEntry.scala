@@ -508,6 +508,20 @@ object SparkEntry {
         .orderBy(col("doc_a"), col("doc_b")),
       Some(jaccardOracleSql)),
 
+    // embedding-cosine near-dup with label blocking (equi join, not a
+    // cross product — the blocking key is the shuffle key at scale)
+    Q("dedup_embedding_cosine",
+      (s, d) => Dedup.embeddingCosinePairs(Tables.embeddings(s, d),
+        "vec_id", "embedding", "label", 0.35)
+        .orderBy(col("id_a"), col("id_b")),
+      Some("""WITH v AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS e FROM embeddings)
+             |SELECT id_a, id_b, cosine FROM (
+             |  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+             |         round(list_dot_product(a.e, b.e) /
+             |           (sqrt(list_dot_product(a.e, a.e)) * sqrt(list_dot_product(b.e, b.e))), 6) AS cosine
+             |  FROM v a JOIN v b ON a.label = b.label AND a.vec_id < b.vec_id)
+             |WHERE cosine >= 0.35 ORDER BY id_a, id_b""".stripMargin)),
+
     Q("dedup_simhash_pairs",
       (s, d) => Dedup.simhashPairs(Tables.documents(s, d), "text", "doc_id", 3)
         .orderBy(col("doc_a"), col("doc_b")),

@@ -84,4 +84,20 @@ object OpLog {
     val arr = from_json(header, ArrayType(StringType))
     (element_at(arr, 1), element_at(arr, 2))
   }
+
+  /** Irreversibility watermark (T7): process only blocks at least
+    * `horizon` behind the head. HAF handles forks by cascade-deleting
+    * rolled-back rows (tables INHERIT the context, plug-schema.md:44); the
+    * Spark engine instead never ingests blocks that can still be rolled
+    * back — mirroring the reference's *detached-context* massive-sync mode
+    * where fork tracking is off. ~1-2 min of chain (20-40 blocks) is the
+    * practical horizon.
+    */
+  def finalizedOnly(ops: DataFrame, headBlock: Long, horizon: Int = 20): DataFrame =
+    ops.filter(col("block_num") <= headBlock - horizon)
+
+  /** Current head of an op-log DataFrame (S2). */
+  def headBlock(ops: DataFrame): Option[Long] =
+    ops.agg(max(col("block_num"))).collect().headOption
+      .flatMap(r => if (r.isNullAt(0)) None else Some(r.getInt(0).toLong))
 }

@@ -162,6 +162,25 @@ object Dedup {
       .select("doc_a", "doc_b", "jaccard")
   }
 
+  // ------------------------------------------------------- embedding cosine
+
+  /** Embedding-cosine near-dup pairs within blocking groups: an equi join
+    * on the blocking key (cluster label, LSH bucket, ...) bounds the pair
+    * space, then exact cosine filters. At 100 TB the blocking key is the
+    * shuffle/partition key; without it this operator would be a cross
+    * product.
+    */
+  def embeddingCosinePairs(emb: DataFrame, idCol: String, vecCol: String,
+                           blockCol: String, threshold: Double): DataFrame = {
+    val v = spread(emb).select(col(blockCol).as("blk"), col(idCol).as("vid"),
+      transform(col(vecCol), x => x.cast("double")).as("vec"))
+    v.as("a").join(v.as("b"),
+        col("a.blk") === col("b.blk") && col("a.vid") < col("b.vid"))
+      .select(col("a.vid").as("id_a"), col("b.vid").as("id_b"),
+        round(Similarity.cosine(col("a.vec"), col("b.vec")), 6).as("cosine"))
+      .filter(col("cosine") >= threshold)
+  }
+
   // ---------------------------------------------------------------- simhash
 
   /** 60-bit SimHash fingerprint per document from md5-derived token hashes:

@@ -26,11 +26,21 @@ class PlugRunner(
     outDir: String,
     mergeFns: Map[String, (Option[DataFrame], Map[String, DataFrame]) => DataFrame] = Map.empty) {
 
+  /** Coarse block bucket for sink partitioning (~3.5 days of chain per
+    * directory at 1 block / 3 s).
+    */
+  val BlockBucketSize: Int = 100000
+
   def tableDir(name: String): String = s"$outDir/${plug.name}/$name"
 
   /** Process one micro-batch (callable directly for batch backfill — the
     * reference's "massive sync" mode, sync.sql:58-77, is exactly this
     * function over a historical block range).
+    *
+    * Append tables carrying `block_num` are additionally partitioned by a
+    * coarse block bucket — the storage-layout replacement for the
+    * reference's B-tree indexes on block_num (SURVEY §4): block-range
+    * predicates (F1) prune whole directories at scan planning time.
     */
   def processBatch(batch: DataFrame, batchId: Long): Unit = {
     val tables = plug.transform(batch)
@@ -41,13 +51,37 @@ class PlugRunner(
           val prior = store.readBefore(batchId)
           store.commit(batchId, fn(prior, tables))
         case None =>
-          df.withColumn("_batch_id", lit(batchId))
-            .write.mode("overwrite")
+          val withBatch = df.withColumn("_batch_id", lit(batchId))
+          val (partCols, out) =
+            if (df.columns.contains("block_num"))
+              (Seq("_batch_id", "_block_bucket"),
+                withBatch.withColumn("_block_bucket",
+                  expr(s"CAST(block_num DIV $BlockBucketSize AS INT)")))
+            else (Seq("_batch_id"), withBatch)
+          out.write.mode("overwrite")
             .option("partitionOverwriteMode", "dynamic")
-            .partitionBy("_batch_id")
+            .partitionBy(partCols: _*)
             .parquet(tableDir(name))
       }
     }
+    // engine metadata (hpp.plug_state equivalent, §1.1-B): cursor + check-in
+    PlugState.checkIn(batch.sparkSession, outDir, plug.name, batchId, batch)
+  }
+
+  /** Batch backfill over a historical block range in bounded chunks — the
+    * reference's catch-up/massive-sync mode (T2): process the history as
+    * plain batches (no streaming state), then start the stream from the
+    * cursor. Chunking mirrors `_step := 100` (sync.sql:59) scaled up;
+    * each chunk is an idempotent processBatch keyed by its ordinal.
+    */
+  def backfill(ops: DataFrame, first: Long, last: Long,
+               chunk: Long = 100000, batchIdBase: Long = 0): Long = {
+    val ranges = graft.serving.ApiShaping.rangeSplit(first, last, chunk)
+    ranges.zipWithIndex.foreach { case ((lo, hi), i) =>
+      processBatch(
+        ops.filter(col("block_num").between(lo, hi)), batchIdBase + i)
+    }
+    batchIdBase + ranges.size
   }
 
   def start(source: DataFrame, checkpoint: String,
@@ -64,7 +98,40 @@ class PlugRunner(
       new ParquetStateStore(spark, tableDir(name)).read()
         .getOrElse(spark.emptyDataFrame)
     else
-      spark.read.parquet(tableDir(name)).drop("_batch_id")
+      spark.read.parquet(tableDir(name)).drop("_batch_id", "_block_bucket")
+}
+
+/** Engine metadata (reference `hpp.plug_state`, database/sql/tables.sql:8-15):
+  * one row per processed batch — cursor (latest block), block time, wall
+  * check-in. Mostly subsumed by Structured Streaming checkpoints; kept as a
+  * queryable table because the status API (E3) reads it.
+  */
+object PlugState {
+  def checkIn(spark: SparkSession, outDir: String, plugName: String,
+              batchId: Long, batch: DataFrame): Unit = {
+    val cursor = batch.agg(
+      max(col("block_num")).as("latest_block_num"),
+      max(col("timestamp")).as("latest_block_time"))
+    cursor
+      .withColumn("plug", lit(plugName))
+      .withColumn("batch_id", lit(batchId))
+      .withColumn("check_in", current_timestamp())
+      .write.mode("overwrite").parquet(s"$outDir/$plugName/_plug_state/v=$batchId")
+  }
+
+  def read(spark: SparkSession, outDir: String, plugName: String): DataFrame =
+    spark.read.parquet(s"$outDir/$plugName/_plug_state/v=*")
+
+  /** Latest cursor per plug — the status-endpoint scan (S3). */
+  def latest(spark: SparkSession, outDir: String, plugName: String): Option[(Long, Long)] = {
+    val rows = read(spark, outDir, plugName)
+      .orderBy(col("batch_id").desc).limit(1).collect()
+    rows.headOption.flatMap { r =>
+      if (r.isNullAt(r.fieldIndex("latest_block_num"))) None
+      else Some((r.getAs[Long]("batch_id"),
+        r.getAs[Int]("latest_block_num").toLong))
+    }
+  }
 }
 
 /** Versioned parquet state table: `v=<batchId>` directories, latest wins.

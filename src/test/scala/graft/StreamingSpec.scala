@@ -52,6 +52,30 @@ class StreamingSpec extends SparkSpec {
     assert(runner.table(spark, "updates").count() === 2)
   }
 
+  test("backfill: chunked historical batches, then plug_state cursor advances") {
+    val src = tmp(); val out = tmp()
+    writeBatch(src, 1, (0 until 30).map { i =>
+      op(i.toLong, i * 10, 0, "2024-01-01 00:00:00", "podping", podpingV03(Seq(s"u$i")))
+    })
+    val runner = new PlugRunner(Podping, out)
+    val ops = spark.read.schema(graft.core.OpLog.schema).parquet(s"$src/b1")
+    val nextId = runner.backfill(ops, 0, 290, chunk = 100)
+    assert(nextId === 3) // 3 chunks of 100 blocks
+    assert(runner.table(spark, "updates").count() === 30)
+    val cursor = graft.streaming.PlugState.latest(spark, out, "podping")
+    assert(cursor.exists { case (batchId, block) => batchId == 2 && block == 290 })
+  }
+
+  test("irreversibility watermark filters non-finalized blocks") {
+    val rows = (0 until 10).map { i =>
+      op(i.toLong, 100 + i, 0, "2024-01-01 00:00:00", "podping", podpingV03(Seq("u")))
+    }
+    val ops = opLog(spark, rows)
+    val head = graft.core.OpLog.headBlock(ops).get
+    assert(head === 109L)
+    assert(graft.core.OpLog.finalizedOnly(ops, head, horizon = 3).count() === 7)
+  }
+
   test("polls stateful stream: first-create-wins and deletes across batches") {
     val src = tmp(); val out = tmp(); val ckpt = tmp()
     writeBatch(src, 1, Seq(
