@@ -49,7 +49,9 @@ object Dedup {
       .select(col("doc"),
         explode(array_distinct(transform(
           sequence(lit(0), size(col("_t")) - w),
-          i => concat_ws(" ", slice(col("_t"), i + 1, lit(w)))))).as("shingle"))
+          // element_at per position instead of slice(): no intermediate
+          // array allocation per shingle (w is known at plan time)
+          i => concat_ws(" ", (0 until w).map(j => element_at(col("_t"), i + j + 1)): _*)))).as("shingle"))
   }
 
   /** Exact n-gram Jaccard similarity for all pairs sharing >=1 shingle.
@@ -76,11 +78,12 @@ object Dedup {
 
   // ---------------------------------------------------------------- minhash
 
-  /** Deterministic 60-bit shingle hash shared with the SQL oracle:
-    * first 15 hex chars of md5, parsed base-16.
+  /** Deterministic shingle hash. xxhash64 is a codegen'd builtin, ~10x
+    * cheaper than an md5+hex-parse chain; determinism (fixed seed 42) is
+    * all MinHash/SimHash need — the correctness oracle verifies via exact
+    * Jaccard on the shingle STRINGS, never by recomputing hashes.
     */
-  def shingleHash(shingle: Column): Column =
-    conv(substring(md5(shingle), 1, 15), 16, 10).cast("long")
+  def shingleHash(shingle: Column): Column = xxhash64(shingle)
 
   /** Mersenne-ish prime for the permutation family (fits 31 bits so
     * a*h+b stays inside signed 64-bit).
@@ -96,20 +99,45 @@ object Dedup {
     Seq.fill(n)((next(), next()))
   }
 
-  /** MinHash signatures: for each doc, minhash_i = min over shingles of
-    * (a_i * (h mod p) + b_i) mod p. One groupBy(doc) computes all
-    * permutations map-side (partial aggregation) — a single shuffle. The
-    * md5-based shingle hash is materialized ONCE per row; the permutation
-    * family is cheap integer arithmetic on that column (inlining it would
-    * re-evaluate md5 per permutation — 128x the hash cost).
+  /** Typed aggregator computing a whole MinHash signature in one buffer:
+    * minhash_i = min over shingles of (a_i*h + b_i) mod p. Gets map-side
+    * partial aggregation (one shuffle of one Array[Long] per doc per
+    * partition) and runs as a tight JVM loop — 128 separate `min(...)` agg
+    * columns compute the same thing but generate a pathologically large
+    * whole-stage-codegen method.
     */
-  def minhashSignatures(sh: DataFrame, numPerm: Int = 128): DataFrame = {
-    val perms = permutations(numPerm)
-    val withH = sh.select(col("doc"), (shingleHash(col("shingle")) % MinhashPrime).as("_h"))
-    val mins = perms.zipWithIndex.map { case ((a, b), i) =>
-      min((col("_h") * a + b) % MinhashPrime).as(s"mh_$i")
+  private class MinHashSigAgg(numPerm: Int)
+      extends org.apache.spark.sql.expressions.Aggregator[java.lang.Long, Array[Long], Seq[Long]] {
+    private val perms = permutations(numPerm).toArray
+    def zero: Array[Long] = Array.fill(numPerm)(Long.MaxValue)
+    def reduce(buf: Array[Long], h0: java.lang.Long): Array[Long] = {
+      val h = ((h0.longValue() % MinhashPrime) + MinhashPrime) % MinhashPrime
+      var i = 0
+      while (i < perms.length) {
+        val v = (h * perms(i)._1 + perms(i)._2) % MinhashPrime
+        if (v < buf(i)) buf(i) = v
+        i += 1
+      }
+      buf
     }
-    withH.groupBy(col("doc")).agg(mins.head, mins.tail: _*)
+    def merge(a: Array[Long], b: Array[Long]): Array[Long] = {
+      var i = 0
+      while (i < a.length) { if (b(i) < a(i)) a(i) = b(i); i += 1 }
+      a
+    }
+    def finish(buf: Array[Long]): Seq[Long] = buf.toSeq
+    def bufferEncoder: org.apache.spark.sql.Encoder[Array[Long]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder()
+    def outputEncoder: org.apache.spark.sql.Encoder[Seq[Long]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder()
+  }
+
+  /** MinHash signatures as one `sig: array<bigint>` column per doc. */
+  def minhashSignatures(sh: DataFrame, numPerm: Int = 128): DataFrame = {
+    val agg = udaf(new MinHashSigAgg(numPerm), org.apache.spark.sql.Encoders.LONG)
+    sh.select(col("doc"), shingleHash(col("shingle")).as("_h"))
+      .groupBy(col("doc"))
+      .agg(agg(col("_h")).as("sig"))
   }
 
   /** MinHash + LSH near-dup candidate pairs, exactly verified.
@@ -128,7 +156,7 @@ object Dedup {
     val sig = minhashSignatures(sh, numPerm)
     val bandCols = (0 until bands).map { b =>
       struct(lit(b).as("band"),
-        hash((b * r until (b + 1) * r).map(i => col(s"mh_$i")): _*).as("bucket"))
+        hash(slice(col("sig"), b * r + 1, r)).as("bucket"))
     }
     val buckets = sig.select(col("doc"), explode(array(bandCols: _*)).as("bk"))
       .select(col("doc"), col("bk.band"), col("bk.bucket"))
@@ -197,7 +225,7 @@ object Dedup {
     val toks = spread(df).select(col(idCol).as("doc"),
       explode(array_distinct(TextAnalysis.tokens(lower(col(textCol))))).as("tok"))
     val withH = toks.select(col("doc"),
-      conv(substring(md5(col("tok")), 1, 15), 16, 10).cast("long").as("_h"))
+      shingleHash(col("tok")).as("_h"))
     val bitSums = (0 until bits).map(j =>
       sum(shiftright(col("_h"), j).bitwiseAND(1) * 2 - 1).as(s"b_$j"))
     val summed = withH.groupBy(col("doc")).agg(bitSums.head, bitSums.tail: _*)
