@@ -421,6 +421,72 @@ object SparkEntry {
              |  AND date_trunc('second', ts) + INTERVAL 7 DAY >= TIMESTAMP '2024-01-20 00:00:00'
              |ORDER BY permlink""".stripMargin)),
 
+    // ---- polls-by-tag serving query (polls.py:47-56)
+    Q("plug_polls_by_tag",
+      (s, d) => PollsQueries.pollsByTag(plugTables(s, d)("polls_content"), "tag1")
+        .select(col("author"), col("permlink"), col("question"), col("expires"), col("tag"))
+        .orderBy(col("permlink")),
+      Some("""WITH c AS (
+             |  SELECT event_id, CAST(json_extract_string(props,'$.k') AS INTEGER) AS k,
+             |         CAST(ts AS TIMESTAMP) AS ts
+             |  FROM events WHERE event_type = 'signup'),
+             |f AS (SELECT *, row_number() OVER (PARTITION BY k % 25 ORDER BY event_id) AS rn FROM c)
+             |SELECT concat('owner_', k % 25) AS author, concat('poll_', k % 25) AS permlink,
+             |       concat('q', k) AS question,
+             |       date_trunc('second', ts) + INTERVAL 7 DAY AS expires,
+             |       concat('tag', k % 3) AS tag
+             |FROM f WHERE rn = 1 AND k % 3 = 1 ORDER BY permlink""".stripMargin)),
+
+    // ---- a user's polls newest-first (polls.py:87-100, O5)
+    Q("plug_polls_user",
+      (s, d) => PollsQueries.userPolls(plugTables(s, d)("polls_content"), "owner_3")
+        .select(col("author"), col("permlink"), col("question"), col("created")),
+      Some("""WITH c AS (
+             |  SELECT event_id, CAST(json_extract_string(props,'$.k') AS INTEGER) AS k,
+             |         CAST(ts AS TIMESTAMP) AS ts
+             |  FROM events WHERE event_type = 'signup'),
+             |f AS (SELECT *, row_number() OVER (PARTITION BY k % 25 ORDER BY event_id) AS rn FROM c)
+             |SELECT concat('owner_', k % 25) AS author, concat('poll_', k % 25) AS permlink,
+             |       concat('q', k) AS question, ts AS created
+             |FROM f WHERE rn = 1 AND k % 25 = 3
+             |ORDER BY created DESC, permlink""".stripMargin)),
+
+    // ---- argmax-per-group (max_by pattern via deterministic window)
+    Q("w2_argmax_per_group",
+      (s, d) => {
+        val w = Window.partitionBy(col("user_id"))
+          .orderBy(col("value").desc, col("event_id").desc)
+        ev(s, d).withColumn("_rn", row_number().over(w))
+          .filter(col("_rn") === 1).drop("_rn")
+          .select(col("user_id"), col("event_id"), col("value"))
+          .orderBy(col("user_id"))
+      },
+      Some("""SELECT user_id, event_id, value FROM (
+             |  SELECT user_id, event_id, value,
+             |         row_number() OVER (PARTITION BY user_id ORDER BY value DESC, event_id DESC) AS rn
+             |  FROM events) WHERE rn = 1 ORDER BY user_id""".stripMargin)),
+
+    // ---- correlated-aggregate shape (TPC-H Q17 style): lineitems under
+    //      20% of their part's average quantity
+    Q("q17_small_quantity",
+      (s, d) => {
+        val l = Tables.lineitem(s, d)
+        val avgQty = l.groupBy(col("l_partkey").as("p_key"))
+          .agg(avg(col("l_quantity")).as("avg_qty"))
+        l.join(broadcast(avgQty), col("l_partkey") === col("p_key"))
+          .filter(col("l_quantity") < col("avg_qty") * 0.2)
+          .groupBy(col("l_partkey"))
+          .agg(count(lit(1)).as("n"),
+            sum(col("l_extendedprice").cast(dec(18, 2))).cast(dec(38, 2)).as("total_price"))
+          .orderBy(col("l_partkey"))
+      },
+      Some("""SELECT l_partkey, CAST(count(*) AS BIGINT) AS n,
+             |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS total_price
+             |FROM lineitem l1
+             |WHERE l_quantity < 0.2 * (SELECT avg(l_quantity) FROM lineitem l2
+             |                          WHERE l2.l_partkey = l1.l_partkey)
+             |GROUP BY l_partkey ORDER BY l_partkey""".stripMargin)),
+
     // ---- text analysis -------------------------------------------------
     Q("text_quality",
       (s, d) => TextAnalysis.quality(Tables.documents(s, d))
