@@ -22,8 +22,10 @@ class StreamHealth(staleAfterMs: Long = 60000) extends StreamingQueryListener {
 
   override def onQueryProgress(e: QueryProgressEvent): Unit = {
     val p = e.progress
-    statuses.put(p.name,
-      PlugStatus(p.name, System.currentTimeMillis(),
+    // unnamed queries have a null name; ConcurrentHashMap forbids null keys
+    val key = Option(p.name).getOrElse(p.id.toString)
+    statuses.put(key,
+      PlugStatus(key, System.currentTimeMillis(),
         p.inputRowsPerSecond, p.batchId))
   }
 

@@ -76,6 +76,27 @@ class StreamingSpec extends SparkSpec {
     assert(graft.core.OpLog.finalizedOnly(ops, head, horizon = 3).count() === 7)
   }
 
+  test("health listener tracks progress and reports the freshness SLO") {
+    val health = new graft.streaming.StreamHealth(staleAfterMs = 60000)
+    spark.streams.addListener(health)
+    try {
+      val src = tmp(); val out = tmp(); val ckpt = tmp()
+      writeBatch(src, 1, Seq(
+        op(1, 100, 0, "2024-01-01 00:00:00", "podping", podpingV03(Seq("u1")))))
+      val runner = new PlugRunner(Podping, out)
+      runner.start(stream(src), ckpt).awaitTermination()
+      // listener events are delivered asynchronously
+      val deadline = System.currentTimeMillis() + 10000
+      var status = health.sync_status()
+      while (status._1 != "GOOD" && System.currentTimeMillis() < deadline) {
+        Thread.sleep(200); status = health.sync_status()
+      }
+      assert(status._1 === "GOOD")
+      // a stale clock far in the future -> BAD
+      assert(health.sync_status(System.currentTimeMillis() + 3600 * 1000)._1 === "BAD")
+    } finally spark.streams.removeListener(health)
+  }
+
   test("polls stateful stream: first-create-wins and deletes across batches") {
     val src = tmp(); val out = tmp(); val ckpt = tmp()
     writeBatch(src, 1, Seq(
