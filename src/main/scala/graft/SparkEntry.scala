@@ -421,6 +421,15 @@ object SparkEntry {
              |  AND date_trunc('second', ts) + INTERVAL 7 DAY >= TIMESTAMP '2024-01-20 00:00:00'
              |ORDER BY permlink""".stripMargin)),
 
+    // ---- tumbling-window aggregation (same plan runs as a streaming
+    //      watermarked query; see streaming.EventWindows + StreamingSpec)
+    Q("t8_windowed_counts",
+      (s, d) => graft.streaming.EventWindows.tumblingCounts(ev(s, d))
+        .orderBy(col("window_start"), col("event_type")),
+      Some("""SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS window_start,
+             |       event_type, CAST(count(*) AS BIGINT) AS cnt
+             |FROM events GROUP BY 1, 2 ORDER BY window_start, event_type""".stripMargin)),
+
     // ---- polls-by-tag serving query (polls.py:47-56)
     Q("plug_polls_by_tag",
       (s, d) => PollsQueries.pollsByTag(plugTables(s, d)("polls_content"), "tag1")

@@ -1,0 +1,26 @@
+package graft.streaming
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Windowed aggregation over the event stream (T8 generalization — the
+  * reference only has query-time block-range windows; real deployments
+  * want standing tumbling-window aggregates).
+  *
+  * The same plan runs batch (watermark is a no-op) and streaming (append
+  * mode: a window emits once the event-time watermark passes its end, so
+  * results are final — the streaming analogue of processing only
+  * finalized blocks).
+  */
+object EventWindows {
+
+  def tumblingCounts(events: DataFrame, windowLen: String = "1 hour",
+                     watermarkDelay: String = "2 hours",
+                     tsCol: String = "ts", keyCol: String = "event_type"): DataFrame = {
+    val src = if (events.isStreaming) events.withWatermark(tsCol, watermarkDelay) else events
+    src
+      .groupBy(window(col(tsCol), windowLen).as("w"), col(keyCol))
+      .agg(count(lit(1)).as("cnt"))
+      .select(col("w.start").as("window_start"), col(keyCol), col("cnt"))
+  }
+}

@@ -76,6 +76,42 @@ class StreamingSpec extends SparkSpec {
     assert(graft.core.OpLog.finalizedOnly(ops, head, horizon = 3).count() === 7)
   }
 
+  test("tumbling-window counts: streaming append emits finalized windows only") {
+    import org.apache.spark.sql.types._
+    val src = tmp(); val sink = tmp(); val ckpt = tmp()
+    val schema = StructType(Seq(
+      StructField("ts", TimestampType), StructField("event_type", StringType)))
+    def rows(xs: (String, String)*) =
+      spark.createDataFrame(
+        spark.sparkContext.parallelize(xs.map { case (t, e) =>
+          org.apache.spark.sql.Row(ts(t), e) }, 1), schema)
+    rows(
+      ("2024-01-01 00:10:00", "click"), ("2024-01-01 00:20:00", "click"),
+      ("2024-01-01 00:40:00", "view"),  ("2024-01-01 01:10:00", "click"))
+      .write.mode("append").parquet(s"$src/b1")
+
+    def run(): Unit = {
+      val stream = spark.readStream.schema(schema).parquet(s"$src/b*")
+      graft.streaming.EventWindows.tumblingCounts(stream)
+        .writeStream.format("parquet").option("path", sink)
+        .option("checkpointLocation", ckpt)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start().awaitTermination()
+    }
+    run()
+    // watermark after batch 1 = 01:10 - 2h -> nothing finalized yet
+    // advance event time so the 00:00 and 01:00 windows pass the watermark
+    rows(("2024-01-01 04:30:00", "view")).write.mode("append").parquet(s"$src/b2")
+    run()
+    rows(("2024-01-01 08:00:00", "view")).write.mode("append").parquet(s"$src/b3")
+    run()
+    val out = spark.read.parquet(sink)
+      .collect().map(r => (r.getTimestamp(0).toString, r.getString(1), r.getLong(2))).toSet
+    assert(out.contains(("2024-01-01 00:00:00.0", "click", 2L)))
+    assert(out.contains(("2024-01-01 00:00:00.0", "view", 1L)))
+    assert(out.contains(("2024-01-01 01:00:00.0", "click", 1L)))
+  }
+
   test("health listener tracks progress and reports the freshness SLO") {
     val health = new graft.streaming.StreamHealth(staleAfterMs = 60000)
     spark.streams.addListener(health)
