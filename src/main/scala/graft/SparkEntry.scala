@@ -638,6 +638,14 @@ object SparkEntry {
       },
       None), // bucketed ANN — recall-traded; checked by unit test vs brute force
 
+    Q("sim_ivf_topk",
+      (s, d) => {
+        val emb = Tables.embeddings(s, d)
+        Similarity.ivfTopK(emb, emb.filter(col("vec_id") < 10), 5)
+          .orderBy(col("probe_id"), col("rank"))
+      },
+      None), // IVF ANN — recall-traded; checked by unit test vs brute force
+
     // ---- multimodal plumbing (stubbed decode; mapPartitions batch shape)
     Q("multimodal_meta",
       (s, d) => {

@@ -84,6 +84,52 @@ object Similarity {
     bits.reduce((a, b) => a.bitwiseOR(b))
   }
 
+  /** IVF-flat ANN: a KMeans coarse quantizer partitions the corpus into
+    * cells; each probe searches its `nProbe` nearest cells exactly.
+    *
+    * Scale shape: the cell id is the corpus partition key — a probe reads
+    * nProbe cells (~nProbe/nCells of the corpus), and cell assignment is a
+    * map-side argmax over broadcast centroids (score 2*c·x - ||c||^2 is
+    * monotone in negative squared distance, computed with the native dot
+    * expression). Centroid training is a one-time MLlib KMeans fit with a
+    * fixed seed.
+    */
+  def ivfTopK(corpus: DataFrame, probes: DataFrame, k: Int,
+              nCells: Int = 16, nProbe: Int = 4,
+              idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.functions.array_to_vector
+
+    val c = spread(corpus).select(col(idCol).as("neighbor_id"), asDouble(col(vecCol)).as("_cv"))
+    val model = new KMeans().setK(nCells).setMaxIter(5).setSeed(42)
+      .setFeaturesCol("features")
+      .fit(c.withColumn("features", array_to_vector(col("_cv"))))
+    val centers = model.clusterCenters.map(_.toArray)
+
+    def cellScores(vec: Column): Column = array(centers.zipWithIndex.map { case (ctr, i) =>
+      val cNorm2 = ctr.map(x => x * x).sum
+      struct((dot(vec, array(ctr.map(lit(_)): _*)) * 2 - cNorm2).as("score"),
+        lit(i).as("cell"))
+    }: _*)
+
+    val cCells = c.withColumn("cell", array_max(cellScores(col("_cv"))).getField("cell"))
+    val p = probes.select(col(idCol).as("probe_id"), asDouble(col(vecCol)).as("_pv"))
+      .withColumn("cell",
+        explode(transform(
+          slice(reverse(array_sort(cellScores(col("_pv")))), 1, nProbe),
+          s => s.getField("cell"))))
+
+    val scored = cCells.join(broadcast(p), Seq("cell"))
+      .filter(col("probe_id") =!= col("neighbor_id"))
+      .withColumn("cosine", cosine(col("_pv"), col("_cv")))
+    val w = Window.partitionBy(col("probe_id"))
+      .orderBy(col("cosine").desc, col("neighbor_id"))
+    scored.withColumn("_rn", row_number().over(w))
+      .filter(col("_rn") <= k)
+      .select(col("probe_id"), col("neighbor_id"),
+        round(col("cosine"), 6).as("cosine"), col("_rn").cast("int").as("rank"))
+  }
+
   /** Multi-table sign-LSH ANN: L independent hash tables of b hyperplane
     * bits each; a corpus vector is a candidate for a probe when they share
     * a bucket in ANY table (classic OR-amplification), then exact cosine +

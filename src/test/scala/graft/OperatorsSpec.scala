@@ -88,6 +88,17 @@ class OperatorsSpec extends SparkSpec {
     assert(recall >= 0.5, s"recall $recall") // hamming<=1 fanout on 8 planes
   }
 
+  test("IVF top-k achieves high recall vs brute force on real embeddings") {
+    val emb = graft.core.Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val probes = emb.filter(col("vec_id") < 5)
+    val bf = Similarity.bruteForceTopK(emb, probes, 3).collect()
+      .map(r => (r.getAs[Long]("probe_id"), r.getAs[Long]("neighbor_id"))).toSet
+    val ivf = Similarity.ivfTopK(emb, probes, 3).collect()
+      .map(r => (r.getAs[Long]("probe_id"), r.getAs[Long]("neighbor_id"))).toSet
+    val recall = (bf & ivf).size.toDouble / bf.size
+    assert(recall >= 0.5, s"recall $recall")
+  }
+
   test("native dot product expression matches the builtin HOF formulation bitwise") {
     val emb = graft.core.Tables.embeddings(spark, "/root/testdata/sf0.001")
       .select(col("vec_id"), transform(col("embedding"), x => x.cast("double")).as("e"))
