@@ -646,12 +646,34 @@ object SparkEntry {
       },
       None), // IVF ANN — recall-traded; checked by unit test vs brute force
 
+    // ---- T10: dead-letter audit — corrupt envelopes per block bucket
+    Q("t10_dead_letter",
+      (s, d) => OpLog.deadLetter(EventOpLog.fromEvents(ev(s, d)))
+        .groupBy(expr("CAST(block_num DIV 100 AS INT)").as("bucket"))
+        .agg(count(lit(1)).as("n_corrupt"))
+        .orderBy(col("bucket")),
+      Some("""SELECT CAST(event_id // 1000 AS INT) AS bucket,
+             |       CAST(count(*) AS BIGINT) AS n_corrupt
+             |FROM events
+             |WHERE event_type = 'error'
+             |  AND CAST(json_extract_string(props,'$.k') AS INTEGER) % 2 = 1
+             |GROUP BY 1 ORDER BY bucket""".stripMargin)),
+
     // ---- multimodal plumbing (stubbed decode; mapPartitions batch shape)
     Q("multimodal_meta",
       (s, d) => {
         val media = Multimodal.fromDocuments(s, Tables.documents(s, d))
         Multimodal.extractMeta(media).toDF()
           .orderBy(col("doc_id"))
+      },
+      None),
+
+    // frame-sampling fanout over the (stubbed) decoded video metadata
+    Q("multimodal_frames",
+      (s, d) => {
+        val media = Multimodal.fromDocuments(s, Tables.documents(s, d))
+        Multimodal.sampleFrames(Multimodal.extractMeta(media).toDF(), every = 30)
+          .orderBy(col("doc_id"), col("frame_idx"))
       },
       None)
   )

@@ -85,6 +85,17 @@ object OpLog {
     (element_at(arr, 1), element_at(arr, 2))
   }
 
+  /** Dead-letter routing (T10): ops whose envelope failed to parse. The
+    * pipeline drops them silently (permissive `from_json` -> null op_id,
+    * mirroring the reference's per-op exception swallow); this view keeps
+    * them auditable — route it to a quarantine sink in production.
+    */
+  def deadLetter(ops: DataFrame): DataFrame =
+    parseEnvelope(ops.filter(col("op_type_id") === CustomJsonOpType))
+      .filter(col("op_id").isNull)
+      .select(col("id"), col("block_num"), col("trx_in_block"),
+        col("timestamp"), col("body"))
+
   /** Irreversibility watermark (T7): process only blocks at least
     * `horizon` behind the head. HAF handles forks by cascade-deleting
     * rolled-back rows (tables INHERIT the context, plug-schema.md:44); the

@@ -1,0 +1,123 @@
+package graft.streaming
+
+import java.sql.Timestamp
+import graft.core.OpLog
+import graft.plugs.Polls
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** The polls state machine as *arbitrary stateful processing* —
+  * `flatMapGroupsWithState` keyed by (author, permlink), the formulation
+  * SURVEY §2 T9 calls out for exactly-once ordered application when the
+  * batch-merge form (PollsStreaming) isn't enough (e.g. continuous update
+  * emission of live tallies).
+  *
+  * State per poll: the winning create (first in chain order) + one vote
+  * per account (latest answer wins within validity). Each trigger emits
+  * the poll's refreshed per-answer distinct-voter tallies (Update mode).
+  */
+object PollsStateful {
+
+  case class PollOp(author: String, permlink: String, op_type: String,
+                    created: Timestamp, account: String,
+                    answer: Option[Int], answers: Seq[String],
+                    expires: Option[Timestamp],
+                    block_num: Int, trx_in_block: Int, id: Long)
+
+  case class PollState(created: Timestamp, answers: Seq[String],
+                       expires: Option[Timestamp], deleted: Boolean,
+                       votes: Map[String, Int])
+
+  case class Tally(author: String, permlink: String, parsed_answer: String,
+                   votes: Long)
+
+  /** Decompose raw op-log rows into typed poll ops (same CJOS parsing as
+    * the batch plug; vote ops carry the TARGET poll's author from the
+    * payload, creates/deletes the signer's).
+    */
+  def toPollOps(raw: DataFrame): Dataset[PollOp] = {
+    val env = OpLog.parseEnvelope(Polls.filter(raw))
+      .filter(col("op_id") === Polls.opId)
+    val (header, opType, payload) = OpLog.cjosColumns(col("op_payload"))
+    val signer = coalesce(
+      try_element_at(col("req_posting_auths"), lit(1)),
+      try_element_at(col("req_auths"), lit(1)))
+    val cjos = env
+      .withColumn("_op_header", header)
+      .withColumn("_t", opType)
+      .withColumn("_p", payload)
+      .withColumn("_signer", signer)
+    val spark = raw.sparkSession
+    import spark.implicits._
+    cjos.select(
+      when(col("_t") === "vote",
+        get_json_object(col("_p"), "$.author")).otherwise(col("_signer")).as("author"),
+      coalesce(get_json_object(col("_p"), "$.permlink"), lit("")).as("permlink"),
+      col("_t").as("op_type"),
+      col("timestamp").as("created"),
+      col("_signer").as("account"),
+      get_json_object(col("_p"), "$.answer").cast("int").as("answer"),
+      from_json(get_json_object(col("_p"), "$.answers"),
+        org.apache.spark.sql.types.ArrayType(
+          org.apache.spark.sql.types.StringType)).as("answers"),
+      to_timestamp(get_json_object(col("_p"), "$.expires")).as("expires"),
+      col("block_num"), col("trx_in_block"), col("id"))
+      .filter(col("author").isNotNull && col("permlink") =!= "")
+      .as[PollOp]
+  }
+
+  /** Apply one group's ops (chain order) to its state; returns the new
+    * state and the refreshed tallies.
+    */
+  def applyOps(state: Option[PollState], ops: Seq[PollOp]): (Option[PollState], Seq[Tally]) = {
+    var s = state
+    ops.sortBy(o => (o.block_num, o.trx_in_block, o.id)).foreach { op =>
+      op.op_type match {
+        case "create" if s.isEmpty =>
+          s = Some(PollState(op.created, Option(op.answers).getOrElse(Seq.empty),
+            op.expires, deleted = false, votes = Map.empty))
+        case "vote" =>
+          s.foreach { st =>
+            val validUntil = st.expires.getOrElse(
+              new Timestamp(st.created.getTime + 7L * 24 * 3600 * 1000))
+            val idx = op.answer.getOrElse(-1)
+            if (!st.deleted && !op.created.after(validUntil) &&
+                idx >= 1 && idx <= st.answers.size) {
+              s = Some(st.copy(votes = st.votes + (op.account -> idx)))
+            }
+          }
+        case "delete" =>
+          s.foreach { st =>
+            val live = st.expires.exists(e => !e.before(op.created)) &&
+              !op.created.before(st.created)
+            if (live) s = Some(st.copy(deleted = true))
+          }
+        case _ => ()
+      }
+    }
+    val tallies = s match {
+      case Some(st) if !st.deleted =>
+        st.votes.groupBy(_._2).toSeq.map { case (idx, m) =>
+          (st.answers(idx - 1), m.size.toLong)
+        }.sortBy(_._1).map { case (ans, n) =>
+          Tally(ops.head.author, ops.head.permlink, ans, n)
+        }
+      case _ => Seq.empty
+    }
+    (s, tallies)
+  }
+
+  /** Streaming (or batch) tallies via flatMapGroupsWithState. */
+  def tallies(ops: Dataset[PollOp]): Dataset[Tally] = {
+    val spark = ops.sparkSession
+    import spark.implicits._
+    ops.groupByKey(o => (o.author, o.permlink))
+      .flatMapGroupsWithState(OutputMode.Update, GroupStateTimeout.NoTimeout)(
+        (key: (String, String), it: Iterator[PollOp], gs: GroupState[PollState]) => {
+          val (next, out) = applyOps(gs.getOption, it.toSeq)
+          next.foreach(gs.update)
+          out.iterator
+        })
+  }
+}

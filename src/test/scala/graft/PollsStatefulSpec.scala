@@ -1,0 +1,81 @@
+package graft
+
+import java.nio.file.Files
+import graft.core.OpLog
+import graft.streaming.PollsStateful
+import org.apache.spark.sql.streaming.{OutputMode, Trigger}
+
+/** flatMapGroupsWithState polls tallies: cross-batch state, live vote
+  * updates, validity/delete guards — the arbitrary-stateful streaming
+  * formulation of T9.
+  */
+class PollsStatefulSpec extends SparkSpec {
+  import Fixtures._
+
+  private def tmp(): String = Files.createTempDirectory("graft").toString
+
+  test("streaming tallies accumulate across micro-batches with state") {
+    val src = tmp(); val ckpt = tmp()
+    opLog(spark, Seq(
+      op(1, 100, 0, "2024-01-01 00:00:00", "polls",
+        pollCreate("p", "Q?", Seq("red", "blue"), "2024-06-01 00:00:00", "t"),
+        postingAuth = "alice"),
+      op(2, 101, 0, "2024-01-01 01:00:00", "polls",
+        pollVote("alice", "p", 1), postingAuth = "bob")))
+      .write.mode("append").parquet(s"$src/b1")
+
+    val sink = tmp()
+    def run(): Unit = {
+      val stream = spark.readStream.schema(OpLog.schema).parquet(s"$src/b*")
+      PollsStateful.tallies(PollsStateful.toPollOps(stream))
+        .writeStream
+        .foreachBatch { (batch: org.apache.spark.sql.Dataset[PollsStateful.Tally], id: Long) =>
+          batch.toDF().withColumn("_b", org.apache.spark.sql.functions.lit(id))
+            .write.mode("append").parquet(sink): Unit
+        }
+        .outputMode(OutputMode.Update())
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow()).start().awaitTermination()
+    }
+    run()
+    def emitted() = {
+      val df = spark.read.parquet(sink)
+      val maxB = df.agg(org.apache.spark.sql.functions.max("_b")).collect()(0).getLong(0)
+      df.filter(org.apache.spark.sql.functions.col("_b") === maxB).collect()
+        .map(r => (r.getAs[String]("parsed_answer"), r.getAs[Long]("votes"))).toSet
+    }
+    assert(emitted() === Set(("red", 1L)))
+
+    // batch 2: carol votes blue, bob CHANGES his vote to blue, dave votes
+    // out-of-range (dropped), eve votes after expiry (dropped)
+    opLog(spark, Seq(
+      op(3, 200, 0, "2024-01-02 00:00:00", "polls",
+        pollVote("alice", "p", 2), postingAuth = "carol"),
+      op(4, 200, 1, "2024-01-02 00:00:10", "polls",
+        pollVote("alice", "p", 2), postingAuth = "bob"),
+      op(5, 200, 2, "2024-01-02 00:00:20", "polls",
+        pollVote("alice", "p", 9), postingAuth = "dave"),
+      op(6, 900, 0, "2024-07-01 00:00:00", "polls",
+        pollVote("alice", "p", 1), postingAuth = "eve")))
+      .write.mode("append").parquet(s"$src/b2")
+    run()
+    // latest emission for the poll: bob+carol on blue, nobody left on red
+    assert(emitted() === Set(("blue", 2L)))
+  }
+
+  test("applyOps unit semantics: first create wins, delete guard honored") {
+    import PollsStateful._
+    val create = PollOp("a", "p", "create", ts("2024-01-01 00:00:00"), "a",
+      None, Seq("x", "y"), Some(ts("2024-02-01 00:00:00")), 100, 0, 1)
+    val hijack = create.copy(answers = Seq("z"), id = 2, trx_in_block = 1)
+    val (s1, _) = applyOps(None, Seq(hijack, create)) // arrival order shuffled
+    assert(s1.get.answers === Seq("x", "y")) // chain order decides
+    val lateDelete = PollOp("a", "p", "delete", ts("2024-03-01 00:00:00"), "a",
+      None, null, None, 300, 0, 3)
+    val (s2, _) = applyOps(s1, Seq(lateDelete))
+    assert(!s2.get.deleted) // post-expiry delete ignored
+    val earlyDelete = lateDelete.copy(created = ts("2024-01-15 00:00:00"))
+    val (s3, _) = applyOps(s1, Seq(earlyDelete))
+    assert(s3.get.deleted)
+  }
+}
