@@ -335,6 +335,31 @@ object SparkEntry {
              |       CAST(count(*) AS BIGINT) AS n
              |FROM src GROUP BY 1 ORDER BY symbol""".stripMargin)),
 
+    // ---- §2.8 scalar-function battery: string/format/hex/date builtins
+    Q("scalar_functions",
+      (s, d) => ev(s, d).filter(col("event_id") < 500)
+        .select(
+          col("event_id"),
+          format_string("%s-%03d", col("event_type"), k).as("tagged"),
+          hex(col("event_id")).as("id_hex"),
+          date_format(col("ts"), "yyyy-MM-dd HH").as("hour_str"),
+          unix_timestamp(col("ts")).as("epoch_s"),
+          lpad(col("user_id").cast("string"), 4, "0").as("uid_pad"),
+          substring(col("event_type"), 2, 3).as("etype_mid"),
+          reverse(col("event_type")).as("etype_rev"),
+          concat_ws("|", col("event_type"), col("user_id")).as("joined"))
+        .orderBy(col("event_id")),
+      Some("""SELECT event_id,
+             |  printf('%s-%03d', event_type, CAST(json_extract_string(props,'$.k') AS INTEGER)) AS tagged,
+             |  to_hex(event_id) AS id_hex,
+             |  strftime(CAST(ts AS TIMESTAMP), '%Y-%m-%d %H') AS hour_str,
+             |  CAST(floor(epoch(CAST(ts AS TIMESTAMP))) AS BIGINT) AS epoch_s,
+             |  lpad(CAST(user_id AS VARCHAR), 4, '0') AS uid_pad,
+             |  substring(event_type, 2, 3) AS etype_mid,
+             |  reverse(event_type) AS etype_rev,
+             |  concat_ws('|', event_type, user_id) AS joined
+             |FROM events WHERE event_id < 500 ORDER BY event_id""".stripMargin)),
+
     // ---- A3: min/max probe
     Q("a3_minmax",
       (s, d) => ev(s, d).agg(max(col("event_id")).as("head_block"),
