@@ -455,6 +455,26 @@ object SparkEntry {
              |       event_type, CAST(count(*) AS BIGINT) AS cnt
              |FROM events GROUP BY 1, 2 ORDER BY window_start, event_type""".stripMargin)),
 
+    // ---- session windows (gaps-and-islands in the oracle)
+    Q("t8_session_windows",
+      (s, d) => graft.streaming.EventWindows.sessionCounts(ev(s, d), "30 minutes")
+        .orderBy(col("user_id"), col("session_start")),
+      Some("""WITH e AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts FROM events),
+             |m AS (SELECT user_id, ts,
+             |        CASE WHEN lag(ts) OVER w IS NULL
+             |               OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE
+             |             THEN 1 ELSE 0 END AS new_s
+             |      FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+             |s AS (SELECT user_id, ts,
+             |        sum(new_s) OVER (PARTITION BY user_id ORDER BY ts
+             |                         ROWS UNBOUNDED PRECEDING) AS sid
+             |      FROM m)
+             |SELECT user_id, min(ts) AS session_start,
+             |       max(ts) + INTERVAL 30 MINUTE AS session_end,
+             |       CAST(count(*) AS BIGINT) AS n_events
+             |FROM s GROUP BY user_id, sid
+             |ORDER BY user_id, session_start""".stripMargin)),
+
     // ---- polls-by-tag serving query (polls.py:47-56)
     Q("plug_polls_by_tag",
       (s, d) => PollsQueries.pollsByTag(plugTables(s, d)("polls_content"), "tag1")

@@ -14,6 +14,18 @@ import org.apache.spark.sql.functions._
   */
 object EventWindows {
 
+  /** Session windows per key: events within `gap` of each other merge into
+    * one session (`session_window` — streaming-capable with a watermark;
+    * in batch it equals the gaps-and-islands SQL formulation).
+    */
+  def sessionCounts(events: DataFrame, gap: String = "30 minutes",
+                    tsCol: String = "ts", keyCol: String = "user_id"): DataFrame =
+    events
+      .groupBy(session_window(col(tsCol), gap).as("w"), col(keyCol))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col(keyCol), col("w.start").as("session_start"),
+        col("w.end").as("session_end"), col("n_events"))
+
   def tumblingCounts(events: DataFrame, windowLen: String = "1 hour",
                      watermarkDelay: String = "2 hours",
                      tsCol: String = "ts", keyCol: String = "event_type"): DataFrame = {
