@@ -96,38 +96,54 @@ object Similarity {
     */
   def ivfTopK(corpus: DataFrame, probes: DataFrame, k: Int,
               nCells: Int = 16, nProbe: Int = 4,
-              idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+              idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame =
+    buildIvf(corpus, nCells, idCol, vecCol).topK(probes, k, nProbe)
+
+  /** Build the IVF index once; `topK` queries it many times (the
+    * production ANN lifecycle — index build is the expensive one-time
+    * step; at scale `cells` is written out partitioned by cell id).
+    */
+  def buildIvf(corpus: DataFrame, nCells: Int = 16,
+               idCol: String = "vec_id", vecCol: String = "embedding"): IvfIndex = {
     import org.apache.spark.ml.clustering.KMeans
     import org.apache.spark.ml.functions.array_to_vector
-
     val c = spread(corpus).select(col(idCol).as("neighbor_id"), asDouble(col(vecCol)).as("_cv"))
     val model = new KMeans().setK(nCells).setMaxIter(5).setSeed(42)
       .setFeaturesCol("features")
       .fit(c.withColumn("features", array_to_vector(col("_cv"))))
     val centers = model.clusterCenters.map(_.toArray)
+    new IvfIndex(c, centers, idCol, vecCol)
+  }
 
-    def cellScores(vec: Column): Column = array(centers.zipWithIndex.map { case (ctr, i) =>
+  class IvfIndex private[operators] (
+      c: DataFrame, centers: Array[Array[Double]], idCol: String, vecCol: String) {
+
+    private def cellScores(vec: Column): Column = array(centers.zipWithIndex.map { case (ctr, i) =>
       val cNorm2 = ctr.map(x => x * x).sum
       struct((dot(vec, array(ctr.map(lit(_)): _*)) * 2 - cNorm2).as("score"),
         lit(i).as("cell"))
     }: _*)
 
-    val cCells = c.withColumn("cell", array_max(cellScores(col("_cv"))).getField("cell"))
-    val p = probes.select(col(idCol).as("probe_id"), asDouble(col(vecCol)).as("_pv"))
-      .withColumn("cell",
-        explode(transform(
-          slice(reverse(array_sort(cellScores(col("_pv")))), 1, nProbe),
-          s => s.getField("cell"))))
+    /** Corpus bucketed by nearest centroid, persisted — the inverted file. */
+    val cells: DataFrame =
+      c.withColumn("cell", array_max(cellScores(col("_cv"))).getField("cell")).persist()
 
-    val scored = cCells.join(broadcast(p), Seq("cell"))
-      .filter(col("probe_id") =!= col("neighbor_id"))
-      .withColumn("cosine", cosine(col("_pv"), col("_cv")))
-    val w = Window.partitionBy(col("probe_id"))
-      .orderBy(col("cosine").desc, col("neighbor_id"))
-    scored.withColumn("_rn", row_number().over(w))
-      .filter(col("_rn") <= k)
-      .select(col("probe_id"), col("neighbor_id"),
-        round(col("cosine"), 6).as("cosine"), col("_rn").cast("int").as("rank"))
+    def topK(probes: DataFrame, k: Int, nProbe: Int = 4): DataFrame = {
+      val p = probes.select(col(idCol).as("probe_id"), asDouble(col(vecCol)).as("_pv"))
+        .withColumn("cell",
+          explode(transform(
+            slice(reverse(array_sort(cellScores(col("_pv")))), 1, nProbe),
+            s => s.getField("cell"))))
+      val scored = cells.join(broadcast(p), Seq("cell"))
+        .filter(col("probe_id") =!= col("neighbor_id"))
+        .withColumn("cosine", cosine(col("_pv"), col("_cv")))
+      val w = Window.partitionBy(col("probe_id"))
+        .orderBy(col("cosine").desc, col("neighbor_id"))
+      scored.withColumn("_rn", row_number().over(w))
+        .filter(col("_rn") <= k)
+        .select(col("probe_id"), col("neighbor_id"),
+          round(col("cosine"), 6).as("cosine"), col("_rn").cast("int").as("rank"))
+    }
   }
 
   /** Multi-table sign-LSH ANN: L independent hash tables of b hyperplane
