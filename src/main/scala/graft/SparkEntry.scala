@@ -651,6 +651,36 @@ object SparkEntry {
              |  FROM v a JOIN v b ON a.label = b.label AND a.vec_id < b.vec_id)
              |WHERE cosine >= 0.35 ORDER BY id_a, id_b""".stripMargin)),
 
+    // connected components over the near-dup pair graph: (doc, cluster
+    // representative) — oracle via recursive-CTE transitive closure
+    Q("dedup_clusters",
+      (s, d) => Dedup.nearDupClusters(
+        Dedup.ngramJaccardPairs(Tables.documents(s, d), "text", "doc_id", 3, 0.8))
+        .orderBy(col("doc")),
+      Some("""WITH RECURSIVE toks AS (
+             |  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS t
+             |  FROM documents),
+             |sh AS (SELECT DISTINCT doc_id, concat_ws(' ', t[i], t[i+1], t[i+2]) AS s
+             |       FROM (SELECT doc_id, t, unnest(range(1, len(t) - 1)) AS i FROM toks)
+             |       WHERE len(t) >= 3),
+             |sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+             |inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i
+             |          FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+             |          GROUP BY 1, 2),
+             |pairs AS (SELECT doc_a, doc_b FROM inter
+             |          JOIN sz x ON x.doc_id = doc_a JOIN sz y ON y.doc_id = doc_b
+             |          WHERE round(i * 1.0 / (x.n + y.n - i), 6) >= 0.8),
+             |edges AS (SELECT doc_a AS s, doc_b AS d FROM pairs
+             |          UNION SELECT doc_b, doc_a FROM pairs),
+             |reach(s, d) AS (
+             |  SELECT s, d FROM edges
+             |  UNION
+             |  SELECT r.s, e.d FROM reach r JOIN edges e ON r.d = e.s)
+             |SELECT n.doc, CAST(least(n.doc, min(r.d)) AS BIGINT) AS cluster
+             |FROM (SELECT DISTINCT s AS doc FROM edges) n
+             |LEFT JOIN reach r ON r.s = n.doc
+             |GROUP BY n.doc ORDER BY n.doc""".stripMargin)),
+
     Q("dedup_simhash_pairs",
       (s, d) => Dedup.simhashPairs(Tables.documents(s, d), "text", "doc_id", 3)
         .orderBy(col("doc_a"), col("doc_b")),

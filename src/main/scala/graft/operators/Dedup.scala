@@ -190,6 +190,41 @@ object Dedup {
       .select("doc_a", "doc_b", "jaccard")
   }
 
+  // ------------------------------------------------- near-dup clustering
+
+  /** Connected components over a near-dup pair graph -> (doc, cluster)
+    * where cluster = min doc id in the component (the kept
+    * representative). Iterative min-label propagation: each round joins
+    * every node's current label with its neighbors' and takes the min;
+    * converges in O(diameter) rounds (near-dup components are tiny, so
+    * 2-3 rounds in practice). Each round is one shuffle — the standard
+    * scalable CC formulation; no driver-side graph state.
+    */
+  def nearDupClusters(pairs: DataFrame, maxIter: Int = 10): DataFrame = {
+    val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
+      .union(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+      .distinct().cache()
+    var labels = edges.select(col("src").as("doc")).distinct()
+      .withColumn("cluster", col("doc"))
+    var changed = 1L
+    var i = 0
+    while (changed > 0 && i < maxIter) {
+      val viaNeighbors = edges
+        .join(labels.withColumnRenamed("doc", "dst"), "dst")
+        .groupBy(col("src").as("doc"))
+        .agg(min(col("cluster")).as("n_cluster"))
+      val next = labels.join(viaNeighbors, Seq("doc"), "left")
+        .select(col("doc"),
+          least(col("cluster"), coalesce(col("n_cluster"), col("cluster"))).as("cluster"))
+        .cache()
+      changed = next.join(labels.withColumnRenamed("cluster", "old"), "doc")
+        .filter(col("cluster") =!= col("old")).count()
+      labels = next
+      i += 1
+    }
+    labels
+  }
+
   // ------------------------------------------------------- embedding cosine
 
   /** Embedding-cosine near-dup pairs within blocking groups: an equi join

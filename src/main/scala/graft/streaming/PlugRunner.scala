@@ -161,4 +161,16 @@ class ParquetStateStore(spark: SparkSession, dir: String) {
 
   def commit(batchId: Long, df: DataFrame): Unit =
     df.write.mode("overwrite").parquet(s"$dir/v=$batchId")
+
+  /** Compaction: drop all but the newest `keepLast` committed versions
+    * (old versions only exist to serve replay of *their* batch; once the
+    * stream is `keepLast` batches past them they are unreachable).
+    */
+  def prune(keepLast: Int = 2): Unit = {
+    def rm(f: java.io.File): Unit = {
+      if (f.isDirectory) f.listFiles().foreach(rm)
+      f.delete(): Unit
+    }
+    versions.dropRight(keepLast).foreach(v => rm(new java.io.File(dir, s"v=$v")))
+  }
 }

@@ -49,6 +49,16 @@ class OperatorsSpec extends SparkSpec {
     assert(nearDup < unrelated, s"near=$nearDup unrelated=$unrelated")
   }
 
+  test("near-dup clustering: chains collapse to min-id components") {
+    val s = spark
+    import s.implicits._
+    // components: {1,2,3} via chain 1-2, 2-3; {7,9}; isolated pairs only
+    val pairs = Seq((1L, 2L), (2L, 3L), (7L, 9L)).toDF("doc_a", "doc_b")
+    val r = Dedup.nearDupClusters(pairs).collect()
+      .map(x => x.getAs[Long]("doc") -> x.getAs[Long]("cluster")).toMap
+    assert(r === Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 7L -> 7L, 9L -> 7L))
+  }
+
   test("language id picks the language with most marker hits") {
     val r = TextAnalysis.languageId(docs).collect()
       .map(x => x.getAs[Long]("doc_id") -> x.getAs[String]("predicted_lang")).toMap

@@ -66,6 +66,18 @@ class StreamingSpec extends SparkSpec {
     assert(cursor.exists { case (batchId, block) => batchId == 2 && block == 290 })
   }
 
+  test("state store prune keeps the newest versions only") {
+    val dir = tmp()
+    val store = new graft.streaming.ParquetStateStore(spark, dir)
+    val df = spark.range(3).toDF("x")
+    (0L to 4L).foreach(store.commit(_, df))
+    assert(store.latestVersion === Some(4L))
+    store.prune(keepLast = 2)
+    assert(store.latestVersion === Some(4L))
+    assert(store.readBefore(4L).isDefined) // v=3 retained
+    assert(store.readBefore(3L).isEmpty)   // v<=2 pruned
+  }
+
   test("irreversibility watermark filters non-finalized blocks") {
     val rows = (0 until 10).map { i =>
       op(i.toLong, 100 + i, 0, "2024-01-01 00:00:00", "podping", podpingV03(Seq("u")))
