@@ -152,6 +152,26 @@ class HttpApi(
   }
 }
 
+object HttpApi {
+  /** Status function composing the health listener and plug-state cursors
+    * into the reference's sync-status shape (server/system_status.py:12-29):
+    * overall GOOD/BAD plus per-plug latest block and batch.
+    */
+  def statusFrom(health: graft.streaming.StreamHealth,
+                 spark: org.apache.spark.sql.SparkSession,
+                 outDir: String, plugs: Seq[String]): () => Map[String, Any] = () => {
+    val (overall, _) = health.sync_status()
+    val plugStates = plugs.map { p =>
+      graft.streaming.PlugState.latest(spark, outDir, p) match {
+        case Some((batchId, block)) =>
+          p -> Map("latest_block_num" -> block, "batch_id" -> batchId)
+        case None => p -> Map("latest_block_num" -> null, "batch_id" -> null)
+      }
+    }.toMap
+    Map("status" -> overall, "plugs" -> plugStates)
+  }
+}
+
 /** Minimal JSON writer (no deps). */
 object JsonOut {
   def str(s: String): String = "\"" + s.flatMap {

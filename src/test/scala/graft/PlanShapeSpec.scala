@@ -1,0 +1,44 @@
+package graft
+
+/** Plan-shape regressions: the properties that make these queries scale
+  * are asserted on the optimized physical plans, not just observed once.
+  */
+class PlanShapeSpec extends SparkSpec {
+
+  private val sf = "/root/testdata/sf0.001"
+
+  private def plan(name: String): String =
+    SparkEntry.queries(name)(spark, sf).queryExecution.executedPlan.toString
+
+  test("s1: range + set-membership predicates reach the parquet scan") {
+    val p = plan("s1_oplog_scan")
+    assert(p.contains("PushedFilters") && p.contains("GreaterThanOrEqual(event_id,2000)"))
+    assert(p.contains("IN (purchase,signup)")) // FileScan summary truncates; check the Filter node
+  }
+
+  test("a1: top-k plans as TakeOrderedAndProject, not a global sort") {
+    assert(plan("a1_topk_counts").contains("TakeOrderedAndProject"))
+  }
+
+  test("j1/j5: dimension side broadcasts") {
+    assert(plan("j1_order_enrich").contains("BroadcastHashJoin"))
+    assert(plan("j5_semi_exists").contains("LeftSemi"))
+  }
+
+  test("j2: theta residual stays inside the equi join (no cartesian)") {
+    val p = plan("j2_theta_residual")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))
+  }
+
+  test("q1: aggregation is two-phase (partial + final)") {
+    val p = plan("q1_pricing_summary")
+    assert("HashAggregate".r.findAllIn(p).size >= 2)
+  }
+
+  test("dedup pair generation is an equi join on constructed keys, never a cross") {
+    Seq("dedup_ngram_jaccard", "dedup_minhash_lsh", "dedup_embedding_cosine").foreach { q =>
+      val p = plan(q)
+      assert(!p.contains("CartesianProduct"), s"$q plans a cartesian product")
+    }
+  }
+}

@@ -66,6 +66,19 @@ class StreamingSpec extends SparkSpec {
     assert(cursor.exists { case (batchId, block) => batchId == 2 && block == 290 })
   }
 
+  test("status endpoint composes health + plug-state cursors") {
+    val src = tmp(); val out = tmp()
+    writeBatch(src, 1, Seq(
+      op(1, 100, 0, "2024-01-01 00:00:00", "podping", podpingV03(Seq("u1")))))
+    val runner = new PlugRunner(Podping, out)
+    runner.processBatch(spark.read.schema(graft.core.OpLog.schema).parquet(s"$src/b1"), 0)
+    val health = new graft.streaming.StreamHealth()
+    val status = graft.serving.HttpApi.statusFrom(health, spark, out, Seq("podping"))()
+    val plugs = status("plugs").asInstanceOf[Map[String, Map[String, Any]]]
+    assert(plugs("podping")("latest_block_num") === 100L)
+    assert(status("status") === "BAD") // no live stream progress tracked
+  }
+
   test("state store prune keeps the newest versions only") {
     val dir = tmp()
     val store = new graft.streaming.ParquetStateStore(spark, dir)
