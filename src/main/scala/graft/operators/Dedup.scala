@@ -204,8 +204,12 @@ object Dedup {
     val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
       .union(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
       .distinct().cache()
+    // localCheckpoint each round: truncates the growing lineage (the
+    // classic iterative-algorithm fix — without it round N recomputes
+    // rounds 1..N-1)
     var labels = edges.select(col("src").as("doc")).distinct()
       .withColumn("cluster", col("doc"))
+      .localCheckpoint(true)
     var changed = 1L
     var i = 0
     while (changed > 0 && i < maxIter) {
@@ -216,7 +220,7 @@ object Dedup {
       val next = labels.join(viaNeighbors, Seq("doc"), "left")
         .select(col("doc"),
           least(col("cluster"), coalesce(col("n_cluster"), col("cluster"))).as("cluster"))
-        .cache()
+        .localCheckpoint(true)
       changed = next.join(labels.withColumnRenamed("cluster", "old"), "doc")
         .filter(col("cluster") =!= col("old")).count()
       labels = next
