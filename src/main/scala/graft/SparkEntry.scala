@@ -48,7 +48,9 @@ object SparkEntry {
         "podping_updates" -> podping("updates"),
         "polls_content" -> polls("content"),
         "polls_votes" -> polls("votes"),
-        "hive_transfers" -> hive("transfers")
+        "hive_transfers" -> hive("transfers"),
+        "hive_nfts" -> hive("nfts"),
+        "hive_burns" -> hive("burns")
       ).map { case (n, df) => n -> df.persist() }
     })
 
@@ -333,7 +335,33 @@ object SparkEntry {
              |SELECT concat('TK', k % 5) AS symbol,
              |       CAST(sum(CAST(concat(k, '.', k % 10) AS DECIMAL(18,10))) AS DECIMAL(38,10)) AS total_qty,
              |       CAST(count(*) AS BIGINT) AS n
-             |FROM src GROUP BY 1 ORDER BY symbol""".stripMargin)),
+             |FROM src WHERE k % 7 <> 0 GROUP BY 1 ORDER BY symbol""".stripMargin)),
+
+    // nft contract dispatch + burn detection (to='null')
+    Q("plug_hive_nfts",
+      (s, d) => plugTables(s, d)("hive_nfts")
+        .groupBy(col("symbol"), col("action")).agg(count(lit(1)).as("n"))
+        .orderBy(col("symbol")),
+      Some("""WITH src AS (
+             |  SELECT CAST(json_extract_string(props,'$.k') AS INTEGER) AS k
+             |  FROM events WHERE event_type = 'purchase')
+             |SELECT concat('CITY', k % 3) AS symbol, 'issue' AS action,
+             |       CAST(count(*) AS BIGINT) AS n
+             |FROM src WHERE k % 7 = 0 GROUP BY 1 ORDER BY symbol""".stripMargin)),
+
+    Q("plug_hive_burns",
+      (s, d) => plugTables(s, d)("hive_burns")
+        .groupBy(col("symbol"))
+        .agg(sum(col("quantity")).cast(dec(38, 10)).as("burned"),
+          count(lit(1)).as("n"))
+        .orderBy(col("symbol")),
+      Some("""WITH src AS (
+             |  SELECT CAST(json_extract_string(props,'$.k') AS INTEGER) AS k
+             |  FROM events WHERE event_type = 'purchase')
+             |SELECT concat('TK', k % 5) AS symbol,
+             |       CAST(sum(CAST(concat(k, '.', k % 10) AS DECIMAL(18,10))) AS DECIMAL(38,10)) AS burned,
+             |       CAST(count(*) AS BIGINT) AS n
+             |FROM src WHERE k % 7 <> 0 AND k % 13 = 0 GROUP BY 1 ORDER BY symbol""".stripMargin)),
 
     // ---- §2.8 scalar-function battery: string/format/hex/date builtins
     Q("scalar_functions",

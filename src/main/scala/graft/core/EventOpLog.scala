@@ -58,12 +58,22 @@ object EventOpLog {
       k % 20, lit("\\\", \\\"url_"), (k + 1) % 20, lit("\\\"]}"))
     val podpingInner = when(k % 2 === 0, podpingInner03).otherwise(podpingInner10)
 
-    val hiveInner = esc(
+    // contract dispatch coverage: k%7==0 -> nft issue; k%13==0 -> burn
+    // (to='null'); otherwise a token transfer
+    val hiveTo = when(k % 13 === 0, lit("null"))
+      .otherwise(concat(lit("user_"), col("user_id") % 7))
+    val hiveTokensInner = esc(
       lit("{\\\"contractName\\\": \\\"tokens\\\", \\\"contractAction\\\": \\\"transfer\\\", \\\"contractPayload\\\": {\\\"symbol\\\": \\\"TK"),
       k % 5,
-      lit("\\\", \\\"to\\\": \\\"user_"), col("user_id") % 7,
+      lit("\\\", \\\"to\\\": \\\""), hiveTo,
       lit("\\\", \\\"quantity\\\": \\\""), k, lit("."), k % 10,
       lit("\\\", \\\"memo\\\": \\\"memo\\\"}}"))
+    val hiveNftInner = esc(
+      lit("{\\\"contractName\\\": \\\"nft\\\", \\\"contractAction\\\": \\\"issue\\\", \\\"contractPayload\\\": {\\\"symbol\\\": \\\"CITY"),
+      k % 3,
+      lit("\\\", \\\"to\\\": \\\"user_"), col("user_id") % 7,
+      lit("\\\"}}"))
+    val hiveInner = when(k % 7 === 0, hiveNftInner).otherwise(hiveTokensInner)
 
     // CJOS-01: [[1, "polls-app/0.01"], "create", {...}] (op-standard.md),
     // \"-escaped once for embedding in the envelope body
