@@ -322,6 +322,25 @@ object SparkEntry {
              |FROM events WHERE event_type IN ('click','view')
              |GROUP BY 1 ORDER BY op_id""".stripMargin)),
 
+    // ---- per-key latest-N over the derived plug table (generalized
+    //      feed_updates, SURVEY §2.5)
+    Q("plug_podping_latest_per_url",
+      (s, d) => PodpingQueries.latestPerUrl(plugTables(s, d)("podping_updates"), 2)
+        .select(col("url"), col("podping_id"), col("block_num"))
+        .orderBy(col("url"), col("podping_id")),
+      Some("""WITH src AS (
+             |  SELECT event_id, CAST(json_extract_string(props,'$.k') AS INTEGER) AS k
+             |  FROM events WHERE event_type IN ('click','view')),
+             |u AS (
+             |  SELECT event_id, concat('url_', k % 20) AS url FROM src
+             |  UNION ALL
+             |  SELECT event_id, concat('url_', (k + 1) % 20) AS url FROM src),
+             |r AS (SELECT url, event_id,
+             |        row_number() OVER (PARTITION BY url ORDER BY event_id DESC) AS rn
+             |      FROM u)
+             |SELECT url, event_id AS podping_id, CAST(event_id // 10 AS INT) AS block_num
+             |FROM r WHERE rn <= 2 ORDER BY url, podping_id""".stripMargin)),
+
     // ---- hive-engine pipeline: contract dispatch + NUMERIC(18,10) sums
     Q("plug_hive_transfers",
       (s, d) => plugTables(s, d)("hive_transfers")

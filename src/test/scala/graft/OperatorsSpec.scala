@@ -40,6 +40,19 @@ class OperatorsSpec extends SparkSpec {
     assert(lsh === exact)
   }
 
+  test("minhash signature agreement estimates jaccard within tolerance") {
+    val sh = Dedup.shingles(docs, "text", "doc_id", 3).cache()
+    val sig = Dedup.minhashSignatures(sh, 128).collect()
+      .map(r => r.getAs[Long]("doc") -> r.getAs[Seq[Long]]("sig")).toMap
+    val exact = Dedup.ngramJaccardPairs(docs, "text", "doc_id", 3, 0.0).collect()
+      .map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b")) -> r.getAs[Double]("jaccard"))
+      .toMap
+    exact.foreach { case ((a, b), j) =>
+      val agree = sig(a).zip(sig(b)).count { case (x, y) => x == y } / 128.0
+      assert(math.abs(agree - j) <= 0.15, s"pair ($a,$b): est $agree vs exact $j")
+    }
+  }
+
   test("simhash: exact dups collide, near-dups within small hamming distance") {
     val fps = Dedup.simhash(docs, "text", "doc_id").collect()
       .map(r => r.getAs[Long]("doc") -> r.getAs[Long]("simhash")).toMap
