@@ -13,8 +13,10 @@ TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
 
 
 def norm(v):
+    # No normalize(): the driver's hash is representation-sensitive, so the
+    # local gate must be too (a scale/precision difference is a real FAIL).
     if isinstance(v, Decimal):
-        return ("dec", str(v.normalize()))
+        return ("dec", str(v))
     if isinstance(v, float):
         return ("f", repr(v))
     if isinstance(v, bytes):

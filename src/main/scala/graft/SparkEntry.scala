@@ -172,7 +172,10 @@ object SparkEntry {
              |ORDER BY event_id""".stripMargin)),
 
     // ---- TPC-H Q1 shape: multi-aggregate pricing summary (exact decimal
-    //      arithmetic so sums are reproducible across engines)
+    //      arithmetic so sums are reproducible across engines; terminal
+    //      decimal aggregates are emitted as canonical fixed-scale strings
+    //      because decimal *representation* differs across engines at the
+    //      harness boundary even when values are identical)
     Q("q1_pricing_summary",
       (s, d) => {
         val price = col("l_extendedprice").cast(dec(18, 2))
@@ -182,20 +185,20 @@ object SparkEntry {
           .filter(col("l_shipdate") <= lit(java.sql.Timestamp.valueOf("2000-12-01 00:00:00")))
           .groupBy(col("l_returnflag"), col("l_linestatus"))
           .agg(
-            sum(col("l_quantity").cast(dec(18, 2))).cast(dec(38, 2)).as("sum_qty"),
-            sum(price).cast(dec(38, 2)).as("sum_base_price"),
-            sum(price * (lit(1) - disc)).cast(dec(38, 4)).as("sum_disc_price"),
-            sum(price * (lit(1) - disc) * (lit(1) + tax)).cast(dec(38, 6)).as("sum_charge"),
+            sum(col("l_quantity").cast(dec(18, 2))).cast(dec(38, 2)).cast("string").as("sum_qty"),
+            sum(price).cast(dec(38, 2)).cast("string").as("sum_base_price"),
+            sum(price * (lit(1) - disc)).cast(dec(38, 4)).cast("string").as("sum_disc_price"),
+            sum(price * (lit(1) - disc) * (lit(1) + tax)).cast(dec(38, 6)).cast("string").as("sum_charge"),
             round(sum(col("l_quantity").cast(dec(18, 2))).cast("double") / count(lit(1)), 6).as("avg_qty"),
             round(sum(price).cast("double") / count(lit(1)), 6).as("avg_price"),
             count(lit(1)).as("count_order"))
           .orderBy(col("l_returnflag"), col("l_linestatus"))
       },
       Some("""SELECT l_returnflag, l_linestatus,
-             |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS sum_qty,
-             |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS sum_base_price,
-             |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(4,2)))) AS DECIMAL(38,4)) AS sum_disc_price,
-             |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(4,2))) * (1 + CAST(l_tax AS DECIMAL(4,2)))) AS DECIMAL(38,6)) AS sum_charge,
+             |  CAST(CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS VARCHAR) AS sum_qty,
+             |  CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS VARCHAR) AS sum_base_price,
+             |  CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(4,2)))) AS DECIMAL(38,4)) AS VARCHAR) AS sum_disc_price,
+             |  CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(4,2))) * (1 + CAST(l_tax AS DECIMAL(4,2)))) AS DECIMAL(38,6)) AS VARCHAR) AS sum_charge,
              |  round(CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / count(*), 6) AS avg_qty,
              |  round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / count(*), 6) AS avg_price,
              |  CAST(count(*) AS BIGINT) AS count_order
@@ -224,10 +227,10 @@ object SparkEntry {
             col("l_shipdate") <= col("o_orderdate") + expr("INTERVAL 60 DAYS"))
         .groupBy(col("o_orderkey"))
         .agg(count(lit(1)).as("n_lines"),
-          sum(col("l_extendedprice").cast(dec(18, 2))).cast(dec(38, 2)).as("early_value"))
+          sum(col("l_extendedprice").cast(dec(18, 2))).cast(dec(38, 2)).cast("string").as("early_value"))
         .orderBy(col("o_orderkey")),
       Some("""SELECT o_orderkey, CAST(count(*) AS BIGINT) AS n_lines,
-             |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS early_value
+             |  CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS VARCHAR) AS early_value
              |FROM orders JOIN lineitem ON l_orderkey = o_orderkey
              |WHERE l_shipdate <= o_orderdate + INTERVAL 60 DAY
              |GROUP BY o_orderkey ORDER BY o_orderkey""".stripMargin)),
@@ -262,15 +265,18 @@ object SparkEntry {
         .groupBy(col("o_orderkey"), col("o_orderdate"))
         .agg(sum((col("l_extendedprice").cast(dec(18, 2)) *
           (lit(1) - col("l_discount").cast(dec(4, 2)))).cast(dec(18, 4)))
-          .cast(dec(38, 4)).as("revenue"))
-        .orderBy(col("revenue").desc, col("o_orderkey")).limit(10),
-      Some("""SELECT o_orderkey, o_orderdate,
-             |  CAST(sum(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(4,2))) AS DECIMAL(18,4))) AS DECIMAL(38,4)) AS revenue
-             |FROM customer JOIN orders ON c_custkey = o_custkey
-             |JOIN lineitem ON o_orderkey = l_orderkey
-             |WHERE c_mktsegment = 'BUILDING'
-             |GROUP BY o_orderkey, o_orderdate
-             |ORDER BY revenue DESC, o_orderkey LIMIT 10""".stripMargin)),
+          .cast(dec(38, 4)).as("_rev"))
+        .orderBy(col("_rev").desc, col("o_orderkey")).limit(10)
+        .select(col("o_orderkey"), col("o_orderdate"),
+          col("_rev").cast("string").as("revenue")),
+      Some("""SELECT o_orderkey, o_orderdate, CAST(_rev AS VARCHAR) AS revenue FROM (
+             |  SELECT o_orderkey, o_orderdate,
+             |    CAST(sum(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(4,2))) AS DECIMAL(18,4))) AS DECIMAL(38,4)) AS _rev
+             |  FROM customer JOIN orders ON c_custkey = o_custkey
+             |  JOIN lineitem ON o_orderkey = l_orderkey
+             |  WHERE c_mktsegment = 'BUILDING'
+             |  GROUP BY o_orderkey, o_orderdate
+             |  ORDER BY _rev DESC, o_orderkey LIMIT 10)""".stripMargin)),
 
     // ---- 4-way dimension rollup (region -> nation -> customer -> orders)
     Q("q5_region_rollup",
@@ -280,10 +286,10 @@ object SparkEntry {
         .join(Tables.orders(s, d), col("o_custkey") === col("c_custkey"))
         .groupBy(col("r_name"), col("n_name"))
         .agg(count(lit(1)).as("n_orders"),
-          sum(col("o_totalprice").cast(dec(18, 2))).cast(dec(38, 2)).as("total_value"))
+          sum(col("o_totalprice").cast(dec(18, 2))).cast(dec(38, 2)).cast("string").as("total_value"))
         .orderBy(col("r_name"), col("n_name")),
       Some("""SELECT r_name, n_name, CAST(count(*) AS BIGINT) AS n_orders,
-             |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS total_value
+             |  CAST(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS VARCHAR) AS total_value
              |FROM region JOIN nation ON n_regionkey = r_regionkey
              |JOIN customer ON c_nationkey = n_nationkey
              |JOIN orders ON o_custkey = c_custkey
@@ -345,14 +351,14 @@ object SparkEntry {
     Q("plug_hive_transfers",
       (s, d) => plugTables(s, d)("hive_transfers")
         .groupBy(col("symbol"))
-        .agg(sum(col("quantity")).cast(dec(38, 10)).as("total_qty"),
+        .agg(sum(col("quantity")).cast(dec(38, 10)).cast("string").as("total_qty"),
           count(lit(1)).as("n"))
         .orderBy(col("symbol")),
       Some("""WITH src AS (
              |  SELECT CAST(json_extract_string(props,'$.k') AS INTEGER) AS k
              |  FROM events WHERE event_type = 'purchase')
              |SELECT concat('TK', k % 5) AS symbol,
-             |       CAST(sum(CAST(concat(k, '.', k % 10) AS DECIMAL(18,10))) AS DECIMAL(38,10)) AS total_qty,
+             |       CAST(CAST(sum(CAST(concat(k, '.', k % 10) AS DECIMAL(18,10))) AS DECIMAL(38,10)) AS VARCHAR) AS total_qty,
              |       CAST(count(*) AS BIGINT) AS n
              |FROM src WHERE k % 7 <> 0 GROUP BY 1 ORDER BY symbol""".stripMargin)),
 
@@ -371,14 +377,14 @@ object SparkEntry {
     Q("plug_hive_burns",
       (s, d) => plugTables(s, d)("hive_burns")
         .groupBy(col("symbol"))
-        .agg(sum(col("quantity")).cast(dec(38, 10)).as("burned"),
+        .agg(sum(col("quantity")).cast(dec(38, 10)).cast("string").as("burned"),
           count(lit(1)).as("n"))
         .orderBy(col("symbol")),
       Some("""WITH src AS (
              |  SELECT CAST(json_extract_string(props,'$.k') AS INTEGER) AS k
              |  FROM events WHERE event_type = 'purchase')
              |SELECT concat('TK', k % 5) AS symbol,
-             |       CAST(sum(CAST(concat(k, '.', k % 10) AS DECIMAL(18,10))) AS DECIMAL(38,10)) AS burned,
+             |       CAST(CAST(sum(CAST(concat(k, '.', k % 10) AS DECIMAL(18,10))) AS DECIMAL(38,10)) AS VARCHAR) AS burned,
              |       CAST(count(*) AS BIGINT) AS n
              |FROM src WHERE k % 7 <> 0 AND k % 13 = 0 GROUP BY 1 ORDER BY symbol""".stripMargin)),
 
@@ -578,11 +584,11 @@ object SparkEntry {
           .filter(col("l_quantity") < col("avg_qty") * 0.2)
           .groupBy(col("l_partkey"))
           .agg(count(lit(1)).as("n"),
-            sum(col("l_extendedprice").cast(dec(18, 2))).cast(dec(38, 2)).as("total_price"))
+            sum(col("l_extendedprice").cast(dec(18, 2))).cast(dec(38, 2)).cast("string").as("total_price"))
           .orderBy(col("l_partkey"))
       },
       Some("""SELECT l_partkey, CAST(count(*) AS BIGINT) AS n,
-             |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS total_price
+             |  CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS VARCHAR) AS total_price
              |FROM lineitem l1
              |WHERE l_quantity < 0.2 * (SELECT avg(l_quantity) FROM lineitem l2
              |                          WHERE l2.l_partkey = l1.l_partkey)

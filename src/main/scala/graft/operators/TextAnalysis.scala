@@ -76,13 +76,16 @@ object TextAnalysis {
     */
   def languageId(docs: DataFrame, textCol: String = "text"): DataFrame = {
     val toks = tokens(lower(col(textCol)))
-    val scored = langMarkers.toSeq.sortBy(_._1).map { case (lang, words) =>
-      struct(countIn(toks, words).as("hits"), lit(lang).as("lang"))
+    // argmax = array_max over (hits, nrank, lang) structs compared
+    // field-by-field; `nrank` = negated alphabetical rank makes equal-hit
+    // ties pick the alphabetically FIRST language (matching the oracle's
+    // CASE chain, which tests languages in alphabetical order).
+    val scored = langMarkers.toSeq.sortBy(_._1).zipWithIndex.map {
+      case ((lang, words), rank) =>
+        struct(countIn(toks, words).as("hits"),
+          lit(-rank).as("nrank"), lit(lang).as("lang"))
     }
-    // argmax = array_max over (hits, lang) structs; ties resolve to the
-    // lexicographically LAST lang at equal hits, deterministically — we
-    // invert by sorting langs descending so ties pick the alphabetical first.
-    val best = array_max(array(scored.reverse: _*))
+    val best = array_max(array(scored: _*))
     docs
       .withColumn("_best", best)
       .withColumn("predicted_lang",

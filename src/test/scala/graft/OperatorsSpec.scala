@@ -79,6 +79,18 @@ class OperatorsSpec extends SparkSpec {
     assert(r(4L) === "es")
   }
 
+  test("language id ties resolve to the alphabetically first language") {
+    val s = spark
+    import s.implicits._
+    // 'de' is a marker for both es and zh (1 hit each) -> 'es' must win;
+    // 'le' hits fr and zh -> 'fr'; 'la' hits es and fr -> 'es'.
+    val tied = Seq((1L, "de"), (2L, "le"), (3L, "la"), (4L, "xyzzy"))
+      .toDF("doc_id", "text")
+    val r = TextAnalysis.languageId(tied).collect()
+      .map(x => x.getAs[Long]("doc_id") -> x.getAs[String]("predicted_lang")).toMap
+    assert(r === Map(1L -> "es", 2L -> "fr", 3L -> "es", 4L -> "und"))
+  }
+
   test("quality: ratios and score are deterministic and bounded") {
     val r = TextAnalysis.quality(docs).collect()
     r.foreach { row =>
