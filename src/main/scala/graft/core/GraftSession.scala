@@ -21,6 +21,17 @@ object GraftSession {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark.conf.set("spark.sql.adaptive.enabled", "true")
     spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "true")
+    // Typed aggregators (MinHash signatures) run through
+    // ObjectHashAggregate, whose default fallback-to-sort threshold is a
+    // tiny 128 groups per partition — a per-partition SORT of the whole
+    // shingle fanout. Group buffers are small (one Array[Long] per doc);
+    // let the hash path run.
+    spark.conf.set("spark.sql.objectHashAggregate.sortBased.fallbackThreshold", "1000000")
+    // Broadcast dimension-sized sides up to 64 MB (production clusters
+    // with multi-GB executors run 100 MB+). Size-based, so genuinely big
+    // sides still sort-merge; AQE re-plans to broadcast at runtime when
+    // the post-filter size qualifies.
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", (64L * 1024 * 1024).toString)
     // Permissive evaluation: the reference swallows per-op errors (invalid
     // JSON, bad indexes — plugs/podping/functions.sql:91-96) instead of
     // failing the stream; ANSI strict mode would abort the job on the

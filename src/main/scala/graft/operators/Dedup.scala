@@ -60,7 +60,7 @@ object Dedup {
     */
   def ngramJaccardPairs(df: DataFrame, textCol: String, idCol: String,
                         w: Int = 3, threshold: Double = 0.8): DataFrame = {
-    val sh = shingles(df, textCol, idCol, w).cache()
+    val sh = graft.core.CacheScope.cached(shingles(df, textCol, idCol, w))
     val sizes = sh.groupBy(col("doc")).agg(count(lit(1)).as("n"))
     val inter = sh.as("a")
       .join(sh.as("b"),
@@ -152,7 +152,7 @@ object Dedup {
                       threshold: Double = 0.8): DataFrame = {
     require(numPerm % bands == 0)
     val r = numPerm / bands
-    val sh = shingles(df, textCol, idCol, w).cache()
+    val sh = graft.core.CacheScope.cached(shingles(df, textCol, idCol, w))
     val sig = minhashSignatures(sh, numPerm)
     val bandCols = (0 until bands).map { b =>
       struct(lit(b).as("band"),
@@ -174,7 +174,7 @@ object Dedup {
     * full cross of all docs (this is what keeps LSH sub-quadratic at scale).
     */
   def verifyPairsExact(candidates: DataFrame, sh: DataFrame, threshold: Double): DataFrame = {
-    val shc = sh.cache()
+    val shc = graft.core.CacheScope.cached(sh)
     val sizes = shc.groupBy(col("doc")).agg(count(lit(1)).as("n"))
     val inter = candidates
       .join(shc.select(col("doc").as("doc_a"), col("shingle").as("s_a")), Seq("doc_a"))
@@ -201,12 +201,15 @@ object Dedup {
     * scalable CC formulation; no driver-side graph state.
     */
   def nearDupClusters(pairs: DataFrame, maxIter: Int = 10): DataFrame = {
+    // pairs carry doc_a < doc_b exactly once, so the two directed copies
+    // cannot collide — no distinct needed (that was a full extra shuffle)
     val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
       .union(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
-      .distinct().cache()
+      .cache()
     // localCheckpoint each round: truncates the growing lineage (the
     // classic iterative-algorithm fix — without it round N recomputes
-    // rounds 1..N-1)
+    // rounds 1..N-1). Each round's checkpoint storage is freed as soon as
+    // the next round is materialized — working set stays at 2 rounds.
     var labels = edges.select(col("src").as("doc")).distinct()
       .withColumn("cluster", col("doc"))
       .localCheckpoint(true)
@@ -217,16 +220,23 @@ object Dedup {
         .join(labels.withColumnRenamed("doc", "dst"), "dst")
         .groupBy(col("src").as("doc"))
         .agg(min(col("cluster")).as("n_cluster"))
-      val next = labels.join(viaNeighbors, Seq("doc"), "left")
+      // carry the old label through the join so convergence is a cheap
+      // filter-count over the checkpointed result, not another join
+      val next = labels.withColumnRenamed("cluster", "_old")
+        .join(viaNeighbors, Seq("doc"), "left")
         .select(col("doc"),
-          least(col("cluster"), coalesce(col("n_cluster"), col("cluster"))).as("cluster"))
+          least(col("_old"), coalesce(col("n_cluster"), col("_old"))).as("cluster"),
+          col("_old"))
         .localCheckpoint(true)
-      changed = next.join(labels.withColumnRenamed("cluster", "old"), "doc")
-        .filter(col("cluster") =!= col("old")).count()
-      labels = next
+      changed = next.filter(col("cluster") =!= col("_old")).count()
+      org.apache.spark.sql.GraftBridge.freeCheckpoint(labels)
+      labels = next.drop("_old")
       i += 1
     }
-    labels
+    // the final labels are eagerly checkpointed, so the edge cache is no
+    // longer reachable; free it now and let the harness free the labels
+    edges.unpersist(false)
+    graft.core.CacheScope.register(labels)
   }
 
   // ------------------------------------------------------- embedding cosine
@@ -280,7 +290,7 @@ object Dedup {
     */
   def simhashPairs(df: DataFrame, textCol: String, idCol: String,
                    maxHamming: Int = 3): DataFrame = {
-    val fps = simhash(df, textCol, idCol).cache()
+    val fps = graft.core.CacheScope.cached(simhash(df, textCol, idCol))
     val chunks = fps.select(col("doc"), col("simhash"),
       explode(array((0 until 4).map(c =>
         struct(lit(c).as("c"),

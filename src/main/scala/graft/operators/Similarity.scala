@@ -159,32 +159,53 @@ object Similarity {
     */
   def lshTopK(corpus: DataFrame, probes: DataFrame, k: Int,
               bitsPerTable: Int = 4, nTables: Int = 8, dim: Int = 64,
-              idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
-    val tables = (0 until nTables).map(t =>
+              idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame =
+    buildLsh(corpus, bitsPerTable, nTables, dim, idCol, vecCol).topK(probes, k)
+
+  /** Build the multi-table LSH index once (the corpus-side hashing is the
+    * one-time build step; at scale the (table, bucket) pair is the storage
+    * partition key); `topK` queries it many times.
+    */
+  def buildLsh(corpus: DataFrame, bitsPerTable: Int = 4, nTables: Int = 8,
+               dim: Int = 64, idCol: String = "vec_id",
+               vecCol: String = "embedding"): LshIndex =
+    new LshIndex(corpus, bitsPerTable, nTables, dim, idCol, vecCol)
+
+  class LshIndex private[operators] (
+      corpus: DataFrame, bitsPerTable: Int, nTables: Int, dim: Int,
+      idCol: String, vecCol: String) {
+
+    private val tables = (0 until nTables).map(t =>
       t -> hyperplanes(bitsPerTable, dim, seed = 7L + 131 * t))
-    def bucketed(df: DataFrame, idName: String): DataFrame = {
+
+    private def bucketed(df: DataFrame, idName: String): DataFrame = {
       val entries = tables.map { case (t, planes) =>
         struct(lit(t).as("tbl"), lshBucket(col("_v"), planes).as("bucket"))
       }
       df.select(col(idName), col("_v"), explode(array(entries: _*)).as("tb"))
         .select(col(idName), col("_v"), col("tb.tbl").as("tbl"), col("tb.bucket").as("bucket"))
     }
-    val c = bucketed(
-      spread(corpus).select(col(idCol).as("neighbor_id"), asDouble(col(vecCol)).as("_v")), "neighbor_id")
-      .withColumnRenamed("_v", "_cv")
-    val p = bucketed(
-      probes.select(col(idCol).as("probe_id"), asDouble(col(vecCol)).as("_v")), "probe_id")
-      .withColumnRenamed("_v", "_pv")
-    val candidates = c.join(broadcast(p), Seq("tbl", "bucket"))
-      .filter(col("probe_id") =!= col("neighbor_id"))
-      .select("probe_id", "_pv", "neighbor_id", "_cv")
-      .dropDuplicates("probe_id", "neighbor_id")
-    val scored = candidates.withColumn("cosine", cosine(col("_pv"), col("_cv")))
-    val w = Window.partitionBy(col("probe_id"))
-      .orderBy(col("cosine").desc, col("neighbor_id"))
-    scored.withColumn("_rn", row_number().over(w))
-      .filter(col("_rn") <= k)
-      .select(col("probe_id"), col("neighbor_id"),
-        round(col("cosine"), 6).as("cosine"), col("_rn").cast("int").as("rank"))
+
+    /** Corpus hashed into all tables, persisted — the hash-table side. */
+    val buckets: DataFrame = bucketed(
+      spread(corpus).select(col(idCol).as("neighbor_id"), asDouble(col(vecCol)).as("_v")),
+      "neighbor_id").withColumnRenamed("_v", "_cv").persist()
+
+    def topK(probes: DataFrame, k: Int): DataFrame = {
+      val p = bucketed(
+        probes.select(col(idCol).as("probe_id"), asDouble(col(vecCol)).as("_v")), "probe_id")
+        .withColumnRenamed("_v", "_pv")
+      val candidates = buckets.join(broadcast(p), Seq("tbl", "bucket"))
+        .filter(col("probe_id") =!= col("neighbor_id"))
+        .select("probe_id", "_pv", "neighbor_id", "_cv")
+        .dropDuplicates("probe_id", "neighbor_id")
+      val scored = candidates.withColumn("cosine", cosine(col("_pv"), col("_cv")))
+      val w = Window.partitionBy(col("probe_id"))
+        .orderBy(col("cosine").desc, col("neighbor_id"))
+      scored.withColumn("_rn", row_number().over(w))
+        .filter(col("_rn") <= k)
+        .select(col("probe_id"), col("neighbor_id"),
+          round(col("cosine"), 6).as("cosine"), col("_rn").cast("int").as("rank"))
+    }
   }
 }

@@ -15,4 +15,16 @@ object GraftBridge {
   def dotProduct(a: Column, b: Column): Column =
     ExpressionUtils.column(DoubleDotProduct(
       ExpressionUtils.expression(a), ExpressionUtils.expression(b)))
+
+  /** Free the block-manager storage behind a `localCheckpoint`ed frame.
+    * `Dataset.unpersist` only clears CacheManager entries; checkpoint
+    * blocks are RDD-level cache and otherwise linger until GC-driven
+    * cleanup — unacceptable for iterative algorithms that checkpoint
+    * every round.
+    */
+  def freeCheckpoint(df: Dataset[_]): Unit =
+    df.queryExecution.analyzed.foreach {
+      case l: org.apache.spark.sql.execution.LogicalRDD => l.rdd.unpersist(false)
+      case _ => ()
+    }
 }
