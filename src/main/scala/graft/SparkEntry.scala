@@ -46,6 +46,7 @@ object SparkEntry {
       Map(
         "podping_ops" -> podping("ops"),
         "podping_updates" -> podping("updates"),
+        "polls_ops" -> polls("ops"),
         "polls_content" -> polls("content"),
         "polls_votes" -> polls("votes"),
         "hive_transfers" -> hive("transfers"),
@@ -474,34 +475,37 @@ object SparkEntry {
         .select(col("author"), col("permlink"), col("question"),
           col("expires"), col("tag"), col("deleted"))
         .orderBy(col("permlink")),
-      Some("""WITH c AS (
-             |  SELECT event_id, CAST(json_extract_string(props,'$.k') AS INTEGER) AS k,
+      Some(s"""WITH c AS (
+             |  SELECT event_id, CAST(json_extract_string(props,'$$.k') AS INTEGER) AS k,
              |         CAST(ts AS TIMESTAMP) AS ts
              |  FROM events WHERE event_type = 'signup'),
-             |f AS (SELECT *, row_number() OVER (PARTITION BY k % 25 ORDER BY event_id) AS rn FROM c)
+             |f AS (SELECT *, row_number() OVER (PARTITION BY k % 25 ORDER BY event_id) AS rn FROM c),
+             |$pollsDeletesCte
              |SELECT concat('owner_', k % 25) AS author, concat('poll_', k % 25) AS permlink,
              |       concat('q', k) AS question,
              |       date_trunc('second', ts) + INTERVAL 7 DAY AS expires,
-             |       concat('tag', k % 3) AS tag, false AS deleted
+             |       concat('tag', k % 3) AS tag,
+             |       $pollsDeletedPred AS deleted
              |FROM f WHERE rn = 1 ORDER BY permlink""".stripMargin)),
 
     Q("plug_polls_summary",
       (s, d) => PollsQueries.pollSummary(
         plugTables(s, d)("polls_content"), plugTables(s, d)("polls_votes"))
         .orderBy(col("permlink"), col("parsed_answer")),
-      Some("""WITH c AS (
-             |  SELECT event_id, CAST(json_extract_string(props,'$.k') AS INTEGER) AS k,
+      Some(s"""WITH c AS (
+             |  SELECT event_id, CAST(json_extract_string(props,'$$.k') AS INTEGER) AS k,
              |         CAST(ts AS TIMESTAMP) AS ts
              |  FROM events WHERE event_type = 'signup'),
              |f AS (SELECT *, row_number() OVER (PARTITION BY k % 25 ORDER BY event_id) AS rn FROM c),
+             |$pollsDeletesCte,
              |polls AS (SELECT k % 25 AS pk, concat('owner_', k % 25) AS author,
              |                 concat('poll_', k % 25) AS permlink,
              |                 date_trunc('second', ts) + INTERVAL 7 DAY AS expires
-             |          FROM f WHERE rn = 1),
-             |v AS (SELECT CAST(json_extract_string(props,'$.k') AS INTEGER) AS k,
+             |          FROM f WHERE rn = 1 AND NOT $pollsDeletedPred),
+             |v AS (SELECT CAST(json_extract_string(props,'$$.k') AS INTEGER) AS k,
              |             user_id, CAST(ts AS TIMESTAMP) AS ts
              |      FROM events
-             |      WHERE event_type = 'error' AND CAST(json_extract_string(props,'$.k') AS INTEGER) % 2 = 0)
+             |      WHERE event_type = 'error' AND CAST(json_extract_string(props,'$$.k') AS INTEGER) % 2 = 0)
              |SELECT p.author, p.permlink,
              |       (['yes','no','maybe'])[v.k % 4 + 1] AS parsed_answer,
              |       CAST(count(DISTINCT concat('user_', v.user_id)) AS BIGINT) AS votes
@@ -515,17 +519,19 @@ object SparkEntry {
         .select(col("author"), col("permlink"), col("question"),
           col("expires"), col("tag"), col("created"))
         .orderBy(col("permlink")),
-      Some("""WITH c AS (
-             |  SELECT event_id, CAST(json_extract_string(props,'$.k') AS INTEGER) AS k,
+      Some(s"""WITH c AS (
+             |  SELECT event_id, CAST(json_extract_string(props,'$$.k') AS INTEGER) AS k,
              |         CAST(ts AS TIMESTAMP) AS ts
              |  FROM events WHERE event_type = 'signup'),
-             |f AS (SELECT *, row_number() OVER (PARTITION BY k % 25 ORDER BY event_id) AS rn FROM c)
+             |f AS (SELECT *, row_number() OVER (PARTITION BY k % 25 ORDER BY event_id) AS rn FROM c),
+             |$pollsDeletesCte
              |SELECT concat('owner_', k % 25) AS author, concat('poll_', k % 25) AS permlink,
              |       concat('q', k) AS question,
              |       date_trunc('second', ts) + INTERVAL 7 DAY AS expires,
              |       concat('tag', k % 3) AS tag, ts AS created
              |FROM f WHERE rn = 1
              |  AND date_trunc('second', ts) + INTERVAL 7 DAY >= TIMESTAMP '2024-01-20 00:00:00'
+             |  AND NOT $pollsDeletedPred
              |ORDER BY permlink""".stripMargin)),
 
     // ---- tumbling-window aggregation (same plan runs as a streaming
@@ -562,30 +568,72 @@ object SparkEntry {
       (s, d) => PollsQueries.pollsByTag(plugTables(s, d)("polls_content"), "tag1")
         .select(col("author"), col("permlink"), col("question"), col("expires"), col("tag"))
         .orderBy(col("permlink")),
-      Some("""WITH c AS (
-             |  SELECT event_id, CAST(json_extract_string(props,'$.k') AS INTEGER) AS k,
+      Some(s"""WITH c AS (
+             |  SELECT event_id, CAST(json_extract_string(props,'$$.k') AS INTEGER) AS k,
              |         CAST(ts AS TIMESTAMP) AS ts
              |  FROM events WHERE event_type = 'signup'),
-             |f AS (SELECT *, row_number() OVER (PARTITION BY k % 25 ORDER BY event_id) AS rn FROM c)
+             |f AS (SELECT *, row_number() OVER (PARTITION BY k % 25 ORDER BY event_id) AS rn FROM c),
+             |$pollsDeletesCte
              |SELECT concat('owner_', k % 25) AS author, concat('poll_', k % 25) AS permlink,
              |       concat('q', k) AS question,
              |       date_trunc('second', ts) + INTERVAL 7 DAY AS expires,
              |       concat('tag', k % 3) AS tag
-             |FROM f WHERE rn = 1 AND k % 3 = 1 ORDER BY permlink""".stripMargin)),
+             |FROM f WHERE rn = 1 AND k % 3 = 1 AND NOT $pollsDeletedPred
+             |ORDER BY permlink""".stripMargin)),
 
     // ---- a user's polls newest-first (polls.py:87-100, O5)
     Q("plug_polls_user",
       (s, d) => PollsQueries.userPolls(plugTables(s, d)("polls_content"), "owner_3")
         .select(col("author"), col("permlink"), col("question"), col("created")),
-      Some("""WITH c AS (
-             |  SELECT event_id, CAST(json_extract_string(props,'$.k') AS INTEGER) AS k,
+      Some(s"""WITH c AS (
+             |  SELECT event_id, CAST(json_extract_string(props,'$$.k') AS INTEGER) AS k,
              |         CAST(ts AS TIMESTAMP) AS ts
              |  FROM events WHERE event_type = 'signup'),
-             |f AS (SELECT *, row_number() OVER (PARTITION BY k % 25 ORDER BY event_id) AS rn FROM c)
+             |f AS (SELECT *, row_number() OVER (PARTITION BY k % 25 ORDER BY event_id) AS rn FROM c),
+             |$pollsDeletesCte
              |SELECT concat('owner_', k % 25) AS author, concat('poll_', k % 25) AS permlink,
              |       concat('q', k) AS question, ts AS created
-             |FROM f WHERE rn = 1 AND k % 25 = 3
+             |FROM f WHERE rn = 1 AND k % 25 = 3 AND NOT $pollsDeletedPred
              |ORDER BY created DESC, permlink""".stripMargin)),
+
+    // ---- soft-deleted polls: the guarded delete path end-to-end (delete
+    //      ops synthesized from error/k-odd/k%5==0 events; only deletes
+    //      landing inside the poll's liveness window count)
+    Q("plug_polls_deleted",
+      (s, d) => plugTables(s, d)("polls_content")
+        .filter(col("deleted"))
+        .select(col("author"), col("permlink"), col("expires"))
+        .orderBy(col("permlink")),
+      Some(s"""WITH c AS (
+             |  SELECT event_id, CAST(json_extract_string(props,'$$.k') AS INTEGER) AS k,
+             |         CAST(ts AS TIMESTAMP) AS ts
+             |  FROM events WHERE event_type = 'signup'),
+             |f AS (SELECT *, row_number() OVER (PARTITION BY k % 25 ORDER BY event_id) AS rn FROM c),
+             |$pollsDeletesCte
+             |SELECT concat('owner_', k % 25) AS author, concat('poll_', k % 25) AS permlink,
+             |       date_trunc('second', ts) + INTERVAL 7 DAY AS expires
+             |FROM f WHERE rn = 1 AND $pollsDeletedPred
+             |ORDER BY permlink""".stripMargin)),
+
+    // ---- raw poll ops over a block range (SearchQuery.poll_ops,
+    //      polls.py:13-27): S1-style range scan over the derived ops table
+    Q("plug_polls_ops",
+      (s, d) => PollsQueries.pollOps(plugTables(s, d)("polls_ops"), 100, 900, None)
+        .select(col("id"), col("block_num"), col("trx_in_block"),
+          col("created"), col("transaction_id"), col("op_type")),
+      Some("""WITH p AS (
+             |  SELECT event_id, CAST(ts AS TIMESTAMP) AS ts, event_type,
+             |         CAST(json_extract_string(props,'$.k') AS INTEGER) AS k
+             |  FROM events WHERE event_type IN ('signup','error'))
+             |SELECT event_id AS id, CAST(event_id // 10 AS INT) AS block_num,
+             |       CAST(event_id % 10 AS INT) AS trx_in_block,
+             |       ts AS created, md5(CAST(event_id AS VARCHAR)) AS transaction_id,
+             |       CASE WHEN event_type = 'signup' THEN 'create'
+             |            WHEN k % 2 = 0 THEN 'vote' ELSE 'delete' END AS op_type
+             |FROM p
+             |WHERE (event_type = 'signup' OR k % 2 = 0 OR k % 5 = 0)
+             |  AND event_id // 10 BETWEEN 100 AND 900
+             |ORDER BY id""".stripMargin)),
 
     // ---- argmax-per-group (max_by pattern via deterministic window)
     Q("w2_argmax_per_group",
@@ -814,6 +862,7 @@ object SparkEntry {
              |FROM events
              |WHERE event_type = 'error'
              |  AND CAST(json_extract_string(props,'$.k') AS INTEGER) % 2 = 1
+             |  AND CAST(json_extract_string(props,'$.k') AS INTEGER) % 5 <> 0
              |GROUP BY 1 ORDER BY bucket""".stripMargin)),
 
     // ---- multimodal plumbing (stubbed decode; mapPartitions batch shape)
@@ -834,6 +883,24 @@ object SparkEntry {
       },
       None)
   )
+
+  /** Shared oracle fragments for the polls delete semantics: `d` = the
+    * synthesized delete ops (EventOpLog: error, k odd, k%5==0), and the
+    * liveness-window EXISTS over the winning create `f` (delete lands at
+    * or after the create and at or before expiry).
+    */
+  private val pollsDeletesCte: String =
+    """d AS (SELECT CAST(json_extract_string(props,'$.k') AS INTEGER) AS k,
+      |             CAST(ts AS TIMESTAMP) AS dts
+      |      FROM events
+      |      WHERE event_type = 'error'
+      |        AND CAST(json_extract_string(props,'$.k') AS INTEGER) % 2 = 1
+      |        AND CAST(json_extract_string(props,'$.k') AS INTEGER) % 5 = 0)""".stripMargin
+
+  private val pollsDeletedPred: String =
+    """EXISTS (SELECT 1 FROM d WHERE d.k % 25 = f.k % 25
+      |            AND d.dts >= f.ts
+      |            AND d.dts <= date_trunc('second', f.ts) + INTERVAL 7 DAY)""".stripMargin
 
   private lazy val jaccardOracleSql: String =
     """WITH toks AS (

@@ -20,7 +20,10 @@ import org.apache.spark.sql.functions._
   *  - error, k even -> polls 'vote' on poll_(k%25) by user_(uid), answer
   *                   1+(k%4) (answer 4 is out of range -> dropped, the
   *                   Postgres array-index null semantic)
-  *  - error, k odd -> corrupt body (must be isolated, not fail the pipeline)
+  *  - error, k odd, k%5==0 -> polls 'delete' of poll_(k%25) signed by its
+  *                   owner (exercises the soft-delete liveness guard)
+  *  - error, k odd otherwise -> corrupt body (must be isolated, not fail
+  *                   the pipeline)
   *
   * block_num = event_id DIV 10, trx_in_block = event_id % 10 — ten ops per
   * block, preserving chain order == event order.
@@ -92,27 +95,36 @@ object EventOpLog {
       lit("\\\", \\\"permlink\\\": \\\"poll_"), k % 25,
       lit("\\\", \\\"answer\\\": "), k % 4 + 1, lit("}]"))
 
+    val pollsDeleteInner = esc(
+      lit("[[1, \\\"polls/0.01\\\"], \\\"delete\\\", {\\\"permlink\\\": \\\"poll_"),
+      k % 25, lit("\\\"}]"))
+
     val isVote = col("event_type") === "error" && k % 2 === 0
+    // error, k odd: every 5th is a poll delete (signed by the poll owner,
+    // exercising the liveness guard); the rest stay corrupt bodies
+    val isDelete = col("event_type") === "error" && k % 2 === 1 && k % 5 === 0
 
     val opId = when(col("event_type") === "click", "podping")
       .when(col("event_type") === "view", "pp_video_update")
       .when(col("event_type") === "purchase", "ssc-mainnet-hive")
-      .when(col("event_type") === "signup" || isVote, "polls")
+      .when(col("event_type") === "signup" || isVote || isDelete, "polls")
 
     val inner = when(col("event_type").isin("click", "view"), podpingInner)
       .when(col("event_type") === "purchase", hiveInner)
       .when(col("event_type") === "signup", pollsCreateInner)
       .when(isVote, pollsVoteInner)
+      .when(isDelete, pollsDeleteInner)
 
-    // creates are signed by the poll owner (derived from k); votes and
-    // podping ops by the event's user
-    val signer = when(col("event_type") === "signup",
+    // creates and deletes are signed by the poll owner (derived from k);
+    // votes and podping ops by the event's user
+    val signer = when(col("event_type") === "signup" || isDelete,
         concat(lit("\"owner_"), k % 25, lit("\"")))
       .otherwise(concat(lit("\"user_"), col("user_id"), lit("\"")))
     val activeAuths = when(col("event_type") === "purchase", signer).otherwise(lit(""))
     val postingAuths = when(col("event_type") === "purchase", lit("")).otherwise(signer)
 
-    val body = when(col("event_type") === "error" && !isVote, lit("{corrupt json!"))
+    val body = when(col("event_type") === "error" && !isVote && !isDelete,
+        lit("{corrupt json!"))
       .otherwise(concat(
         lit("{\"value\": {\"required_auths\": ["), activeAuths,
         lit("], \"required_posting_auths\": ["), postingAuths,

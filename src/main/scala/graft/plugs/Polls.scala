@@ -112,7 +112,13 @@ object Polls extends Plug {
         col("_v.answer").as("answer"))
       .filter(col("author").isNotNull && col("permlink").isNotNull)
 
-    // -- delete: earliest qualifying delete soft-deletes a live poll -------
+    // -- delete: a delete soft-deletes the poll iff it lands while the poll
+    // is live (functions.sql:120-128 guard `temprow.expires >= _created`,
+    // applied per-op by the reference's ordered state machine). Batch
+    // formulation: join ALL deletes to the winning create and keep ones
+    // satisfying the liveness window — filtering to the chain-earliest
+    // delete *first* would let an early non-qualifying delete (e.g. one
+    // arriving before the create) mask a later valid one.
     val deletes = cjos.filter(col("op_type") === "delete")
       .withColumn("_d", from_json(col("_payload"), deleteSchema))
       .select(
@@ -121,17 +127,20 @@ object Polls extends Plug {
         col("timestamp").as("del_created"),
         col("block_num").as("del_block"))
       .filter(col("permlink").isNotNull)
+
+    val qualifying = content0
+      .select(col("author"), col("permlink"), col("created"), col("expires"))
+      .join(deletes, Seq("author", "permlink"))
+      .filter(col("del_created") >= col("created") &&
+        col("expires").isNotNull && col("expires") >= col("del_created"))
       .groupBy("author", "permlink")
-      .agg(min(struct(col("del_block"), col("del_created"))).as("_first"))
-      .select(col("author"), col("permlink"), col("_first.del_created").as("del_created"))
+      .agg(min(col("del_created")).as("del_created"))
 
     val content = content0
-      .join(deletes, Seq("author", "permlink"), "left")
-      .withColumn("deleted",
-        col("del_created").isNotNull &&
-          col("del_created") >= col("created") &&
-          col("expires").isNotNull && col("expires") >= col("del_created"))
-      .drop("del_created")
+      .join(qualifying.select(col("author"), col("permlink"),
+        lit(true).as("_del")), Seq("author", "permlink"), "left")
+      .withColumn("deleted", coalesce(col("_del"), lit(false)))
+      .drop("_del")
 
     Map("ops" -> opsTable, "content" -> content, "votes" -> votes,
         "deletes" -> deletes)

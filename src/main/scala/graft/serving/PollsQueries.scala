@@ -52,9 +52,32 @@ object PollsQueries {
       .join(votes, Seq("author", "permlink"))
       .select("account", "answer", "created")
 
-  /** A user's polls, newest first (polls.py:87-100, O5). */
-  def userPolls(content: DataFrame, author: String): DataFrame =
-    content.filter(col("author") === author && !col("deleted"))
+  /** A user's polls, newest first (polls.py:87-100, O5), with the
+    * reference endpoint's optional filters: `active` (liveness at the
+    * injected clock) and `tag`.
+    */
+  def userPolls(content: DataFrame, author: String,
+                active: Option[(Boolean, Timestamp)] = None,
+                tag: Option[String] = None): DataFrame = {
+    val base = content.filter(col("author") === author && !col("deleted"))
+    val withActive = active.fold(base) { case (want, now) =>
+      if (want) base.filter(col("expires") >= lit(now))
+      else base.filter(col("expires") < lit(now))
+    }
+    tag.fold(withActive)(t => withActive.filter(col("tag") === t))
       .orderBy(col("created").desc, col("permlink"))
       .select("author", "permlink", "question", "answers", "expires", "tag", "created")
+  }
+
+  /** Raw poll ops over a block range with optional op-type filter
+    * (SearchQuery.poll_ops, plugs/polls/polls.py:13-27 + the
+    * /api/polls/ops endpoint). Block-range predicate prunes partitions
+    * (F1); op_type is a residual pushed filter.
+    */
+  def pollOps(ops: DataFrame, first: Long, last: Long,
+              opType: Option[String] = None): DataFrame = {
+    val ranged = ops.filter(col("block_num").between(first, last))
+    opType.fold(ranged)(t => ranged.filter(col("op_type") === t))
+      .orderBy(col("id"))
+  }
 }

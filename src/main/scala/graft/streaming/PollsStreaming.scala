@@ -15,23 +15,27 @@ object PollsStreaming {
 
   /** prior ∪ (new creates not already present), then apply this batch's
     * deletes to *all* rows (a delete may target a poll created in an
-    * earlier batch). Idempotent: re-merging the same batch is a no-op.
+    * earlier batch). Deletes are joined per-op and filtered on each row's
+    * liveness window BEFORE any per-key reduction — collapsing to the
+    * earliest delete first would let a non-qualifying early delete mask a
+    * later valid one. Idempotent: re-merging the same batch is a no-op.
     */
   def mergeContent(prior: Option[DataFrame], batch: Map[String, DataFrame]): DataFrame = {
     val batchContent = batch("content")
-    val deletes = batch("deletes")
-      .groupBy("author", "permlink").agg(min("del_created").as("del_created"))
+    val deletes = batch("deletes").select("author", "permlink", "del_created")
     val all = prior match {
       case Some(p) =>
         p.unionByName(
           batchContent.join(p.select("author", "permlink"), Seq("author", "permlink"), "left_anti"))
       case None => batchContent
     }
-    all.join(deletes, Seq("author", "permlink"), "left")
-      .withColumn("deleted",
-        col("deleted") || (col("del_created").isNotNull &&
-          col("del_created") >= col("created") &&
-          col("expires").isNotNull && col("expires") >= col("del_created")))
-      .drop("del_created")
+    val hit = all.select(col("author"), col("permlink"), col("created"), col("expires"))
+      .join(deletes, Seq("author", "permlink"))
+      .filter(col("del_created") >= col("created") &&
+        col("expires").isNotNull && col("expires") >= col("del_created"))
+      .select(col("author"), col("permlink")).distinct()
+    all.join(hit.withColumn("_del", lit(true)), Seq("author", "permlink"), "left")
+      .withColumn("deleted", col("deleted") || coalesce(col("_del"), lit(false)))
+      .drop("_del")
   }
 }

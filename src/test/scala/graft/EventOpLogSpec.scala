@@ -34,17 +34,23 @@ class EventOpLogSpec extends SparkSpec {
       t("transfers").filter(col("to") === "null").count())
   }
 
-  test("polls ops = signups (creates) + even-k errors (votes)") {
+  private def kCol = get_json_object(col("props"), "$.k").cast("int")
+
+  test("polls ops = creates (signups) + votes (even-k errors) + deletes (odd-k, k%5==0)") {
     val t = Polls.transform(oplog)
     val evenKErrors = events.filter(col("event_type") === "error" &&
-      get_json_object(col("props"), "$.k").cast("int") % 2 === 0).count()
+      kCol % 2 === 0).count()
+    val deleteErrors = events.filter(col("event_type") === "error" &&
+      kCol % 2 === 1 && kCol % 5 === 0).count()
+    assert(deleteErrors > 0) // the delete path must actually be exercised
     assert(t("votes").count() === evenKErrors)
-    assert(t("ops").count() === typeCount("signup") + evenKErrors)
+    assert(t("deletes").count() === deleteErrors)
+    assert(t("ops").count() === typeCount("signup") + evenKErrors + deleteErrors)
   }
 
-  test("odd-k errors are corrupt and fully isolated to the dead letter view") {
-    val oddKErrors = events.filter(col("event_type") === "error" &&
-      get_json_object(col("props"), "$.k").cast("int") % 2 === 1).count()
-    assert(OpLog.deadLetter(oplog).count() === oddKErrors)
+  test("remaining odd-k errors are corrupt and fully isolated to the dead letter view") {
+    val corrupt = events.filter(col("event_type") === "error" &&
+      kCol % 2 === 1 && kCol % 5 =!= 0).count()
+    assert(OpLog.deadLetter(oplog).count() === corrupt)
   }
 }

@@ -77,6 +77,23 @@ class PollsSpec extends SparkSpec {
     assert(PollsQueries.activePolls(t("content"), ts("2024-01-02 12:00:00")).count() === 0)
   }
 
+  test("early non-qualifying delete does not mask a later valid delete") {
+    // a delete arriving BEFORE the create is a no-op in the reference's
+    // ordered machine; the later in-window delete must still soft-delete.
+    // (Regression: collapsing to the chain-earliest delete before applying
+    // the liveness guard dropped the valid one.)
+    val log = opLog(spark, Seq(
+      op(1, 99, 0, "2023-12-31 00:00:00", "polls",
+        pollDelete("best-color"), postingAuth = "alice"), // pre-create -> no-op
+      op(2, 100, 0, "2024-01-01 00:00:00", "polls",
+        pollCreate("best-color", "Best color?", Seq("red", "green"),
+          "2024-01-02 00:00:00", "colors"), postingAuth = "alice"),
+      op(3, 101, 0, "2024-01-01 06:00:00", "polls",
+        pollDelete("best-color"), postingAuth = "alice"))) // in-window -> deletes
+    val content = Polls.transform(log)("content").collect()
+    assert(content.length === 1 && content.head.getAs[Boolean]("deleted"))
+  }
+
   test("state machine is arrival-order invariant (chain order is the key)") {
     val shuffled = opLog(spark, scala.util.Random.shuffle(Seq(
       op(1, 100, 0, "2024-01-01 00:00:00", "polls",
