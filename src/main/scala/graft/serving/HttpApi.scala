@@ -15,11 +15,14 @@ import org.apache.spark.sql.{DataFrame, Row}
   * Routes (mirroring the reference API):
   *   GET /api                               — sync status (E3)
   *   GET /api/podping/history/counts        — url counts over a block range
-  *   GET /api/podping/feeds/latest?url=     — latest-N pings for a url
-  *   GET /api/polls/active                  — live polls
+  *   GET /api/podping/feeds/latest?url=     — {feed_updates, iri,
+  *                                            time_since_last_update}
+  *   GET /api/polls/active[?tag=]           — live polls
+  *   GET /api/polls/ops?op_type=[&block_range_low/high=] — raw poll ops
+  *   POST /api/polls/new_permlink?author&question — unique slug
   *   GET /api/polls/summary?author&permlink — per-answer distinct voters
   *   GET /api/polls/votes?author&permlink   — full vote list
-  *   GET /api/polls/user?author             — a user's polls
+  *   GET /api/polls/user?author[&active=&tag=] — a user's polls
   *   GET /api/polls/tag?tag                 — polls by tag
   */
 class HttpApi(
@@ -27,9 +30,17 @@ class HttpApi(
     now: () => Timestamp = () => new Timestamp(System.currentTimeMillis()),
     statusFn: () => Map[String, Any] = () => Map("status" -> "GOOD")) {
 
-  /** Default query window constants (reference: podping.py:14-37). */
+  /** Default query window constants (reference: podping.py:14-37,
+    * polls.py "24 hours; 28,800 blocks").
+    */
   val DefaultCountsWindow: Long = 864000L
+  val DefaultPollOpsWindow: Long = 28800L
   val DefaultLimit = 20
+
+  /** Driver-side collect cap: an API edge returning JSON must bound what
+    * it materializes — an unbounded query would OOM the serving process.
+    */
+  val MaxResponseRows = 10000
 
   private var server: HttpServer = _
 
@@ -53,13 +64,12 @@ class HttpApi(
         case "/api" => Right(JsonOut.obj(statusFn()))
         case "/api/podping/history/counts" => podpingCounts(q)
         case "/api/podping/feeds/latest" => podpingLatest(q)
-        case "/api/polls/active" => Right(rowsJson(
-          PollsQueries.activePolls(tables("polls_content"), now())))
+        case "/api/polls/active" => pollsActive(q)
+        case "/api/polls/ops" => pollsOps(q)
+        case "/api/polls/new_permlink" => newPermlink(q)
         case "/api/polls/summary" => pollsSummary(q)
         case "/api/polls/votes" => pollsVotes(q)
-        case "/api/polls/user" =>
-          withParam(q, "author")(a => ApiShaping.validateAuthor(a).map(author =>
-            rowsJson(PollsQueries.userPolls(tables("polls_content"), author))))
+        case "/api/polls/user" => pollsUser(q)
         case "/api/polls/tag" =>
           withParam(q, "tag")(t => Right(rowsJson(
             PollsQueries.pollsByTag(tables("polls_content"), t))))
@@ -76,22 +86,113 @@ class HttpApi(
 
   private def podpingCounts(q: Map[String, String]): Either[String, String] = {
     val updates = tables("podping_updates")
-    val head = graft.core.OpLog.headBlock(
-      updates.select(org.apache.spark.sql.functions.col("block_num"))).getOrElse(0L)
-    val last = q.get("block_range_high").map(_.toLong).getOrElse(head)
-    val first = q.get("block_range_low").map(_.toLong)
-      .getOrElse(math.max(0L, last - DefaultCountsWindow))
-    val limit = q.get("limit").map(_.toInt).getOrElse(DefaultLimit)
-    ApiShaping.validateBlockRange(first, last).map { case (lo, hi) =>
-      rowsJson(PodpingQueries.urlCounts(updates, lo, hi, limit))
-    }
+    for {
+      hiOpt <- longParam(q, "block_range_high")
+      loOpt <- longParam(q, "block_range_low")
+      limit <- intParam(q, "limit").map(_.getOrElse(DefaultLimit))
+      body <- {
+        val last = hiOpt.getOrElse(graft.core.OpLog.headBlock(
+          updates.select(org.apache.spark.sql.functions.col("block_num"))).getOrElse(0L))
+        val first = loOpt.getOrElse(math.max(0L, last - DefaultCountsWindow))
+        ApiShaping.validateBlockRange(first, last).map { case (lo, hi) =>
+          rowsJson(PodpingQueries.urlCounts(updates, lo, hi, limit))
+        }
+      }
+    } yield body
   }
 
+  /** Latest-feed response shape (plug_endpoints/podping.py:39-60):
+    * `{feed_updates: [{trx_id, block_num, created, reason, medium}],
+    * iri, time_since_last_update}` — the time-since is computed from the
+    * newest update against the injected clock (total seconds; the
+    * reference's `.seconds` day-truncation is a documented bug, §2.12).
+    */
   private def podpingLatest(q: Map[String, String]): Either[String, String] =
     withParam(q, "url") { url =>
-      val limit = q.get("limit").map(_.toInt).getOrElse(5)
-      Right(rowsJson(PodpingQueries.feedUpdates(
-        tables("podping_updates"), tables("podping_ops"), url, limit)))
+      intParam(q, "limit").map(_.getOrElse(5)).map { limit =>
+        import org.apache.spark.sql.functions.col
+        val feedCols = Seq("trx_id", "block_num", "created", "reason", "medium")
+        val rows = PodpingQueries.feedUpdates(
+            tables("podping_updates"), tables("podping_ops"), url, limit)
+          .select(feedCols.map(col): _*)
+          .limit(MaxResponseRows).collect().toSeq
+        val newest = rows.headOption.map(_.getAs[Timestamp]("created"))
+        val shaped = rows.map(r => JsonOut.obj(
+          ApiShaping.populateBySchema(r.toSeq, feedCols), feedCols))
+        JsonOut.obj(Map(
+          "feed_updates" -> JsonOut.Raw(JsonOut.arr(shaped)),
+          "iri" -> url,
+          "time_since_last_update" ->
+            newest.map(t => Long.box(ApiShaping.timeSinceSeconds(t, now()))).orNull),
+          Seq("feed_updates", "iri", "time_since_last_update"))
+      }
+    }
+
+  private def pollsActive(q: Map[String, String]): Either[String, String] = {
+    val tag = q.get("tag").filter(_.nonEmpty)
+    if (tag.exists(_.length > 16)) Left("invalid tag (must be <= 16 chars)")
+    else Right(rowsJson(
+      PollsQueries.activePolls(tables("polls_content"), now(), tag)))
+  }
+
+  /** Raw poll ops over a block range (plug_endpoints/polls.py:77-104):
+    * required op_type, optional range defaulting to the last 24 h of
+    * blocks; response rows mirror the reference's schema.
+    */
+  private def pollsOps(q: Map[String, String]): Either[String, String] =
+    withParam(q, "op_type") { t =>
+      for {
+        _ <- if (Set("create", "vote", "delete").contains(t)) Right(())
+             else Left(s"invalid op_type: '$t' (create | vote | delete)")
+        hiOpt <- longParam(q, "block_range_high")
+        loOpt <- longParam(q, "block_range_low")
+        body <- {
+          val ops = tables("polls_ops")
+          val last = hiOpt.getOrElse(graft.core.OpLog.headBlock(
+            ops.select(org.apache.spark.sql.functions.col("block_num"))).getOrElse(0L))
+          val first = loOpt.getOrElse(math.max(0L, last - DefaultPollOpsWindow))
+          ApiShaping.validateBlockRange(first, last).map { case (lo, hi) =>
+            import org.apache.spark.sql.functions.col
+            rowsJson(PollsQueries.pollOps(ops, lo, hi, Some(t))
+              .select(col("transaction_id"), col("req_posting_auths"),
+                col("op_type"), col("op_payload")))
+          }
+        }
+      } yield body
+    }
+
+  /** Unique-permlink generation (plug_endpoints/polls.py:22-75): slug the
+    * question, then probe `polls_content` (a left-semi existence lookup,
+    * A4) and suffix `-2`, `-3`, ... until free. Returns the bare slug
+    * string like the reference.
+    */
+  private def newPermlink(q: Map[String, String]): Either[String, String] =
+    withParam(q, "author") { a =>
+      withParam(q, "question") { question =>
+        for {
+          author <- ApiShaping.validateAuthor(a)
+          _ <- if (question.length <= 255) Right(())
+               else Left("invalid question (must be 1-255 chars)")
+        } yield {
+          import org.apache.spark.sql.functions.col
+          val content = tables("polls_content")
+          def exists(p: String): Boolean = content
+            .filter(col("author") === author && col("permlink") === p)
+            .limit(1).count() > 0
+          JsonOut.str(ApiShaping.uniqueSlug(question, exists))
+        }
+      }
+    }
+
+  private def pollsUser(q: Map[String, String]): Either[String, String] =
+    withParam(q, "author") { a =>
+      for {
+        author <- ApiShaping.validateAuthor(a)
+        active <- boolParam(q, "active").map(_.getOrElse(false))
+      } yield rowsJson(PollsQueries.userPolls(
+        tables("polls_content"), author,
+        activeAt = if (active) Some(now()) else None,
+        tag = q.get("tag").filter(_.nonEmpty)))
     }
 
   private def pollsSummary(q: Map[String, String]): Either[String, String] =
@@ -126,6 +227,20 @@ class HttpApi(
       f: String => Either[String, String]): Either[String, String] =
     q.get(name).filter(_.nonEmpty).toRight(s"missing required param: $name").flatMap(f)
 
+  // Safe numeric/bool param parsing: malformed values are a 400 validation
+  // error (like the reference's FastAPI coercion), never a 500.
+  private def longParam(q: Map[String, String], name: String): Either[String, Option[Long]] =
+    q.get(name).fold[Either[String, Option[Long]]](Right(None))(v =>
+      v.toLongOption.map(Some(_)).toRight(s"invalid $name: '$v' (must be an integer)"))
+
+  private def intParam(q: Map[String, String], name: String): Either[String, Option[Int]] =
+    q.get(name).fold[Either[String, Option[Int]]](Right(None))(v =>
+      v.toIntOption.map(Some(_)).toRight(s"invalid $name: '$v' (must be an integer)"))
+
+  private def boolParam(q: Map[String, String], name: String): Either[String, Option[Boolean]] =
+    q.get(name).fold[Either[String, Option[Boolean]]](Right(None))(v =>
+      v.toBooleanOption.map(Some(_)).toRight(s"invalid $name: '$v' (must be true|false)"))
+
   private def parseQuery(s: String): Map[String, String] =
     s.split("&").filter(_.contains("=")).map { kv =>
       val Array(k, v) = kv.split("=", 2)
@@ -137,7 +252,7 @@ class HttpApi(
     */
   private def rowsJson(df: DataFrame): String = {
     val cols = df.columns.toSeq
-    val rows = df.collect().toSeq.map { r: Row =>
+    val rows = df.limit(MaxResponseRows).collect().toSeq.map { r: Row =>
       ApiShaping.populateBySchema(r.toSeq, cols)
     }
     JsonOut.arr(rows.map(m => JsonOut.obj(m, cols)))
@@ -174,6 +289,9 @@ object HttpApi {
 
 /** Minimal JSON writer (no deps). */
 object JsonOut {
+  /** Pre-rendered JSON passed through `value` verbatim. */
+  case class Raw(json: String)
+
   def str(s: String): String = "\"" + s.flatMap {
     case '"' => "\\\""
     case '\\' => "\\\\"
@@ -186,6 +304,7 @@ object JsonOut {
 
   def value(v: Any): String = v match {
     case null => "null"
+    case Raw(j) => j
     case b: Boolean => b.toString
     case n: Byte => n.toString
     case n: Short => n.toString

@@ -11,11 +11,15 @@ import org.apache.spark.sql.functions._
   */
 object PollsQueries {
 
-  /** Active polls (polls.py:38-44): not expired, not deleted (F3 + F4). */
-  def activePolls(content: DataFrame, now: Timestamp): DataFrame =
-    content
-      .filter(col("expires") >= lit(now) && !col("deleted"))
+  /** Active polls (polls.py:38-44): not expired, not deleted (F3 + F4),
+    * optionally filtered by tag (plug_endpoints/polls.py:103-129).
+    */
+  def activePolls(content: DataFrame, now: Timestamp,
+                  tag: Option[String] = None): DataFrame = {
+    val base = content.filter(col("expires") >= lit(now) && !col("deleted"))
+    tag.fold(base)(t => base.filter(col("tag") === t))
       .select("author", "permlink", "question", "answers", "expires", "tag", "created")
+  }
 
   /** Polls by tag (polls.py:47-56). */
   def pollsByTag(content: DataFrame, tag: String): DataFrame =
@@ -53,17 +57,15 @@ object PollsQueries {
       .select("account", "answer", "created")
 
   /** A user's polls, newest first (polls.py:87-100, O5), with the
-    * reference endpoint's optional filters: `active` (liveness at the
-    * injected clock) and `tag`.
+    * reference endpoint's optional filters (plug_endpoints/polls.py:231+):
+    * `activeAt` — when set, only polls still live at that clock — and
+    * `tag`.
     */
   def userPolls(content: DataFrame, author: String,
-                active: Option[(Boolean, Timestamp)] = None,
+                activeAt: Option[Timestamp] = None,
                 tag: Option[String] = None): DataFrame = {
     val base = content.filter(col("author") === author && !col("deleted"))
-    val withActive = active.fold(base) { case (want, now) =>
-      if (want) base.filter(col("expires") >= lit(now))
-      else base.filter(col("expires") < lit(now))
-    }
+    val withActive = activeAt.fold(base)(now => base.filter(col("expires") >= lit(now)))
     tag.fold(withActive)(t => withActive.filter(col("tag") === t))
       .orderBy(col("created").desc, col("permlink"))
       .select("author", "permlink", "question", "answers", "expires", "tag", "created")

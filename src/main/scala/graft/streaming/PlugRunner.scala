@@ -42,6 +42,14 @@ class PlugRunner(
     * reference's B-tree indexes on block_num (SURVEY §4): block-range
     * predicates (F1) prune whole directories at scan planning time.
     */
+  /** How many state versions to retain after each commit: old versions
+    * only exist to serve replay of *their* batch, and the stream is never
+    * more than one batch behind — keep the committed version plus its
+    * predecessor. Without pruning the version directories grow without
+    * bound (directory-listing cost at high batch counts).
+    */
+  val StateKeepLast: Int = 2
+
   def processBatch(batch: DataFrame, batchId: Long): Unit = {
     val tables = plug.transform(batch)
     tables.foreach { case (name, df) =>
@@ -50,6 +58,7 @@ class PlugRunner(
           val store = new ParquetStateStore(df.sparkSession, tableDir(name))
           val prior = store.readBefore(batchId)
           store.commit(batchId, fn(prior, tables))
+          store.prune(StateKeepLast)
         case None =>
           val withBatch = df.withColumn("_batch_id", lit(batchId))
           val (partCols, out) =
@@ -84,13 +93,44 @@ class PlugRunner(
     batchIdBase + ranges.size
   }
 
+  /** Stream batch ids restart at 0 with a fresh checkpoint, which would
+    * collide with partitions a prior [[backfill]] wrote under the same
+    * `_batch_id` key space (dynamic partition overwrite would clobber
+    * them); and a stream pointed at a source overlapping the backfilled
+    * history would re-ingest it. On first start each checkpoint pins the
+    * stream's origin — batch-id base = cursor batch + 1, block cursor =
+    * cursor block (the reference's `app_next_block` resume,
+    * sync.sql:31-39) — and restarts reuse the pinned origin so replays
+    * stay idempotent.
+    */
+  private def streamOrigin(spark: SparkSession, checkpoint: String): (Long, Long) = {
+    val f = new java.io.File(checkpoint, "graft_stream_origin")
+    if (f.exists()) {
+      val Array(base, afterBlock) =
+        new String(java.nio.file.Files.readAllBytes(f.toPath)).trim.split(",")
+      (base.toLong, afterBlock.toLong)
+    } else {
+      val cursor = scala.util.Try(PlugState.latest(spark, outDir, plug.name))
+        .toOption.flatten
+      val origin = (cursor.map(_._1 + 1).getOrElse(0L),
+        cursor.map(_._2).getOrElse(-1L))
+      f.getParentFile.mkdirs()
+      java.nio.file.Files.write(f.toPath, s"${origin._1},${origin._2}".getBytes)
+      origin
+    }
+  }
+
   def start(source: DataFrame, checkpoint: String,
-            trigger: Trigger = Trigger.AvailableNow()): StreamingQuery =
-    source.writeStream
-      .foreachBatch { (batch: DataFrame, id: Long) => processBatch(batch, id) }
+            trigger: Trigger = Trigger.AvailableNow()): StreamingQuery = {
+    val (base, afterBlock) = streamOrigin(source.sparkSession, checkpoint)
+    val fresh =
+      if (afterBlock >= 0) source.filter(col("block_num") > afterBlock) else source
+    fresh.writeStream
+      .foreachBatch { (batch: DataFrame, id: Long) => processBatch(batch, base + id) }
       .option("checkpointLocation", checkpoint)
       .trigger(trigger)
       .start()
+  }
 
   /** Read the current contents of a derived table. */
   def table(spark: SparkSession, name: String): DataFrame =
@@ -122,14 +162,16 @@ object PlugState {
   def read(spark: SparkSession, outDir: String, plugName: String): DataFrame =
     spark.read.parquet(s"$outDir/$plugName/_plug_state/v=*")
 
-  /** Latest cursor per plug — the status-endpoint scan (S3). */
+  /** Latest cursor per plug — the status-endpoint scan (S3). Check-ins of
+    * empty batches carry a null cursor and are skipped (the cursor is the
+    * newest batch that actually advanced the block high-water mark).
+    */
   def latest(spark: SparkSession, outDir: String, plugName: String): Option[(Long, Long)] = {
     val rows = read(spark, outDir, plugName)
+      .filter(col("latest_block_num").isNotNull)
       .orderBy(col("batch_id").desc).limit(1).collect()
-    rows.headOption.flatMap { r =>
-      if (r.isNullAt(r.fieldIndex("latest_block_num"))) None
-      else Some((r.getAs[Long]("batch_id"),
-        r.getAs[Int]("latest_block_num").toLong))
+    rows.headOption.map { r =>
+      (r.getAs[Long]("batch_id"), r.getAs[Int]("latest_block_num").toLong)
     }
   }
 }

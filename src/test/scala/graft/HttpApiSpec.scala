@@ -29,6 +29,7 @@ class HttpApiSpec extends SparkSpec {
     val api = new HttpApi(
       tables = Map(
         "podping_updates" -> pod("updates"), "podping_ops" -> pod("ops"),
+        "polls_ops" -> pol("ops"),
         "polls_content" -> pol("content"), "polls_votes" -> pol("votes")),
       now = () => ts("2024-01-15 00:00:00"))
     (api, api.start())
@@ -54,11 +55,60 @@ class HttpApiSpec extends SparkSpec {
     assert(body.contains("\"url_count\": 2"))
   }
 
-  test("podping latest for a url includes hex trx id and ISO timestamps") {
+  test("podping latest has the reference's {feed_updates, iri, time_since_last_update} shape") {
     val (code, body) = get("/api/podping/feeds/latest?url=https%3A%2F%2Fa.example%2Ffeed")
     assert(code === 200)
+    assert(body.startsWith("{\"feed_updates\": ["))
     assert(body.contains("\"created\": \"2024-01-01T00:00:0"))
     assert(body.contains("\"trx_id\""))
+    assert(body.contains("\"iri\": \"https://a.example/feed\""))
+    // newest update 2024-01-01 00:00:03 -> injected now 2024-01-15 00:00:00
+    // = 14 days minus 3 s of total seconds (not the reference's truncated
+    // .seconds)
+    assert(body.contains("\"time_since_last_update\": " + (14L * 86400 - 3)))
+  }
+
+  test("poll ops route: op_type required and validated, block range + shaped rows") {
+    assert(get("/api/polls/ops")._1 === 400)
+    assert(get("/api/polls/ops?op_type=bogus")._1 === 400)
+    val (code, body) = get("/api/polls/ops?op_type=vote&block_range_low=0&block_range_high=200")
+    assert(code === 200)
+    assert(body.contains("\"op_type\": \"vote\"") &&
+      body.contains("\"transaction_id\"") && body.contains("\"req_posting_auths\""))
+    val (c2, creates) = get("/api/polls/ops?op_type=create&block_range_low=0&block_range_high=200")
+    assert(c2 === 200 && creates.contains("\"op_type\": \"create\"") &&
+      !creates.contains("\"op_type\": \"vote\""))
+  }
+
+  test("new_permlink slugs the question and suffixes on collision") {
+    // 'Color?' slugs to 'color' which alice already owns -> 'color-2'
+    val (c1, b1) = get("/api/polls/new_permlink?author=alice&question=Color%3F")
+    assert(c1 === 200 && b1 === "\"color-2\"")
+    // same slug is free for another author -> unsuffixed
+    val (c2, b2) = get("/api/polls/new_permlink?author=carol&question=Color%3F")
+    assert(c2 === 200 && b2 === "\"color\"")
+    val (c3, b3) = get("/api/polls/new_permlink?author=alice&question=Best%20color%3F")
+    assert(c3 === 200 && b3 === "\"best-color\"")
+    assert(get("/api/polls/new_permlink?author=alice")._1 === 400)
+  }
+
+  test("user polls honors active= and tag= filters") {
+    val (c1, all) = get("/api/polls/user?author=alice")
+    assert(c1 === 200 && all.contains("\"permlink\": \"color\""))
+    // poll expires 2024-06-01; at the injected clock it is active
+    val (c2, active) = get("/api/polls/user?author=alice&active=true")
+    assert(c2 === 200 && active.contains("\"permlink\": \"color\""))
+    val (c3, tagged) = get("/api/polls/user?author=alice&tag=colors")
+    assert(c3 === 200 && tagged.contains("\"permlink\": \"color\""))
+    val (c4, miss) = get("/api/polls/user?author=alice&tag=nope")
+    assert(c4 === 200 && miss === "[]")
+    assert(get("/api/polls/user?author=alice&active=banana")._1 === 400)
+  }
+
+  test("malformed numeric params get 400, not 500") {
+    assert(get("/api/podping/history/counts?limit=abc")._1 === 400)
+    assert(get("/api/podping/history/counts?block_range_high=12x")._1 === 400)
+    assert(get("/api/polls/ops?op_type=vote&block_range_low=nope")._1 === 400)
   }
 
   test("polls flow: active, summary, votes") {

@@ -66,6 +66,38 @@ class StreamingSpec extends SparkSpec {
     assert(cursor.exists { case (batchId, block) => batchId == 2 && block == 290 })
   }
 
+  test("backfill then stream: batch ids and blocks don't collide or re-ingest") {
+    val src = tmp(); val out = tmp(); val ckpt = tmp()
+    writeBatch(src, 1, (0 until 10).map { i =>
+      op(i.toLong, i * 10, 0, "2024-01-01 00:00:00", "podping", podpingV03(Seq(s"u$i")))
+    })
+    val runner = new PlugRunner(Podping, out)
+    val ops = spark.read.schema(graft.core.OpLog.schema).parquet(s"$src/b1")
+    runner.backfill(ops, 0, 90, chunk = 30) // 4 chunks -> batch ids 0..3
+    assert(runner.table(spark, "updates").count() === 10)
+
+    // the stream source overlaps the backfilled history (b1) plus new
+    // arrivals; its fresh checkpoint restarts foreachBatch ids at 0
+    writeBatch(src, 2, Seq(
+      op(100, 1000, 0, "2024-01-02 00:00:00", "podping", podpingV03(Seq("live")))))
+    runner.start(stream(src), ckpt).awaitTermination()
+
+    val updates = runner.table(spark, "updates")
+    // nothing clobbered, nothing double-ingested: 10 backfilled + 1 live
+    assert(updates.count() === 11)
+    assert(updates.filter(col("url") === "live").count() === 1)
+    // the stream's check-in continued after the backfill's batch ids
+    val cursor = graft.streaming.PlugState.latest(spark, out, "podping")
+    assert(cursor.exists { case (batchId, block) => batchId >= 4 && block == 1000 })
+
+    // restart from the same checkpoint with another arrival: the pinned
+    // origin is reused, ids keep advancing, totals stay exact
+    writeBatch(src, 3, Seq(
+      op(101, 1001, 0, "2024-01-02 00:00:10", "podping", podpingV03(Seq("live2")))))
+    runner.start(stream(src), ckpt).awaitTermination()
+    assert(runner.table(spark, "updates").count() === 12)
+  }
+
   test("status endpoint composes health + plug-state cursors") {
     val src = tmp(); val out = tmp()
     writeBatch(src, 1, Seq(
@@ -187,5 +219,10 @@ class StreamingSpec extends SparkSpec {
     assert(p1.getAs[String]("question") === "Q1?") // first create won across batches
     assert(p1.getAs[Boolean]("deleted")) // cross-batch delete applied
     assert(!content.find(_.getAs[String]("permlink") == "p2").get.getAs[Boolean]("deleted"))
+
+    // prune is wired into processBatch: only the newest state versions stay
+    val versions = new java.io.File(s"$out/polls/content").listFiles()
+      .count(_.getName.startsWith("v="))
+    assert(versions <= 2)
   }
 }
