@@ -50,6 +50,7 @@ object SparkEntry {
         "polls_content" -> polls("content"),
         "polls_votes" -> polls("votes"),
         "hive_transfers" -> hive("transfers"),
+        "hive_issuances" -> hive("issuances"),
         "hive_nfts" -> hive("nfts"),
         "hive_burns" -> hive("burns")
       ).map { case (n, df) => n -> df.persist() } + ("_oplog" -> oplog)
@@ -390,7 +391,22 @@ object SparkEntry {
              |SELECT concat('TK', k % 5) AS symbol,
              |       CAST(CAST(sum(CAST(concat(k, '.', k % 10) AS DECIMAL(18,10))) AS DECIMAL(38,10)) AS VARCHAR) AS total_qty,
              |       CAST(count(*) AS BIGINT) AS n
-             |FROM src WHERE k % 7 <> 0 GROUP BY 1 ORDER BY symbol""".stripMargin)),
+             |FROM src WHERE k % 7 <> 0 AND k % 11 <> 0 GROUP BY 1 ORDER BY symbol""".stripMargin)),
+
+    // tokens-issue contract action (tables.sql:28-38 issuances)
+    Q("plug_hive_issuances",
+      (s, d) => plugTables(s, d)("hive_issuances")
+        .groupBy(col("symbol"))
+        .agg(sum(col("quantity")).cast(dec(38, 10)).cast("string").as("issued"),
+          count(lit(1)).as("n"))
+        .orderBy(col("symbol")),
+      Some("""WITH src AS (
+             |  SELECT CAST(json_extract_string(props,'$.k') AS INTEGER) AS k
+             |  FROM events WHERE event_type = 'purchase')
+             |SELECT concat('TK', k % 5) AS symbol,
+             |       CAST(CAST(sum(CAST(concat(k, '.', k % 10) AS DECIMAL(18,10))) AS DECIMAL(38,10)) AS VARCHAR) AS issued,
+             |       CAST(count(*) AS BIGINT) AS n
+             |FROM src WHERE k % 7 <> 0 AND k % 11 = 0 GROUP BY 1 ORDER BY symbol""".stripMargin)),
 
     // nft contract dispatch + burn detection (to='null')
     Q("plug_hive_nfts",
@@ -416,7 +432,8 @@ object SparkEntry {
              |SELECT concat('TK', k % 5) AS symbol,
              |       CAST(CAST(sum(CAST(concat(k, '.', k % 10) AS DECIMAL(18,10))) AS DECIMAL(38,10)) AS VARCHAR) AS burned,
              |       CAST(count(*) AS BIGINT) AS n
-             |FROM src WHERE k % 7 <> 0 AND k % 13 = 0 GROUP BY 1 ORDER BY symbol""".stripMargin)),
+             |FROM src WHERE k % 7 <> 0 AND k % 11 <> 0 AND k % 13 = 0
+             |GROUP BY 1 ORDER BY symbol""".stripMargin)),
 
     // ---- §2.8 scalar-function battery: string/format/hex/date builtins
     Q("scalar_functions",
@@ -811,10 +828,14 @@ object SparkEntry {
              |LEFT JOIN reach r ON r.s = n.doc
              |GROUP BY n.doc ORDER BY n.doc""".stripMargin)),
 
+    // SimHash pairs are fully oracle-checked: the 60-bit fingerprints use
+    // md5-derived token hashes both engines can compute, so DuckDB
+    // replicates fingerprinting, chunk-match candidate generation, and
+    // hamming verification end-to-end.
     Q("dedup_simhash_pairs",
       (s, d) => Dedup.simhashPairs(Tables.documents(s, d), "text", "doc_id", 3)
         .orderBy(col("doc_a"), col("doc_b")),
-      None), // candidate metric (hamming) is not SQL-oracle-expressible cheaply
+      Some(simhashOracleSql)),
 
     // ---- similarity search ---------------------------------------------
     Q("sim_bruteforce_topk",
@@ -901,6 +922,41 @@ object SparkEntry {
     """EXISTS (SELECT 1 FROM d WHERE d.k % 25 = f.k % 25
       |            AND d.dts >= f.ts
       |            AND d.dts <= date_trunc('second', f.ts) + INTERVAL 7 DAY)""".stripMargin
+
+  /** DuckDB replica of the SimHash pipeline (Dedup.simhash/simhashPairs):
+    * distinct lowercased tokens -> 60-bit md5 hash -> per-bit +/-1 sums ->
+    * fingerprint -> 4x15-bit chunk-match candidates -> hamming <= 3.
+    * The 60 bit aggregates are generated programmatically.
+    */
+  private lazy val simhashOracleSql: String = {
+    val bits = 60
+    val bitSums = (0 until bits)
+      .map(j => s"sum(CASE WHEN (h >> $j) & 1 = 1 THEN 1 ELSE -1 END) AS b_$j")
+      .mkString(",\n    ")
+    val fpExpr = (0 until bits)
+      .map(j => s"CASE WHEN b_$j > 0 THEN (CAST(1 AS BIGINT) << $j) ELSE CAST(0 AS BIGINT) END")
+      .mkString(" + ")
+    s"""WITH toks AS (
+       |  SELECT DISTINCT doc_id,
+       |         unnest(list_filter(string_split(lower(text), ' '), x -> x <> '')) AS tok
+       |  FROM documents),
+       |h AS (SELECT doc_id,
+       |        CAST(concat('0x', substring(md5(tok), 1, 15)) AS BIGINT) AS h
+       |      FROM toks),
+       |bits AS (SELECT doc_id,
+       |    $bitSums
+       |  FROM h GROUP BY doc_id),
+       |fp AS (SELECT doc_id, $fpExpr AS f FROM bits),
+       |ck AS (SELECT doc_id, f, c, (f >> (c * 15)) & 32767 AS v
+       |       FROM fp, unnest([0, 1, 2, 3]) AS t(c)),
+       |cand AS (SELECT DISTINCT a.doc_id AS doc_a, a.f AS fa,
+       |                b.doc_id AS doc_b, b.f AS fb
+       |         FROM ck a JOIN ck b
+       |           ON a.c = b.c AND a.v = b.v AND a.doc_id < b.doc_id)
+       |SELECT doc_a, doc_b, CAST(bit_count(xor(fa, fb)) AS INTEGER) AS hamming
+       |FROM cand WHERE bit_count(xor(fa, fb)) <= 3
+       |ORDER BY doc_a, doc_b""".stripMargin
+  }
 
   private lazy val jaccardOracleSql: String =
     """WITH toks AS (

@@ -11,8 +11,10 @@ import org.apache.spark.sql.functions._
   *  - click/view  -> podping ops (click='podping', view='pp_video_update');
   *                   even k publishes v0.3 {urls:[url_(k%20), url_((k+1)%20)]},
   *                   odd k publishes v1.0 {iris:[...same...], medium:'podcast'}
-  *  - purchase    -> hive-engine 'ssc-mainnet-hive' tokens/transfer ops:
+  *  - purchase    -> hive-engine 'ssc-mainnet-hive' ops: k%7==0 nft issue,
+  *                   else k%11==0 tokens issue, else tokens transfer —
   *                   symbol TK(k%5), to user_(uid%7), quantity "k.(k%10)"
+  *                   (k%13==0 transfers go to 'null' = burns)
   *  - signup      -> polls 'create' for (author owner_(k%25), permlink
   *                   poll_(k%25), expires ts+7d) — poll identity derives
   *                   from k, so concurrent signups race on the same poll
@@ -61,8 +63,8 @@ object EventOpLog {
       k % 20, lit("\\\", \\\"url_"), (k + 1) % 20, lit("\\\"]}"))
     val podpingInner = when(k % 2 === 0, podpingInner03).otherwise(podpingInner10)
 
-    // contract dispatch coverage: k%7==0 -> nft issue; k%13==0 -> burn
-    // (to='null'); otherwise a token transfer
+    // contract dispatch coverage: k%7==0 -> nft issue; else k%11==0 ->
+    // tokens issue; k%13==0 -> burn (to='null'); otherwise a token transfer
     val hiveTo = when(k % 13 === 0, lit("null"))
       .otherwise(concat(lit("user_"), col("user_id") % 7))
     val hiveTokensInner = esc(
@@ -71,12 +73,20 @@ object EventOpLog {
       lit("\\\", \\\"to\\\": \\\""), hiveTo,
       lit("\\\", \\\"quantity\\\": \\\""), k, lit("."), k % 10,
       lit("\\\", \\\"memo\\\": \\\"memo\\\"}}"))
+    val hiveIssueInner = esc(
+      lit("{\\\"contractName\\\": \\\"tokens\\\", \\\"contractAction\\\": \\\"issue\\\", \\\"contractPayload\\\": {\\\"symbol\\\": \\\"TK"),
+      k % 5,
+      lit("\\\", \\\"to\\\": \\\"user_"), col("user_id") % 7,
+      lit("\\\", \\\"quantity\\\": \\\""), k, lit("."), k % 10,
+      lit("\\\"}}"))
     val hiveNftInner = esc(
       lit("{\\\"contractName\\\": \\\"nft\\\", \\\"contractAction\\\": \\\"issue\\\", \\\"contractPayload\\\": {\\\"symbol\\\": \\\"CITY"),
       k % 3,
       lit("\\\", \\\"to\\\": \\\"user_"), col("user_id") % 7,
       lit("\\\"}}"))
-    val hiveInner = when(k % 7 === 0, hiveNftInner).otherwise(hiveTokensInner)
+    val hiveInner = when(k % 7 === 0, hiveNftInner)
+      .when(k % 11 === 0, hiveIssueInner)
+      .otherwise(hiveTokensInner)
 
     // CJOS-01: [[1, "polls-app/0.01"], "create", {...}] (op-standard.md),
     // \"-escaped once for embedding in the envelope body

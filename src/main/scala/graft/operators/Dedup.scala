@@ -260,6 +260,14 @@ object Dedup {
 
   // ---------------------------------------------------------------- simhash
 
+  /** 60-bit engine-reproducible token hash: the top 15 hex digits of
+    * md5, so an external engine (the DuckDB oracle) can recompute the
+    * identical fingerprints — xxhash64 is Spark-only. Positive by
+    * construction (< 2^60).
+    */
+  def md5Hash60(c: Column): Column =
+    conv(substring(md5(c), 1, 15), 16, 10).cast("long")
+
   /** 60-bit SimHash fingerprint per document from md5-derived token hashes:
     * bit j of the fingerprint is 1 iff sum over distinct tokens of
     * (2*bit_j(h)-1) > 0.
@@ -274,7 +282,7 @@ object Dedup {
     val toks = spread(df).select(col(idCol).as("doc"),
       explode(array_distinct(TextAnalysis.tokens(lower(col(textCol))))).as("tok"))
     val withH = toks.select(col("doc"),
-      shingleHash(col("tok")).as("_h"))
+      md5Hash60(col("tok")).as("_h"))
     val bitSums = (0 until bits).map(j =>
       sum(shiftright(col("_h"), j).bitwiseAND(1) * 2 - 1).as(s"b_$j"))
     val summed = withH.groupBy(col("doc")).agg(bitSums.head, bitSums.tail: _*)

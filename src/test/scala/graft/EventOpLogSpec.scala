@@ -27,9 +27,11 @@ class EventOpLogSpec extends SparkSpec {
     assert(ops.filter(col("op_payload").isNull).count() === 0)
   }
 
-  test("hive ops = purchases split across tokens and nft by k % 7") {
+  test("hive ops = purchases split across transfers, issuances and nfts") {
     val t = HiveEngine.transform(oplog)
-    assert(t("transfers").count() + t("nfts").count() === typeCount("purchase"))
+    assert(t("issuances").count() > 0)
+    assert(t("transfers").count() + t("issuances").count() + t("nfts").count()
+      === typeCount("purchase"))
     assert(t("burns").count() ===
       t("transfers").filter(col("to") === "null").count())
   }
