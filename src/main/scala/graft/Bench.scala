@@ -19,12 +19,18 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     GraftSession.configure(spark)
-    // warm the JVM once (class loading, Janino, Jackson JIT) with the
-    // flagship pipeline on the smallest tier so per-query times measure
-    // the plan, not first-use compilation of shared infrastructure
-    try { SparkEntry.entry(spark).count() } catch { case _: Throwable => () }
-    SparkEntry.queries.get("s2_head_probe").foreach(f => f(spark, sfDir).count())
-    graft.core.CacheScope.release()
+    // Warm the JVM across every plan shape on the smallest tier: class
+    // loading, Catalyst rule JIT, and Janino whole-stage-codegen
+    // compilation are per-plan fixed costs (CodeGenerator caches the
+    // compiled classes by source, which is identical across tiers), so
+    // per-query times at the benchmark tier measure the plan's execution,
+    // not first-use compiler work.
+    val warmTier = "/root/testdata/sf0.001"
+    SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (_, fn) =>
+      try { fn(spark, warmTier).write.format("noop").mode("overwrite").save() }
+      catch { case _: Throwable => () }
+      graft.core.CacheScope.release()
+    }
     spark.catalog.clearCache()
     // materialize the long-lived derived state (plug tables, ANN index) —
     // in production the streaming pipeline maintains these continuously;

@@ -856,13 +856,17 @@ object SparkEntry {
              |SELECT probe_id, neighbor_id, round(cos, 6) AS cosine, CAST(rank AS INT) AS rank
              |FROM r WHERE rank <= 5 ORDER BY probe_id, rank""".stripMargin)),
 
+    // multi-table sign-LSH ANN, fully oracle-checked: the hyperplanes are
+    // deterministic (fixed LCG seed), so the oracle SQL embeds them as
+    // literals and replicates bucketing, OR-amplified candidate
+    // generation, exact cosine, and per-probe top-k
     Q("sim_lsh_topk",
       (s, d) => {
         val emb = Tables.embeddings(s, d)
         lshIndex(s, d).topK(emb.filter(col("vec_id") < 10), 5)
           .orderBy(col("probe_id"), col("rank"))
       },
-      None), // bucketed ANN — recall-traded; checked by unit test vs brute force
+      Some(lshOracleSql)),
 
     Q("sim_ivf_topk",
       (s, d) => {
@@ -956,6 +960,43 @@ object SparkEntry {
        |SELECT doc_a, doc_b, CAST(bit_count(xor(fa, fb)) AS INTEGER) AS hamming
        |FROM cand WHERE bit_count(xor(fa, fb)) <= 3
        |ORDER BY doc_a, doc_b""".stripMargin
+  }
+
+  /** DuckDB replica of the sign-LSH ANN (Similarity.LshIndex): the
+    * deterministic hyperplanes are embedded as array literals (shortest
+    * round-trip decimal repr parses back to the identical double), one
+    * UNION ALL branch per hash table. Bucket bits use the same
+    * dot-product-sign test as `lshBucket`; candidates share any
+    * (table, bucket); exact cosine + top-k mirror the brute-force oracle
+    * (which already establishes dot-product bit-equality across engines).
+    */
+  private lazy val lshOracleSql: String = {
+    val bitsPerTable = 4; val nTables = 8; val dim = 64
+    def bucketExpr(planes: Array[Array[Double]]): String =
+      planes.zipWithIndex.map { case (p, i) =>
+        val lit = p.mkString("[", ", ", "]")
+        s"(CASE WHEN list_dot_product(e, $lit) > 0 THEN (CAST(1 AS BIGINT) << $i) ELSE CAST(0 AS BIGINT) END)"
+      }.mkString(" + ")
+    val corpusTables = (0 until nTables).map { t =>
+      val planes = Similarity.hyperplanes(bitsPerTable, dim, seed = 7L + 131 * t)
+      s"SELECT vec_id, e, $t AS t, ${bucketExpr(planes)} AS bucket FROM v"
+    }.mkString("\nUNION ALL\n")
+    s"""WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+       |cb AS ($corpusTables),
+       |pb AS (SELECT * FROM cb WHERE vec_id < 10),
+       |cand AS (SELECT DISTINCT p.vec_id AS probe_id, p.e AS pe,
+       |                c.vec_id AS neighbor_id, c.e AS ce
+       |         FROM pb p JOIN cb c ON p.t = c.t AND p.bucket = c.bucket
+       |           AND c.vec_id <> p.vec_id),
+       |s AS (SELECT probe_id, neighbor_id,
+       |        list_dot_product(pe, ce) /
+       |          (sqrt(list_dot_product(pe, pe)) * sqrt(list_dot_product(ce, ce))) AS cos
+       |      FROM cand),
+       |r AS (SELECT probe_id, neighbor_id, cos,
+       |        row_number() OVER (PARTITION BY probe_id ORDER BY cos DESC, neighbor_id) AS rank
+       |      FROM s)
+       |SELECT probe_id, neighbor_id, round(cos, 6) AS cosine, CAST(rank AS INT) AS rank
+       |FROM r WHERE rank <= 5 ORDER BY probe_id, rank""".stripMargin
   }
 
   private lazy val jaccardOracleSql: String =

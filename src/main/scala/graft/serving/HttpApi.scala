@@ -22,6 +22,7 @@ import org.apache.spark.sql.{DataFrame, Row}
   *   POST /api/polls/new_permlink?author&question — unique slug
   *   GET /api/polls/summary?author&permlink — per-answer distinct voters
   *   GET /api/polls/votes?author&permlink   — full vote list
+  *   GET /api/polls/poll?author&permlink[&summary=] — poll + nested votes
   *   GET /api/polls/user?author[&active=&tag=] — a user's polls
   *   GET /api/polls/tag?tag                 — polls by tag
   */
@@ -69,6 +70,7 @@ class HttpApi(
         case "/api/polls/new_permlink" => newPermlink(q)
         case "/api/polls/summary" => pollsSummary(q)
         case "/api/polls/votes" => pollsVotes(q)
+        case "/api/polls/poll" => pollWithVotes(q)
         case "/api/polls/user" => pollsUser(q)
         case "/api/polls/tag" =>
           withParam(q, "tag")(t => Right(rowsJson(
@@ -181,6 +183,55 @@ class HttpApi(
             .limit(1).count() > 0
           JsonOut.str(ApiShaping.uniqueSlug(question, exists))
         }
+      }
+    }
+
+  /** Combined poll + votes (reference GET /api/polls/{author}/{permlink},
+    * plug_endpoints/polls.py:131-187): one poll row with `votes` nested —
+    * per-answer summary by default, the full vote list with summary=false.
+    * Unknown polls are a 400 "Poll not found" like the reference.
+    */
+  private def pollWithVotes(q: Map[String, String]): Either[String, String] =
+    withParam(q, "author") { a =>
+      withParam(q, "permlink") { p =>
+        for {
+          author <- ApiShaping.validateAuthor(a)
+          permlink <- ApiShaping.validatePermlink(p)
+          summary <- boolParam(q, "summary").map(_.getOrElse(true))
+          body <- {
+            import org.apache.spark.sql.functions.col
+            val cols = Seq("author", "permlink", "question", "answers",
+              "expires", "tag", "created")
+            val poll = tables("polls_content")
+              .filter(col("author") === author && col("permlink") === permlink &&
+                !col("deleted"))
+              .select(cols.map(col): _*).limit(1).collect().headOption
+            poll.toRight("Poll not found").map { row =>
+              val votes =
+                if (summary) {
+                  val vCols = Seq("parsed_answer", "votes")
+                  PollsQueries.pollSummary(
+                      tables("polls_content"), tables("polls_votes"))
+                    .filter(col("author") === author && col("permlink") === permlink)
+                    .select(vCols.map(col): _*).orderBy(col("parsed_answer"))
+                    .limit(MaxResponseRows).collect().toSeq
+                    .map(r => JsonOut.obj(
+                      ApiShaping.populateBySchema(r.toSeq, vCols), vCols))
+                } else {
+                  val vCols = Seq("account", "answer", "created")
+                  PollsQueries.pollVotes(
+                      tables("polls_content"), tables("polls_votes"), author, permlink)
+                    .limit(MaxResponseRows).collect().toSeq
+                    .map(r => JsonOut.obj(
+                      ApiShaping.populateBySchema(r.toSeq, vCols), vCols))
+                }
+              JsonOut.obj(
+                ApiShaping.populateBySchema(row.toSeq, cols) +
+                  ("votes" -> JsonOut.Raw(JsonOut.arr(votes))),
+                cols :+ "votes")
+            }
+          }
+        } yield body
       }
     }
 

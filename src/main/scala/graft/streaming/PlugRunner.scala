@@ -139,6 +139,33 @@ class PlugRunner(
         .getOrElse(spark.emptyDataFrame)
     else
       spark.read.parquet(tableDir(name)).drop("_batch_id", "_block_bucket")
+
+  /** DDL-at-boot (S9; reference `database/haf.py:38-47,72-84` runs
+    * idempotent CREATE SCHEMA/TABLE from per-plug .sql files): register
+    * the plug's namespace and its sink directories as external tables in
+    * the session catalog, so `spark.sql("SELECT ... FROM podping.updates")`
+    * works like the reference's `<plug>.<table>` queries. Idempotent —
+    * IF NOT EXISTS on both levels, safe to call at every boot.
+    *
+    * Stateful (merge-fn) tables are registered as views over the latest
+    * committed version (the external-location route would see every
+    * version directory at once).
+    */
+  def registerCatalog(spark: SparkSession, tableNames: Seq[String]): Unit = {
+    spark.sql(s"CREATE DATABASE IF NOT EXISTS ${plug.name}")
+    tableNames.foreach { name =>
+      if (mergeFns.contains(name))
+        table(spark, name).createOrReplaceTempView(s"${plug.name}_$name")
+      else {
+        spark.sql(
+          s"""CREATE TABLE IF NOT EXISTS ${plug.name}.$name
+             |USING PARQUET LOCATION '${tableDir(name)}'""".stripMargin)
+        // sinks are partitioned (_batch_id / _block_bucket): sync the
+        // catalog's partition list with the directories on every boot
+        spark.sql(s"MSCK REPAIR TABLE ${plug.name}.$name")
+      }
+    }
+  }
 }
 
 /** Engine metadata (reference `hpp.plug_state`, database/sql/tables.sql:8-15):

@@ -105,6 +105,18 @@ class HttpApiSpec extends SparkSpec {
     assert(get("/api/polls/user?author=alice&active=banana")._1 === 400)
   }
 
+  test("combined poll route nests votes (summary and full list)") {
+    val (c1, b1) = get("/api/polls/poll?author=alice&permlink=color")
+    assert(c1 === 200)
+    assert(b1.contains("\"question\": \"Best color?\""))
+    assert(b1.contains("\"votes\": [") &&
+      b1.contains("\"parsed_answer\": \"blue\"") && b1.contains("\"votes\": 1"))
+    val (c2, b2) = get("/api/polls/poll?author=alice&permlink=color&summary=false")
+    assert(c2 === 200 && b2.contains("\"account\": \"bob\"") &&
+      b2.contains("\"answer\": 2"))
+    assert(get("/api/polls/poll?author=alice&permlink=nope")._1 === 400)
+  }
+
   test("malformed numeric params get 400, not 500") {
     assert(get("/api/podping/history/counts?limit=abc")._1 === 400)
     assert(get("/api/podping/history/counts?block_range_high=12x")._1 === 400)

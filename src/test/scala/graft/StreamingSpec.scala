@@ -98,6 +98,19 @@ class StreamingSpec extends SparkSpec {
     assert(runner.table(spark, "updates").count() === 12)
   }
 
+  test("DDL-at-boot: sink dirs register as catalog tables queryable by SQL") {
+    val src = tmp(); val out = tmp()
+    writeBatch(src, 1, Seq(
+      op(1, 100, 0, "2024-01-01 00:00:00", "podping", podpingV03(Seq("u1", "u2")))))
+    val runner = new PlugRunner(Podping, out)
+    runner.processBatch(spark.read.schema(graft.core.OpLog.schema).parquet(s"$src/b1"), 0)
+    runner.registerCatalog(spark, Seq("ops", "updates"))
+    runner.registerCatalog(spark, Seq("ops", "updates")) // idempotent
+    assert(spark.sql("SELECT url FROM podping.updates ORDER BY url")
+      .collect().map(_.getString(0)).toSeq === Seq("u1", "u2"))
+    assert(spark.sql("SELECT count(*) FROM podping.ops").collect().head.getLong(0) === 1L)
+  }
+
   test("status endpoint composes health + plug-state cursors") {
     val src = tmp(); val out = tmp()
     writeBatch(src, 1, Seq(
