@@ -876,6 +876,86 @@ object SparkEntry {
       },
       None), // IVF ANN — recall-traded; checked by unit test vs brute force
 
+    // ---- embedding quantization (storage compression for ANN corpora)
+    Q("emb_quantize_int8",
+      (s, d) => operators.Embeddings.quantizeInt8(Tables.embeddings(s, d))
+        .orderBy(col("vec_id")),
+      Some("""WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+             |s AS (SELECT vec_id, e,
+             |        list_max(list_transform(e, x -> abs(x))) / 127.0 AS scale
+             |      FROM v)
+             |SELECT vec_id, round(scale, 6) AS scale,
+             |  CASE WHEN scale = 0 THEN list_transform(e, x -> 0)
+             |       ELSE list_transform(e, x -> CAST(round(x / scale, 0) AS INTEGER))
+             |  END AS quantized
+             |FROM s ORDER BY vec_id""".stripMargin)),
+
+    // ---- deterministic hash sampling (reproducible downsampling/splits)
+    Q("sample_deterministic",
+      (s, d) => operators.Sampling.deterministicSample(ev(s, d), "event_id", 1, 10)
+        .select(col("event_id"), col("event_type"))
+        .orderBy(col("event_id")),
+      Some("""SELECT event_id, event_type FROM events
+             |WHERE CAST(concat('0x', substring(md5(CAST(event_id AS VARCHAR)), 1, 15)) AS BIGINT) % 10 < 1
+             |ORDER BY event_id""".stripMargin)),
+
+    Q("sample_split_labels",
+      (s, d) => ev(s, d)
+        .select(operators.Sampling.splitLabel(col("event_id"), 800, 100).as("label"))
+        .groupBy(col("label")).agg(count(lit(1)).as("n"))
+        .orderBy(col("label")),
+      Some("""WITH b AS (
+             |  SELECT CAST(concat('0x', substring(md5(CAST(event_id AS VARCHAR)), 1, 15)) AS BIGINT) % 1000 AS b
+             |  FROM events)
+             |SELECT CASE WHEN b < 800 THEN 'train'
+             |            WHEN b < 900 THEN 'valid' ELSE 'test' END AS label,
+             |       CAST(count(*) AS BIGINT) AS n
+             |FROM b GROUP BY 1 ORDER BY label""".stripMargin)),
+
+    // ---- tf-idf top terms per document
+    Q("text_tfidf_top_terms",
+      (s, d) => TextAnalysis.tfidfTopTerms(Tables.documents(s, d), 3)
+        .orderBy(col("doc"), col("rank")),
+      Some("""WITH t AS (
+             |  SELECT doc_id, unnest(list_filter(string_split(lower(text), ' '), x -> x <> '')) AS term
+             |  FROM documents),
+             |tf AS (SELECT doc_id AS doc, term, CAST(count(*) AS BIGINT) AS tf
+             |       FROM t GROUP BY 1, 2),
+             |df AS (SELECT term, CAST(count(DISTINCT doc_id) AS BIGINT) AS df
+             |       FROM t GROUP BY 1),
+             |n AS (SELECT count(*) AS n FROM documents),
+             |sc AS (SELECT doc, tf.term, tf, df,
+             |         round(tf * ln((SELECT n FROM n) * 1.0 / df), 6) AS tfidf
+             |       FROM tf JOIN df ON tf.term = df.term),
+             |r AS (SELECT *, row_number() OVER (PARTITION BY doc ORDER BY tfidf DESC, term) AS rank
+             |      FROM sc)
+             |SELECT doc, term, tf, df, tfidf, CAST(rank AS INT) AS rank
+             |FROM r WHERE rank <= 3 ORDER BY doc, rank""".stripMargin)),
+
+    // ---- token-budget document packing (training-batch construction)
+    Q("pack_token_budget",
+      (s, d) => TextAnalysis.packByTokenBudget(Tables.documents(s, d), 1000)
+        .orderBy(col("doc_id")),
+      Some("""WITH d AS (
+             |  SELECT doc_id,
+             |         CAST(len(list_filter(string_split(text, ' '), x -> x <> '')) AS BIGINT) AS n_tokens
+             |  FROM documents),
+             |c AS (SELECT doc_id, n_tokens,
+             |        sum(n_tokens) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING) AS cum
+             |      FROM d)
+             |SELECT doc_id, n_tokens, CAST((cum - n_tokens) // 1000 AS BIGINT) AS bin
+             |FROM c ORDER BY doc_id""".stripMargin)),
+
+    // ---- per-key ordered sequence construction (sequence-model rows)
+    Q("seq_user_events",
+      (s, d) => operators.Sequences.orderedSequences(
+        ev(s, d), "user_id", "event_id", "event_type", maxLen = 10)
+        .orderBy(col("user_id")),
+      Some("""SELECT user_id,
+             |       (list(event_type ORDER BY event_id))[1:10] AS seq,
+             |       CAST(count(*) AS BIGINT) AS n_events
+             |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin)),
+
     // ---- T10: dead-letter audit — corrupt envelopes per block bucket
     Q("t10_dead_letter",
       (s, d) => OpLog.deadLetter(plugTables(s, d)("_oplog"))

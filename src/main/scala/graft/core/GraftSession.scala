@@ -32,6 +32,7 @@ object GraftSession {
     // sides still sort-merge; AQE re-plans to broadcast at runtime when
     // the post-filter size qualifies.
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", (64L * 1024 * 1024).toString)
+    spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", (64L * 1024 * 1024).toString)
     // Permissive evaluation: the reference swallows per-op errors (invalid
     // JSON, bad indexes — plugs/podping/functions.sql:91-96) instead of
     // failing the stream; ANSI strict mode would abort the job on the

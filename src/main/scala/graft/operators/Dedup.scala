@@ -268,26 +268,55 @@ object Dedup {
   def md5Hash60(c: Column): Column =
     conv(substring(md5(c), 1, 15), 16, 10).cast("long")
 
+  /** Typed aggregator folding a document's token hashes into the 60
+    * per-bit +/-1 sums in one buffer — one tight JVM loop per row with
+    * map-side partial aggregation, like [[MinHashSigAgg]]. 60 separate
+    * `sum(...)` aggregate columns compute the same thing but cost several
+    * times more in codegen size and per-row aggregate dispatch.
+    */
+  private class SimHashSumAgg(bits: Int)
+      extends org.apache.spark.sql.expressions.Aggregator[java.lang.Long, Array[Int], Seq[Int]] {
+    def zero: Array[Int] = Array.fill(bits)(0)
+    def reduce(buf: Array[Int], h0: java.lang.Long): Array[Int] = {
+      val h = h0.longValue()
+      var j = 0
+      while (j < buf.length) {
+        buf(j) += (((h >>> j) & 1L).toInt * 2 - 1)
+        j += 1
+      }
+      buf
+    }
+    def merge(a: Array[Int], b: Array[Int]): Array[Int] = {
+      var j = 0
+      while (j < a.length) { a(j) += b(j); j += 1 }
+      a
+    }
+    def finish(buf: Array[Int]): Seq[Int] = buf.toSeq
+    def bufferEncoder: org.apache.spark.sql.Encoder[Array[Int]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder()
+    def outputEncoder: org.apache.spark.sql.Encoder[Seq[Int]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder()
+  }
+
   /** 60-bit SimHash fingerprint per document from md5-derived token hashes:
     * bit j of the fingerprint is 1 iff sum over distinct tokens of
     * (2*bit_j(h)-1) > 0.
     *
-    * Shape: explode tokens -> one hash per row -> groupBy(doc) with 60 sum
-    * aggregates (partial aggregation map-side, one shuffle). A nested
-    * higher-order-function formulation computes the same thing but
-    * generates a pathological whole-stage-codegen method (~20s JIT);
-    * the explode+agg form compiles and runs in under a second.
+    * Shape: explode tokens -> one hash per row -> groupBy(doc) with the
+    * one-buffer sum aggregator -> fingerprint assembly from the sums.
+    * (A nested higher-order-function formulation generates a pathological
+    * whole-stage-codegen method; 60 separate sum() columns compile but pay
+    * heavy per-row aggregate dispatch.)
     */
   def simhash(df: DataFrame, textCol: String, idCol: String, bits: Int = 60): DataFrame = {
     val toks = spread(df).select(col(idCol).as("doc"),
       explode(array_distinct(TextAnalysis.tokens(lower(col(textCol))))).as("tok"))
     val withH = toks.select(col("doc"),
       md5Hash60(col("tok")).as("_h"))
-    val bitSums = (0 until bits).map(j =>
-      sum(shiftright(col("_h"), j).bitwiseAND(1) * 2 - 1).as(s"b_$j"))
-    val summed = withH.groupBy(col("doc")).agg(bitSums.head, bitSums.tail: _*)
+    val agg = udaf(new SimHashSumAgg(bits), org.apache.spark.sql.Encoders.LONG)
+    val summed = withH.groupBy(col("doc")).agg(agg(col("_h")).as("_sums"))
     val fp = (0 until bits).map(j =>
-      when(col(s"b_$j") > 0, lit(1L << j)).otherwise(lit(0L)))
+      when(element_at(col("_sums"), j + 1) > 0, lit(1L << j)).otherwise(lit(0L)))
       .reduce((a, b) => a.bitwiseOR(b))
     summed.select(col("doc"), fp.as("simhash"))
   }

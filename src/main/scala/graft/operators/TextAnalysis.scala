@@ -106,4 +106,49 @@ object TextAnalysis {
     docs
       .withColumn("ws_tokens", size(tokens(col(textCol))).cast("long"))
       .withColumn("re_tokens", size(regexTokens(col(textCol))).cast("long"))
+
+  /** Top-k terms per document by tf-idf.
+    *
+    * tf = in-doc term count; idf = ln(N / df) over the corpus; ties break
+    * by term for determinism. Two shuffles: per-(doc, term) counts, then
+    * the df aggregation joined back (broadcast — the term dictionary is
+    * dimension-sized). The per-doc top-k is a window over the doc key.
+    */
+  def tfidfTopTerms(docs: DataFrame, k: Int = 3,
+                    textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val n = docs.count()
+    val terms = docs
+      .select(col(idCol).as("doc"), explode(tokens(lower(col(textCol)))).as("term"))
+    val tf = terms.groupBy(col("doc"), col("term")).agg(count(lit(1)).as("tf"))
+    val df_ = terms.select(col("doc"), col("term")).distinct()
+      .groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val w = Window.partitionBy(col("doc"))
+      .orderBy(col("tfidf").desc, col("term"))
+    tf.join(broadcast(df_), "term")
+      .withColumn("tfidf", round(col("tf") * log(lit(n.toDouble) / col("df")), 6))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("doc"), col("term"), col("tf"), col("df"),
+        col("tfidf"), col("rank").cast("int").as("rank"))
+  }
+
+  /** Token-budget document packing (training-batch construction): walk
+    * documents in a deterministic order, accumulate token counts, and
+    * assign each document to the bin its *starting* offset falls in —
+    * the prefix-sum formulation of greedy sequential packing. One window
+    * cumsum — no driver loop; at scale the window can be keyed by a
+    * shard column to bound partition width.
+    */
+  def packByTokenBudget(docs: DataFrame, budget: Long,
+                        textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.orderBy(col(idCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    docs
+      .withColumn("n_tokens", size(tokens(col(textCol))).cast("long"))
+      .withColumn("_cum", sum(col("n_tokens")).over(w))
+      .withColumn("bin", expr(s"CAST((_cum - n_tokens) DIV $budget AS BIGINT)"))
+      .select(col(idCol), col("n_tokens"), col("bin"))
+  }
 }

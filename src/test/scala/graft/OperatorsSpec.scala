@@ -1,6 +1,6 @@
 package graft
 
-import graft.operators.{Dedup, Multimodal, Similarity, TextAnalysis}
+import graft.operators.{Dedup, Embeddings, Multimodal, Sampling, Sequences, Similarity, TextAnalysis}
 import org.apache.spark.sql.functions._
 
 /** Training-data operator semantics on controlled inputs. */
@@ -89,6 +89,77 @@ class OperatorsSpec extends SparkSpec {
     val r = TextAnalysis.languageId(tied).collect()
       .map(x => x.getAs[Long]("doc_id") -> x.getAs[String]("predicted_lang")).toMap
     assert(r === Map(1L -> "es", 2L -> "fr", 3L -> "es", 4L -> "und"))
+  }
+
+  test("int8 quantization: dequantized error bounded by scale/2 per component") {
+    val s = spark
+    import s.implicits._
+    val emb = Seq(
+      (0L, Array(1.0f, -0.5f, 0.25f)),
+      (1L, Array(127.0f, 0.0f, -127.0f)),
+      (2L, Array(0.0f, 0.0f, 0.0f))).toDF("vec_id", "embedding")
+    val r = Embeddings.quantizeInt8(emb).collect()
+      .map(x => x.getAs[Long]("vec_id") ->
+        (x.getAs[Double]("scale"),
+          x.getAs[scala.collection.Seq[Int]]("quantized").toSeq)).toMap
+    assert(r(1L)._2 === Seq(127, 0, -127))
+    assert(r(2L)._2 === Seq(0, 0, 0)) // zero vector: no division by zero
+    val (scale0, q0) = r(0L)
+    Seq(1.0, -0.5, 0.25).zip(q0).foreach { case (orig, q) =>
+      assert(math.abs(orig - q * scale0) <= scale0 / 2 + 1e-9)
+    }
+    assert(q0.forall(q => q >= -127 && q <= 127))
+  }
+
+  test("deterministic sampling: stable across runs, roughly the asked rate") {
+    val s = spark
+    import s.implicits._
+    val rows = (0L until 2000L).toDF("id")
+    val a = Sampling.deterministicSample(rows, "id", 1, 10).collect().map(_.getLong(0)).toSet
+    val b = Sampling.deterministicSample(rows, "id", 1, 10).collect().map(_.getLong(0)).toSet
+    assert(a === b) // reproducible
+    assert(a.size > 120 && a.size < 280) // ~10% of 2000
+    // split labels partition everything, deterministically
+    val labels = rows.select(Sampling.splitLabel(col("id"), 800, 100).as("l"))
+      .groupBy("l").count().collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(labels.values.sum === 2000L && labels.keySet === Set("train", "valid", "test"))
+    assert(labels("train") > 1400) // ~80%
+  }
+
+  test("tf-idf: corpus-wide terms score zero, distinctive terms rank first") {
+    val r = TextAnalysis.tfidfTopTerms(docs, 2).collect()
+    val byDoc = r.groupBy(_.getAs[Long]("doc"))
+    // every doc contributes exactly k rows with ranks 1..k
+    byDoc.values.foreach(rows =>
+      assert(rows.map(_.getAs[Int]("rank")).sorted.toSeq === Seq(1, 2)))
+    // doc 2's distinctive vocabulary must not include corpus-wide 'the'
+    val top2 = byDoc(2L).map(_.getAs[String]("term")).toSet
+    assert(!top2.contains("the"))
+  }
+
+  test("token-budget packing: bins are contiguous and start offsets respect budget") {
+    val r = TextAnalysis.packByTokenBudget(docs, 20).orderBy(col("doc_id")).collect()
+    val bins = r.map(_.getAs[Long]("bin"))
+    assert(bins.head === 0L)
+    assert(bins.sliding(2).forall(p => p(1) >= p(0))) // monotone
+    // recompute: bin = floor(prefix-sum-before / budget)
+    var cum = 0L
+    r.foreach { row =>
+      assert(row.getAs[Long]("bin") === cum / 20)
+      cum += row.getAs[Long]("n_tokens")
+    }
+  }
+
+  test("ordered sequences: per-key arrays follow the order column, capped") {
+    val s = spark
+    import s.implicits._
+    val ev = Seq((1L, 30L, "c"), (1L, 10L, "a"), (1L, 20L, "b"),
+      (2L, 5L, "x"), (2L, 6L, "y")).toDF("user_id", "event_id", "event_type")
+    val r = Sequences.orderedSequences(ev, "user_id", "event_id", "event_type", maxLen = 2)
+      .collect().map(x => x.getAs[Long]("user_id") ->
+        (x.getAs[scala.collection.Seq[String]]("seq").toSeq, x.getAs[Long]("n_events"))).toMap
+    assert(r(1L) === (Seq("a", "b"), 3L)) // ordered by event_id, capped at 2
+    assert(r(2L) === (Seq("x", "y"), 2L))
   }
 
   test("quality: ratios and score are deterministic and bounded") {
