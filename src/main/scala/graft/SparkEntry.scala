@@ -970,14 +970,31 @@ object SparkEntry {
              |  AND CAST(json_extract_string(props,'$.k') AS INTEGER) % 5 <> 0
              |GROUP BY 1 ORDER BY bucket""".stripMargin)),
 
-    // ---- multimodal plumbing (stubbed decode; mapPartitions batch shape)
+    // ---- multimodal plumbing (stubbed decode; mapPartitions batch shape).
+    // The stub's metadata is deterministic arithmetic over the payload
+    // bytes, so even the stubbed pipeline is fully oracle-checked — a
+    // real codec swaps in behind the same verified plumbing.
     Q("multimodal_meta",
       (s, d) => {
         val media = Multimodal.fromDocuments(s, Tables.documents(s, d))
         Multimodal.extractMeta(media).toDF()
           .orderBy(col("doc_id"))
       },
-      None),
+      Some("""WITH m AS (
+             |  SELECT doc_id,
+             |         (['image','audio','video'])[CAST(doc_id % 3 + 1 AS INT)] AS media_type,
+             |         octet_length(encode(text)) AS n,
+             |         sha256(text) AS sha
+             |  FROM documents)
+             |SELECT doc_id, media_type, CAST(n AS BIGINT) AS byte_len,
+             |  CAST(CASE media_type WHEN 'image' THEN 320 + n % 320
+             |       WHEN 'video' THEN 640 ELSE 0 END AS INT) AS width,
+             |  CAST(CASE media_type WHEN 'image' THEN 240 + n % 240
+             |       WHEN 'video' THEN 360 ELSE 0 END AS INT) AS height,
+             |  CAST(CASE media_type WHEN 'image' THEN 1
+             |       WHEN 'video' THEN 1 + n % 300 ELSE 1 + n % 9000 END AS INT) AS n_frames,
+             |  sha
+             |FROM m ORDER BY doc_id""".stripMargin)),
 
     // frame-sampling fanout over the (stubbed) decoded video metadata
     Q("multimodal_frames",
@@ -986,7 +1003,18 @@ object SparkEntry {
         Multimodal.sampleFrames(Multimodal.extractMeta(media).toDF(), every = 30)
           .orderBy(col("doc_id"), col("frame_idx"))
       },
-      None)
+      Some("""WITH m AS (
+             |  SELECT doc_id,
+             |         (['image','audio','video'])[CAST(doc_id % 3 + 1 AS INT)] AS media_type,
+             |         octet_length(encode(text)) AS n
+             |  FROM documents),
+             |f AS (SELECT doc_id, media_type,
+             |        CASE media_type WHEN 'image' THEN 1
+             |             WHEN 'video' THEN 1 + n % 300
+             |             ELSE 1 + n % 9000 END AS nf
+             |      FROM m)
+             |SELECT doc_id, media_type, CAST(unnest(range(0, nf, 30)) AS INT) AS frame_idx
+             |FROM f WHERE nf > 1 ORDER BY doc_id, frame_idx""".stripMargin))
   )
 
   /** Shared oracle fragments for the polls delete semantics: `d` = the

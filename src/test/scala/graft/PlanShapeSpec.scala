@@ -36,9 +36,33 @@ class PlanShapeSpec extends SparkSpec {
   }
 
   test("dedup pair generation is an equi join on constructed keys, never a cross") {
-    Seq("dedup_ngram_jaccard", "dedup_minhash_lsh", "dedup_embedding_cosine").foreach { q =>
+    Seq("dedup_ngram_jaccard", "dedup_minhash_lsh", "dedup_embedding_cosine",
+      "dedup_simhash_pairs", "sim_lsh_topk").foreach { q =>
       val p = plan(q)
       assert(!p.contains("CartesianProduct"), s"$q plans a cartesian product")
+      assert(!p.contains("BroadcastNestedLoopJoin"), s"$q plans a nested-loop join")
     }
+  }
+
+  test("poll_ops: the block-range predicate reaches the scan side") {
+    val p = SparkEntry.queries("plug_polls_ops")(spark, sf)
+      .queryExecution.optimizedPlan.toString
+    // range filter sits on block_num before any join/sort (pushable at
+    // the parquet source once the ops table is materialized to storage)
+    assert(p.contains("block_num") && (p.contains(">= 100") || p.contains("100")))
+  }
+
+  test("tfidf: dictionary join broadcasts; sampling is a scan-level filter") {
+    assert(plan("text_tfidf_top_terms").contains("BroadcastHashJoin"))
+    val s = plan("sample_deterministic")
+    assert(!s.contains("Exchange hashpartitioning"), "sampling must not shuffle")
+  }
+
+  test("quantize/pack/sequences: no shuffle beyond the declared aggregations") {
+    // quantization is map-side only: no exchange at all
+    assert(!plan("emb_quantize_int8").contains("Exchange hashpartitioning"))
+    // sequences: exactly the one groupBy exchange
+    val seq = plan("seq_user_events")
+    assert("Exchange hashpartitioning".r.findAllIn(seq).size <= 1)
   }
 }
