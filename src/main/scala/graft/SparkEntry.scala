@@ -530,9 +530,12 @@ object SparkEntry {
              |WHERE v.ts <= p.expires AND v.k % 4 + 1 <= 3
              |GROUP BY 1, 2, 3 ORDER BY permlink, parsed_answer""".stripMargin)),
 
+    // injected clock chosen to SPLIT the poll set (some live, some
+    // expired) so the gate discriminates — a clock past every expiry
+    // passes trivially with zero rows
     Q("plug_polls_active",
       (s, d) => PollsQueries.activePolls(plugTables(s, d)("polls_content"),
-        java.sql.Timestamp.valueOf("2024-01-20 00:00:00"))
+        java.sql.Timestamp.valueOf("2024-01-08 12:00:00"))
         .select(col("author"), col("permlink"), col("question"),
           col("expires"), col("tag"), col("created"))
         .orderBy(col("permlink")),
@@ -547,7 +550,7 @@ object SparkEntry {
              |       date_trunc('second', ts) + INTERVAL 7 DAY AS expires,
              |       concat('tag', k % 3) AS tag, ts AS created
              |FROM f WHERE rn = 1
-             |  AND date_trunc('second', ts) + INTERVAL 7 DAY >= TIMESTAMP '2024-01-20 00:00:00'
+             |  AND date_trunc('second', ts) + INTERVAL 7 DAY >= TIMESTAMP '2024-01-08 12:00:00'
              |  AND NOT $pollsDeletedPred
              |ORDER BY permlink""".stripMargin)),
 
