@@ -616,6 +616,30 @@ object SparkEntry {
              |FROM f WHERE rn = 1 AND k % 25 = 3 AND NOT $pollsDeletedPred
              |ORDER BY created DESC, permlink""".stripMargin)),
 
+    // ---- J3: plain equi join — full vote list for one poll (polls.py:76-84)
+    Q("plug_polls_votes",
+      (s, d) => PollsQueries.pollVotes(
+        plugTables(s, d)("polls_content"), plugTables(s, d)("polls_votes"),
+        "owner_4", "poll_4")
+        .orderBy(col("created"), col("account")),
+      Some(s"""WITH c AS (
+             |  SELECT event_id, CAST(json_extract_string(props,'$$.k') AS INTEGER) AS k,
+             |         CAST(ts AS TIMESTAMP) AS ts
+             |  FROM events WHERE event_type = 'signup'),
+             |f AS (SELECT *, row_number() OVER (PARTITION BY k % 25 ORDER BY event_id) AS rn FROM c),
+             |$pollsDeletesCte,
+             |live AS (SELECT k % 25 AS pk FROM f
+             |         WHERE rn = 1 AND k % 25 = 4 AND NOT $pollsDeletedPred),
+             |v AS (SELECT CAST(json_extract_string(props,'$$.k') AS INTEGER) AS k,
+             |             user_id, CAST(ts AS TIMESTAMP) AS ts
+             |      FROM events
+             |      WHERE event_type = 'error'
+             |        AND CAST(json_extract_string(props,'$$.k') AS INTEGER) % 2 = 0)
+             |SELECT concat('user_', v.user_id) AS account,
+             |       CAST(v.k % 4 + 1 AS SMALLINT) AS answer, v.ts AS created
+             |FROM v JOIN live ON v.k % 25 = live.pk
+             |ORDER BY created, account""".stripMargin)),
+
     // ---- soft-deleted polls: the guarded delete path end-to-end (delete
     //      ops synthesized from error/k-odd/k%5==0 events; only deletes
     //      landing inside the poll's liveness window count)

@@ -55,4 +55,68 @@ class PropertySpec extends SparkSpec {
       assert(t("votes").count() === 1)
     }
   }
+
+  test("int8 quantization: reconstruction error <= scale/2 on random vectors") {
+    val s = spark
+    import s.implicits._
+    for (seed <- Seq(7L, 42L)) {
+      val rnd = new scala.util.Random(seed)
+      val vecs = (0L until 50L).map(i =>
+        (i, Array.fill(16)((rnd.nextDouble() * 200 - 100).toFloat)))
+      val df = vecs.toDF("vec_id", "embedding")
+      val q = graft.operators.Embeddings.quantizeInt8(df).collect()
+        .map(r => r.getAs[Long]("vec_id") ->
+          (r.getAs[Double]("scale"), r.getAs[scala.collection.Seq[Int]]("quantized"))).toMap
+      vecs.foreach { case (id, v) =>
+        val (scale, qv) = q(id)
+        assert(qv.forall(x => x >= -127 && x <= 127), s"seed=$seed id=$id range")
+        v.zip(qv).foreach { case (orig, x) =>
+          // scale is rounded to 6 dp for output, widen the bound accordingly
+          assert(math.abs(orig - x * scale) <= scale / 2 + 1e-4,
+            s"seed=$seed id=$id err")
+        }
+      }
+    }
+  }
+
+  test("split labels partition every key, stable under re-evaluation") {
+    val s = spark
+    import s.implicits._
+    val keys = (0L until 3000L).toDF("id")
+    val labeled = keys.select(org.apache.spark.sql.functions.col("id"),
+      graft.operators.Sampling.splitLabel(
+        org.apache.spark.sql.functions.col("id"), 700, 200).as("l"))
+    val counts = labeled.groupBy("l").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(counts.values.sum === 3000L)
+    // loose concentration: 700/1000 of 3000 = 2100 expected
+    assert(counts("train") > 1900 && counts("train") < 2300)
+    assert(counts("valid") > 450 && counts("valid") < 750)
+    // determinism across evaluations
+    val again = labeled.collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val first = labeled.collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(again === first)
+  }
+
+  test("token-budget packing: every bin's start offset is inside its budget window") {
+    val s = spark
+    import s.implicits._
+    for (seed <- Seq(3L, 11L)) {
+      val rnd = new scala.util.Random(seed)
+      val docs = (0L until 200L).map(i =>
+        (i, Seq.fill(1 + rnd.nextInt(40))("w").mkString(" "))).toDF("doc_id", "text")
+      val budget = 100L
+      val r = graft.operators.TextAnalysis.packByTokenBudget(docs, budget)
+        .orderBy("doc_id").collect()
+      var cum = 0L
+      r.foreach { row =>
+        val bin = row.getAs[Long]("bin")
+        assert(bin === cum / budget, s"seed=$seed doc=${row.getAs[Long]("doc_id")}")
+        cum += row.getAs[Long]("n_tokens")
+      }
+      // bins are dense: no gaps in the bin sequence
+      val bins = r.map(_.getAs[Long]("bin")).distinct.sorted
+      assert(bins.zipWithIndex.forall { case (b, i) => b == bins.head + i })
+    }
+  }
 }

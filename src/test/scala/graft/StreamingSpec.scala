@@ -182,6 +182,41 @@ class StreamingSpec extends SparkSpec {
     assert(out.contains(("2024-01-01 01:00:00.0", "click", 1L)))
   }
 
+  test("streaming dedup: duplicates within the watermark horizon are dropped") {
+    import org.apache.spark.sql.types._
+    val src = tmp(); val sink = tmp(); val ckpt = tmp()
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("ts", TimestampType),
+      StructField("text", StringType)))
+    def rows(xs: (Long, String, String)*) =
+      spark.createDataFrame(
+        spark.sparkContext.parallelize(xs.map { case (i, t, x) =>
+          org.apache.spark.sql.Row(i, ts(t), x) }, 1), schema)
+    rows(
+      (1L, "2024-01-01 00:00:00", "Hello, World!"),
+      (2L, "2024-01-01 00:01:00", "hello world"), // normalized dup of 1
+      (3L, "2024-01-01 00:02:00", "something else"))
+      .write.mode("append").parquet(s"$src/b1")
+
+    def run(): Unit = {
+      val stream = spark.readStream.schema(schema).parquet(s"$src/b*")
+      graft.streaming.StreamingDedup
+        .normalizedWithinWatermark(stream, "text", "ts", "1 hour")
+        .writeStream.format("parquet").option("path", sink)
+        .option("checkpointLocation", ckpt)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start().awaitTermination()
+    }
+    run()
+    // a later batch re-sends doc 1's text within the horizon plus a fresh doc
+    rows(
+      (4L, "2024-01-01 00:10:00", "HELLO  world"), // still a dup
+      (5L, "2024-01-01 00:11:00", "brand new")).write.mode("append").parquet(s"$src/b2")
+    run()
+    val out = spark.read.parquet(sink).collect().map(_.getAs[Long]("doc_id")).toSet
+    assert(out === Set(1L, 3L, 5L)) // 2 and 4 deduped against 1
+  }
+
   test("health listener tracks progress and reports the freshness SLO") {
     val health = new graft.streaming.StreamHealth(staleAfterMs = 60000)
     spark.streams.addListener(health)
