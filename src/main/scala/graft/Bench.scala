@@ -32,6 +32,11 @@ object Bench {
       graft.core.CacheScope.release()
     }
     spark.catalog.clearCache()
+    // clearCache stripped the persist markers; drop the memoized derived
+    // structures too so warm() rebuilds live caches (otherwise, when the
+    // bench tier equals the warm tier, every timed query would silently
+    // recompute the full pipeline behind dead cache entries)
+    SparkEntry.resetDerivedCaches()
     // materialize the long-lived derived state (plug tables, ANN index) —
     // in production the streaming pipeline maintains these continuously;
     // serving queries only read them

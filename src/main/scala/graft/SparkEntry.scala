@@ -85,6 +85,19 @@ object SparkEntry {
     lshIndex(s, d).buckets.count(): Unit
   }
 
+  /** Drop every memoized derived structure (plug tables, ANN indexes),
+    * unpersisting their storage. Needed when a harness clears the Spark
+    * cache wholesale (`catalog.clearCache()` strips the persist markers
+    * but the memo maps would keep returning the now-dead frames) or wants
+    * a cold rebuild.
+    */
+  def resetDerivedCaches(): Unit = {
+    plugCache.values.flatMap(_.values).foreach(_.unpersist(false))
+    annCache.values.foreach(_.cells.unpersist(false))
+    lshCache.values.foreach(_.buckets.unpersist(false))
+    plugCache.clear(); annCache.clear(); lshCache.clear()
+  }
+
   // ------------------------------------------------------------------ specs
 
   private lazy val specs: Seq[Q] = Seq(
@@ -299,7 +312,11 @@ object SparkEntry {
           .cast(dec(38, 4)).as("_rev"))
         .orderBy(col("_rev").desc, col("o_orderkey")).limit(10)
         .select(col("o_orderkey"), col("o_orderdate"),
-          col("_rev").cast("string").as("revenue")),
+          col("_rev").cast("string").as("revenue"))
+        // the top-10 SELECTION is by revenue; the OUTPUT order re-sorts by
+        // key because subquery/projection order preservation is an
+        // implementation detail in both engines, not a guarantee
+        .orderBy(col("o_orderkey")),
       Some("""SELECT o_orderkey, o_orderdate, CAST(_rev AS VARCHAR) AS revenue FROM (
              |  SELECT o_orderkey, o_orderdate,
              |    CAST(sum(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(4,2))) AS DECIMAL(18,4))) AS DECIMAL(38,4)) AS _rev
@@ -307,7 +324,8 @@ object SparkEntry {
              |  JOIN lineitem ON o_orderkey = l_orderkey
              |  WHERE c_mktsegment = 'BUILDING'
              |  GROUP BY o_orderkey, o_orderdate
-             |  ORDER BY _rev DESC, o_orderkey LIMIT 10)""".stripMargin)),
+             |  ORDER BY _rev DESC, o_orderkey LIMIT 10)
+             |ORDER BY o_orderkey""".stripMargin)),
 
     // ---- 4-way dimension rollup (region -> nation -> customer -> orders)
     Q("q5_region_rollup",
@@ -621,7 +639,9 @@ object SparkEntry {
       (s, d) => PollsQueries.pollVotes(
         plugTables(s, d)("polls_content"), plugTables(s, d)("polls_votes"),
         "owner_4", "poll_4")
-        .orderBy(col("created"), col("account")),
+        // answer included so the order is total even for same-second votes
+        // by one account (created has second granularity)
+        .orderBy(col("created"), col("account"), col("answer")),
       Some(s"""WITH c AS (
              |  SELECT event_id, CAST(json_extract_string(props,'$$.k') AS INTEGER) AS k,
              |         CAST(ts AS TIMESTAMP) AS ts
@@ -638,7 +658,7 @@ object SparkEntry {
              |SELECT concat('user_', v.user_id) AS account,
              |       CAST(v.k % 4 + 1 AS SMALLINT) AS answer, v.ts AS created
              |FROM v JOIN live ON v.k % 25 = live.pk
-             |ORDER BY created, account""".stripMargin)),
+             |ORDER BY created, account, answer""".stripMargin)),
 
     // ---- soft-deleted polls: the guarded delete path end-to-end (delete
     //      ops synthesized from error/k-odd/k%5==0 events; only deletes

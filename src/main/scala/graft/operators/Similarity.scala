@@ -97,14 +97,19 @@ object Similarity {
   def ivfTopK(corpus: DataFrame, probes: DataFrame, k: Int,
               nCells: Int = 16, nProbe: Int = 4,
               idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame =
-    buildIvf(corpus, nCells, idCol, vecCol).topK(probes, k, nProbe)
+    // one-shot path: a throwaway index must not persist (no release hook
+    // exists for it — N calls would leak N corpus copies in storage)
+    buildIvf(corpus, nCells, idCol, vecCol, cache = false).topK(probes, k, nProbe)
 
   /** Build the IVF index once; `topK` queries it many times (the
     * production ANN lifecycle — index build is the expensive one-time
     * step; at scale `cells` is written out partitioned by cell id).
+    * `cache = true` persists the inverted file for repeated queries;
+    * leave false for one-shot use.
     */
   def buildIvf(corpus: DataFrame, nCells: Int = 16,
-               idCol: String = "vec_id", vecCol: String = "embedding"): IvfIndex = {
+               idCol: String = "vec_id", vecCol: String = "embedding",
+               cache: Boolean = true): IvfIndex = {
     import org.apache.spark.ml.clustering.KMeans
     import org.apache.spark.ml.functions.array_to_vector
     val c = spread(corpus).select(col(idCol).as("neighbor_id"), asDouble(col(vecCol)).as("_cv"))
@@ -112,11 +117,12 @@ object Similarity {
       .setFeaturesCol("features")
       .fit(c.withColumn("features", array_to_vector(col("_cv"))))
     val centers = model.clusterCenters.map(_.toArray)
-    new IvfIndex(c, centers, idCol, vecCol)
+    new IvfIndex(c, centers, idCol, vecCol, cache)
   }
 
   class IvfIndex private[operators] (
-      c: DataFrame, centers: Array[Array[Double]], idCol: String, vecCol: String) {
+      c: DataFrame, centers: Array[Array[Double]], idCol: String, vecCol: String,
+      cache: Boolean = true) {
 
     private def cellScores(vec: Column): Column = array(centers.zipWithIndex.map { case (ctr, i) =>
       val cNorm2 = ctr.map(x => x * x).sum
@@ -124,9 +130,13 @@ object Similarity {
         lit(i).as("cell"))
     }: _*)
 
-    /** Corpus bucketed by nearest centroid, persisted — the inverted file. */
-    val cells: DataFrame =
-      c.withColumn("cell", array_max(cellScores(col("_cv"))).getField("cell")).persist()
+    /** Corpus bucketed by nearest centroid — the inverted file (persisted
+      * only for the build-once/query-many lifecycle).
+      */
+    val cells: DataFrame = {
+      val b = c.withColumn("cell", array_max(cellScores(col("_cv"))).getField("cell"))
+      if (cache) b.persist() else b
+    }
 
     def topK(probes: DataFrame, k: Int, nProbe: Int = 4): DataFrame = {
       val p = probes.select(col(idCol).as("probe_id"), asDouble(col(vecCol)).as("_pv"))
@@ -160,20 +170,23 @@ object Similarity {
   def lshTopK(corpus: DataFrame, probes: DataFrame, k: Int,
               bitsPerTable: Int = 4, nTables: Int = 8, dim: Int = 64,
               idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame =
-    buildLsh(corpus, bitsPerTable, nTables, dim, idCol, vecCol).topK(probes, k)
+    // one-shot path: don't persist a throwaway index (see ivfTopK)
+    buildLsh(corpus, bitsPerTable, nTables, dim, idCol, vecCol, cache = false)
+      .topK(probes, k)
 
   /** Build the multi-table LSH index once (the corpus-side hashing is the
     * one-time build step; at scale the (table, bucket) pair is the storage
-    * partition key); `topK` queries it many times.
+    * partition key); `topK` queries it many times. `cache = true`
+    * persists the hashed corpus for the build-once/query-many lifecycle.
     */
   def buildLsh(corpus: DataFrame, bitsPerTable: Int = 4, nTables: Int = 8,
                dim: Int = 64, idCol: String = "vec_id",
-               vecCol: String = "embedding"): LshIndex =
-    new LshIndex(corpus, bitsPerTable, nTables, dim, idCol, vecCol)
+               vecCol: String = "embedding", cache: Boolean = true): LshIndex =
+    new LshIndex(corpus, bitsPerTable, nTables, dim, idCol, vecCol, cache)
 
   class LshIndex private[operators] (
       corpus: DataFrame, bitsPerTable: Int, nTables: Int, dim: Int,
-      idCol: String, vecCol: String) {
+      idCol: String, vecCol: String, cache: Boolean = true) {
 
     private val tables = (0 until nTables).map(t =>
       t -> hyperplanes(bitsPerTable, dim, seed = 7L + 131 * t))
@@ -186,10 +199,15 @@ object Similarity {
         .select(col(idName), col("_v"), col("tb.tbl").as("tbl"), col("tb.bucket").as("bucket"))
     }
 
-    /** Corpus hashed into all tables, persisted — the hash-table side. */
-    val buckets: DataFrame = bucketed(
-      spread(corpus).select(col(idCol).as("neighbor_id"), asDouble(col(vecCol)).as("_v")),
-      "neighbor_id").withColumnRenamed("_v", "_cv").persist()
+    /** Corpus hashed into all tables — the hash-table side (persisted only
+      * for the build-once/query-many lifecycle).
+      */
+    val buckets: DataFrame = {
+      val b = bucketed(
+        spread(corpus).select(col(idCol).as("neighbor_id"), asDouble(col(vecCol)).as("_v")),
+        "neighbor_id").withColumnRenamed("_v", "_cv")
+      if (cache) b.persist() else b
+    }
 
     def topK(probes: DataFrame, k: Int): DataFrame = {
       val p = bucketed(

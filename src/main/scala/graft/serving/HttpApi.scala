@@ -73,8 +73,8 @@ class HttpApi(
         case "/api/polls/poll" => pollWithVotes(q)
         case "/api/polls/user" => pollsUser(q)
         case "/api/polls/tag" =>
-          withParam(q, "tag")(t => Right(rowsJson(
-            PollsQueries.pollsByTag(tables("polls_content"), t))))
+          withParam(q, "tag")(t => validateTag(t).map(tag => rowsJson(
+            PollsQueries.pollsByTag(tables("polls_content"), tag))))
         case _ => Left(s"unknown route: $path")
       }
       result match {
@@ -130,12 +130,20 @@ class HttpApi(
       }
     }
 
-  private def pollsActive(q: Map[String, String]): Either[String, String] = {
-    val tag = q.get("tag").filter(_.nonEmpty)
-    if (tag.exists(_.length > 16)) Left("invalid tag (must be <= 16 chars)")
-    else Right(rowsJson(
+  // tag limit validated identically on every tag-accepting route
+  // (reference DDL/endpoint checks, §2.9)
+  private def validateTag(t: String): Either[String, String] =
+    if (t.length <= 16) Right(t) else Left("invalid tag (must be <= 16 chars)")
+
+  private def tagParam(q: Map[String, String]): Either[String, Option[String]] =
+    q.get("tag").filter(_.nonEmpty) match {
+      case None => Right(None)
+      case Some(t) => validateTag(t).map(Some(_))
+    }
+
+  private def pollsActive(q: Map[String, String]): Either[String, String] =
+    tagParam(q).map(tag => rowsJson(
       PollsQueries.activePolls(tables("polls_content"), now(), tag)))
-  }
 
   /** Raw poll ops over a block range (plug_endpoints/polls.py:77-104):
     * required op_type, optional range defaulting to the last 24 h of
@@ -240,10 +248,11 @@ class HttpApi(
       for {
         author <- ApiShaping.validateAuthor(a)
         active <- boolParam(q, "active").map(_.getOrElse(false))
+        tag <- tagParam(q)
       } yield rowsJson(PollsQueries.userPolls(
         tables("polls_content"), author,
         activeAt = if (active) Some(now()) else None,
-        tag = q.get("tag").filter(_.nonEmpty)))
+        tag = tag))
     }
 
   private def pollsSummary(q: Map[String, String]): Either[String, String] =

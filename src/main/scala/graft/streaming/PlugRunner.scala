@@ -104,18 +104,24 @@ class PlugRunner(
     * stay idempotent.
     */
   private def streamOrigin(spark: SparkSession, checkpoint: String): (Long, Long) = {
-    val f = new java.io.File(checkpoint, "graft_stream_origin")
-    if (f.exists()) {
-      val Array(base, afterBlock) =
-        new String(java.nio.file.Files.readAllBytes(f.toPath)).trim.split(",")
+    // Hadoop FS, not java.io: checkpointLocation is any Hadoop path
+    // (file:, hdfs:, s3a:, ...) — a java.io.File of a URI string would
+    // silently resolve elsewhere and re-derive a different origin per
+    // start, which is exactly the non-idempotence this file prevents.
+    val path = new org.apache.hadoop.fs.Path(checkpoint, "graft_stream_origin")
+    val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(path)) {
+      val in = fs.open(path)
+      val raw = try scala.io.Source.fromInputStream(in).mkString finally in.close()
+      val Array(base, afterBlock) = raw.trim.split(",")
       (base.toLong, afterBlock.toLong)
     } else {
       val cursor = scala.util.Try(PlugState.latest(spark, outDir, plug.name))
         .toOption.flatten
       val origin = (cursor.map(_._1 + 1).getOrElse(0L),
         cursor.map(_._2).getOrElse(-1L))
-      f.getParentFile.mkdirs()
-      java.nio.file.Files.write(f.toPath, s"${origin._1},${origin._2}".getBytes)
+      val out = fs.create(path, true)
+      try out.write(s"${origin._1},${origin._2}".getBytes("UTF-8")) finally out.close()
       origin
     }
   }
@@ -147,15 +153,19 @@ class PlugRunner(
     * works like the reference's `<plug>.<table>` queries. Idempotent —
     * IF NOT EXISTS on both levels, safe to call at every boot.
     *
-    * Stateful (merge-fn) tables are registered as views over the latest
-    * committed version (the external-location route would see every
-    * version directory at once).
+    * Stateful (merge-fn) tables are registered as `<plug>_<table>` temp
+    * views over the latest committed version — a SNAPSHOT: the view pins
+    * that version's directory, which `prune` retires as the stream
+    * advances, so re-register (re-run this method) to refresh; tables
+    * with no committed version yet are skipped rather than bound to an
+    * empty schemaless frame.
     */
   def registerCatalog(spark: SparkSession, tableNames: Seq[String]): Unit = {
     spark.sql(s"CREATE DATABASE IF NOT EXISTS ${plug.name}")
     tableNames.foreach { name =>
       if (mergeFns.contains(name))
-        table(spark, name).createOrReplaceTempView(s"${plug.name}_$name")
+        new ParquetStateStore(spark, tableDir(name)).read()
+          .foreach(_.createOrReplaceTempView(s"${plug.name}_$name"))
       else {
         spark.sql(
           s"""CREATE TABLE IF NOT EXISTS ${plug.name}.$name

@@ -123,6 +123,13 @@ class HttpApiSpec extends SparkSpec {
     assert(get("/api/polls/ops?op_type=vote&block_range_low=nope")._1 === 400)
   }
 
+  test("over-long tag rejected consistently on every tag route") {
+    val longTag = "t" * 20
+    assert(get(s"/api/polls/active?tag=$longTag")._1 === 400)
+    assert(get(s"/api/polls/tag?tag=$longTag")._1 === 400)
+    assert(get(s"/api/polls/user?author=alice&tag=$longTag")._1 === 400)
+  }
+
   test("polls flow: active, summary, votes") {
     val (c1, active) = get("/api/polls/active")
     assert(c1 === 200 && active.contains("\"permlink\": \"color\""))
