@@ -601,6 +601,20 @@ object SparkEntry {
              |FROM s GROUP BY user_id, sid
              |ORDER BY user_id, session_start""".stripMargin)),
 
+    // ---- sliding (hopping) windows: 1h duration, 30m slide — every event
+    //      lands in exactly two windows
+    Q("t8_sliding_counts",
+      (s, d) => graft.streaming.EventWindows.slidingCounts(ev(s, d))
+        .orderBy(col("window_start"), col("event_type")),
+      Some("""WITH e AS (SELECT CAST(ts AS TIMESTAMP) AS ts, event_type FROM events),
+             |w AS (SELECT unnest([
+             |        make_timestamp(CAST(floor(epoch(ts) / 1800) * 1800 AS BIGINT) * 1000000),
+             |        make_timestamp((CAST(floor(epoch(ts) / 1800) * 1800 AS BIGINT) - 1800) * 1000000)
+             |      ]) AS window_start, event_type
+             |      FROM e)
+             |SELECT window_start, event_type, CAST(count(*) AS BIGINT) AS cnt
+             |FROM w GROUP BY 1, 2 ORDER BY window_start, event_type""".stripMargin)),
+
     // ---- polls-by-tag serving query (polls.py:47-56)
     Q("plug_polls_by_tag",
       (s, d) => PollsQueries.pollsByTag(plugTables(s, d)("polls_content"), "tag1")
@@ -1002,6 +1016,58 @@ object SparkEntry {
              |       (list(event_type ORDER BY event_id))[1:10] AS seq,
              |       CAST(count(*) AS BIGINT) AS n_events
              |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin)),
+
+    // ---- composite corpus-curation pipeline: quality filter -> language
+    //      filter -> normalized dedup -> deterministic sample. The full
+    //      training-data curation flow as ONE declarative plan — Catalyst
+    //      fuses the per-doc scoring into a single scan pass, and every
+    //      stage is individually oracle-checked by its own gate above.
+    Q("pipeline_curation",
+      (s, d) => {
+        val scored = TextAnalysis.languageId(
+          TextAnalysis.quality(Tables.documents(s, d)))
+        val kept = scored.filter(
+          col("quality_score") >= 0.7 && col("predicted_lang") === "en")
+        val deduped = Dedup.normalized(kept, "text", "doc_id")
+        operators.Sampling.deterministicSample(deduped, "keep_id", 8, 10)
+          .select(col("keep_id"), col("dup_count"))
+          .orderBy(col("keep_id"))
+      },
+      Some("""WITH t AS (
+             |  SELECT doc_id, text,
+             |         list_filter(string_split(text, ' '), x -> x <> '') AS toks,
+             |         list_filter(string_split(lower(text), ' '), x -> x <> '') AS ltoks
+             |  FROM documents),
+             |q AS (SELECT doc_id, text, ltoks,
+             |        CAST(len(toks) AS BIGINT) AS n_tokens,
+             |        CAST(length(text) AS BIGINT) AS n_chars,
+             |        CAST(len(list_filter(toks, x -> x IN ('the','a','and','of','to','in','is','it','on','for'))) AS BIGINT) AS stop,
+             |        CAST(length(text) - length(regexp_replace(text, '[^a-zA-Z0-9 ]', '', 'g')) AS BIGINT) AS punct
+             |      FROM t),
+             |sc AS (SELECT doc_id, text, ltoks,
+             |        round((CASE WHEN n_tokens BETWEEN 5 AND 1000 THEN CAST(0.4 AS DOUBLE) ELSE CAST(0.0 AS DOUBLE) END)
+             |            + (CASE WHEN round(punct * 1.0 / n_chars, 6) <= 0.1 THEN CAST(0.3 AS DOUBLE) ELSE CAST(0.0 AS DOUBLE) END)
+             |            + (CASE WHEN round(stop * 1.0 / n_tokens, 6) BETWEEN 0.01 AND 0.6 THEN CAST(0.3 AS DOUBLE) ELSE CAST(0.0 AS DOUBLE) END), 6) AS score
+             |       FROM q),
+             |h AS (SELECT doc_id, text, score,
+             |        len(list_filter(ltoks, x -> x IN ('der','die','und','das','ist'))) AS h_de,
+             |        len(list_filter(ltoks, x -> x IN ('the','and','of','is','it'))) AS h_en,
+             |        len(list_filter(ltoks, x -> x IN ('el','la','de','que','y'))) AS h_es,
+             |        len(list_filter(ltoks, x -> x IN ('le','la','et','les','des'))) AS h_fr,
+             |        len(list_filter(ltoks, x -> x IN ('de','shi','le','wo','bu'))) AS h_zh
+             |      FROM sc),
+             |en AS (SELECT doc_id, text FROM h
+             |       WHERE score >= 0.7
+             |         AND greatest(h_de,h_en,h_es,h_fr,h_zh) > 0
+             |         AND h_en = greatest(h_de,h_en,h_es,h_fr,h_zh)
+             |         AND h_de < h_en),
+             |ded AS (SELECT md5(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g'))) AS fp,
+             |               CAST(min(doc_id) AS BIGINT) AS keep_id,
+             |               CAST(count(*) AS BIGINT) AS dup_count
+             |        FROM en GROUP BY 1)
+             |SELECT keep_id, dup_count FROM ded
+             |WHERE CAST(concat('0x', substring(md5(CAST(keep_id AS VARCHAR)), 1, 15)) AS BIGINT) % 10 < 8
+             |ORDER BY keep_id""".stripMargin)),
 
     // ---- T10: dead-letter audit — corrupt envelopes per block bucket
     Q("t10_dead_letter",

@@ -35,4 +35,20 @@ object EventWindows {
       .agg(count(lit(1)).as("cnt"))
       .select(col("w.start").as("window_start"), col(keyCol), col("cnt"))
   }
+
+  /** Sliding (hopping) windows: each event lands in duration/slide
+    * overlapping windows (`window` with a slide interval — the fanout is
+    * per-row, map-side; the shuffle keys on (window, key) exactly like
+    * tumbling). Streaming-capable with the same watermark finalization.
+    */
+  def slidingCounts(events: DataFrame, windowLen: String = "1 hour",
+                    slide: String = "30 minutes",
+                    watermarkDelay: String = "2 hours",
+                    tsCol: String = "ts", keyCol: String = "event_type"): DataFrame = {
+    val src = if (events.isStreaming) events.withWatermark(tsCol, watermarkDelay) else events
+    src
+      .groupBy(window(col(tsCol), windowLen, slide).as("w"), col(keyCol))
+      .agg(count(lit(1)).as("cnt"))
+      .select(col("w.start").as("window_start"), col(keyCol), col("cnt"))
+  }
 }
