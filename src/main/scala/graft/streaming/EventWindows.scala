@@ -36,6 +36,30 @@ object EventWindows {
       .select(col("w.start").as("window_start"), col(keyCol), col("cnt"))
   }
 
+  /** Watermarked stream-stream inner join: enrich a fact stream with a
+    * second stream on an equi key plus an event-time bound (the streaming
+    * analogue of J4's FK lookup when both sides arrive continuously).
+    * Both sides carry watermarks and the join condition bounds the
+    * event-time skew, so each side's buffered state is evicted once the
+    * watermark passes — bounded state, the requirement for an unbounded
+    * run.
+    */
+  def enrichStream(facts: DataFrame, dim: DataFrame, key: String,
+                   factsTs: String, dimTs: String,
+                   delay: String = "1 hour", skew: String = "2 hours"): DataFrame = {
+    // prefix the dim side's non-key columns so a shared payload column
+    // name can't produce an ambiguous duplicate in the result
+    val prefixed = dim.columns.filter(_ != key).foldLeft(dim)((df, c) =>
+      df.withColumnRenamed(c, if (c == dimTs) c else s"dim_$c"))
+    val f = facts.withWatermark(factsTs, delay)
+    val d = prefixed.withWatermark(dimTs, delay)
+    val sk = expr(s"INTERVAL $skew")
+    f.join(d,
+      f(key) === d(key) &&
+        d(dimTs).between(f(factsTs) - sk, f(factsTs) + sk))
+      .drop(d(key)).drop(d(dimTs))
+  }
+
   /** Sliding (hopping) windows: each event lands in duration/slide
     * overlapping windows (`window` with a slide interval — the fanout is
     * per-row, map-side; the shuffle keys on (window, key) exactly like

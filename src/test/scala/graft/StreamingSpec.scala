@@ -182,6 +182,38 @@ class StreamingSpec extends SparkSpec {
     assert(out.contains(("2024-01-01 01:00:00.0", "click", 1L)))
   }
 
+  test("stream-stream join: facts enrich against a second stream with bounded skew") {
+    import org.apache.spark.sql.types._
+    val srcF = tmp(); val srcD = tmp(); val sink = tmp(); val ckpt = tmp()
+    val fSchema = StructType(Seq(StructField("k", LongType),
+      StructField("fts", TimestampType), StructField("v", StringType)))
+    val dSchema = StructType(Seq(StructField("k", LongType),
+      StructField("dts", TimestampType), StructField("name", StringType)))
+    def write(dir: String, schema: StructType, xs: Seq[org.apache.spark.sql.Row]): Unit =
+      spark.createDataFrame(spark.sparkContext.parallelize(xs, 1), schema)
+        .write.mode("append").parquet(s"$dir/b1")
+    write(srcF, fSchema, Seq(
+      org.apache.spark.sql.Row(1L, ts("2024-01-01 00:10:00"), "f1"),
+      org.apache.spark.sql.Row(2L, ts("2024-01-01 00:20:00"), "f2"),
+      org.apache.spark.sql.Row(3L, ts("2024-01-01 09:00:00"), "f3"))) // no dim within skew
+    write(srcD, dSchema, Seq(
+      org.apache.spark.sql.Row(1L, ts("2024-01-01 00:05:00"), "dim1"),
+      org.apache.spark.sql.Row(2L, ts("2024-01-01 01:50:00"), "dim2"),
+      org.apache.spark.sql.Row(3L, ts("2024-01-01 00:00:00"), "dim3"))) // 9h from f3 > skew
+
+    val facts = spark.readStream.schema(fSchema).parquet(s"$srcF/b*")
+    val dim = spark.readStream.schema(dSchema).parquet(s"$srcD/b*")
+    graft.streaming.EventWindows.enrichStream(facts, dim, "k", "fts", "dts")
+      .select("k", "v", "dim_name")
+      .writeStream.format("parquet").option("path", sink)
+      .option("checkpointLocation", ckpt)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start().awaitTermination()
+    val out = spark.read.parquet(sink).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2))).toSet
+    assert(out === Set((1L, "f1", "dim1"), (2L, "f2", "dim2")))
+  }
+
   test("streaming dedup: duplicates within the watermark horizon are dropped") {
     import org.apache.spark.sql.types._
     val src = tmp(); val sink = tmp(); val ckpt = tmp()
