@@ -25,12 +25,17 @@ object Bench {
     // compiled classes by source, which is identical across tiers), so
     // per-query times at the benchmark tier measure the plan's execution,
     // not first-use compiler work.
-    val warmTier = "/root/testdata/sf0.001"
+    val warmTier = sys.env.getOrElse("SPARK_GRAFT_WARM_DIR", "/root/testdata/sf0.001")
+    var warmFails = 0
     SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (_, fn) =>
       try { fn(spark, warmTier).write.format("noop").mode("overwrite").save() }
-      catch { case _: Throwable => () }
+      catch { case _: Throwable => warmFails += 1 }
       graft.core.CacheScope.release()
     }
+    // warm failures don't abort the bench, but they MUST be visible:
+    // un-warmed timings silently include JIT/codegen/pipeline-build cost
+    if (warmFails > 0)
+      System.err.println(s"[bench] warm pass: $warmFails queries failed (tier $warmTier)")
     spark.catalog.clearCache()
     // clearCache stripped the persist markers; drop the memoized derived
     // structures too so warm() rebuilds live caches (otherwise, when the
@@ -40,7 +45,10 @@ object Bench {
     // materialize the long-lived derived state (plug tables, ANN index) —
     // in production the streaming pipeline maintains these continuously;
     // serving queries only read them
-    try { SparkEntry.warm(spark, sfDir) } catch { case _: Throwable => () }
+    try { SparkEntry.warm(spark, sfDir) }
+    catch { case e: Throwable =>
+      System.err.println(s"[bench] warm($sfDir) failed: ${e.getMessage}")
+    }
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
       // noop sink: materializes every output column (count() lets Catalyst

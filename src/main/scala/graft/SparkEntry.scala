@@ -1136,16 +1136,20 @@ object SparkEntry {
     * or after the create and at or before expiry).
     */
   private val pollsDeletesCte: String =
-    """d AS (SELECT CAST(json_extract_string(props,'$.k') AS INTEGER) AS k,
+    """d AS (SELECT event_id AS del_eid,
+      |             CAST(json_extract_string(props,'$.k') AS INTEGER) AS k,
       |             CAST(ts AS TIMESTAMP) AS dts
       |      FROM events
       |      WHERE event_type = 'error'
       |        AND CAST(json_extract_string(props,'$.k') AS INTEGER) % 2 = 1
       |        AND CAST(json_extract_string(props,'$.k') AS INTEGER) % 5 = 0)""".stripMargin
 
+  // chain-order guard (event_id IS the chain order: block = id DIV 10,
+  // trx = id % 10): delete strictly after the winning create, inside the
+  // liveness window
   private val pollsDeletedPred: String =
     """EXISTS (SELECT 1 FROM d WHERE d.k % 25 = f.k % 25
-      |            AND d.dts >= f.ts
+      |            AND d.del_eid > f.event_id
       |            AND d.dts <= date_trunc('second', f.ts) + INTERVAL 7 DAY)""".stripMargin
 
   /** DuckDB replica of the SimHash pipeline (Dedup.simhash/simhashPairs):

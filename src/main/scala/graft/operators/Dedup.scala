@@ -234,9 +234,12 @@ object Dedup {
       i += 1
     }
     // the final labels are eagerly checkpointed, so the edge cache is no
-    // longer reachable; free it now and let the harness free the labels
+    // longer reachable; free it now. The final labels' checkpoint storage
+    // is deliberately NOT scoped for release: the frame is lineage-
+    // truncated (freeing it would make the result permanently unusable,
+    // not recomputable) and it is tiny — one row per near-dup node.
     edges.unpersist(false)
-    graft.core.CacheScope.register(labels)
+    labels
   }
 
   // ------------------------------------------------------- embedding cosine

@@ -112,33 +112,37 @@ object Polls extends Plug {
         col("_v.answer").as("answer"))
       .filter(col("author").isNotNull && col("permlink").isNotNull)
 
-    // -- delete: a delete soft-deletes the poll iff it lands while the poll
-    // is live (functions.sql:120-128 guard `temprow.expires >= _created`,
-    // applied per-op by the reference's ordered state machine). Batch
-    // formulation: join ALL deletes to the winning create and keep ones
-    // satisfying the liveness window — filtering to the chain-earliest
-    // delete *first* would let an early non-qualifying delete (e.g. one
-    // arriving before the create) mask a later valid one.
+    // -- delete: a delete soft-deletes the poll iff it comes AFTER the
+    // winning create in chain order (the reference applies ops
+    // sequentially — a delete preceding the create finds no poll and is a
+    // no-op, even at equal timestamps) and lands while the poll is live
+    // (functions.sql:120-128 guard `temprow.expires >= _created`). Batch
+    // formulation: join ALL deletes to the winning create and keep the
+    // qualifying ones — collapsing to the chain-earliest delete *first*
+    // would let an early non-qualifying delete mask a later valid one.
     val deletes = cjos.filter(col("op_type") === "delete")
       .withColumn("_d", from_json(col("_payload"), deleteSchema))
       .select(
         signer.as("author"),
         col("_d.permlink").as("permlink"),
         col("timestamp").as("del_created"),
-        col("block_num").as("del_block"))
+        col("block_num").as("del_block"),
+        col("trx_in_block").as("del_trx"),
+        col("id").as("del_opid"))
       .filter(col("permlink").isNotNull)
 
     val qualifying = content0
-      .select(col("author"), col("permlink"), col("created"), col("expires"))
+      .select(col("author"), col("permlink"), col("block_num"),
+        col("trx_in_block"), col("poll_opid"), col("expires"))
       .join(deletes, Seq("author", "permlink"))
-      .filter(col("del_created") >= col("created") &&
+      .filter(
+        struct(col("del_block"), col("del_trx"), col("del_opid")) >
+          struct(col("block_num"), col("trx_in_block"), col("poll_opid")) &&
         col("expires").isNotNull && col("expires") >= col("del_created"))
-      .groupBy("author", "permlink")
-      .agg(min(col("del_created")).as("del_created"))
+      .select(col("author"), col("permlink")).distinct()
 
     val content = content0
-      .join(qualifying.select(col("author"), col("permlink"),
-        lit(true).as("_del")), Seq("author", "permlink"), "left")
+      .join(qualifying.withColumn("_del", lit(true)), Seq("author", "permlink"), "left")
       .withColumn("deleted", coalesce(col("_del"), lit(false)))
       .drop("_del")
 

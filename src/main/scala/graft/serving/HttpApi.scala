@@ -229,6 +229,9 @@ class HttpApi(
                   val vCols = Seq("account", "answer", "created")
                   PollsQueries.pollVotes(
                       tables("polls_content"), tables("polls_votes"), author, permlink)
+                    // total order: both the response order and WHICH rows
+                    // survive the cap must be deterministic
+                    .orderBy(col("created"), col("account"), col("answer"))
                     .limit(MaxResponseRows).collect().toSeq
                     .map(r => JsonOut.obj(
                       ApiShaping.populateBySchema(r.toSeq, vCols), vCols))
@@ -293,9 +296,11 @@ class HttpApi(
     q.get(name).fold[Either[String, Option[Long]]](Right(None))(v =>
       v.toLongOption.map(Some(_)).toRight(s"invalid $name: '$v' (must be an integer)"))
 
-  private def intParam(q: Map[String, String], name: String): Either[String, Option[Int]] =
+  private def intParam(q: Map[String, String], name: String,
+                       min: Int = 0): Either[String, Option[Int]] =
     q.get(name).fold[Either[String, Option[Int]]](Right(None))(v =>
-      v.toIntOption.map(Some(_)).toRight(s"invalid $name: '$v' (must be an integer)"))
+      v.toIntOption.filter(_ >= min).map(Some(_))
+        .toRight(s"invalid $name: '$v' (must be an integer >= $min)"))
 
   private def boolParam(q: Map[String, String], name: String): Either[String, Option[Boolean]] =
     q.get(name).fold[Either[String, Option[Boolean]]](Right(None))(v =>

@@ -26,15 +26,11 @@ object EventWindows {
       .select(col(keyCol), col("w.start").as("session_start"),
         col("w.end").as("session_end"), col("n_events"))
 
+  /** Tumbling windows = sliding with slide == duration. */
   def tumblingCounts(events: DataFrame, windowLen: String = "1 hour",
                      watermarkDelay: String = "2 hours",
-                     tsCol: String = "ts", keyCol: String = "event_type"): DataFrame = {
-    val src = if (events.isStreaming) events.withWatermark(tsCol, watermarkDelay) else events
-    src
-      .groupBy(window(col(tsCol), windowLen).as("w"), col(keyCol))
-      .agg(count(lit(1)).as("cnt"))
-      .select(col("w.start").as("window_start"), col(keyCol), col("cnt"))
-  }
+                     tsCol: String = "ts", keyCol: String = "event_type"): DataFrame =
+    slidingCounts(events, windowLen, windowLen, watermarkDelay, tsCol, keyCol)
 
   /** Watermarked stream-stream inner join: enrich a fact stream with a
     * second stream on an equi key plus an event-time bound (the streaming

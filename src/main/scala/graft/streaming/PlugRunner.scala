@@ -110,18 +110,42 @@ class PlugRunner(
     // start, which is exactly the non-idempotence this file prevents.
     val path = new org.apache.hadoop.fs.Path(checkpoint, "graft_stream_origin")
     val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (fs.exists(path)) {
-      val in = fs.open(path)
-      val raw = try scala.io.Source.fromInputStream(in).mkString finally in.close()
-      val Array(base, afterBlock) = raw.trim.split(",")
-      (base.toLong, afterBlock.toLong)
-    } else {
+    def parse(raw: String): Option[(Long, Long)] = raw.trim.split(",") match {
+      case Array(a, b) =>
+        for (x <- a.toLongOption; y <- b.toLongOption) yield (x, y)
+      case _ => None
+    }
+    val pinned =
+      if (!fs.exists(path)) None
+      else {
+        val in = fs.open(path)
+        val raw = try scala.io.Source.fromInputStream(in).mkString finally in.close()
+        // tolerate a torn write (crash mid-create): fall through and
+        // re-derive + re-pin instead of bricking every future start
+        parse(raw)
+      }
+    pinned.getOrElse {
+      // Base must clear EVERY committed batch id, not just the last one
+      // with a non-null cursor: trailing empty batches still committed
+      // state versions and check-ins, and colliding with them would make
+      // readBefore(base) miss the prior state (post-prune) and silently
+      // rebuild merge tables from scratch.
+      val maxCheckIn = scala.util.Try(PlugState.maxBatchId(spark, outDir, plug.name))
+        .toOption.flatten
+      val maxMerge = mergeFns.keys
+        .flatMap(n => new ParquetStateStore(spark, tableDir(n)).latestVersion)
+        .reduceOption(_ max _)
+      val base = (maxCheckIn.toSeq ++ maxMerge.toSeq)
+        .map(_ + 1).maxOption.getOrElse(0L)
       val cursor = scala.util.Try(PlugState.latest(spark, outDir, plug.name))
         .toOption.flatten
-      val origin = (cursor.map(_._1 + 1).getOrElse(0L),
-        cursor.map(_._2).getOrElse(-1L))
-      val out = fs.create(path, true)
+      val origin = (base, cursor.map(_._2).getOrElse(-1L))
+      // write-then-rename so a crash can't leave a half-written pin
+      val tmp = new org.apache.hadoop.fs.Path(checkpoint, "graft_stream_origin.tmp")
+      val out = fs.create(tmp, true)
       try out.write(s"${origin._1},${origin._2}".getBytes("UTF-8")) finally out.close()
+      fs.delete(path, false)
+      fs.rename(tmp, path)
       origin
     }
   }
@@ -167,12 +191,19 @@ class PlugRunner(
         new ParquetStateStore(spark, tableDir(name)).read()
           .foreach(_.createOrReplaceTempView(s"${plug.name}_$name"))
       else {
-        spark.sql(
-          s"""CREATE TABLE IF NOT EXISTS ${plug.name}.$name
-             |USING PARQUET LOCATION '${tableDir(name)}'""".stripMargin)
-        // sinks are partitioned (_batch_id / _block_bucket): sync the
-        // catalog's partition list with the directories on every boot
-        spark.sql(s"MSCK REPAIR TABLE ${plug.name}.$name")
+        // nothing written yet -> schema inference would fail; register on
+        // a later boot once the first batch has landed (same not-yet-
+        // committed guard the merge tables get above)
+        val dir = new org.apache.hadoop.fs.Path(tableDir(name))
+        val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        if (fs.exists(dir)) {
+          spark.sql(
+            s"""CREATE TABLE IF NOT EXISTS ${plug.name}.$name
+               |USING PARQUET LOCATION '${tableDir(name)}'""".stripMargin)
+          // sinks are partitioned (_batch_id / _block_bucket): sync the
+          // catalog's partition list with the directories on every boot
+          spark.sql(s"MSCK REPAIR TABLE ${plug.name}.$name")
+        }
       }
     }
   }
@@ -198,6 +229,16 @@ object PlugState {
 
   def read(spark: SparkSession, outDir: String, plugName: String): DataFrame =
     spark.read.parquet(s"$outDir/$plugName/_plug_state/v=*")
+
+  /** Highest committed batch id regardless of cursor content — empty
+    * batches check in with a null cursor but still own their batch id
+    * (and state version); anything allocating NEW batch ids must clear
+    * this, not [[latest]].
+    */
+  def maxBatchId(spark: SparkSession, outDir: String, plugName: String): Option[Long] = {
+    val r = read(spark, outDir, plugName).agg(max(col("batch_id"))).collect().head
+    if (r.isNullAt(0)) None else Some(r.getLong(0))
+  }
 
   /** Latest cursor per plug — the status-endpoint scan (S3). Check-ins of
     * empty batches carry a null cursor and are skipped (the cursor is the

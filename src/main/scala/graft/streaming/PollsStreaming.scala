@@ -22,16 +22,22 @@ object PollsStreaming {
     */
   def mergeContent(prior: Option[DataFrame], batch: Map[String, DataFrame]): DataFrame = {
     val batchContent = batch("content")
-    val deletes = batch("deletes").select("author", "permlink", "del_created")
+    val deletes = batch("deletes")
+      .select("author", "permlink", "del_created", "del_block", "del_trx", "del_opid")
     val all = prior match {
       case Some(p) =>
         p.unionByName(
           batchContent.join(p.select("author", "permlink"), Seq("author", "permlink"), "left_anti"))
       case None => batchContent
     }
-    val hit = all.select(col("author"), col("permlink"), col("created"), col("expires"))
+    // chain-order guard matches Polls.transform: the delete must follow
+    // the create in chain order AND land inside the liveness window
+    val hit = all.select(col("author"), col("permlink"), col("block_num"),
+        col("trx_in_block"), col("poll_opid"), col("expires"))
       .join(deletes, Seq("author", "permlink"))
-      .filter(col("del_created") >= col("created") &&
+      .filter(
+        struct(col("del_block"), col("del_trx"), col("del_opid")) >
+          struct(col("block_num"), col("trx_in_block"), col("poll_opid")) &&
         col("expires").isNotNull && col("expires") >= col("del_created"))
       .select(col("author"), col("permlink")).distinct()
     all.join(hit.withColumn("_del", lit(true)), Seq("author", "permlink"), "left")

@@ -119,6 +119,8 @@ class HttpApiSpec extends SparkSpec {
 
   test("malformed numeric params get 400, not 500") {
     assert(get("/api/podping/history/counts?limit=abc")._1 === 400)
+    assert(get("/api/podping/history/counts?limit=-5")._1 === 400)
+    assert(get("/api/podping/feeds/latest?url=u&limit=-1")._1 === 400)
     assert(get("/api/podping/history/counts?block_range_high=12x")._1 === 400)
     assert(get("/api/polls/ops?op_type=vote&block_range_low=nope")._1 === 400)
   }

@@ -94,6 +94,30 @@ class PollsSpec extends SparkSpec {
     assert(content.length === 1 && content.head.getAs[Boolean]("deleted"))
   }
 
+  test("chain-order guard: same-second delete BEFORE the create is a no-op") {
+    // equal timestamps, delete earlier in chain order — the reference's
+    // sequential machine finds no poll; a timestamp-only guard
+    // (del_created >= created) would wrongly soft-delete.
+    val log = opLog(spark, Seq(
+      op(1, 100, 0, "2024-01-01 00:00:00", "polls",
+        pollDelete("p"), postingAuth = "alice"),
+      op(2, 100, 1, "2024-01-01 00:00:00", "polls",
+        pollCreate("p", "Q?", Seq("a", "b"), "2024-01-02 00:00:00", "t"),
+        postingAuth = "alice"),
+      op(3, 100, 2, "2024-01-01 00:00:00", "polls",
+        pollDelete("p"), postingAuth = "alice"))) // same second, chain-AFTER -> deletes
+    val content = Polls.transform(log)("content").collect()
+    assert(content.length === 1 && content.head.getAs[Boolean]("deleted"))
+    // and without the trailing delete, the poll survives
+    val content2 = Polls.transform(opLog(spark, Seq(
+      op(1, 100, 0, "2024-01-01 00:00:00", "polls",
+        pollDelete("p"), postingAuth = "alice"),
+      op(2, 100, 1, "2024-01-01 00:00:00", "polls",
+        pollCreate("p", "Q?", Seq("a", "b"), "2024-01-02 00:00:00", "t"),
+        postingAuth = "alice"))))("content").collect()
+    assert(content2.length === 1 && !content2.head.getAs[Boolean]("deleted"))
+  }
+
   test("state machine is arrival-order invariant (chain order is the key)") {
     val shuffled = opLog(spark, scala.util.Random.shuffle(Seq(
       op(1, 100, 0, "2024-01-01 00:00:00", "polls",
