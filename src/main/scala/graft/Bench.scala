@@ -16,6 +16,13 @@ object Bench {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
+      // local-mode-only: shuffle files live in the page cache and there
+      // is no network hop, so compression is pure CPU overhead, and
+      // locality wait only delays task launch (everything is
+      // PROCESS_LOCAL). A cluster deployment keeps the defaults.
+      .config("spark.shuffle.compress", "false")
+      .config("spark.shuffle.spill.compress", "false")
+      .config("spark.locality.wait", "0")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     GraftSession.configure(spark)
