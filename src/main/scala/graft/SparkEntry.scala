@@ -251,10 +251,12 @@ object SparkEntry {
              |GROUP BY l_returnflag, l_linestatus
              |ORDER BY l_returnflag, l_linestatus""".stripMargin)),
 
-    // ---- J1: left outer enrich (broadcast the small dimension)
+    // ---- J1: left outer enrich. No broadcast hint: customer scales with
+    //      SF (15M rows at sf100 would not fit an executor); the size-based
+    //      planner broadcasts while it fits and sort-merges beyond.
     Q("j1_order_enrich",
       (s, d) => Tables.orders(s, d)
-        .join(broadcast(Tables.customer(s, d)),
+        .join(Tables.customer(s, d),
           col("o_custkey") === col("c_custkey"), "left")
         .select(col("o_orderkey"), col("o_orderdate"), col("o_totalprice"),
           col("c_name"), col("c_mktsegment"))
@@ -733,9 +735,11 @@ object SparkEntry {
     Q("q17_small_quantity",
       (s, d) => {
         val l = Tables.lineitem(s, d)
+        // per-partkey averages scale with SF — no broadcast hint; the
+        // size-based planner picks BHJ while the agg fits, SMJ beyond
         val avgQty = l.groupBy(col("l_partkey").as("p_key"))
           .agg(avg(col("l_quantity")).as("avg_qty"))
-        l.join(broadcast(avgQty), col("l_partkey") === col("p_key"))
+        l.join(avgQty, col("l_partkey") === col("p_key"))
           .filter(col("l_quantity") < col("avg_qty") * 0.2)
           .groupBy(col("l_partkey"))
           .agg(count(lit(1)).as("n"),

@@ -125,7 +125,9 @@ object TextAnalysis {
       .groupBy(col("term")).agg(count(lit(1)).as("df"))
     val w = Window.partitionBy(col("doc"))
       .orderBy(col("tfidf").desc, col("term"))
-    tf.join(broadcast(df_), "term")
+    // no broadcast hint: a web-scale vocabulary outgrows an executor; the
+    // size-based planner broadcasts the dictionary while it fits
+    tf.join(df_, "term")
       .withColumn("tfidf", round(col("tf") * log(lit(n.toDouble) / col("df")), 6))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)

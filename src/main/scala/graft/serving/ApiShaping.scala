@@ -82,4 +82,22 @@ object ApiShaping {
     */
   def timeSinceSeconds(last: Timestamp, now: Timestamp): Long =
     (now.getTime - last.getTime) / 1000
+
+  /** Key-set validators (`check_required_keys` / `check_allowed_keys`,
+    * tools.py:17-29): payload envelopes must carry every required key and
+    * nothing outside the allowed set.
+    */
+  def checkRequiredKeys(payload: Map[String, Any],
+                        required: Set[String]): Either[String, Map[String, Any]] = {
+    val missing = required -- payload.keySet
+    if (missing.isEmpty) Right(payload)
+    else Left(s"missing required keys: ${missing.toSeq.sorted.mkString(", ")}")
+  }
+
+  def checkAllowedKeys(payload: Map[String, Any],
+                       allowed: Set[String]): Either[String, Map[String, Any]] = {
+    val extra = payload.keySet -- allowed
+    if (extra.isEmpty) Right(payload)
+    else Left(s"unexpected keys: ${extra.toSeq.sorted.mkString(", ")}")
+  }
 }

@@ -51,4 +51,14 @@ class ServingSpec extends AnyFunSuite {
     val b = Timestamp.valueOf("2024-01-02 00:00:30") // >1 day
     assert(timeSinceSeconds(a, b) === 86430L)
   }
+
+  test("key-set validators: required present, nothing outside allowed") {
+    val payload = Map[String, Any]("permlink" -> "p", "question" -> "q")
+    assert(checkRequiredKeys(payload, Set("permlink")).isRight)
+    assert(checkRequiredKeys(payload, Set("permlink", "answers"))
+      === Left("missing required keys: answers"))
+    assert(checkAllowedKeys(payload, Set("permlink", "question", "tag")).isRight)
+    assert(checkAllowedKeys(payload, Set("permlink"))
+      === Left("unexpected keys: question"))
+  }
 }
