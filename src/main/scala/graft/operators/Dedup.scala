@@ -200,7 +200,7 @@ object Dedup {
     * 2-3 rounds in practice). Each round is one shuffle — the standard
     * scalable CC formulation; no driver-side graph state.
     */
-  def nearDupClusters(pairs: DataFrame, maxIter: Int = 10): DataFrame = {
+  def nearDupClusters(pairs: DataFrame, maxIter: Int = 25): DataFrame = {
     // pairs carry doc_a < doc_b exactly once, so the two directed copies
     // cannot collide — no distinct needed (that was a full extra shuffle)
     val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
@@ -222,17 +222,31 @@ object Dedup {
         .agg(min(col("cluster")).as("n_cluster"))
       // carry the old label through the join so convergence is a cheap
       // filter-count over the checkpointed result, not another join
-      val next = labels.withColumnRenamed("cluster", "_old")
+      val l1 = labels.withColumnRenamed("cluster", "_old")
         .join(viaNeighbors, Seq("doc"), "left")
         .select(col("doc"),
           least(col("_old"), coalesce(col("n_cluster"), col("_old"))).as("cluster"),
           col("_old"))
         .localCheckpoint(true)
+      // pointer jump (label-of-label): neighbor propagation alone needs
+      // O(diameter) rounds — a long chain silently hits maxIter
+      // unconverged; following the label one hop each round compresses
+      // paths and converges in O(log diameter)
+      val next = l1.as("a")
+        .join(l1.select(col("doc").as("_ldoc"), col("cluster").as("_lc")),
+          col("a.cluster") === col("_ldoc"), "left")
+        .select(col("a.doc").as("doc"),
+          least(col("a.cluster"), coalesce(col("_lc"), col("a.cluster"))).as("cluster"),
+          col("a._old").as("_old"))
+        .localCheckpoint(true)
       changed = next.filter(col("cluster") =!= col("_old")).count()
       org.apache.spark.sql.GraftBridge.freeCheckpoint(labels)
+      org.apache.spark.sql.GraftBridge.freeCheckpoint(l1)
       labels = next.drop("_old")
       i += 1
     }
+    require(changed == 0,
+      s"nearDupClusters did not converge within $maxIter rounds")
     // the final labels are eagerly checkpointed, so the edge cache is no
     // longer reachable; free it now. The final labels' checkpoint storage
     // is deliberately NOT scoped for release: the frame is lineage-

@@ -56,6 +56,36 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("connected components match driver-side union-find on random graphs") {
+    val s = spark
+    import s.implicits._
+    for (seed <- Seq(5L, 42L)) {
+      val rnd = new scala.util.Random(seed)
+      val nodes = 60
+      val pairs = Seq.fill(50) {
+        val a = rnd.nextInt(nodes).toLong; val b = rnd.nextInt(nodes).toLong
+        (math.min(a, b), math.max(a, b))
+      }.filter(p => p._1 != p._2).distinct
+      // reference: plain union-find on the driver
+      val parent = Array.tabulate(nodes)(identity)
+      def find(x: Int): Int = { var r = x; while (parent(r) != r) r = parent(r); r }
+      pairs.foreach { case (a, b) =>
+        val (ra, rb) = (find(a.toInt), find(b.toInt))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      val expected = pairs.flatMap(p => Seq(p._1, p._2)).distinct
+        .map(n => n -> find(n.toInt).toLong).toMap
+      val got = graft.operators.Dedup.nearDupClusters(pairs.toDF("doc_a", "doc_b"))
+        .collect().map(r => r.getAs[Long]("doc") -> r.getAs[Long]("cluster")).toMap
+      // union-find roots are not necessarily component minima; normalize both
+      def canon(m: Map[Long, Long]): Map[Long, Long] = {
+        val byComp = m.groupBy(_._2).values
+        byComp.flatMap(g => { val mn = g.keys.min; g.keys.map(_ -> mn) }).toMap
+      }
+      assert(canon(got) === canon(expected), s"seed=$seed")
+    }
+  }
+
   test("int8 quantization: reconstruction error <= scale/2 on random vectors") {
     val s = spark
     import s.implicits._
