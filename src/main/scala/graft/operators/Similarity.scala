@@ -117,25 +117,53 @@ object Similarity {
       .setFeaturesCol("features")
       .fit(c.withColumn("features", array_to_vector(col("_cv"))))
     val centers = model.clusterCenters.map(_.toArray)
-    new IvfIndex(c, centers, idCol, vecCol, cache)
+    val assigned = c.withColumn("cell",
+      array_max(ivfCellScores(centers)(col("_cv"))).getField("cell"))
+    new IvfIndex(if (cache) assigned.persist() else assigned, centers, idCol, vecCol)
   }
 
-  class IvfIndex private[operators] (
-      c: DataFrame, centers: Array[Array[Double]], idCol: String, vecCol: String,
-      cache: Boolean = true) {
+  /** Re-open a saved IVF index ([[IvfIndex.save]]): the inverted file is
+    * read lazily (cell-partition pruning applies at query time), only the
+    * small centroid matrix is collected.
+    */
+  def loadIvf(spark: org.apache.spark.sql.SparkSession, dir: String,
+              idCol: String = "vec_id", vecCol: String = "embedding",
+              cache: Boolean = true): IvfIndex = {
+    val centers = spark.read.parquet(s"$dir/centroids").orderBy("cell").collect()
+      .map(_.getAs[scala.collection.Seq[Double]]("centroid").toArray)
+    val cells = spark.read.parquet(s"$dir/cells")
+    new IvfIndex(if (cache) cells.persist() else cells, centers, idCol, vecCol)
+  }
 
-    private def cellScores(vec: Column): Column = array(centers.zipWithIndex.map { case (ctr, i) =>
+  /** Per-cell scores monotone in negative squared distance:
+    * 2*c·x − ||c||² (argmax = nearest centroid).
+    */
+  private def ivfCellScores(centers: Array[Array[Double]])(vec: Column): Column =
+    array(centers.zipWithIndex.map { case (ctr, i) =>
       val cNorm2 = ctr.map(x => x * x).sum
       struct((dot(vec, array(ctr.map(lit(_)): _*)) * 2 - cNorm2).as("score"),
         lit(i).as("cell"))
     }: _*)
 
-    /** Corpus bucketed by nearest centroid — the inverted file (persisted
-      * only for the build-once/query-many lifecycle).
+  class IvfIndex private[operators] (
+      /** Corpus bucketed by nearest centroid — the inverted file. */
+      val cells: DataFrame,
+      private[operators] val centers: Array[Array[Double]],
+      idCol: String, vecCol: String) {
+
+    private def cellScores(vec: Column): Column = ivfCellScores(centers)(vec)
+
+    /** Persist the index: the inverted file partitioned BY CELL — at scale
+      * a probe's scan touches only its nProbe cell directories (partition
+      * pruning), never the full corpus — plus the centroid matrix.
       */
-    val cells: DataFrame = {
-      val b = c.withColumn("cell", array_max(cellScores(col("_cv"))).getField("cell"))
-      if (cache) b.persist() else b
+    def save(dir: String): Unit = {
+      cells.write.mode("overwrite").partitionBy("cell").parquet(s"$dir/cells")
+      val spark = cells.sparkSession
+      import spark.implicits._
+      centers.zipWithIndex.map { case (c, i) => (i, c.toSeq) }.toSeq
+        .toDF("cell", "centroid")
+        .coalesce(1).write.mode("overwrite").parquet(s"$dir/centroids")
     }
 
     def topK(probes: DataFrame, k: Int, nProbe: Int = 4): DataFrame = {

@@ -205,6 +205,19 @@ class OperatorsSpec extends SparkSpec {
     assert(recall >= 0.5, s"recall $recall")
   }
 
+  test("IVF index round-trips through save/load with identical results") {
+    val emb = graft.core.Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val probes = emb.filter(col("vec_id") < 5)
+    val idx = Similarity.buildIvf(emb, cache = false)
+    val dir = java.nio.file.Files.createTempDirectory("graft-ivf").toString
+    idx.save(dir)
+    val loaded = Similarity.loadIvf(spark, dir, cache = false)
+    def results(i: Similarity.IvfIndex) = i.topK(probes, 3).collect()
+      .map(r => (r.getAs[Long]("probe_id"), r.getAs[Int]("rank")) ->
+        (r.getAs[Long]("neighbor_id"), r.getAs[Double]("cosine"))).toMap
+    assert(results(loaded) === results(idx))
+  }
+
   test("native dot product expression matches the builtin HOF formulation bitwise") {
     val emb = graft.core.Tables.embeddings(spark, "/root/testdata/sf0.001")
       .select(col("vec_id"), transform(col("embedding"), x => x.cast("double")).as("e"))
