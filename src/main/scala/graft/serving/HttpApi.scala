@@ -62,7 +62,10 @@ class HttpApi(
       val path = ex.getRequestURI.getPath
       val q = parseQuery(Option(ex.getRequestURI.getQuery).getOrElse(""))
       val result: Either[String, String] = path match {
-        case "/api" => Right(JsonOut.obj(statusFn()))
+        // root shape mirrors serve.py's `{'name', 'status'}` report
+        case "/api" => Right(JsonOut.obj(
+          Map("name" -> "graft plug & play", "status" -> statusFn()),
+          Seq("name", "status")))
         case "/api/podping/history/counts" => podpingCounts(q)
         case "/api/podping/feeds/latest" => podpingLatest(q)
         case "/api/polls/active" => pollsActive(q)
