@@ -346,6 +346,26 @@ object SparkEntry {
              |JOIN orders ON o_custkey = c_custkey
              |GROUP BY r_name, n_name ORDER BY r_name, n_name""".stripMargin)),
 
+    // ---- corpus bigram counts (n-gram statistics over the corpus)
+    Q("x2_bigram_counts",
+      (s, d) => Tables.documents(s, d)
+        .select(col("doc_id"), TextAnalysis.tokens(lower(col("text"))).as("_t"))
+        .filter(size(col("_t")) >= 2)
+        .select(explode(transform(
+          sequence(lit(0), size(col("_t")) - 2),
+          i => concat_ws(" ", element_at(col("_t"), i + 1),
+            element_at(col("_t"), i + 2)))).as("bigram"))
+        .groupBy(col("bigram")).agg(count(lit(1)).as("cnt"))
+        .orderBy(col("cnt").desc, col("bigram")).limit(50),
+      Some("""WITH toks AS (
+             |  SELECT list_filter(string_split(lower(text), ' '), x -> x <> '') AS t
+             |  FROM documents),
+             |bg AS (SELECT concat_ws(' ', t[i], t[i+1]) AS bigram
+             |       FROM (SELECT t, unnest(range(1, len(t))) AS i FROM toks)
+             |       WHERE len(t) >= 2)
+             |SELECT bigram, CAST(count(*) AS BIGINT) AS cnt
+             |FROM bg GROUP BY 1 ORDER BY cnt DESC, bigram LIMIT 50""".stripMargin)),
+
     // ---- explode (json_array_elements_text / FOREACH shape)
     Q("x1_explode_words",
       (s, d) => Tables.documents(s, d)
@@ -840,6 +860,28 @@ object SparkEntry {
       (s, d) => Dedup.ngramJaccardPairs(Tables.documents(s, d), "text", "doc_id", 3, 0.8)
         .orderBy(col("doc_a"), col("doc_b")),
       Some(jaccardOracleSql)),
+
+    // asymmetric containment (near-subset detection — low-Jaccard
+    // boilerplate wrappers that symmetric thresholds miss)
+    Q("dedup_containment",
+      (s, d) => Dedup.containmentPairs(Tables.documents(s, d), "text", "doc_id", 3, 0.6)
+        .orderBy(col("doc_a"), col("doc_b")),
+      Some("""WITH toks AS (
+             |  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS t
+             |  FROM documents),
+             |sh AS (SELECT DISTINCT doc_id, concat_ws(' ', t[i], t[i+1], t[i+2]) AS s
+             |       FROM (SELECT doc_id, t, unnest(range(1, len(t) - 1)) AS i FROM toks)
+             |       WHERE len(t) >= 3),
+             |sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+             |inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i
+             |          FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+             |          GROUP BY 1, 2)
+             |SELECT doc_a, doc_b,
+             |       round(i * 1.0 / x.n, 6) AS c_ab,
+             |       round(i * 1.0 / y.n, 6) AS c_ba
+             |FROM inter JOIN sz x ON x.doc_id = doc_a JOIN sz y ON y.doc_id = doc_b
+             |WHERE round(i * 1.0 / x.n, 6) >= 0.6 OR round(i * 1.0 / y.n, 6) >= 0.6
+             |ORDER BY doc_a, doc_b""".stripMargin)),
 
     // MinHash+LSH candidates, exactly verified — oracle is the exact-Jaccard
     // pair set (LSH recall at j>=0.8 with 128 perms / 32 bands is ~1).

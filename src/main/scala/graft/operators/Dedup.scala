@@ -76,6 +76,31 @@ object Dedup {
       .select("doc_a", "doc_b", "jaccard")
   }
 
+  /** Asymmetric containment pairs (Broder): |A∩B| / |A| >= threshold
+    * flags A as a near-SUBSET of B — catches boilerplate wrappers and
+    * quote-expansions that symmetric Jaccard misses (a small doc embedded
+    * in a big one has low Jaccard but high containment). Same
+    * shuffle-on-shingle candidate join as Jaccard; only the denominator
+    * differs, so both directions come from one intersection pass.
+    */
+  def containmentPairs(df: DataFrame, textCol: String, idCol: String,
+                       w: Int = 3, threshold: Double = 0.8): DataFrame = {
+    val sh = graft.core.CacheScope.cached(shingles(df, textCol, idCol, w))
+    val sizes = sh.groupBy(col("doc")).agg(count(lit(1)).as("n"))
+    val inter = sh.as("a")
+      .join(sh.as("b"),
+        col("a.shingle") === col("b.shingle") && col("a.doc") < col("b.doc"))
+      .groupBy(col("a.doc").as("doc_a"), col("b.doc").as("doc_b"))
+      .agg(count(lit(1)).as("i"))
+    inter
+      .join(sizes.select(col("doc").as("doc_a"), col("n").as("na")), Seq("doc_a"))
+      .join(sizes.select(col("doc").as("doc_b"), col("n").as("nb")), Seq("doc_b"))
+      .withColumn("c_ab", round(col("i").cast("double") / col("na"), 6))
+      .withColumn("c_ba", round(col("i").cast("double") / col("nb"), 6))
+      .filter(col("c_ab") >= threshold || col("c_ba") >= threshold)
+      .select("doc_a", "doc_b", "c_ab", "c_ba")
+  }
+
   // ---------------------------------------------------------------- minhash
 
   /** Deterministic shingle hash. xxhash64 is a codegen'd builtin, ~10x

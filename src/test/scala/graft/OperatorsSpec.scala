@@ -91,6 +91,22 @@ class OperatorsSpec extends SparkSpec {
     assert(r === Map(1L -> "es", 2L -> "fr", 3L -> "es", 4L -> "und"))
   }
 
+  test("containment flags a near-subset that symmetric jaccard misses") {
+    val s = spark
+    import s.implicits._
+    val d = Seq(
+      (1L, "alpha beta gamma delta epsilon"), // 3 shingles, all inside doc 2
+      (2L, "alpha beta gamma delta epsilon zeta eta theta iota kappa " +
+        "lambda mu nu xi omicron pi rho sigma tau upsilon")
+    ).toDF("doc_id", "text")
+    val cont = Dedup.containmentPairs(d, "text", "doc_id", 3, 0.9).collect()
+    assert(cont.length === 1)
+    assert(cont.head.getAs[Double]("c_ab") === 1.0) // doc 1 fully contained
+    assert(cont.head.getAs[Double]("c_ba") < 0.5)
+    // symmetric jaccard at the same bar finds nothing
+    assert(Dedup.ngramJaccardPairs(d, "text", "doc_id", 3, 0.9).count() === 0)
+  }
+
   test("int8 quantization: dequantized error bounded by scale/2 per component") {
     val s = spark
     import s.implicits._
