@@ -135,6 +135,18 @@ object TextAnalysis {
         col("tfidf"), col("rank").cast("int").as("rank"))
   }
 
+  /** Sketch-based distinct counts per group (HyperLogLog++, SURVEY §4):
+    * the opt-in replacement for exact `countDistinct` at 100 TB — one
+    * fixed-size sketch per group instead of the exact two-phase expand,
+    * with relative error `rsd`. No external-engine oracle exists for the
+    * sketch (algorithm-specific), so correctness is bounded-error
+    * unit-tested against the exact count.
+    */
+  def approxDistinctPerGroup(df: DataFrame, groupCol: String, valueCol: String,
+                             rsd: Double = 0.05): DataFrame =
+    df.groupBy(col(groupCol))
+      .agg(approx_count_distinct(col(valueCol), rsd).as("approx_distinct"))
+
   /** Token-budget document packing (training-batch construction): walk
     * documents in a deterministic order, accumulate token counts, and
     * assign each document to the bin its *starting* offset falls in —

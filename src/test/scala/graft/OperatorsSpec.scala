@@ -178,6 +178,20 @@ class OperatorsSpec extends SparkSpec {
     assert(r(2L) === (Seq("x", "y"), 2L))
   }
 
+  test("approx distinct per group stays within the sketch's error bound") {
+    val events = graft.core.Tables.events(spark, "/root/testdata/sf0.001")
+    val exact = events.groupBy(col("event_type"))
+      .agg(countDistinct(col("user_id")).as("n")).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val approx = TextAnalysis.approxDistinctPerGroup(events, "event_type", "user_id", 0.05)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(approx.keySet === exact.keySet)
+    approx.foreach { case (k, a) =>
+      val e = exact(k)
+      assert(math.abs(a - e) <= math.max(3.0, 4 * 0.05 * e), s"$k: approx=$a exact=$e")
+    }
+  }
+
   test("quality: ratios and score are deterministic and bounded") {
     val r = TextAnalysis.quality(docs).collect()
     r.foreach { row =>
