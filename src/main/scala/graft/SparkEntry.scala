@@ -984,16 +984,22 @@ object SparkEntry {
       None), // IVF ANN — recall-traded; checked by unit test vs brute force
 
     // ---- embedding quantization (storage compression for ANN corpora)
+    // Terminal projection is scalar-only: the driver's gate cannot sort
+    // array columns, so the int8 vector rides as a canonical CSV string
+    // on BOTH sides (same move as the round-1 decimal canonicalization).
     Q("emb_quantize_int8",
       (s, d) => operators.Embeddings.quantizeInt8(Tables.embeddings(s, d))
+        .select(col("vec_id"), col("scale"),
+          array_join(transform(col("quantized"), _.cast("string")), ",")
+            .as("quantized"))
         .orderBy(col("vec_id")),
       Some("""WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
              |s AS (SELECT vec_id, e,
-             |        list_max(list_transform(e, x -> abs(x))) / 127.0 AS scale
+             |        round(list_max(list_transform(e, x -> abs(x))) / 127.0, 6) AS scale
              |      FROM v)
-             |SELECT vec_id, round(scale, 6) AS scale,
-             |  CASE WHEN scale = 0 THEN list_transform(e, x -> 0)
-             |       ELSE list_transform(e, x -> CAST(round(x / scale, 0) AS INTEGER))
+             |SELECT vec_id, scale,
+             |  CASE WHEN scale = 0 THEN array_to_string(list_transform(e, x -> 0), ',')
+             |       ELSE array_to_string(list_transform(e, x -> CAST(round(x / scale, 0) AS INTEGER)), ',')
              |  END AS quantized
              |FROM s ORDER BY vec_id""".stripMargin)),
 
@@ -1054,12 +1060,16 @@ object SparkEntry {
              |FROM c ORDER BY doc_id""".stripMargin)),
 
     // ---- per-key ordered sequence construction (sequence-model rows)
+    // Scalar-only terminal projection (driver gate cannot sort arrays):
+    // the sequence rides as a canonical CSV string on both sides.
     Q("seq_user_events",
       (s, d) => operators.Sequences.orderedSequences(
         ev(s, d), "user_id", "event_id", "event_type", maxLen = 10)
+        .select(col("user_id"), concat_ws(",", col("seq")).as("seq"),
+          col("n_events"))
         .orderBy(col("user_id")),
       Some("""SELECT user_id,
-             |       (list(event_type ORDER BY event_id))[1:10] AS seq,
+             |       array_to_string((list(event_type ORDER BY event_id))[1:10], ',') AS seq,
              |       CAST(count(*) AS BIGINT) AS n_events
              |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin)),
 

@@ -26,10 +26,15 @@ object Embeddings {
   def quantizeInt8(emb: DataFrame, idCol: String = "vec_id",
                    vecCol: String = "embedding"): DataFrame = {
     val v = asDouble(col(vecCol))
-    val scale = aggregate(v, lit(0.0), (acc, x) => greatest(acc, abs(x))) / 127.0
+    // Quantize with the SAME rounded scale that is emitted, so decode
+    // (q * scale) reconstructs within the documented scale/2 bound —
+    // encoding with an unrounded scale while reporting the rounded one
+    // would add a systematic bias for large-magnitude components.
+    val scale = round(
+      aggregate(v, lit(0.0), (acc, x) => greatest(acc, abs(x))) / 127.0, 6)
     emb.select(
       col(idCol),
-      round(scale, 6).as("scale"),
+      scale.as("scale"),
       when(scale === 0.0, transform(v, _ => lit(0)))
         .otherwise(transform(v, x => round(x / scale, 0).cast("int")))
         .as("quantized"))
