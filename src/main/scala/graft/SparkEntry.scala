@@ -1046,8 +1046,12 @@ object SparkEntry {
              |FROM r WHERE rank <= 3 ORDER BY doc, rank""".stripMargin)),
 
     // ---- token-budget document packing (training-batch construction)
+    // shardSize=64 exercises the sharded two-pass prefix sum (multiple
+    // shards even at sf0.01); the result is shard-size-invariant, so the
+    // oracle's single global cumsum is unchanged.
     Q("pack_token_budget",
-      (s, d) => TextAnalysis.packByTokenBudget(Tables.documents(s, d), 1000)
+      (s, d) => TextAnalysis.packByTokenBudget(Tables.documents(s, d), 1000,
+        shardSize = 64)
         .orderBy(col("doc_id")),
       Some("""WITH d AS (
              |  SELECT doc_id,

@@ -117,7 +117,10 @@ object TextAnalysis {
   def tfidfTopTerms(docs: DataFrame, k: Int = 3,
                     textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val n = docs.count()
+    // Corpus size N rides in the plan as a single-row scalar aggregate
+    // cross-joined in (BroadcastNestedLoopJoin of one row) — no separate
+    // driver-side count() job / extra scan per call.
+    val nDf = docs.select(count(lit(1)).cast("double").as("_n"))
     val terms = docs
       .select(col(idCol).as("doc"), explode(tokens(lower(col(textCol)))).as("term"))
     val tf = terms.groupBy(col("doc"), col("term")).agg(count(lit(1)).as("tf"))
@@ -128,7 +131,8 @@ object TextAnalysis {
     // no broadcast hint: a web-scale vocabulary outgrows an executor; the
     // size-based planner broadcasts the dictionary while it fits
     tf.join(df_, "term")
-      .withColumn("tfidf", round(col("tf") * log(lit(n.toDouble) / col("df")), 6))
+      .crossJoin(nDf)
+      .withColumn("tfidf", round(col("tf") * log(col("_n") / col("df")), 6))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select(col("doc"), col("term"), col("tf"), col("df"),
@@ -148,21 +152,48 @@ object TextAnalysis {
       .agg(approx_count_distinct(col(valueCol), rsd).as("approx_distinct"))
 
   /** Token-budget document packing (training-batch construction): walk
-    * documents in a deterministic order, accumulate token counts, and
-    * assign each document to the bin its *starting* offset falls in —
-    * the prefix-sum formulation of greedy sequential packing. One window
-    * cumsum — no driver loop; at scale the window can be keyed by a
-    * shard column to bound partition width.
+    * documents in id order, accumulate token counts, and assign each
+    * document to the bin its *starting* offset falls in — the prefix-sum
+    * formulation of greedy sequential packing.
+    *
+    * The global prefix sum is computed in two passes so no stage funnels
+    * the corpus through one task: (1) per-shard token totals (shard =
+    * `idCol DIV shardSize`, monotone in id) are aggregated and collected —
+    * one row per shard, the same bounded driver collect
+    * `RDD.zipWithIndex` performs for per-partition counts; (2) a window
+    * cumsum PARTITIONED BY shard plus the broadcast per-shard offset
+    * reconstructs the exact global prefix sum. Results are independent of
+    * `shardSize` (unit-tested); partition width is bounded by it.
+    *
+    * Pass 1 makes the operator eager (it runs one aggregation job at call
+    * time), which is the standard cost of distributed prefix sums.
     */
   def packByTokenBudget(docs: DataFrame, budget: Long,
-                        textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+                        textCol: String = "text", idCol: String = "doc_id",
+                        shardSize: Long = 1L << 16): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val w = Window.orderBy(col(idCol))
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    docs
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val withTok = docs
       .withColumn("n_tokens", size(tokens(col(textCol))).cast("long"))
+      .withColumn("_shard", expr(s"CAST($idCol AS BIGINT) DIV $shardSize"))
+    val shardTotals = withTok.groupBy(col("_shard"))
+      .agg(sum(col("n_tokens")).as("_t"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
+    val offsets = {
+      var acc = 0L
+      shardTotals.map { case (s, t) => val o = acc; acc += t; (s, o) }.toSeq
+    }
+    // LocalRelation of one row per shard — the size-based planner
+    // broadcasts it; no hint needed.
+    val offsetsDf = offsets.toDF("_shard", "_offset")
+    val w = Window.partitionBy(col("_shard")).orderBy(col(idCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    withTok
       .withColumn("_cum", sum(col("n_tokens")).over(w))
-      .withColumn("bin", expr(s"CAST((_cum - n_tokens) DIV $budget AS BIGINT)"))
+      .join(offsetsDf, Seq("_shard"))
+      .withColumn("bin",
+        expr(s"CAST((_offset + _cum - n_tokens) DIV $budget AS BIGINT)"))
       .select(col(idCol), col("n_tokens"), col("bin"))
   }
 }

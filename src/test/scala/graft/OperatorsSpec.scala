@@ -166,6 +166,16 @@ class OperatorsSpec extends SparkSpec {
     }
   }
 
+  test("token-budget packing: bins identical for any shard size (exact global prefix sum)") {
+    def bins(shardSize: Long): Seq[(Long, Long, Long)] =
+      TextAnalysis.packByTokenBudget(docs, 20, shardSize = shardSize)
+        .orderBy(col("doc_id")).collect()
+        .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("n_tokens"),
+          r.getAs[Long]("bin"))).toSeq
+    val base = bins(1L << 16) // single shard at this size
+    Seq(1L, 3L, 7L).foreach(ss => assert(bins(ss) === base, s"shardSize=$ss"))
+  }
+
   test("ordered sequences: per-key arrays follow the order column, capped") {
     val s = spark
     import s.implicits._

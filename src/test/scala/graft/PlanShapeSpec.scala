@@ -58,6 +58,15 @@ class PlanShapeSpec extends SparkSpec {
     assert(!s.contains("Exchange hashpartitioning"), "sampling must not shuffle")
   }
 
+  test("pack: prefix sum is sharded — window keyed by shard, no single-partition funnel") {
+    val p = plan("pack_token_budget")
+    assert(p.contains("Window"))
+    assert(p.contains("hashpartitioning(_shard"),
+      "window cumsum must be partitioned by the shard key")
+    assert(!p.contains("Exchange SinglePartition"),
+      "an unpartitioned window would funnel the whole corpus through one task")
+  }
+
   test("quantize/pack/sequences: no shuffle beyond the declared aggregations") {
     // quantization is map-side only: no exchange at all
     assert(!plan("emb_quantize_int8").contains("Exchange hashpartitioning"))
