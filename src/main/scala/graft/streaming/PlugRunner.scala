@@ -260,14 +260,22 @@ object PlugState {
   * version N twice (failure replay) simply rewrites the same directory.
   */
 class ParquetStateStore(spark: SparkSession, dir: String) {
+  import org.apache.hadoop.fs.Path
+
+  // Hadoop FS throughout, for the same reason streamOrigin is (see its
+  // scaladoc): `dir` is any Hadoop path (file:, hdfs:, s3a:, ...). With
+  // java.io.File a non-local checkpoint would list zero versions, so
+  // readBefore() yields None and merge tables are silently rebuilt from
+  // scratch every batch while prune never deletes anything.
+  private val root = new Path(dir)
+  private def fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
 
   private def versions: Seq[Long] = {
-    val d = new java.io.File(dir)
-    if (!d.exists()) Seq.empty
-    else d.listFiles().toSeq
-      .filter(f => f.isDirectory && f.getName.startsWith("v="))
-      .map(_.getName.stripPrefix("v=").toLong)
-      .filter(v => new java.io.File(d, s"v=$v/_SUCCESS").exists())
+    if (!fs.exists(root)) Seq.empty
+    else fs.listStatus(root).toSeq
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith("v="))
+      .map(_.getPath.getName.stripPrefix("v=").toLong)
+      .filter(v => fs.exists(new Path(root, s"v=$v/_SUCCESS")))
       .sorted
   }
 
@@ -286,11 +294,7 @@ class ParquetStateStore(spark: SparkSession, dir: String) {
     * (old versions only exist to serve replay of *their* batch; once the
     * stream is `keepLast` batches past them they are unreachable).
     */
-  def prune(keepLast: Int = 2): Unit = {
-    def rm(f: java.io.File): Unit = {
-      if (f.isDirectory) f.listFiles().foreach(rm)
-      f.delete(): Unit
-    }
-    versions.dropRight(keepLast).foreach(v => rm(new java.io.File(dir, s"v=$v")))
-  }
+  def prune(keepLast: Int = 2): Unit =
+    versions.dropRight(keepLast)
+      .foreach(v => fs.delete(new Path(root, s"v=$v"), true))
 }

@@ -124,8 +124,11 @@ class StreamingSpec extends SparkSpec {
     assert(status("status") === "BAD") // no live stream progress tracked
   }
 
-  test("state store prune keeps the newest versions only") {
-    val dir = tmp()
+  test("state store prune keeps the newest versions only (URI-scheme dir)") {
+    // file:-scheme URI, not a bare local path: version listing and prune
+    // must go through Hadoop FS — java.io.File would silently list zero
+    // versions here and rebuild merge state from scratch every batch
+    val dir = s"file:${tmp()}"
     val store = new graft.streaming.ParquetStateStore(spark, dir)
     val df = spark.range(3).toDF("x")
     (0L to 4L).foreach(store.commit(_, df))
