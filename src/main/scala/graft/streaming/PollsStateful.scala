@@ -13,9 +13,12 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   * batch-merge form (PollsStreaming) isn't enough (e.g. continuous update
   * emission of live tallies).
   *
-  * State per poll: the winning create (first in chain order) + one vote
-  * per account (latest answer wins within validity). Each trigger emits
-  * the poll's refreshed per-answer distinct-voter tallies (Update mode).
+  * State per poll: the winning create (first in chain order) + the set of
+  * distinct (account, answer) votes within validity — the SAME tally
+  * semantics as the batch formulation ([[graft.serving.PollsQueries
+  * .pollSummary]], reference polls.py:59-73): an account that votes two
+  * different answers appears in both tallies. Each trigger emits the
+  * poll's refreshed per-answer distinct-voter tallies (Update mode).
   */
 object PollsStateful {
 
@@ -27,7 +30,7 @@ object PollsStateful {
 
   case class PollState(created: Timestamp, answers: Seq[String],
                        expires: Option[Timestamp], deleted: Boolean,
-                       votes: Map[String, Int])
+                       votes: Map[String, Seq[Int]])
 
   case class Tally(author: String, permlink: String, parsed_answer: String,
                    votes: Long)
@@ -39,14 +42,12 @@ object PollsStateful {
   def toPollOps(raw: DataFrame): Dataset[PollOp] = {
     val env = OpLog.parseEnvelope(Polls.filter(raw))
       .filter(col("op_id") === Polls.opId)
-    val (header, opType, payload) = OpLog.cjosColumns(col("op_payload"))
     val signer = coalesce(
       try_element_at(col("req_posting_auths"), lit(1)),
       try_element_at(col("req_auths"), lit(1)))
-    val cjos = env
-      .withColumn("_op_header", header)
-      .withColumn("_t", opType)
-      .withColumn("_p", payload)
+    val cjos = OpLog.withCjosColumns(env)
+      .withColumn("_t", col("op_type"))
+      .withColumn("_p", col("_payload"))
       .withColumn("_signer", signer)
     val spark = raw.sparkSession
     import spark.implicits._
@@ -84,7 +85,12 @@ object PollsStateful {
             val idx = op.answer.getOrElse(-1)
             if (!st.deleted && !op.created.after(validUntil) &&
                 idx >= 1 && idx <= st.answers.size) {
-              s = Some(st.copy(votes = st.votes + (op.account -> idx)))
+              // distinct (account, answer): re-votes for the same answer
+              // are no-ops, a different answer ADDS a tally membership —
+              // matching pollSummary's countDistinct(account) per answer
+              val prior = st.votes.getOrElse(op.account, Seq.empty)
+              if (!prior.contains(idx))
+                s = Some(st.copy(votes = st.votes + (op.account -> (prior :+ idx))))
             }
           }
         case "delete" =>
@@ -98,11 +104,13 @@ object PollsStateful {
     }
     val tallies = s match {
       case Some(st) if !st.deleted =>
-        st.votes.groupBy(_._2).toSeq.map { case (idx, m) =>
-          (st.answers(idx - 1), m.size.toLong)
-        }.sortBy(_._1).map { case (ans, n) =>
-          Tally(ops.head.author, ops.head.permlink, ans, n)
-        }
+        st.votes.toSeq
+          .flatMap { case (account, idxs) => idxs.map(_ -> account) }
+          .groupBy(_._1).toSeq.map { case (idx, m) =>
+            (st.answers(idx - 1), m.map(_._2).distinct.size.toLong)
+          }.sortBy(_._1).map { case (ans, n) =>
+            Tally(ops.head.author, ops.head.permlink, ans, n)
+          }
       case _ => Seq.empty
     }
     (s, tallies)

@@ -46,8 +46,10 @@ class PollsStatefulSpec extends SparkSpec {
     }
     assert(emitted() === Set(("red", 1L)))
 
-    // batch 2: carol votes blue, bob CHANGES his vote to blue, dave votes
-    // out-of-range (dropped), eve votes after expiry (dropped)
+    // batch 2: carol votes blue, bob ALSO votes blue (he voted red in
+    // batch 1 — distinct-answer semantics keep him in both tallies, like
+    // the batch pollSummary), dave votes out-of-range (dropped), eve
+    // votes after expiry (dropped)
     opLog(spark, Seq(
       op(3, 200, 0, "2024-01-02 00:00:00", "polls",
         pollVote("alice", "p", 2), postingAuth = "carol"),
@@ -59,8 +61,33 @@ class PollsStatefulSpec extends SparkSpec {
         pollVote("alice", "p", 1), postingAuth = "eve")))
       .write.mode("append").parquet(s"$src/b2")
     run()
-    // latest emission for the poll: bob+carol on blue, nobody left on red
-    assert(emitted() === Set(("blue", 2L)))
+    // latest emission: bob counted once per DISTINCT answer he voted
+    assert(emitted() === Set(("red", 1L), ("blue", 2L)))
+  }
+
+  test("stateful tallies agree with the batch pollSummary when an account votes two answers") {
+    val rows = Seq(
+      op(1, 100, 0, "2024-01-01 00:00:00", "polls",
+        pollCreate("p", "Q?", Seq("red", "blue"), "2024-06-01 00:00:00", "t"),
+        postingAuth = "alice"),
+      op(2, 101, 0, "2024-01-01 01:00:00", "polls",
+        pollVote("alice", "p", 1), postingAuth = "bob"),
+      op(3, 102, 0, "2024-01-01 02:00:00", "polls",
+        pollVote("alice", "p", 2), postingAuth = "bob"), // second answer
+      op(4, 102, 1, "2024-01-01 02:00:10", "polls",
+        pollVote("alice", "p", 1), postingAuth = "bob"), // re-vote, no-op
+      op(5, 103, 0, "2024-01-01 03:00:00", "polls",
+        pollVote("alice", "p", 2), postingAuth = "carol"))
+    val raw = opLog(spark, rows)
+    val tables = graft.plugs.Polls.transform(raw)
+    val batch = graft.serving.PollsQueries
+      .pollSummary(tables("content"), tables("votes")).collect()
+      .map(r => (r.getAs[String]("author"), r.getAs[String]("permlink"),
+        r.getAs[String]("parsed_answer"), r.getAs[Long]("votes"))).toSet
+    val stateful = PollsStateful.tallies(PollsStateful.toPollOps(raw)).collect()
+      .map(t => (t.author, t.permlink, t.parsed_answer, t.votes)).toSet
+    assert(batch === Set(("alice", "p", "red", 1L), ("alice", "p", "blue", 2L)))
+    assert(stateful === batch)
   }
 
   test("applyOps unit semantics: first create wins, delete guard honored") {
