@@ -981,7 +981,10 @@ object SparkEntry {
         ivfIndex(s, d).topK(emb.filter(col("vec_id") < 10), 5)
           .orderBy(col("probe_id"), col("rank"))
       },
-      None), // IVF ANN — recall-traded; checked by unit test vs brute force
+      // full oracle exists, but is PER-DATASET (embeds the trained
+      // centroid matrix as literals): generated by [[dynamicOracleSql]]
+      // at Verify time, from the same memoized index this query used
+      None),
 
     // ---- embedding quantization (storage compression for ANN corpora)
     // Terminal projection is scalar-only: the driver's gate cannot sort
@@ -1283,6 +1286,53 @@ object SparkEntry {
        |SELECT probe_id, neighbor_id, round(cos, 6) AS cosine, CAST(rank AS INT) AS rank
        |FROM r WHERE rank <= 5 ORDER BY probe_id, rank""".stripMargin
   }
+
+  /** IVF-flat ANN oracle, the sign-LSH pattern extended to TRAINED
+    * structures: the fixed-seed KMeans centroids are embedded as literals
+    * (each with its Scala-computed ||c||² so both engines compare the
+    * exact same scores), and the SQL replicates cell assignment (argmax
+    * with Spark's larger-cell tiebreak = score DESC, cell DESC), the
+    * probe's nProbe-cell expansion (same ranking, rn <= nProbe), exact
+    * cosine within candidate cells, and the per-probe top-k. Generated at
+    * Verify time from the same memoized index the gate query ran on, so
+    * the literals always match the dumped parquet — [[dynamicOracleSql]].
+    */
+  private def ivfOracleSql(s: SparkSession, d: String): String = {
+    val centers = ivfIndex(s, d).centers
+    val nProbe = 4
+    val arms = centers.zipWithIndex.map { case (c, i) =>
+      val vecLit = c.mkString("[", ", ", "]")
+      val cNorm2 = c.map(x => x * x).sum
+      s"SELECT vec_id, e, $i AS cell, 2 * list_dot_product(e, $vecLit) - $cNorm2 AS score FROM v"
+    }.mkString("\nUNION ALL\n")
+    s"""WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+       |cs AS ($arms),
+       |r AS (SELECT vec_id, e, cell, score,
+       |        row_number() OVER (PARTITION BY vec_id ORDER BY score DESC, cell DESC) AS rn
+       |      FROM cs),
+       |cells AS (SELECT vec_id, e, cell FROM r WHERE rn = 1),
+       |pc AS (SELECT vec_id, e, cell FROM r WHERE rn <= $nProbe AND vec_id < 10),
+       |cand AS (SELECT p.vec_id AS probe_id, p.e AS pe, c.vec_id AS neighbor_id, c.e AS ce
+       |         FROM pc p JOIN cells c ON p.cell = c.cell AND c.vec_id <> p.vec_id),
+       |sc AS (SELECT probe_id, neighbor_id,
+       |         list_dot_product(pe, ce) /
+       |           (sqrt(list_dot_product(pe, pe)) * sqrt(list_dot_product(ce, ce))) AS cos
+       |       FROM cand),
+       |rk AS (SELECT probe_id, neighbor_id, cos,
+       |         row_number() OVER (PARTITION BY probe_id ORDER BY cos DESC, neighbor_id) AS rank
+       |       FROM sc)
+       |SELECT probe_id, neighbor_id, round(cos, 6) AS cosine, CAST(rank AS INT) AS rank
+       |FROM rk WHERE rank <= 5 ORDER BY probe_id, rank""".stripMargin
+  }
+
+  /** Oracle SQL that can only be generated against a LIVE dataset (it
+    * embeds trained model parameters as literals). Verify merges these
+    * into the oracle_sql.json dump after running the queries, so the
+    * literals come from the very same memoized structures the dumped
+    * results were computed with.
+    */
+  def dynamicOracleSql(s: SparkSession, d: String): Map[String, String] =
+    Map("sim_ivf_topk" -> ivfOracleSql(s, d))
 
   private lazy val jaccardOracleSql: String =
     """WITH toks AS (

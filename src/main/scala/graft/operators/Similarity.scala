@@ -148,7 +148,8 @@ object Similarity {
   class IvfIndex private[operators] (
       /** Corpus bucketed by nearest centroid — the inverted file. */
       val cells: DataFrame,
-      private[operators] val centers: Array[Array[Double]],
+      /** Trained centroid matrix (public: oracle generation embeds it). */
+      val centers: Array[Array[Double]],
       idCol: String, vecCol: String) {
 
     private def cellScores(vec: Column): Column = ivfCellScores(centers)(vec)
