@@ -139,6 +139,55 @@ class StreamingSpec extends SparkSpec {
     assert(store.readBefore(3L).isEmpty)   // v<=2 pruned
   }
 
+  test("supervisor relaunches a dead stream and the cursor advances") {
+    val src = tmp(); val out = tmp(); val ckpt = tmp()
+    writeBatch(src, 1, Seq(
+      op(1, 100, 0, "2024-01-01 00:00:00", "podping", podpingV03(Seq("u1")))))
+    val runner = new PlugRunner(Podping, out)
+    val sup = new graft.streaming.PlugSupervisor(baseBackoffMs = 0)
+    val sv = sup.register("podping", () => runner.start(stream(src), ckpt))
+
+    sup.tick() // initial launch
+    // AvailableNow: the query drains the source and terminates — to the
+    // supervisor that is a dead plug, exactly like a crashed one
+    while (sv.isActive) Thread.sleep(50)
+    assert(runner.table(spark, "updates").count() === 1)
+    val cursor1 = graft.streaming.PlugState.latest(spark, out, "podping").get
+
+    writeBatch(src, 2, Seq(
+      op(2, 200, 0, "2024-01-02 00:00:00", "podping", podpingV03(Seq("u2")))))
+    sup.tick() // observes termination, schedules relaunch (backoff 0)
+    sup.tick() // relaunches
+    while (sv.isActive) Thread.sleep(50)
+    assert(sv.restarts >= 1)
+    assert(runner.table(spark, "updates").count() === 2)
+    val cursor2 = graft.streaming.PlugState.latest(spark, out, "podping").get
+    assert(cursor2._2 > cursor1._2) // block cursor advanced after restart
+    sup.shutdown()
+  }
+
+  test("supervisor kills a stalled query and relaunches it") {
+    @volatile var launches = 0
+    val sup = new graft.streaming.PlugSupervisor(
+      staleAfterMs = 300, baseBackoffMs = 0)
+    val sv = sup.register("stall", () => {
+      launches += 1
+      spark.readStream.format("rate").option("rowsPerSecond", "1").load()
+        .writeStream.format("noop")
+        .trigger(org.apache.spark.sql.streaming.Trigger.ProcessingTime("1 hour"))
+        .start()
+    })
+    sup.tick() // launch #1; first micro-batch fires, then nothing for 1h
+    val deadline = System.currentTimeMillis() + 30000
+    while (launches < 2 && System.currentTimeMillis() < deadline) {
+      Thread.sleep(100)
+      sup.tick() // stale after 300ms of no progress -> stop -> relaunch
+    }
+    assert(launches >= 2, "stalled query was never killed and relaunched")
+    assert(sv.restarts >= 1)
+    sup.shutdown()
+  }
+
   test("irreversibility watermark filters non-finalized blocks") {
     val rows = (0 until 10).map { i =>
       op(i.toLong, 100 + i, 0, "2024-01-01 00:00:00", "podping", podpingV03(Seq("u")))
