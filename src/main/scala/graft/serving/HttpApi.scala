@@ -89,11 +89,39 @@ class HttpApi(
         respond(ex, 500, JsonOut.obj(Map("error" -> String.valueOf(e.getMessage))))
     }
 
+  /** The reference's literal param shape (plug_endpoints/podping.py:14,
+    * 26-34 and polls.py:78,92): ONE `block_range` query param holding a
+    * JSON list `[low, high]`. Accepted alongside the explicit
+    * `block_range_low`/`_high` pair; the JSON-list form wins when both
+    * are present. Returns (low, high) options.
+    */
+  private def blockRangeParam(
+      q: Map[String, String]): Either[String, (Option[Long], Option[Long])] =
+    q.get("block_range").filter(_.nonEmpty) match {
+      case None =>
+        longParam(q, "block_range_high").flatMap(hi =>
+          longParam(q, "block_range_low").map(lo => (lo, hi)))
+      case Some(raw) =>
+        val t = raw.trim
+        val parsed =
+          if (t.startsWith("[") && t.endsWith("]"))
+            t.substring(1, t.length - 1).split(',').map(_.trim) match {
+              case Array(a, b) =>
+                for (x <- a.toLongOption; y <- b.toLongOption) yield (x, y)
+              case _ => None
+            }
+          else None
+        parsed match {
+          case Some((lo, hi)) => Right((Some(lo), Some(hi)))
+          case None => Left(s"invalid block_range: '$raw' (expected [low,high])")
+        }
+    }
+
   private def podpingCounts(q: Map[String, String]): Either[String, String] = {
     val updates = tables("podping_updates")
     for {
-      hiOpt <- longParam(q, "block_range_high")
-      loOpt <- longParam(q, "block_range_low")
+      range <- blockRangeParam(q)
+      (loOpt, hiOpt) = range
       limit <- intParam(q, "limit").map(_.getOrElse(DefaultLimit))
       body <- {
         val last = hiOpt.getOrElse(graft.core.OpLog.headBlock(
@@ -157,8 +185,8 @@ class HttpApi(
       for {
         _ <- if (Set("create", "vote", "delete").contains(t)) Right(())
              else Left(s"invalid op_type: '$t' (create | vote | delete)")
-        hiOpt <- longParam(q, "block_range_high")
-        loOpt <- longParam(q, "block_range_low")
+        range <- blockRangeParam(q)
+        (loOpt, hiOpt) = range
         body <- {
           val ops = tables("polls_ops")
           val last = hiOpt.getOrElse(graft.core.OpLog.headBlock(

@@ -80,6 +80,21 @@ class HttpApiSpec extends SparkSpec {
       !creates.contains("\"op_type\": \"vote\""))
   }
 
+  test("block_range JSON-list param (reference-literal shape) works on both ranged routes") {
+    // reference endpoints take ONE block_range=[low,high] param
+    // (plug_endpoints/podping.py:26-34, polls.py:78-92); %5B/%5D/%2C = [ ] ,
+    val (c1, b1) = get("/api/polls/ops?op_type=vote&block_range=%5B0%2C200%5D")
+    val (_, b1b) = get("/api/polls/ops?op_type=vote&block_range_low=0&block_range_high=200")
+    assert(c1 === 200 && b1 === b1b) // list form ≡ low/high form
+    val (c2, b2) = get("/api/podping/history/counts?block_range=%5B0%2C1000%5D")
+    assert(c2 === 200 && b2.contains("\"url_count\""))
+    // malformed lists are a 400, not a silent default
+    assert(get("/api/polls/ops?op_type=vote&block_range=%5B1%5D")._1 === 400)
+    assert(get("/api/polls/ops?op_type=vote&block_range=%5Ba%2Cb%5D")._1 === 400)
+    // inverted range caught by the shared range validation
+    assert(get("/api/polls/ops?op_type=vote&block_range=%5B200%2C0%5D")._1 === 400)
+  }
+
   test("new_permlink slugs the question and suffixes on collision") {
     // 'Color?' slugs to 'color' which alice already owns -> 'color-2'
     val (c1, b1) = get("/api/polls/new_permlink?author=alice&question=Color%3F")
