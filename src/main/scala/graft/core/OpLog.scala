@@ -69,21 +69,33 @@ object OpLog {
   }
 
   /** CJOS-01 positional envelope `[[version, app], op_name, payload]`
-    * (reference: docs/op-standard.md:15-35). Returns (header, opType,
-    * payload) columns extracted from a JSON-array string column; the
-    * positional access maps to `from_json(ArrayType(StringType))` +
-    * 1-based `element_at`, matching Postgres `json->>0` semantics.
+    * (reference: docs/op-standard.md:15-35); positional access maps to
+    * `from_json(ArrayType(StringType))` + 1-based `element_at`, matching
+    * Postgres `json->>0` semantics.
+    *
+    * The array parse is materialized ONCE as a non-cheap alias referenced
+    * by all three positional columns — CollapseProject keeps such aliases
+    * instead of inlining them, so each row pays one `from_json` of the
+    * payload rather than one per derived column (dispatch + every branch
+    * re-parsing it was measurable on the polls hot path).
+    *
+    * Adds: `_op_header` (raw header JSON), `op_type`, `_payload`.
     */
-  def cjosColumns(payload: Column): (Column, Column, Column) = {
-    val arr = from_json(payload, ArrayType(StringType))
-    (element_at(arr, 1), element_at(arr, 2), element_at(arr, 3))
-  }
+  def withCjosColumns(df: DataFrame, payload: Column = col("op_payload")): DataFrame =
+    df.withColumn("_cjos", from_json(payload, ArrayType(StringType)))
+      .withColumn("_op_header", element_at(col("_cjos"), 1))
+      .withColumn("op_type", element_at(col("_cjos"), 2))
+      .withColumn("_payload", element_at(col("_cjos"), 3))
+      .drop("_cjos")
 
-  /** Parse the CJOS header `[version, app]`. */
-  def cjosHeader(header: Column): (Column, Column) = {
-    val arr = from_json(header, ArrayType(StringType))
-    (element_at(arr, 1), element_at(arr, 2))
-  }
+  /** Parse the CJOS header `[version, app]` (one materialized parse, as
+    * above). Adds: `_op_version` (int), `_app`.
+    */
+  def withCjosHeader(df: DataFrame, header: Column = col("_op_header")): DataFrame =
+    df.withColumn("_hdr", from_json(header, ArrayType(StringType)))
+      .withColumn("_op_version", element_at(col("_hdr"), 1).cast(IntegerType))
+      .withColumn("_app", element_at(col("_hdr"), 2))
+      .drop("_hdr")
 
   /** Dead-letter routing (T10): ops whose envelope failed to parse. The
     * pipeline drops them silently (permissive `from_json` -> null op_id,

@@ -57,15 +57,9 @@ object Polls extends Plug {
   def transform(raw: DataFrame): Map[String, DataFrame] = {
     val env = OpLog.parseEnvelope(filter(raw)).filter(col("op_id") === opId)
 
-    // CJOS decomposition; gate on op_version == 1 (functions.sql:97).
-    val (header, opType, payload) = OpLog.cjosColumns(col("op_payload"))
-    val (ver, app) = OpLog.cjosHeader(col("_op_header"))
-    val cjos = env
-      .withColumn("_op_header", header)
-      .withColumn("op_type", opType)
-      .withColumn("_payload", payload)
-      .withColumn("_op_version", ver.cast(IntegerType))
-      .withColumn("_app", app)
+    // CJOS decomposition (one materialized parse — see
+    // OpLog.withCjosColumns); gate on op_version == 1 (functions.sql:97).
+    val cjos = OpLog.withCjosHeader(OpLog.withCjosColumns(env))
       .filter(col("_op_version") === 1)
 
     // polls.ops (tables.sql:3-13)
