@@ -56,21 +56,38 @@ object Bench {
     catch { case e: Throwable =>
       System.err.println(s"[bench] warm($sfDir) failed: ${e.getMessage}")
     }
+    var timedFails = 0
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
       // noop sink: materializes every output column (count() lets Catalyst
       // prune the select list, which under-times projection-heavy queries)
-      try { fn(spark, sfDir).write.format("noop").mode("overwrite").save() }
-      catch { case _: Throwable => () }
-      val t = (System.nanoTime() - t0) / 1e9
+      // A failed query records the sentinel -1, never a misleadingly fast
+      // wall time, and is reported on stderr like the warm pass.
+      val t = try {
+        fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+        (System.nanoTime() - t0) / 1e9
+      } catch { case e: Throwable =>
+        timedFails += 1
+        System.err.println(s"[bench] timed pass: $name FAILED: ${e.getMessage}")
+        -1.0
+      }
       // free this query's scoped caches so they can't pressure later queries
       graft.core.CacheScope.release()
       name -> t
     }
+    if (timedFails > 0)
+      System.err.println(s"[bench] timed pass: $timedFails queries failed")
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val total = results.collect { case (_, v) if v >= 0 => v }.sum
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    // the driver scrapes stdout, where sbt noise has truncated the tail
+    // before (round 2 lost 7 queries): print the line FIRST and flush,
+    // and also write it to a file as the durable copy
+    println(line)
+    System.out.flush()
+    try java.nio.file.Files.writeString(java.nio.file.Paths.get("BENCH_LOCAL.json"), line + "\n")
+    catch { case _: Throwable => () }
     spark.stop()
   }
 }

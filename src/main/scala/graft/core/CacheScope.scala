@@ -17,29 +17,40 @@ import scala.collection.mutable.ArrayBuffer
   * bypass this and manage their own lifecycle.
   */
 object CacheScope {
-  private val live = ArrayBuffer[DataFrame]()
+  private val cachedFrames = ArrayBuffer[DataFrame]()
+  private val checkpointFrames = ArrayBuffer[DataFrame]()
 
   /** Cache `df` and register it for the next [[release]]. */
   def cached(df: DataFrame): DataFrame = synchronized {
     val c = df.cache()
-    live += c
+    cachedFrames += c
     c
   }
 
   /** Register an already-persisted frame (e.g. an eager localCheckpoint)
     * whose storage should be freed at query end.
     */
-  def register(df: DataFrame): DataFrame = synchronized { live += df; df }
+  def register(df: DataFrame): DataFrame = synchronized {
+    checkpointFrames += df; df
+  }
 
   /** Unpersist every registered frame (non-blocking) and clear the scope.
-    * Frees both CacheManager entries (`.cache()`) and the block-manager
-    * storage of eager localCheckpoints.
+    *
+    * Checkpoint-block freeing applies ONLY to frames that came in through
+    * [[register]] (known eager checkpoints owned by this scope): a
+    * [[cached]] frame's plan may EMBED someone else's long-lived
+    * localCheckpoint (e.g. a scoped cache built on nearDupClusters'
+    * lineage-truncated labels), and freeing every LogicalRDD found in an
+    * arbitrary plan would yank the parent's storage out from under it,
+    * making the long-lived frame permanently unusable.
     */
   def release(): Unit = synchronized {
-    live.foreach { df =>
+    cachedFrames.foreach(_.unpersist(false))
+    checkpointFrames.foreach { df =>
       df.unpersist(false)
       org.apache.spark.sql.GraftBridge.freeCheckpoint(df)
     }
-    live.clear()
+    cachedFrames.clear()
+    checkpointFrames.clear()
   }
 }
