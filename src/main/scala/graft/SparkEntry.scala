@@ -840,6 +840,73 @@ object SparkEntry {
              |  md5(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g'))) AS fp
              |FROM documents ORDER BY doc_id""".stripMargin)),
 
+    // Gopher-style repetition quality: duplicate-token fraction and the
+    // most-frequent-bigram fraction per document
+    Q("text_repetition",
+      (s, d) => TextAnalysis.repetitionScores(Tables.documents(s, d))
+        .select(col("doc_id"), col("n_tokens"),
+          col("dup_token_frac"), col("top_bigram_frac"))
+        .orderBy(col("doc_id")),
+      Some("""WITH t AS (
+             |  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS toks
+             |  FROM documents),
+             |b AS (SELECT doc_id, toks,
+             |        list_transform(range(1, len(toks)), i -> concat_ws(' ', toks[i], toks[i+1])) AS bg
+             |      FROM t)
+             |SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_tokens,
+             |  CASE WHEN len(toks) = 0 THEN 0.0
+             |       ELSE round(1.0 - len(list_distinct(toks)) * 1.0 / len(toks), 6) END AS dup_token_frac,
+             |  CASE WHEN len(bg) = 0 THEN 0.0
+             |       ELSE round(list_max(list_transform(list_distinct(bg), x -> len(list_filter(bg, y -> y = x)))) * 1.0 / len(bg), 6) END AS top_bigram_frac
+             |FROM b ORDER BY doc_id""".stripMargin)),
+
+    // PII scrubbing over deterministically synthesized PII (the corpus
+    // has none; both sides append the same email/IPv4/id-run derived
+    // from doc_id, then redact) — counts per category plus the md5 of
+    // the scrubbed text
+    Q("text_redact_pii",
+      (s, d) => {
+        val withPii = Tables.documents(s, d).select(col("doc_id"),
+          concat(col("text"), lit(" contact user"), col("doc_id"),
+            lit("@mail.example from 10."), col("doc_id") % 200,
+            lit(".0."), col("doc_id") % 250, lit(" ref "),
+            (col("doc_id") + 1000000L) * 37).as("text"))
+        TextAnalysis.redactPii(withPii)
+          .select(col("doc_id"), col("n_emails"), col("n_ipv4"),
+            col("n_digit_runs"), md5(col("text_redacted")).as("redacted_md5"))
+          .orderBy(col("doc_id"))
+      },
+      Some(s"""WITH p AS (
+             |  SELECT doc_id,
+             |    concat(text, ' contact user', doc_id, '@mail.example from 10.',
+             |           doc_id % 200, '.0.', doc_id % 250, ' ref ', (doc_id + 1000000) * 37) AS t
+             |  FROM documents),
+             |r1 AS (SELECT doc_id,
+             |    CAST(len(regexp_extract_all(t, '${TextAnalysis.EmailRe}')) AS BIGINT) AS n_emails,
+             |    regexp_replace(t, '${TextAnalysis.EmailRe}', '<EMAIL>', 'g') AS t1 FROM p),
+             |r2 AS (SELECT doc_id, n_emails,
+             |    CAST(len(regexp_extract_all(t1, '${TextAnalysis.Ipv4Re}')) AS BIGINT) AS n_ipv4,
+             |    regexp_replace(t1, '${TextAnalysis.Ipv4Re}', '<IP>', 'g') AS t2 FROM r1),
+             |r3 AS (SELECT doc_id, n_emails, n_ipv4,
+             |    CAST(len(regexp_extract_all(t2, '${TextAnalysis.DigitRunRe}')) AS BIGINT) AS n_digit_runs,
+             |    regexp_replace(t2, '${TextAnalysis.DigitRunRe}', '<ID>', 'g') AS t3 FROM r2)
+             |SELECT doc_id, n_emails, n_ipv4, n_digit_runs, md5(t3) AS redacted_md5
+             |FROM r3 ORDER BY doc_id""".stripMargin)),
+
+    // sliding-window token chunking: 50-token windows every 30 tokens
+    Q("text_chunk_windows",
+      (s, d) => TextAnalysis.chunkTokens(Tables.documents(s, d), 50, 30)
+        .orderBy(col("doc_id"), col("chunk_id")),
+      Some("""WITH t AS (
+             |  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS toks
+             |  FROM documents),
+             |s AS (SELECT doc_id, toks, unnest(range(1, len(toks) + 1, 30)) AS i
+             |      FROM t WHERE len(toks) > 0)
+             |SELECT doc_id, CAST((i - 1) // 30 AS BIGINT) AS chunk_id,
+             |  CAST(len(toks[i:i+49]) AS BIGINT) AS chunk_tokens,
+             |  array_to_string(toks[i:i+49], ' ') AS chunk_text
+             |FROM s ORDER BY doc_id, chunk_id""".stripMargin)),
+
     // ---- dedup ---------------------------------------------------------
     Q("dedup_exact",
       (s, d) => Dedup.exact(Tables.documents(s, d), "text", "doc_id")
@@ -882,6 +949,36 @@ object SparkEntry {
              |FROM inter JOIN sz x ON x.doc_id = doc_a JOIN sz y ON y.doc_id = doc_b
              |WHERE round(i * 1.0 / x.n, 6) >= 0.6 OR round(i * 1.0 / y.n, 6) >= 0.6
              |ORDER BY doc_a, doc_b""".stripMargin)),
+
+    // cross-corpus decontamination: doc_id % 20 == 0 plays the benchmark
+    // suite, the rest the training corpus; pairs sharing >= 2 distinct
+    // 3-gram shingles are contamination hits with the bench doc's
+    // containment fraction
+    Q("dedup_decontamination",
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        Dedup.decontaminationPairs(
+          docs.filter(col("doc_id") % 20 =!= 0),
+          docs.filter(col("doc_id") % 20 === 0),
+          "text", "doc_id", 3, 2)
+          .orderBy(col("train_doc"), col("bench_doc"))
+      },
+      Some("""WITH toks AS (
+             |  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS t
+             |  FROM documents),
+             |sh AS (SELECT DISTINCT doc_id, concat_ws(' ', t[i], t[i+1], t[i+2]) AS s
+             |       FROM (SELECT doc_id, t, unnest(range(1, len(t) - 1)) AS i FROM toks)
+             |       WHERE len(t) >= 3),
+             |tr AS (SELECT * FROM sh WHERE doc_id % 20 <> 0),
+             |be AS (SELECT * FROM sh WHERE doc_id % 20 = 0),
+             |bn AS (SELECT doc_id, count(*) AS n FROM be GROUP BY 1),
+             |ov AS (SELECT tr.doc_id AS train_doc, be.doc_id AS bench_doc, count(*) AS shared
+             |       FROM tr JOIN be ON tr.s = be.s GROUP BY 1, 2)
+             |SELECT train_doc, bench_doc, CAST(shared AS BIGINT) AS shared,
+             |       round(shared * 1.0 / bn.n, 6) AS bench_containment
+             |FROM ov JOIN bn ON bn.doc_id = bench_doc
+             |WHERE shared >= 2
+             |ORDER BY train_doc, bench_doc""".stripMargin)),
 
     // MinHash+LSH candidates, exactly verified — oracle is the exact-Jaccard
     // pair set (LSH recall at j>=0.8 with 128 perms / 32 bands is ~1).
@@ -1027,6 +1124,24 @@ object SparkEntry {
              |            WHEN b < 900 THEN 'valid' ELSE 'test' END AS label,
              |       CAST(count(*) AS BIGINT) AS n
              |FROM b GROUP BY 1 ORDER BY label""".stripMargin)),
+
+    // domain-mixing: per-stratum deterministic rates (click 50%, error 5%,
+    // purchase 100%, everything else 10%) as one map-side filter
+    Q("sample_stratified",
+      (s, d) => operators.Sampling.stratifiedSample(ev(s, d), "event_id",
+        "event_type", Map("click" -> 50, "error" -> 5, "purchase" -> 100),
+        defaultKeep = 10, buckets = 100)
+        .groupBy(col("event_type")).agg(count(lit(1)).as("n"))
+        .orderBy(col("event_type")),
+      Some("""WITH b AS (
+             |  SELECT event_type,
+             |    CAST(concat('0x', substring(md5(CAST(event_id AS VARCHAR)), 1, 15)) AS BIGINT) % 100 AS b
+             |  FROM events)
+             |SELECT event_type, CAST(count(*) AS BIGINT) AS n
+             |FROM b
+             |WHERE b < CASE event_type WHEN 'click' THEN 50 WHEN 'error' THEN 5
+             |                          WHEN 'purchase' THEN 100 ELSE 10 END
+             |GROUP BY 1 ORDER BY event_type""".stripMargin)),
 
     // ---- tf-idf top terms per document
     Q("text_tfidf_top_terms",

@@ -101,6 +101,37 @@ object Dedup {
       .select("doc_a", "doc_b", "c_ab", "c_ba")
   }
 
+  /** Cross-corpus contamination (train ↔ eval n-gram overlap — the
+    * decontamination check every serious pretraining pipeline runs before
+    * training): for each (train, bench) doc pair sharing at least
+    * `minShared` distinct n-gram shingles, emit the shared count and the
+    * containment fraction OF THE BENCHMARK doc (shared / bench shingles —
+    * how much of the eval doc leaks into that training doc).
+    *
+    * Scale shape: same shuffle-on-shingle equi join as [[ngramJaccardPairs]],
+    * but the benchmark side is orders of magnitude smaller than the
+    * training corpus (eval suites are MBs against TBs), so the size-based
+    * planner broadcasts the bench shingle table and the check rides a
+    * single map-side pass over the training shingles — no self-join.
+    */
+  def decontaminationPairs(train: DataFrame, bench: DataFrame,
+                           textCol: String, idCol: String,
+                           w: Int = 8, minShared: Long = 1): DataFrame = {
+    val ts = shingles(train, textCol, idCol, w)
+      .withColumnRenamed("doc", "train_doc")
+    val bs = graft.core.CacheScope.cached(
+      shingles(bench, textCol, idCol, w).withColumnRenamed("doc", "bench_doc"))
+    val benchSizes = bs.groupBy(col("bench_doc")).agg(count(lit(1)).as("bn"))
+    ts.join(bs, "shingle")
+      .groupBy(col("train_doc"), col("bench_doc"))
+      .agg(count(lit(1)).as("shared"))
+      .filter(col("shared") >= minShared)
+      .join(benchSizes, "bench_doc")
+      .withColumn("bench_containment",
+        round(col("shared").cast("double") / col("bn"), 6))
+      .select("train_doc", "bench_doc", "shared", "bench_containment")
+  }
+
   // ---------------------------------------------------------------- minhash
 
   /** Deterministic shingle hash. xxhash64 is a codegen'd builtin, ~10x

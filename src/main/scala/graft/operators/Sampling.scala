@@ -30,6 +30,24 @@ object Sampling {
     df.filter(hashBucket(col(keyCol), buckets) < keep)
   }
 
+  /** Stratified deterministic sampling: each stratum keeps its own
+    * rate (keep(stratum)/buckets of rows, by the same stable key hash),
+    * unlisted strata keep `defaultKeep`/buckets. This is the
+    * domain-mixing primitive of corpus construction — e.g. keep 100% of
+    * books, 10% of web crawl, 1% of logs — done as ONE deterministic
+    * map-side filter: no shuffle, no per-stratum jobs, reproducible
+    * membership any engine can recompute.
+    */
+  def stratifiedSample(df: DataFrame, keyCol: String, strataCol: String,
+                       keep: Map[String, Int], defaultKeep: Int,
+                       buckets: Int): DataFrame = {
+    require(buckets > 0 && (keep.values ++ Seq(defaultKeep)).forall(k => k >= 0 && k <= buckets))
+    val rate = keep.foldLeft(lit(defaultKeep)) { case (acc, (s, k)) =>
+      when(col(strataCol) === s, lit(k)).otherwise(acc)
+    }
+    df.filter(hashBucket(col(keyCol), buckets) < rate)
+  }
+
   /** Train/validation/test split labels from the same stable hash —
     * fractions in per-mille to stay integer-exact.
     */

@@ -139,6 +139,103 @@ object TextAnalysis {
         col("tfidf"), col("rank").cast("int").as("rank"))
   }
 
+  /** Repetition scores (the Gopher-family repetition quality rules):
+    * `dup_token_frac` = 1 − distinct/total tokens, and `top_bigram_frac`
+    * = occurrences of the most frequent bigram / total bigrams (0 when a
+    * doc has fewer than 2 tokens). High values flag the
+    * boilerplate/keyword-stuffing documents that survive length and
+    * punctuation filters.
+    *
+    * Map-side only, builtins only. The bigram mode (max multiplicity) is
+    * computed per row by sorting the bigram array and counting the
+    * longest equal run in one aggregate pass — O(n log n) per doc (the
+    * naive distinct×scan form was O(u·n) and 3× slower at sf0.1); no
+    * shuffle, linear at 100 TB.
+    */
+  def repetitionScores(docs: DataFrame, textCol: String = "text"): DataFrame = {
+    val toks = tokens(col(textCol))
+    val bigramLen = greatest(size(col("_toks")) - 1, lit(0))
+    val bigrams = zip_with(
+      slice(col("_toks"), lit(1), bigramLen),
+      slice(col("_toks"), lit(2), bigramLen),
+      (a, b) => concat_ws(" ", a, b))
+    docs
+      .withColumn("_toks", toks)
+      .withColumn("n_tokens", size(col("_toks")).cast("long"))
+      .withColumn("_bg", bigrams)
+      .withColumn("_top_bg",
+        aggregate(array_sort(col("_bg")),
+          struct(lit("").as("prev"), lit(0L).as("run"), lit(0L).as("best")),
+          (acc, x) => {
+            val run = when(x === acc.getField("prev"),
+              acc.getField("run") + 1).otherwise(lit(1L))
+            struct(x.as("prev"), run.as("run"),
+              greatest(acc.getField("best"), run).as("best"))
+          },
+          acc => acc.getField("best")))
+      .withColumn("dup_token_frac",
+        when(col("n_tokens") === 0, lit(0.0)).otherwise(round(
+          lit(1.0) - size(array_distinct(col("_toks"))).cast("double")
+            / col("n_tokens"), 6)))
+      .withColumn("top_bigram_frac",
+        when(size(col("_bg")) === 0, lit(0.0)).otherwise(round(
+          col("_top_bg").cast("double") / size(col("_bg")), 6)))
+      .drop("_toks", "_bg", "_top_bg")
+  }
+
+  /** PII scrubbing: redact emails, IPv4 literals, and long (>= 7) digit
+    * runs, reporting per-category match counts. Patterns are RE2-safe
+    * (character classes, bounded repeats, \b — no backreferences or
+    * lookaround) so the SAME pattern is engine-reproducible in the
+    * DuckDB oracle. Pure `regexp_replace`/`regexp_extract_all` — one
+    * codegen'd map pass, no shuffle.
+    *
+    * Order matters and is part of the contract: emails first (their
+    * local parts may contain digit runs), then IPv4 (dotted quads would
+    * otherwise be eaten piecemeal by the digit-run rule), then bare
+    * digit runs.
+    */
+  val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val Ipv4Re = "\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b"
+  val DigitRunRe = "\\b[0-9]{7,}\\b"
+
+  def redactPii(docs: DataFrame, textCol: String = "text"): DataFrame = {
+    def count(c: Column, re: String): Column =
+      size(regexp_extract_all(c, lit(re), lit(0))).cast("long")
+    docs
+      .withColumn("n_emails", count(col(textCol), EmailRe))
+      .withColumn("_r1", regexp_replace(col(textCol), EmailRe, "<EMAIL>"))
+      .withColumn("n_ipv4", count(col("_r1"), Ipv4Re))
+      .withColumn("_r2", regexp_replace(col("_r1"), Ipv4Re, "<IP>"))
+      .withColumn("n_digit_runs", count(col("_r2"), DigitRunRe))
+      .withColumn("text_redacted", regexp_replace(col("_r2"), DigitRunRe, "<ID>"))
+      .drop("_r1", "_r2")
+  }
+
+  /** Sliding-window token chunking (training-example construction: split
+    * each document's token stream into windows of `window` tokens every
+    * `stride` tokens — overlapping when stride < window). Emits one row
+    * per chunk with its 0-based index, token count, and re-joined text.
+    * Empty documents produce no chunks.
+    *
+    * Map-side explode — per-row fanout of ~n/stride chunks, no shuffle;
+    * chunking 100 TB is a single pass.
+    */
+  def chunkTokens(docs: DataFrame, window: Int, stride: Int,
+                  textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    require(window > 0 && stride > 0, "window and stride must be positive")
+    docs
+      .withColumn("_toks", tokens(col(textCol)))
+      .filter(size(col("_toks")) > 0)
+      .withColumn("_start",
+        explode(sequence(lit(1), size(col("_toks")), lit(stride))))
+      .withColumn("chunk_id", expr(s"CAST((_start - 1) DIV $stride AS BIGINT)"))
+      .withColumn("_chunk", slice(col("_toks"), col("_start"), lit(window)))
+      .select(col(idCol), col("chunk_id"),
+        size(col("_chunk")).cast("long").as("chunk_tokens"),
+        array_join(col("_chunk"), " ").as("chunk_text"))
+  }
+
   /** Sketch-based distinct counts per group (HyperLogLog++, SURVEY §4):
     * the opt-in replacement for exact `countDistinct` at 100 TB — one
     * fixed-size sketch per group instead of the exact two-phase expand,

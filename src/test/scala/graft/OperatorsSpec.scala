@@ -166,6 +166,92 @@ class OperatorsSpec extends SparkSpec {
     }
   }
 
+  test("decontamination: bench doc embedded in a train doc is flagged with full containment") {
+    val s = spark
+    import s.implicits._
+    val train = Seq(
+      (10L, "alpha beta gamma delta epsilon zeta eta theta"),
+      (11L, "totally unrelated training text about spark plans")).toDF("doc_id", "text")
+    val bench = Seq(
+      (90L, "beta gamma delta epsilon"), // fully inside doc 10
+      (91L, "nothing shared here at all")).toDF("doc_id", "text")
+    val r = Dedup.decontaminationPairs(train, bench, "text", "doc_id", 3, 1).collect()
+    assert(r.length === 1)
+    assert(r.head.getAs[Long]("train_doc") === 10L)
+    assert(r.head.getAs[Long]("bench_doc") === 90L)
+    assert(r.head.getAs[Double]("bench_containment") === 1.0) // all bench shingles leak
+  }
+
+  test("repetition scores: dup-token and top-bigram fractions") {
+    val s = spark
+    import s.implicits._
+    val d = Seq(
+      (0L, "a a a b"),        // 4 tokens, 2 distinct; bigrams: 'a a','a a','a b'
+      (1L, "x y z"),          // no repetition
+      (2L, "w"),              // single token: no bigrams
+      (3L, "")                // empty
+    ).toDF("doc_id", "text")
+    val r = TextAnalysis.repetitionScores(d).collect()
+      .map(x => x.getAs[Long]("doc_id") ->
+        (x.getAs[Long]("n_tokens"), x.getAs[Double]("dup_token_frac"),
+          x.getAs[Double]("top_bigram_frac"))).toMap
+    assert(r(0L) === ((4L, 0.5, 0.666667)))
+    assert(r(1L) === ((3L, 0.0, 0.5))) // 2 distinct bigrams of 2 -> 1/2
+    assert(r(2L) === ((1L, 0.0, 0.0)))
+    assert(r(3L) === ((0L, 0.0, 0.0)))
+  }
+
+  test("PII redaction: emails, IPv4, digit runs — ordered, counted, scrubbed") {
+    val s = spark
+    import s.implicits._
+    val d = Seq(
+      (0L, "mail bob.smith+x@corp.example.com server 10.0.0.1 order 12345678 ok"),
+      (1L, "no pii here just words and 123 short digits")).toDF("doc_id", "text")
+    val r = TextAnalysis.redactPii(d).collect()
+      .map(x => x.getAs[Long]("doc_id") ->
+        (x.getAs[Long]("n_emails"), x.getAs[Long]("n_ipv4"),
+          x.getAs[Long]("n_digit_runs"), x.getAs[String]("text_redacted"))).toMap
+    assert(r(0L)._1 === 1L && r(0L)._2 === 1L && r(0L)._3 === 1L)
+    assert(r(0L)._4 === "mail <EMAIL> server <IP> order <ID> ok")
+    assert(r(1L) === ((0L, 0L, 0L, "no pii here just words and 123 short digits")))
+  }
+
+  test("token chunking: overlapping windows cover the stream, ids sequential") {
+    val s = spark
+    import s.implicits._
+    val d = Seq((0L, "t1 t2 t3 t4 t5 t6 t7"), (1L, "")).toDF("doc_id", "text")
+    val r = TextAnalysis.chunkTokens(d, window = 3, stride = 2)
+      .orderBy(col("chunk_id")).collect()
+      .map(x => (x.getAs[Long]("chunk_id"), x.getAs[Long]("chunk_tokens"),
+        x.getAs[String]("chunk_text")))
+    // starts 1,3,5,7 -> 3,3,3,1 tokens; empty doc contributes nothing
+    assert(r.toSeq === Seq(
+      (0L, 3L, "t1 t2 t3"), (1L, 3L, "t3 t4 t5"),
+      (2L, 3L, "t5 t6 t7"), (3L, 1L, "t7")))
+  }
+
+  test("stratified sampling: per-stratum rates, deterministic, default applies") {
+    val s = spark
+    import s.implicits._
+    val rows = (0L until 3000L).map(i =>
+      (i, Seq("a", "b", "c")((i % 3).toInt))).toDF("id", "grp")
+    val kept = Sampling.stratifiedSample(rows, "id", "grp",
+      Map("a" -> 100, "b" -> 0), defaultKeep = 20, buckets = 100)
+      .groupBy("grp").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(kept("a") === 1000L)        // keep-all stratum intact
+    assert(!kept.contains("b"))        // keep-none stratum fully dropped
+    assert(kept("c") > 120 && kept("c") < 280) // ~20% default
+    // same call twice -> identical membership (hash, not rand)
+    val again = Sampling.stratifiedSample(rows, "id", "grp",
+      Map("a" -> 100, "b" -> 0), defaultKeep = 20, buckets = 100)
+      .agg(sum("id")).collect().head.getLong(0)
+    val first = Sampling.stratifiedSample(rows, "id", "grp",
+      Map("a" -> 100, "b" -> 0), defaultKeep = 20, buckets = 100)
+      .agg(sum("id")).collect().head.getLong(0)
+    assert(again === first)
+  }
+
   test("token-budget packing: bins identical for any shard size (exact global prefix sum)") {
     def bins(shardSize: Long): Seq[(Long, Long, Long)] =
       TextAnalysis.packByTokenBudget(docs, 20, shardSize = shardSize)
