@@ -25,18 +25,24 @@ object Embeddings {
     */
   def quantizeInt8(emb: DataFrame, idCol: String = "vec_id",
                    vecCol: String = "embedding"): DataFrame = {
-    val v = asDouble(col(vecCol))
     // Quantize with the SAME rounded scale that is emitted, so decode
     // (q * scale) reconstructs within the documented scale/2 bound —
     // encoding with an unrounded scale while reporting the rounded one
     // would add a systematic bias for large-magnitude components.
-    val scale = round(
-      aggregate(v, lit(0.0), (acc, x) => greatest(acc, abs(x))) / 127.0, 6)
-    emb.select(
+    //
+    // Two-stage select: `scale` (a per-row array fold) becomes an
+    // attribute before the quantization pass references it twice — the
+    // single projection form re-evaluated the fold per reference.
+    val staged = emb.select(
+      col(idCol), asDouble(col(vecCol)).as("_v"),
+      round(aggregate(asDouble(col(vecCol)), lit(0.0),
+        (acc, x) => greatest(acc, abs(x))) / 127.0, 6).as("scale"))
+    staged.select(
       col(idCol),
-      scale.as("scale"),
-      when(scale === 0.0, transform(v, _ => lit(0)))
-        .otherwise(transform(v, x => round(x / scale, 0).cast("int")))
+      col("scale"),
+      when(col("scale") === 0.0, transform(col("_v"), _ => lit(0)))
+        .otherwise(transform(col("_v"),
+          x => round(x / col("scale"), 0).cast("int")))
         .as("quantized"))
   }
 }
