@@ -67,6 +67,22 @@ class PlanShapeSpec extends SparkSpec {
       "an unpartitioned window would funnel the whole corpus through one task")
   }
 
+  test("decontamination: candidate generation is an equi join, never a cross") {
+    val p = plan("dedup_decontamination")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))
+  }
+
+  test("map-side text operators plan without a data shuffle") {
+    // repetition, redaction, chunking: one pass over the corpus — the only
+    // exchange allowed is the gate's final presentation sort
+    Seq("text_repetition", "text_redact_pii", "text_chunk_windows").foreach { q =>
+      val p = plan(q)
+      assert(!p.contains("Exchange hashpartitioning"), s"$q shuffles")
+    }
+    // stratified sampling filters at the scan side before its aggregation
+    assert("Exchange hashpartitioning".r.findAllIn(plan("sample_stratified")).size <= 1)
+  }
+
   test("quantize/pack/sequences: no shuffle beyond the declared aggregations") {
     // quantization is map-side only: no exchange at all
     assert(!plan("emb_quantize_int8").contains("Exchange hashpartitioning"))
