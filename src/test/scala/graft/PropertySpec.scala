@@ -149,4 +149,63 @@ class PropertySpec extends SparkSpec {
       assert(bins.zipWithIndex.forall { case (b, i) => b == bins.head + i })
     }
   }
+
+  test("chunking: stride == window reconstructs the token stream exactly") {
+    val s = spark
+    import s.implicits._
+    for (seed <- Seq(5L, 17L)) {
+      val rnd = new scala.util.Random(seed)
+      val docs = (0L until 50L).map(i =>
+        (i, Seq.fill(rnd.nextInt(120))(s"t${rnd.nextInt(9)}").mkString(" ")))
+        .toDF("doc_id", "text")
+      val chunks = graft.operators.TextAnalysis.chunkTokens(docs, 7, 7)
+        .orderBy("doc_id", "chunk_id").collect()
+      val rebuilt = chunks.groupBy(_.getAs[Long]("doc_id")).view
+        .mapValues(_.sortBy(_.getAs[Long]("chunk_id"))
+          .map(_.getAs[String]("chunk_text")).mkString(" ")).toMap
+      docs.collect().foreach { r =>
+        val id = r.getAs[Long]("doc_id")
+        val toks = r.getAs[String]("text").split(" ").filter(_.nonEmpty).mkString(" ")
+        assert(rebuilt.getOrElse(id, "") === toks, s"seed=$seed doc=$id")
+      }
+      // overlapping chunks never exceed the window and cover every token
+      val over = graft.operators.TextAnalysis.chunkTokens(docs, 7, 3).collect()
+      assert(over.forall(_.getAs[Long]("chunk_tokens") <= 7))
+    }
+  }
+
+  test("PII redaction is idempotent: a second pass finds nothing") {
+    val s = spark
+    import s.implicits._
+    val d = Seq(
+      (0L, "a@b.example and 10.1.2.3 plus 99887766554 end"),
+      (1L, "double x@y.example z@w.example"),
+      (2L, "clean text only")).toDF("doc_id", "text")
+    val once = graft.operators.TextAnalysis.redactPii(d)
+      .select(org.apache.spark.sql.functions.col("doc_id"),
+        org.apache.spark.sql.functions.col("text_redacted").as("text"))
+    val twice = graft.operators.TextAnalysis.redactPii(once).collect()
+    twice.foreach { r =>
+      assert(r.getAs[Long]("n_emails") === 0L)
+      assert(r.getAs[Long]("n_ipv4") === 0L)
+      assert(r.getAs[Long]("n_digit_runs") === 0L)
+      assert(r.getAs[String]("text_redacted") === r.getAs[String]("text"))
+    }
+  }
+
+  test("stratified sample per stratum == deterministic sample at that stratum's rate") {
+    val s = spark
+    import s.implicits._
+    val rows = (0L until 2000L).map(i =>
+      (i, if (i % 2 == 0) "even" else "odd")).toDF("id", "grp")
+    val strat = graft.operators.Sampling.stratifiedSample(rows, "id", "grp",
+      Map("even" -> 30), defaultKeep = 70, buckets = 100)
+    val even = graft.operators.Sampling.deterministicSample(
+      rows.filter(org.apache.spark.sql.functions.col("grp") === "even"), "id", 30, 100)
+    val odd = graft.operators.Sampling.deterministicSample(
+      rows.filter(org.apache.spark.sql.functions.col("grp") === "odd"), "id", 70, 100)
+    val got = strat.collect().map(_.getLong(0)).toSet
+    val want = (even.collect().map(_.getLong(0)) ++ odd.collect().map(_.getLong(0))).toSet
+    assert(got === want)
+  }
 }

@@ -188,6 +188,38 @@ class StreamingSpec extends SparkSpec {
     sup.shutdown()
   }
 
+  test("stateless curation operators run unchanged under Structured Streaming") {
+    // quality -> langid -> repetition -> PII redaction are all map-side
+    // builtins, so the SAME operator code composes into a readStream plan;
+    // the micro-batch result must equal the batch result over equal input
+    val docs = graft.core.Tables.documents(spark, "/root/testdata/sf0.001")
+    val src = tmp(); val sink = tmp(); val ckpt = tmp()
+    docs.write.mode("overwrite").parquet(src)
+
+    def curate(df: org.apache.spark.sql.DataFrame) =
+      graft.operators.TextAnalysis.redactPii(
+        graft.operators.TextAnalysis.repetitionScores(
+          graft.operators.TextAnalysis.languageId(
+            graft.operators.TextAnalysis.quality(df))))
+        .select("doc_id", "quality_score", "predicted_lang",
+          "dup_token_frac", "n_emails", "text_redacted")
+
+    val stream = spark.readStream.schema(docs.schema)
+      .option("maxFilesPerTrigger", "1").parquet(src)
+    curate(stream).writeStream
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+        b.write.mode("append").parquet(sink): Unit
+      }
+      .option("checkpointLocation", ckpt)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start().awaitTermination()
+
+    val streamed = spark.read.parquet(sink).orderBy("doc_id").collect().toSeq
+    val batch = curate(docs).orderBy("doc_id").collect().toSeq
+    assert(streamed === batch)
+    assert(streamed.nonEmpty)
+  }
+
   test("irreversibility watermark filters non-finalized blocks") {
     val rows = (0 until 10).map { i =>
       op(i.toLong, 100 + i, 0, "2024-01-01 00:00:00", "podping", podpingV03(Seq("u")))
