@@ -48,8 +48,16 @@ object Verify {
     } + "\""
     // Static oracles + per-dataset ones (trained-structure literals,
     // e.g. the IVF centroid matrix) generated from the same memoized
-    // indexes the dumped queries ran on.
-    val json = (SparkEntry.oracleSql ++ SparkEntry.dynamicOracleSql(spark, sfDir))
+    // indexes the dumped queries ran on. A dynamic-oracle failure must
+    // degrade THAT query to rows-only, never lose the whole dump — every
+    // other gate's oracle rides in this file.
+    val dynamic =
+      try SparkEntry.dynamicOracleSql(spark, sfDir)
+      catch { case e: Throwable =>
+        System.err.println(s"[verify] dynamic oracle generation failed: ${e.getMessage}")
+        Map.empty[String, String]
+      }
+    val json = (SparkEntry.oracleSql ++ dynamic)
       .filter { case (k, _) => only.forall(_.contains(k)) }
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
