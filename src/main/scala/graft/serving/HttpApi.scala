@@ -68,6 +68,9 @@ class HttpApi(
           Seq("name", "status")))
         case "/api/podping/history/counts" => podpingCounts(q)
         case "/api/podping/feeds/latest" => podpingLatest(q)
+        // reference-literal route + param name (podping.py:39-40: `iri`)
+        case "/api/podping/history/latest/iri" =>
+          podpingLatest(q.get("iri").fold(q)(v => q + ("url" -> v)))
         case "/api/polls/active" => pollsActive(q)
         case "/api/polls/ops" => pollsOps(q)
         case "/api/polls/new_permlink" => newPermlink(q)
@@ -78,6 +81,20 @@ class HttpApi(
         case "/api/polls/tag" =>
           withParam(q, "tag")(t => validateTag(t).map(tag => rowsJson(
             PollsQueries.pollsByTag(tables("polls_content"), tag))))
+        // reference path-style routes (polls.py:131, 189, 231):
+        // /api/polls/{author}[/{permlink}[/votes]] — the literal names
+        // above take precedence, mirroring FastAPI registration order
+        case p if p.startsWith("/api/polls/") =>
+          def seg(s: String) = java.net.URLDecoder.decode(s, "UTF-8")
+          p.stripPrefix("/api/polls/").split('/').toList match {
+            case author :: permlink :: "votes" :: Nil =>
+              pollsVotes(q + ("author" -> seg(author)) + ("permlink" -> seg(permlink)))
+            case author :: permlink :: Nil =>
+              pollWithVotes(q + ("author" -> seg(author)) + ("permlink" -> seg(permlink)))
+            case author :: Nil =>
+              pollsUser(q + ("author" -> seg(author)))
+            case _ => Left(s"unknown route: $path")
+          }
         case _ => Left(s"unknown route: $path")
       }
       result match {

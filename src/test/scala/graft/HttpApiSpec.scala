@@ -95,6 +95,29 @@ class HttpApiSpec extends SparkSpec {
     assert(get("/api/polls/ops?op_type=vote&block_range=%5B200%2C0%5D")._1 === 400)
   }
 
+  test("reference path-style routes mirror the query-param routes exactly") {
+    // /api/polls/{author}/{permlink} == /api/polls/poll?author&permlink
+    val (c1, b1) = get("/api/polls/alice/color")
+    val (_, b1q) = get("/api/polls/poll?author=alice&permlink=color")
+    assert(c1 === 200 && b1 === b1q)
+    // /api/polls/{author}/{permlink}/votes == /api/polls/votes?...
+    val (c2, b2) = get("/api/polls/alice/color/votes")
+    val (_, b2q) = get("/api/polls/votes?author=alice&permlink=color")
+    assert(c2 === 200 && b2 === b2q)
+    // /api/polls/{author} == /api/polls/user?author=...
+    val (c3, b3) = get("/api/polls/alice")
+    val (_, b3q) = get("/api/polls/user?author=alice")
+    assert(c3 === 200 && b3 === b3q)
+    // literal names still win over the dynamic {author} segment
+    assert(get("/api/polls/active")._1 === 200)
+    // /api/podping/history/latest/iri with the reference's `iri` param
+    val (c4, b4) = get("/api/podping/history/latest/iri?iri=https%3A%2F%2Fa.example%2Ffeed")
+    val (_, b4q) = get("/api/podping/feeds/latest?url=https%3A%2F%2Fa.example%2Ffeed")
+    assert(c4 === 200 && b4 === b4q)
+    // unknown poll on the path route is the reference's 400, not a 500
+    assert(get("/api/polls/alice/nope")._1 === 400)
+  }
+
   test("new_permlink slugs the question and suffixes on collision") {
     // 'Color?' slugs to 'color' which alice already owns -> 'color-2'
     val (c1, b1) = get("/api/polls/new_permlink?author=alice&question=Color%3F")
