@@ -387,14 +387,22 @@ object HttpApi {
     */
   def statusFrom(health: graft.streaming.StreamHealth,
                  spark: org.apache.spark.sql.SparkSession,
-                 outDir: String, plugs: Seq[String]): () => Map[String, Any] = () => {
+                 outDir: String, plugs: Seq[String],
+                 supervisor: Option[graft.streaming.PlugSupervisor] = None)
+      : () => Map[String, Any] = () => {
     val (overall, _) = health.sync_status()
+    val supervised = supervisor.map(_.status).getOrElse(Map.empty)
     val plugStates = plugs.map { p =>
-      graft.streaming.PlugState.latest(spark, outDir, p) match {
+      val base = graft.streaming.PlugState.latest(spark, outDir, p) match {
         case Some((batchId, block)) =>
-          p -> Map("latest_block_num" -> block, "batch_id" -> batchId)
-        case None => p -> Map("latest_block_num" -> null, "batch_id" -> null)
+          Map[String, Any]("latest_block_num" -> block, "batch_id" -> batchId)
+        case None =>
+          Map[String, Any]("latest_block_num" -> null, "batch_id" -> null)
       }
+      // supervision telemetry (reference: the 60 s loop's restart
+      // accounting): live flag + restart count when supervised
+      p -> supervised.get(p).fold(base)(sv =>
+        base + ("active" -> sv.isActive) + ("restarts" -> sv.restarts))
     }.toMap
     Map("status" -> overall, "plugs" -> plugStates)
   }

@@ -122,6 +122,16 @@ class StreamingSpec extends SparkSpec {
     val plugs = status("plugs").asInstanceOf[Map[String, Map[String, Any]]]
     assert(plugs("podping")("latest_block_num") === 100L)
     assert(status("status") === "BAD") // no live stream progress tracked
+
+    // with a supervisor attached, the report adds liveness + restarts
+    val sup = new graft.streaming.PlugSupervisor(baseBackoffMs = 0)
+    sup.register("podping", () => runner.start(stream(src), tmp()))
+    sup.tick()
+    val st2 = graft.serving.HttpApi.statusFrom(
+      health, spark, out, Seq("podping"), Some(sup))()
+    val p2 = st2("plugs").asInstanceOf[Map[String, Map[String, Any]]]("podping")
+    assert(p2.contains("active") && p2("restarts") === 0L)
+    sup.shutdown()
   }
 
   test("state store prune keeps the newest versions only (URI-scheme dir)") {
