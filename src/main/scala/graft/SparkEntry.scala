@@ -1287,6 +1287,17 @@ object SparkEntry {
              |  sha
              |FROM m ORDER BY doc_id""".stripMargin)),
 
+    // exact binary dedup over the media payloads: only (digest, id)
+    // pairs shuffle, never the bytes
+    Q("multimodal_dedup_binary",
+      (s, d) => Multimodal.dedupBinary(
+        Multimodal.fromDocuments(s, Tables.documents(s, d)).toDF())
+        .orderBy(col("keep_id")),
+      Some("""SELECT sha256(text) AS content_sha,
+             |       CAST(min(doc_id) AS BIGINT) AS keep_id,
+             |       CAST(count(*) AS BIGINT) AS dup_count
+             |FROM documents GROUP BY 1 ORDER BY keep_id""".stripMargin)),
+
     // frame-sampling fanout over the (stubbed) decoded video metadata
     Q("multimodal_frames",
       (s, d) => {

@@ -59,6 +59,20 @@ object Multimodal {
         explode(sequence(lit(0), col("n_frames") - 1, lit(every))))
       .select("doc_id", "media_type", "frame_idx")
 
+  /** Exact binary dedup: group identical payloads by content hash, keep
+    * the smallest id — the media twin of text `Dedup.exact` (re-uploads
+    * and mirror copies dominate crawled media corpora). Hashing is
+    * map-side; the groupBy shuffles only (hash, id) pairs, never the
+    * payload bytes — at 100 TB that is the difference between shuffling
+    * 32-byte digests and shuffling the corpus.
+    */
+  def dedupBinary(media: DataFrame, payloadCol: String = "payload",
+                  idCol: String = "doc_id"): DataFrame =
+    media
+      .select(col(idCol), sha2(col(payloadCol), 256).as("content_sha"))
+      .groupBy(col("content_sha"))
+      .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("dup_count"))
+
   /** Build a synthetic media table from the documents table (text bytes as
     * payload) — exercises the plumbing on driver test data.
     */

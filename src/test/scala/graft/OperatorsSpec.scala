@@ -166,6 +166,20 @@ class OperatorsSpec extends SparkSpec {
     }
   }
 
+  test("binary dedup groups identical payloads, keeps min id") {
+    val s = spark
+    import s.implicits._
+    val media = Seq(
+      (0L, Array[Byte](1, 2, 3)),
+      (1L, Array[Byte](9, 9)),
+      (2L, Array[Byte](1, 2, 3)), // re-upload of 0
+      (3L, Array[Byte](1, 2, 3))  // and again
+    ).toDF("doc_id", "payload")
+    val r = Multimodal.dedupBinary(media).collect()
+      .map(x => x.getAs[Long]("keep_id") -> x.getAs[Long]("dup_count")).toMap
+    assert(r === Map(0L -> 3L, 1L -> 1L))
+  }
+
   test("decontamination: bench doc embedded in a train doc is flagged with full containment") {
     val s = spark
     import s.implicits._
