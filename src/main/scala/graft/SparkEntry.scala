@@ -923,6 +923,41 @@ object SparkEntry {
              |  CAST(min(doc_id) AS BIGINT) AS keep_id, CAST(count(*) AS BIGINT) AS dup_count
              |FROM documents GROUP BY 1 ORDER BY keep_id""".stripMargin)),
 
+    // incremental ingest dedup: corpus = doc_id < 250, batch = the rest
+    // plus synthesized duplicates (a re-ingest of every 50th corpus doc
+    // and an in-batch copy of every 60th fresh doc — the corpus has no
+    // natural exact dups, so the drop paths must be exercised
+    // synthetically, same trick as the PII gate)
+    Q("dedup_incremental",
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        val corpus = docs.filter(col("doc_id") < 250)
+        val fresh = docs.filter(col("doc_id") >= 250)
+        val batch = fresh.select(col("doc_id"), col("text"))
+          .union(corpus.filter(col("doc_id") % 50 === 0)
+            .select((col("doc_id") + 10000).as("doc_id"), col("text")))
+          .union(fresh.filter(col("doc_id") % 60 === 0)
+            .select((col("doc_id") + 20000).as("doc_id"), col("text")))
+        Dedup.incrementalNew(batch, corpus, "text", "doc_id")
+          .select(col("doc_id"), col("fp"))
+          .orderBy(col("doc_id"))
+      },
+      Some("""WITH canon AS (
+             |  SELECT doc_id,
+             |    md5(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g'))) AS fp
+             |  FROM documents),
+             |corpus AS (SELECT * FROM canon WHERE doc_id < 250),
+             |fresh AS (SELECT * FROM canon WHERE doc_id >= 250),
+             |batch AS (
+             |  SELECT doc_id, fp FROM fresh
+             |  UNION ALL SELECT doc_id + 10000, fp FROM corpus WHERE doc_id % 50 = 0
+             |  UNION ALL SELECT doc_id + 20000, fp FROM fresh WHERE doc_id % 60 = 0),
+             |nw AS (SELECT * FROM batch WHERE fp NOT IN (SELECT DISTINCT fp FROM corpus)),
+             |r AS (SELECT doc_id, fp,
+             |        row_number() OVER (PARTITION BY fp ORDER BY doc_id) AS rn
+             |      FROM nw)
+             |SELECT doc_id, fp FROM r WHERE rn = 1 ORDER BY doc_id""".stripMargin)),
+
     Q("dedup_ngram_jaccard",
       (s, d) => Dedup.ngramJaccardPairs(Tables.documents(s, d), "text", "doc_id", 3, 0.8)
         .orderBy(col("doc_a"), col("doc_b")),

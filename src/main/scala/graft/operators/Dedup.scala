@@ -32,6 +32,29 @@ object Dedup {
       .groupBy(col("fp"))
       .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("dup_count"))
 
+  /** Incremental dedup: keep only the rows of a NEW batch whose canonical
+    * fingerprint does not already appear in the EXISTING corpus, and dedup
+    * the batch against itself (first id wins) in the same pass — the
+    * operational form every continuously-ingesting pipeline runs per
+    * increment instead of re-deduping the corpus.
+    *
+    * Scale shape: fingerprints are computed map-side; the anti join
+    * shuffles only (fp, id) pairs against the corpus fingerprint set. At
+    * 100 TB the corpus side is a bucketed fingerprint table, so the
+    * increment join co-locates without reshuffling the corpus.
+    */
+  def incrementalNew(batch: DataFrame, corpus: DataFrame,
+                     textCol: String, idCol: String): DataFrame = {
+    val bfp = batch.withColumn("fp", TextAnalysis.fingerprint(col(textCol)))
+    val seen = corpus
+      .select(TextAnalysis.fingerprint(col(textCol)).as("fp")).distinct()
+    val w = Window.partitionBy(col("fp")).orderBy(col(idCol))
+    bfp.join(seen, Seq("fp"), "left_anti")
+      .withColumn("_rn", row_number().over(w))
+      .filter(col("_rn") === 1)
+      .drop("_rn")
+  }
+
   // ---------------------------------------------------------------- shingles
 
   /** Distinct word-w shingles per document: (id, shingle). Built with

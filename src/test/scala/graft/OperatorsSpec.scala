@@ -166,6 +166,20 @@ class OperatorsSpec extends SparkSpec {
     }
   }
 
+  test("incremental dedup: drops corpus re-ingests and in-batch dups, keeps fresh") {
+    val s = spark
+    import s.implicits._
+    val corpus = Seq((0L, "The quick brown fox!"), (1L, "something old")).toDF("doc_id", "text")
+    val batch = Seq(
+      (10L, "the quick  brown fox"), // normalized dup of corpus 0 -> dropped
+      (11L, "genuinely new content"),
+      (12L, "Genuinely NEW content"), // in-batch normalized dup of 11 -> dropped
+      (13L, "another fresh doc")).toDF("doc_id", "text")
+    val r = Dedup.incrementalNew(batch, corpus, "text", "doc_id")
+      .collect().map(_.getAs[Long]("doc_id")).toSet
+    assert(r === Set(11L, 13L))
+  }
+
   test("binary dedup groups identical payloads, keeps min id") {
     val s = spark
     import s.implicits._
