@@ -57,4 +57,31 @@ object Sampling {
       .when(b < trainPerMille + validPerMille, "valid")
       .otherwise("test")
   }
+
+  /** Deterministic training order: assign every row a shard and a position
+    * within that shard, seeded so re-runs (and other engines) produce the
+    * identical order. This is how a corpus is laid out for training — N
+    * shard files, shuffled within and across shards — without ever doing a
+    * GLOBAL sort: the only shuffle is the repartition-by-shard, and each
+    * shard sorts independently (bounded by shard size, parallel across
+    * executors). Consumers read shards round-robin for an unbiased stream.
+    *
+    * The sort key is md5(seed || key): uniform, stable, engine-recomputable
+    * (md5-derived like [[hashBucket]]); `key` tie-breaks exact hash
+    * collisions so the order is total.
+    */
+  def trainOrder(df: DataFrame, keyCol: String, seed: String,
+                 shards: Int): DataFrame = {
+    require(shards > 0)
+    // Stage the hash as an attribute before deriving from it: projecting
+    // shard off the raw md5 expression would re-evaluate the hash per
+    // reference after CollapseProject (NOTES finding).
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("shard")).orderBy(col("skey"), col(keyCol))
+    df.withColumn("skey", md5(concat(lit(seed), lit(":"), col(keyCol).cast("string"))))
+      .withColumn("shard",
+        pmod(conv(substring(col("skey"), 1, 15), 16, 10).cast("long"), lit(shards)).cast("int"))
+      .withColumn("pos", row_number().over(w))
+      .drop("skey")
+  }
 }

@@ -1,6 +1,6 @@
 package graft
 
-import graft.operators.{Dedup, Embeddings, Multimodal, Sampling, Sequences, Similarity, TextAnalysis}
+import graft.operators.{Dedup, Embeddings, Multimodal, Sampling, Sequences, Similarity, Stats, TextAnalysis}
 import org.apache.spark.sql.functions._
 
 /** Training-data operator semantics on controlled inputs. */
@@ -256,6 +256,49 @@ class OperatorsSpec extends SparkSpec {
     assert(r.toSeq === Seq(
       (0L, 3L, "t1 t2 t3"), (1L, 3L, "t3 t4 t5"),
       (2L, 3L, "t5 t6 t7"), (3L, 1L, "t7")))
+  }
+
+  test("train order: total, deterministic, shard positions contiguous, no global sort") {
+    val s = spark
+    import s.implicits._
+    val rows = (0L until 1000L).toDF("id")
+    val ord = Sampling.trainOrder(rows, "id", seed = "s1", shards = 4)
+    val got = ord.collect().map(r =>
+      (r.getAs[Long]("id"), r.getAs[Int]("shard"), r.getAs[Int]("pos")))
+    assert(got.length === 1000)
+    // (shard, pos) is a total order: unique, contiguous 1..n per shard
+    val byShard = got.groupBy(_._2)
+    assert(byShard.keySet.subsetOf((0 until 4).toSet))
+    byShard.values.foreach { g =>
+      assert(g.map(_._3).sorted.toSeq === (1 to g.length).toSeq)
+    }
+    // seeded: same seed reproduces, different seed permutes
+    val again = Sampling.trainOrder(rows, "id", "s1", 4).collect()
+      .map(r => (r.getAs[Long]("id"), r.getAs[Int]("shard"), r.getAs[Int]("pos"))).toSet
+    assert(again === got.toSet)
+    val other = Sampling.trainOrder(rows, "id", "s2", 4).collect()
+      .map(r => (r.getAs[Long]("id"), r.getAs[Int]("shard"), r.getAs[Int]("pos"))).toSet
+    assert(other !== got.toSet)
+    // not sorted by id within a shard (it's a shuffle, not an order-by)
+    val shard0 = got.filter(_._2 === 0).sortBy(_._3).map(_._1).toSeq
+    assert(shard0 !== shard0.sorted)
+    // scale shape: the window is keyed by shard — no single-partition funnel
+    val plan = ord.queryExecution.executedPlan.toString
+    assert(!plan.contains("SinglePartition"), plan)
+  }
+
+  test("quantiles: approx within bound of exact, exact matches a hand computation") {
+    val s = spark
+    import s.implicits._
+    val rows = (1L to 101L).map(i => (i, "g")).toDF("v", "grp")
+    val exact = Stats.exactQuantiles(rows, "v", "grp", Seq(0.25, 0.5, 0.9))
+      .collect().map(r => r.getAs[String]("p") -> r.getAs[String]("quantile")).toMap
+    // 101 values 1..101: p-quantile = 1 + p*100 exactly
+    assert(exact === Map("0.25" -> "26.0000", "0.50" -> "51.0000", "0.90" -> "91.0000"))
+    val approx = Stats.approxQuantiles(rows, "v", "grp", Seq(0.25, 0.5, 0.9))
+      .collect().map(r => r.getAs[Int]("which") -> r.getAs[Double]("q")).toMap
+    // at accuracy 10000 on 101 rows the sketch is exact
+    assert(approx === Map(1 -> 26.0, 2 -> 51.0, 3 -> 91.0))
   }
 
   test("stratified sampling: per-stratum rates, deterministic, default applies") {
