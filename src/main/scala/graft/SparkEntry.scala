@@ -108,12 +108,10 @@ object SparkEntry {
       (s, d) => ev(s, d)
         .filter(col("event_id").between(2000, 8000) &&
           col("event_type").isin("purchase", "signup"))
-        .select(col("event_id"), col("ts"), col("user_id"), col("event_type"), col("value"))
-        .orderBy(col("event_id")),
+        .select(col("event_id"), col("ts"), col("user_id"), col("event_type"), col("value")),
       Some("""SELECT event_id, CAST(ts AS TIMESTAMP) AS ts, user_id, event_type, value
              |FROM events
-             |WHERE event_id BETWEEN 2000 AND 8000 AND event_type IN ('purchase','signup')
-             |ORDER BY event_id""".stripMargin)),
+             |WHERE event_id BETWEEN 2000 AND 8000 AND event_type IN ('purchase','signup')""".stripMargin)),
 
     // ---- S2: head-of-log probe
     Q("s2_head_probe",
@@ -135,31 +133,27 @@ object SparkEntry {
     Q("a2_distinct_per_group",
       (s, d) => ev(s, d)
         .groupBy(col("event_type"))
-        .agg(countDistinct(col("user_id")).as("voters"))
-        .orderBy(col("event_type")),
+        .agg(countDistinct(col("user_id")).as("voters")),
       Some("""SELECT event_type, CAST(count(DISTINCT user_id) AS BIGINT) AS voters
-             |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin)),
+             |FROM events GROUP BY event_type""".stripMargin)),
 
     // ---- P2: JSON field extraction (props ->> k)
     Q("p2_json_extract",
       (s, d) => ev(s, d)
         .withColumn("k", k).filter(col("k") >= 90)
-        .select(col("event_id"), col("k")).orderBy(col("event_id")),
+        .select(col("event_id"), col("k")),
       Some("""SELECT event_id, CAST(json_extract_string(props,'$.k') AS INTEGER) AS k
-             |FROM events WHERE CAST(json_extract_string(props,'$.k') AS INTEGER) >= 90
-             |ORDER BY event_id""".stripMargin)),
+             |FROM events WHERE CAST(json_extract_string(props,'$.k') AS INTEGER) >= 90""".stripMargin)),
 
     // ---- F3/F4: temporal liveness predicate with injected clock
     Q("f3_temporal_filter",
       (s, d) => ev(s, d)
         .filter(col("ts") >= lit(java.sql.Timestamp.valueOf("2024-01-20 00:00:00")) &&
           col("event_type") =!= "error")
-        .select(col("event_id"), col("ts"), col("event_type"))
-        .orderBy(col("event_id")),
+        .select(col("event_id"), col("ts"), col("event_type")),
       Some("""SELECT event_id, CAST(ts AS TIMESTAMP) AS ts, event_type
              |FROM events
-             |WHERE CAST(ts AS TIMESTAMP) >= TIMESTAMP '2024-01-20 00:00:00' AND event_type <> 'error'
-             |ORDER BY event_id""".stripMargin)),
+             |WHERE CAST(ts AS TIMESTAMP) >= TIMESTAMP '2024-01-20 00:00:00' AND event_type <> 'error'""".stripMargin)),
 
     // ---- window: per-key latest-N (generalized feed_updates)
     Q("w1_latest_per_key",
@@ -168,12 +162,11 @@ object SparkEntry {
         ev(s, d).withColumn("rank", row_number().over(w))
           .filter(col("rank") <= 3)
           .select(col("user_id"), col("event_id"), col("event_type"), col("rank"))
-          .orderBy(col("user_id"), col("event_id"))
       },
       Some("""SELECT user_id, event_id, event_type, CAST(rank AS INT) AS rank FROM (
              |  SELECT user_id, event_id, event_type,
              |         row_number() OVER (PARTITION BY user_id ORDER BY event_id DESC) AS rank
-             |  FROM events) WHERE rank <= 3 ORDER BY user_id, event_id""".stripMargin)),
+             |  FROM events) WHERE rank <= 3""".stripMargin)),
 
     // ---- O5: one user's history, newest first
     Q("o5_user_history",
@@ -189,15 +182,14 @@ object SparkEntry {
         .withColumn("version", when(k % 2 === 0, "0.3").otherwise("1.0"))
         .withColumn("medium", when(k % 2 === 0, "blog").otherwise("podcast"))
         .groupBy(col("version"), col("medium"))
-        .agg(count(lit(1)).as("n"), countDistinct(col("user_id")).as("publishers"))
-        .orderBy(col("version")),
+        .agg(count(lit(1)).as("n"), countDistinct(col("user_id")).as("publishers")),
       Some("""SELECT CASE WHEN CAST(json_extract_string(props,'$.k') AS INTEGER) % 2 = 0
              |         THEN '0.3' ELSE '1.0' END AS version,
              |       CASE WHEN CAST(json_extract_string(props,'$.k') AS INTEGER) % 2 = 0
              |         THEN 'blog' ELSE 'podcast' END AS medium,
              |       CAST(count(*) AS BIGINT) AS n,
              |       CAST(count(DISTINCT user_id) AS BIGINT) AS publishers
-             |FROM events GROUP BY 1, 2 ORDER BY version""".stripMargin)),
+             |FROM events GROUP BY 1, 2""".stripMargin)),
 
     // ---- set op: unionByName of two filtered shapes
     Q("u1_union_shapes",
@@ -208,12 +200,10 @@ object SparkEntry {
           .unionByName(
             e.filter(col("event_type") === "error")
               .select(col("event_id"), col("value"), lit("error").as("src")))
-          .orderBy(col("event_id"))
       },
       Some("""SELECT event_id, value, 'purchase' AS src FROM events WHERE event_type = 'purchase'
              |UNION ALL
-             |SELECT event_id, value, 'error' AS src FROM events WHERE event_type = 'error'
-             |ORDER BY event_id""".stripMargin)),
+             |SELECT event_id, value, 'error' AS src FROM events WHERE event_type = 'error'""".stripMargin)),
 
     // ---- TPC-H Q1 shape: multi-aggregate pricing summary (exact decimal
     //      arithmetic so sums are reproducible across engines; terminal
@@ -236,7 +226,6 @@ object SparkEntry {
             round(sum(col("l_quantity").cast(dec(18, 2))).cast("double") / count(lit(1)), 6).as("avg_qty"),
             round(sum(price).cast("double") / count(lit(1)), 6).as("avg_price"),
             count(lit(1)).as("count_order"))
-          .orderBy(col("l_returnflag"), col("l_linestatus"))
       },
       Some("""SELECT l_returnflag, l_linestatus,
              |  CAST(CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS VARCHAR) AS sum_qty,
@@ -248,8 +237,7 @@ object SparkEntry {
              |  CAST(count(*) AS BIGINT) AS count_order
              |FROM lineitem
              |WHERE l_shipdate <= TIMESTAMP '2000-12-01 00:00:00'
-             |GROUP BY l_returnflag, l_linestatus
-             |ORDER BY l_returnflag, l_linestatus""".stripMargin)),
+             |GROUP BY l_returnflag, l_linestatus""".stripMargin)),
 
     // ---- J1: left outer enrich. No broadcast hint: customer scales with
     //      SF (15M rows at sf100 would not fit an executor); the size-based
@@ -259,11 +247,9 @@ object SparkEntry {
         .join(Tables.customer(s, d),
           col("o_custkey") === col("c_custkey"), "left")
         .select(col("o_orderkey"), col("o_orderdate"), col("o_totalprice"),
-          col("c_name"), col("c_mktsegment"))
-        .orderBy(col("o_orderkey")),
+          col("c_name"), col("c_mktsegment")),
       Some("""SELECT o_orderkey, o_orderdate, o_totalprice, c_name, c_mktsegment
-             |FROM orders LEFT JOIN customer ON o_custkey = c_custkey
-             |ORDER BY o_orderkey""".stripMargin)),
+             |FROM orders LEFT JOIN customer ON o_custkey = c_custkey""".stripMargin)),
 
     // ---- J2: equi join + theta residual (vote-validity window shape)
     Q("j2_theta_residual",
@@ -273,35 +259,30 @@ object SparkEntry {
             col("l_shipdate") <= col("o_orderdate") + expr("INTERVAL 60 DAYS"))
         .groupBy(col("o_orderkey"))
         .agg(count(lit(1)).as("n_lines"),
-          sum(col("l_extendedprice").cast(dec(18, 2))).cast(dec(38, 2)).cast("string").as("early_value"))
-        .orderBy(col("o_orderkey")),
+          sum(col("l_extendedprice").cast(dec(18, 2))).cast(dec(38, 2)).cast("string").as("early_value")),
       Some("""SELECT o_orderkey, CAST(count(*) AS BIGINT) AS n_lines,
              |  CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS VARCHAR) AS early_value
              |FROM orders JOIN lineitem ON l_orderkey = o_orderkey
              |WHERE l_shipdate <= o_orderdate + INTERVAL 60 DAY
-             |GROUP BY o_orderkey ORDER BY o_orderkey""".stripMargin)),
+             |GROUP BY o_orderkey""".stripMargin)),
 
     // ---- J5: semi join (EXISTS probe)
     Q("j5_semi_exists",
       (s, d) => Tables.customer(s, d)
         .join(Tables.orders(s, d).filter(col("o_totalprice") > 450000)
           .select(col("o_custkey").as("c_custkey")), Seq("c_custkey"), "left_semi")
-        .select(col("c_custkey"), col("c_name"))
-        .orderBy(col("c_custkey")),
+        .select(col("c_custkey"), col("c_name")),
       Some("""SELECT c_custkey, c_name FROM customer
-             |WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey AND o_totalprice > 450000)
-             |ORDER BY c_custkey""".stripMargin)),
+             |WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey AND o_totalprice > 450000)""".stripMargin)),
 
     // ---- anti join (INSERT ... WHERE NOT EXISTS dedup shape)
     Q("j6_anti_not_exists",
       (s, d) => Tables.customer(s, d)
         .join(Tables.orders(s, d).filter(col("o_totalprice") > 400000)
           .select(col("o_custkey").as("c_custkey")), Seq("c_custkey"), "left_anti")
-        .select(col("c_custkey"), col("c_name"))
-        .orderBy(col("c_custkey")),
+        .select(col("c_custkey"), col("c_name")),
       Some("""SELECT c_custkey, c_name FROM customer
-             |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey AND o_totalprice > 400000)
-             |ORDER BY c_custkey""".stripMargin)),
+             |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey AND o_totalprice > 400000)""".stripMargin)),
 
     // ---- 3-way join + agg + top-k revenue
     Q("q3_top_revenue",
@@ -337,14 +318,13 @@ object SparkEntry {
         .join(Tables.orders(s, d), col("o_custkey") === col("c_custkey"))
         .groupBy(col("r_name"), col("n_name"))
         .agg(count(lit(1)).as("n_orders"),
-          sum(col("o_totalprice").cast(dec(18, 2))).cast(dec(38, 2)).cast("string").as("total_value"))
-        .orderBy(col("r_name"), col("n_name")),
+          sum(col("o_totalprice").cast(dec(18, 2))).cast(dec(38, 2)).cast("string").as("total_value")),
       Some("""SELECT r_name, n_name, CAST(count(*) AS BIGINT) AS n_orders,
              |  CAST(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS VARCHAR) AS total_value
              |FROM region JOIN nation ON n_regionkey = r_regionkey
              |JOIN customer ON c_nationkey = n_nationkey
              |JOIN orders ON o_custkey = c_custkey
-             |GROUP BY r_name, n_name ORDER BY r_name, n_name""".stripMargin)),
+             |GROUP BY r_name, n_name""".stripMargin)),
 
     // ---- corpus bigram counts (n-gram statistics over the corpus)
     Q("x2_bigram_counts",
@@ -392,19 +372,17 @@ object SparkEntry {
     // ---- podping ops table: envelope decomposition + op-id counts
     Q("plug_podping_ops",
       (s, d) => plugTables(s, d)("podping_ops")
-        .groupBy(col("op_id")).agg(count(lit(1)).as("n"))
-        .orderBy(col("op_id")),
+        .groupBy(col("op_id")).agg(count(lit(1)).as("n")),
       Some("""SELECT CASE WHEN event_type = 'click' THEN 'podping' ELSE 'pp_video_update' END AS op_id,
              |       CAST(count(*) AS BIGINT) AS n
              |FROM events WHERE event_type IN ('click','view')
-             |GROUP BY 1 ORDER BY op_id""".stripMargin)),
+             |GROUP BY 1""".stripMargin)),
 
     // ---- per-key latest-N over the derived plug table (generalized
     //      feed_updates, SURVEY §2.5)
     Q("plug_podping_latest_per_url",
       (s, d) => PodpingQueries.latestPerUrl(plugTables(s, d)("podping_updates"), 2)
-        .select(col("url"), col("podping_id"), col("block_num"))
-        .orderBy(col("url"), col("podping_id")),
+        .select(col("url"), col("podping_id"), col("block_num")),
       Some("""WITH src AS (
              |  SELECT event_id, CAST(json_extract_string(props,'$.k') AS INTEGER) AS k
              |  FROM events WHERE event_type IN ('click','view')),
@@ -416,56 +394,52 @@ object SparkEntry {
              |        row_number() OVER (PARTITION BY url ORDER BY event_id DESC) AS rn
              |      FROM u)
              |SELECT url, event_id AS podping_id, CAST(event_id // 10 AS INT) AS block_num
-             |FROM r WHERE rn <= 2 ORDER BY url, podping_id""".stripMargin)),
+             |FROM r WHERE rn <= 2""".stripMargin)),
 
     // ---- hive-engine pipeline: contract dispatch + NUMERIC(18,10) sums
     Q("plug_hive_transfers",
       (s, d) => plugTables(s, d)("hive_transfers")
         .groupBy(col("symbol"))
         .agg(sum(col("quantity")).cast(dec(38, 10)).cast("string").as("total_qty"),
-          count(lit(1)).as("n"))
-        .orderBy(col("symbol")),
+          count(lit(1)).as("n")),
       Some("""WITH src AS (
              |  SELECT CAST(json_extract_string(props,'$.k') AS INTEGER) AS k
              |  FROM events WHERE event_type = 'purchase')
              |SELECT concat('TK', k % 5) AS symbol,
              |       CAST(CAST(sum(CAST(concat(k, '.', k % 10) AS DECIMAL(18,10))) AS DECIMAL(38,10)) AS VARCHAR) AS total_qty,
              |       CAST(count(*) AS BIGINT) AS n
-             |FROM src WHERE k % 7 <> 0 AND k % 11 <> 0 GROUP BY 1 ORDER BY symbol""".stripMargin)),
+             |FROM src WHERE k % 7 <> 0 AND k % 11 <> 0 GROUP BY 1""".stripMargin)),
 
     // tokens-issue contract action (tables.sql:28-38 issuances)
     Q("plug_hive_issuances",
       (s, d) => plugTables(s, d)("hive_issuances")
         .groupBy(col("symbol"))
         .agg(sum(col("quantity")).cast(dec(38, 10)).cast("string").as("issued"),
-          count(lit(1)).as("n"))
-        .orderBy(col("symbol")),
+          count(lit(1)).as("n")),
       Some("""WITH src AS (
              |  SELECT CAST(json_extract_string(props,'$.k') AS INTEGER) AS k
              |  FROM events WHERE event_type = 'purchase')
              |SELECT concat('TK', k % 5) AS symbol,
              |       CAST(CAST(sum(CAST(concat(k, '.', k % 10) AS DECIMAL(18,10))) AS DECIMAL(38,10)) AS VARCHAR) AS issued,
              |       CAST(count(*) AS BIGINT) AS n
-             |FROM src WHERE k % 7 <> 0 AND k % 11 = 0 GROUP BY 1 ORDER BY symbol""".stripMargin)),
+             |FROM src WHERE k % 7 <> 0 AND k % 11 = 0 GROUP BY 1""".stripMargin)),
 
     // nft contract dispatch + burn detection (to='null')
     Q("plug_hive_nfts",
       (s, d) => plugTables(s, d)("hive_nfts")
-        .groupBy(col("symbol"), col("action")).agg(count(lit(1)).as("n"))
-        .orderBy(col("symbol")),
+        .groupBy(col("symbol"), col("action")).agg(count(lit(1)).as("n")),
       Some("""WITH src AS (
              |  SELECT CAST(json_extract_string(props,'$.k') AS INTEGER) AS k
              |  FROM events WHERE event_type = 'purchase')
              |SELECT concat('CITY', k % 3) AS symbol, 'issue' AS action,
              |       CAST(count(*) AS BIGINT) AS n
-             |FROM src WHERE k % 7 = 0 GROUP BY 1 ORDER BY symbol""".stripMargin)),
+             |FROM src WHERE k % 7 = 0 GROUP BY 1""".stripMargin)),
 
     Q("plug_hive_burns",
       (s, d) => plugTables(s, d)("hive_burns")
         .groupBy(col("symbol"))
         .agg(sum(col("quantity")).cast(dec(38, 10)).cast("string").as("burned"),
-          count(lit(1)).as("n"))
-        .orderBy(col("symbol")),
+          count(lit(1)).as("n")),
       Some("""WITH src AS (
              |  SELECT CAST(json_extract_string(props,'$.k') AS INTEGER) AS k
              |  FROM events WHERE event_type = 'purchase')
@@ -473,7 +447,7 @@ object SparkEntry {
              |       CAST(CAST(sum(CAST(concat(k, '.', k % 10) AS DECIMAL(18,10))) AS DECIMAL(38,10)) AS VARCHAR) AS burned,
              |       CAST(count(*) AS BIGINT) AS n
              |FROM src WHERE k % 7 <> 0 AND k % 11 <> 0 AND k % 13 = 0
-             |GROUP BY 1 ORDER BY symbol""".stripMargin)),
+             |GROUP BY 1""".stripMargin)),
 
     // ---- §2.8 scalar-function battery: string/format/hex/date builtins
     Q("scalar_functions",
@@ -487,8 +461,7 @@ object SparkEntry {
           lpad(col("user_id").cast("string"), 4, "0").as("uid_pad"),
           substring(col("event_type"), 2, 3).as("etype_mid"),
           reverse(col("event_type")).as("etype_rev"),
-          concat_ws("|", col("event_type"), col("user_id")).as("joined"))
-        .orderBy(col("event_id")),
+          concat_ws("|", col("event_type"), col("user_id")).as("joined")),
       Some("""SELECT event_id,
              |  printf('%s-%03d', event_type, CAST(json_extract_string(props,'$.k') AS INTEGER)) AS tagged,
              |  to_hex(event_id) AS id_hex,
@@ -498,7 +471,7 @@ object SparkEntry {
              |  substring(event_type, 2, 3) AS etype_mid,
              |  reverse(event_type) AS etype_rev,
              |  concat_ws('|', event_type, user_id) AS joined
-             |FROM events WHERE event_id < 500 ORDER BY event_id""".stripMargin)),
+             |FROM events WHERE event_id < 500""".stripMargin)),
 
     // ---- A3: min/max probe
     Q("a3_minmax",
@@ -530,8 +503,7 @@ object SparkEntry {
     Q("plug_polls_content",
       (s, d) => plugTables(s, d)("polls_content")
         .select(col("author"), col("permlink"), col("question"),
-          col("expires"), col("tag"), col("deleted"))
-        .orderBy(col("permlink")),
+          col("expires"), col("tag"), col("deleted")),
       Some(s"""WITH c AS (
              |  SELECT event_id, CAST(json_extract_string(props,'$$.k') AS INTEGER) AS k,
              |         CAST(ts AS TIMESTAMP) AS ts
@@ -543,12 +515,11 @@ object SparkEntry {
              |       date_trunc('second', ts) + INTERVAL 7 DAY AS expires,
              |       concat('tag', k % 3) AS tag,
              |       $pollsDeletedPred AS deleted
-             |FROM f WHERE rn = 1 ORDER BY permlink""".stripMargin)),
+             |FROM f WHERE rn = 1""".stripMargin)),
 
     Q("plug_polls_summary",
       (s, d) => PollsQueries.pollSummary(
-        plugTables(s, d)("polls_content"), plugTables(s, d)("polls_votes"))
-        .orderBy(col("permlink"), col("parsed_answer")),
+        plugTables(s, d)("polls_content"), plugTables(s, d)("polls_votes")),
       Some(s"""WITH c AS (
              |  SELECT event_id, CAST(json_extract_string(props,'$$.k') AS INTEGER) AS k,
              |         CAST(ts AS TIMESTAMP) AS ts
@@ -568,7 +539,7 @@ object SparkEntry {
              |       CAST(count(DISTINCT concat('user_', v.user_id)) AS BIGINT) AS votes
              |FROM v JOIN polls p ON v.k % 25 = p.pk
              |WHERE v.ts <= p.expires AND v.k % 4 + 1 <= 3
-             |GROUP BY 1, 2, 3 ORDER BY permlink, parsed_answer""".stripMargin)),
+             |GROUP BY 1, 2, 3""".stripMargin)),
 
     // injected clock chosen to SPLIT the poll set (some live, some
     // expired) so the gate discriminates — a clock past every expiry
@@ -577,8 +548,7 @@ object SparkEntry {
       (s, d) => PollsQueries.activePolls(plugTables(s, d)("polls_content"),
         java.sql.Timestamp.valueOf("2024-01-08 12:00:00"))
         .select(col("author"), col("permlink"), col("question"),
-          col("expires"), col("tag"), col("created"))
-        .orderBy(col("permlink")),
+          col("expires"), col("tag"), col("created")),
       Some(s"""WITH c AS (
              |  SELECT event_id, CAST(json_extract_string(props,'$$.k') AS INTEGER) AS k,
              |         CAST(ts AS TIMESTAMP) AS ts
@@ -591,22 +561,19 @@ object SparkEntry {
              |       concat('tag', k % 3) AS tag, ts AS created
              |FROM f WHERE rn = 1
              |  AND date_trunc('second', ts) + INTERVAL 7 DAY >= TIMESTAMP '2024-01-08 12:00:00'
-             |  AND NOT $pollsDeletedPred
-             |ORDER BY permlink""".stripMargin)),
+             |  AND NOT $pollsDeletedPred""".stripMargin)),
 
     // ---- tumbling-window aggregation (same plan runs as a streaming
     //      watermarked query; see streaming.EventWindows + StreamingSpec)
     Q("t8_windowed_counts",
-      (s, d) => graft.streaming.EventWindows.tumblingCounts(ev(s, d))
-        .orderBy(col("window_start"), col("event_type")),
+      (s, d) => graft.streaming.EventWindows.tumblingCounts(ev(s, d)),
       Some("""SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS window_start,
              |       event_type, CAST(count(*) AS BIGINT) AS cnt
-             |FROM events GROUP BY 1, 2 ORDER BY window_start, event_type""".stripMargin)),
+             |FROM events GROUP BY 1, 2""".stripMargin)),
 
     // ---- session windows (gaps-and-islands in the oracle)
     Q("t8_session_windows",
-      (s, d) => graft.streaming.EventWindows.sessionCounts(ev(s, d), "30 minutes")
-        .orderBy(col("user_id"), col("session_start")),
+      (s, d) => graft.streaming.EventWindows.sessionCounts(ev(s, d), "30 minutes"),
       Some("""WITH e AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts FROM events),
              |m AS (SELECT user_id, ts,
              |        CASE WHEN lag(ts) OVER w IS NULL
@@ -620,14 +587,12 @@ object SparkEntry {
              |SELECT user_id, min(ts) AS session_start,
              |       max(ts) + INTERVAL 30 MINUTE AS session_end,
              |       CAST(count(*) AS BIGINT) AS n_events
-             |FROM s GROUP BY user_id, sid
-             |ORDER BY user_id, session_start""".stripMargin)),
+             |FROM s GROUP BY user_id, sid""".stripMargin)),
 
     // ---- sliding (hopping) windows: 1h duration, 30m slide — every event
     //      lands in exactly two windows
     Q("t8_sliding_counts",
-      (s, d) => graft.streaming.EventWindows.slidingCounts(ev(s, d))
-        .orderBy(col("window_start"), col("event_type")),
+      (s, d) => graft.streaming.EventWindows.slidingCounts(ev(s, d)),
       Some("""WITH e AS (SELECT CAST(ts AS TIMESTAMP) AS ts, event_type FROM events),
              |w AS (SELECT unnest([
              |        make_timestamp(CAST(floor(epoch(ts) / 1800) * 1800 AS BIGINT) * 1000000),
@@ -635,13 +600,12 @@ object SparkEntry {
              |      ]) AS window_start, event_type
              |      FROM e)
              |SELECT window_start, event_type, CAST(count(*) AS BIGINT) AS cnt
-             |FROM w GROUP BY 1, 2 ORDER BY window_start, event_type""".stripMargin)),
+             |FROM w GROUP BY 1, 2""".stripMargin)),
 
     // ---- polls-by-tag serving query (polls.py:47-56)
     Q("plug_polls_by_tag",
       (s, d) => PollsQueries.pollsByTag(plugTables(s, d)("polls_content"), "tag1")
-        .select(col("author"), col("permlink"), col("question"), col("expires"), col("tag"))
-        .orderBy(col("permlink")),
+        .select(col("author"), col("permlink"), col("question"), col("expires"), col("tag")),
       Some(s"""WITH c AS (
              |  SELECT event_id, CAST(json_extract_string(props,'$$.k') AS INTEGER) AS k,
              |         CAST(ts AS TIMESTAMP) AS ts
@@ -652,8 +616,7 @@ object SparkEntry {
              |       concat('q', k) AS question,
              |       date_trunc('second', ts) + INTERVAL 7 DAY AS expires,
              |       concat('tag', k % 3) AS tag
-             |FROM f WHERE rn = 1 AND k % 3 = 1 AND NOT $pollsDeletedPred
-             |ORDER BY permlink""".stripMargin)),
+             |FROM f WHERE rn = 1 AND k % 3 = 1 AND NOT $pollsDeletedPred""".stripMargin)),
 
     // ---- a user's polls newest-first (polls.py:87-100, O5)
     Q("plug_polls_user",
@@ -667,17 +630,13 @@ object SparkEntry {
              |$pollsDeletesCte
              |SELECT concat('owner_', k % 25) AS author, concat('poll_', k % 25) AS permlink,
              |       concat('q', k) AS question, ts AS created
-             |FROM f WHERE rn = 1 AND k % 25 = 3 AND NOT $pollsDeletedPred
-             |ORDER BY created DESC, permlink""".stripMargin)),
+             |FROM f WHERE rn = 1 AND k % 25 = 3 AND NOT $pollsDeletedPred""".stripMargin)),
 
     // ---- J3: plain equi join — full vote list for one poll (polls.py:76-84)
     Q("plug_polls_votes",
       (s, d) => PollsQueries.pollVotes(
         plugTables(s, d)("polls_content"), plugTables(s, d)("polls_votes"),
-        "owner_4", "poll_4")
-        // answer included so the order is total even for same-second votes
-        // by one account (created has second granularity)
-        .orderBy(col("created"), col("account"), col("answer")),
+        "owner_4", "poll_4"),
       Some(s"""WITH c AS (
              |  SELECT event_id, CAST(json_extract_string(props,'$$.k') AS INTEGER) AS k,
              |         CAST(ts AS TIMESTAMP) AS ts
@@ -693,8 +652,7 @@ object SparkEntry {
              |        AND CAST(json_extract_string(props,'$$.k') AS INTEGER) % 2 = 0)
              |SELECT concat('user_', v.user_id) AS account,
              |       CAST(v.k % 4 + 1 AS SMALLINT) AS answer, v.ts AS created
-             |FROM v JOIN live ON v.k % 25 = live.pk
-             |ORDER BY created, account, answer""".stripMargin)),
+             |FROM v JOIN live ON v.k % 25 = live.pk""".stripMargin)),
 
     // ---- soft-deleted polls: the guarded delete path end-to-end (delete
     //      ops synthesized from error/k-odd/k%5==0 events; only deletes
@@ -702,8 +660,7 @@ object SparkEntry {
     Q("plug_polls_deleted",
       (s, d) => plugTables(s, d)("polls_content")
         .filter(col("deleted"))
-        .select(col("author"), col("permlink"), col("expires"))
-        .orderBy(col("permlink")),
+        .select(col("author"), col("permlink"), col("expires")),
       Some(s"""WITH c AS (
              |  SELECT event_id, CAST(json_extract_string(props,'$$.k') AS INTEGER) AS k,
              |         CAST(ts AS TIMESTAMP) AS ts
@@ -712,8 +669,7 @@ object SparkEntry {
              |$pollsDeletesCte
              |SELECT concat('owner_', k % 25) AS author, concat('poll_', k % 25) AS permlink,
              |       date_trunc('second', ts) + INTERVAL 7 DAY AS expires
-             |FROM f WHERE rn = 1 AND $pollsDeletedPred
-             |ORDER BY permlink""".stripMargin)),
+             |FROM f WHERE rn = 1 AND $pollsDeletedPred""".stripMargin)),
 
     // ---- raw poll ops over a block range (SearchQuery.poll_ops,
     //      polls.py:13-27): S1-style range scan over the derived ops table
@@ -732,8 +688,7 @@ object SparkEntry {
              |            WHEN k % 2 = 0 THEN 'vote' ELSE 'delete' END AS op_type
              |FROM p
              |WHERE (event_type = 'signup' OR k % 2 = 0 OR k % 5 = 0)
-             |  AND event_id // 10 BETWEEN 100 AND 900
-             |ORDER BY id""".stripMargin)),
+             |  AND event_id // 10 BETWEEN 100 AND 900""".stripMargin)),
 
     // ---- argmax-per-group (max_by pattern via deterministic window)
     Q("w2_argmax_per_group",
@@ -743,12 +698,11 @@ object SparkEntry {
         ev(s, d).withColumn("_rn", row_number().over(w))
           .filter(col("_rn") === 1).drop("_rn")
           .select(col("user_id"), col("event_id"), col("value"))
-          .orderBy(col("user_id"))
       },
       Some("""SELECT user_id, event_id, value FROM (
              |  SELECT user_id, event_id, value,
              |         row_number() OVER (PARTITION BY user_id ORDER BY value DESC, event_id DESC) AS rn
-             |  FROM events) WHERE rn = 1 ORDER BY user_id""".stripMargin)),
+             |  FROM events) WHERE rn = 1""".stripMargin)),
 
     // ---- correlated-aggregate shape (TPC-H Q17 style): lineitems under
     //      20% of their part's average quantity
@@ -764,22 +718,20 @@ object SparkEntry {
           .groupBy(col("l_partkey"))
           .agg(count(lit(1)).as("n"),
             sum(col("l_extendedprice").cast(dec(18, 2))).cast(dec(38, 2)).cast("string").as("total_price"))
-          .orderBy(col("l_partkey"))
       },
       Some("""SELECT l_partkey, CAST(count(*) AS BIGINT) AS n,
              |  CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS VARCHAR) AS total_price
              |FROM lineitem l1
              |WHERE l_quantity < 0.2 * (SELECT avg(l_quantity) FROM lineitem l2
              |                          WHERE l2.l_partkey = l1.l_partkey)
-             |GROUP BY l_partkey ORDER BY l_partkey""".stripMargin)),
+             |GROUP BY l_partkey""".stripMargin)),
 
     // ---- text analysis -------------------------------------------------
     Q("text_quality",
       (s, d) => TextAnalysis.quality(Tables.documents(s, d))
         .select(col("doc_id"), col("n_tokens"), col("n_chars_obs"),
           col("avg_token_len"), col("stopword_ratio"), col("punct_ratio"),
-          col("quality_score"))
-        .orderBy(col("doc_id")),
+          col("quality_score")),
       Some("""WITH t AS (
              |  SELECT doc_id, text, list_filter(string_split(text, ' '), x -> x <> '') AS toks
              |  FROM documents),
@@ -797,12 +749,11 @@ object SparkEntry {
              |  round((CASE WHEN n_tokens BETWEEN 5 AND 1000 THEN CAST(0.4 AS DOUBLE) ELSE CAST(0.0 AS DOUBLE) END)
              |      + (CASE WHEN round(punct * 1.0 / n_chars_obs, 6) <= 0.1 THEN CAST(0.3 AS DOUBLE) ELSE CAST(0.0 AS DOUBLE) END)
              |      + (CASE WHEN round(stop * 1.0 / n_tokens, 6) BETWEEN 0.01 AND 0.6 THEN CAST(0.3 AS DOUBLE) ELSE CAST(0.0 AS DOUBLE) END), 6) AS quality_score
-             |FROM q ORDER BY doc_id""".stripMargin)),
+             |FROM q""".stripMargin)),
 
     Q("text_langid",
       (s, d) => TextAnalysis.languageId(Tables.documents(s, d))
-        .select(col("doc_id"), col("predicted_lang"), col("lang_hits"))
-        .orderBy(col("doc_id")),
+        .select(col("doc_id"), col("predicted_lang"), col("lang_hits")),
       Some("""WITH t AS (
              |  SELECT doc_id, list_filter(string_split(lower(text), ' '), x -> x <> '') AS toks
              |  FROM documents),
@@ -821,32 +772,29 @@ object SparkEntry {
              |       WHEN h_fr = greatest(h_de,h_en,h_es,h_fr,h_zh) THEN 'fr'
              |       ELSE 'zh' END AS predicted_lang,
              |  greatest(h_de,h_en,h_es,h_fr,h_zh) AS lang_hits
-             |FROM h ORDER BY doc_id""".stripMargin)),
+             |FROM h""".stripMargin)),
 
     Q("text_token_counts",
       (s, d) => TextAnalysis.tokenCounts(Tables.documents(s, d))
-        .select(col("doc_id"), col("ws_tokens"), col("re_tokens"))
-        .orderBy(col("doc_id")),
+        .select(col("doc_id"), col("ws_tokens"), col("re_tokens")),
       Some("""SELECT doc_id,
              |  CAST(len(list_filter(string_split(text, ' '), x -> x <> '')) AS BIGINT) AS ws_tokens,
              |  CAST(len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+')) AS BIGINT) AS re_tokens
-             |FROM documents ORDER BY doc_id""".stripMargin)),
+             |FROM documents""".stripMargin)),
 
     Q("text_fingerprint",
       (s, d) => Tables.documents(s, d)
-        .select(col("doc_id"), TextAnalysis.fingerprint(col("text")).as("fp"))
-        .orderBy(col("doc_id")),
+        .select(col("doc_id"), TextAnalysis.fingerprint(col("text")).as("fp")),
       Some("""SELECT doc_id,
              |  md5(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g'))) AS fp
-             |FROM documents ORDER BY doc_id""".stripMargin)),
+             |FROM documents""".stripMargin)),
 
     // Gopher-style repetition quality: duplicate-token fraction and the
     // most-frequent-bigram fraction per document
     Q("text_repetition",
       (s, d) => TextAnalysis.repetitionScores(Tables.documents(s, d))
         .select(col("doc_id"), col("n_tokens"),
-          col("dup_token_frac"), col("top_bigram_frac"))
-        .orderBy(col("doc_id")),
+          col("dup_token_frac"), col("top_bigram_frac")),
       Some("""WITH t AS (
              |  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS toks
              |  FROM documents),
@@ -858,7 +806,7 @@ object SparkEntry {
              |       ELSE round(1.0 - len(list_distinct(toks)) * 1.0 / len(toks), 6) END AS dup_token_frac,
              |  CASE WHEN len(bg) = 0 THEN 0.0
              |       ELSE round(list_max(list_transform(list_distinct(bg), x -> len(list_filter(bg, y -> y = x)))) * 1.0 / len(bg), 6) END AS top_bigram_frac
-             |FROM b ORDER BY doc_id""".stripMargin)),
+             |FROM b""".stripMargin)),
 
     // PII scrubbing over deterministically synthesized PII (the corpus
     // has none; both sides append the same email/IPv4/id-run derived
@@ -874,7 +822,6 @@ object SparkEntry {
         TextAnalysis.redactPii(withPii)
           .select(col("doc_id"), col("n_emails"), col("n_ipv4"),
             col("n_digit_runs"), md5(col("text_redacted")).as("redacted_md5"))
-          .orderBy(col("doc_id"))
       },
       Some(s"""WITH p AS (
              |  SELECT doc_id,
@@ -891,12 +838,11 @@ object SparkEntry {
              |    CAST(len(regexp_extract_all(t2, '${TextAnalysis.DigitRunRe}')) AS BIGINT) AS n_digit_runs,
              |    regexp_replace(t2, '${TextAnalysis.DigitRunRe}', '<ID>', 'g') AS t3 FROM r2)
              |SELECT doc_id, n_emails, n_ipv4, n_digit_runs, md5(t3) AS redacted_md5
-             |FROM r3 ORDER BY doc_id""".stripMargin)),
+             |FROM r3""".stripMargin)),
 
     // sliding-window token chunking: 50-token windows every 30 tokens
     Q("text_chunk_windows",
-      (s, d) => TextAnalysis.chunkTokens(Tables.documents(s, d), 50, 30)
-        .orderBy(col("doc_id"), col("chunk_id")),
+      (s, d) => TextAnalysis.chunkTokens(Tables.documents(s, d), 50, 30),
       Some("""WITH t AS (
              |  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS toks
              |  FROM documents),
@@ -905,23 +851,21 @@ object SparkEntry {
              |SELECT doc_id, CAST((i - 1) // 30 AS BIGINT) AS chunk_id,
              |  CAST(len(toks[i:i+49]) AS BIGINT) AS chunk_tokens,
              |  array_to_string(toks[i:i+49], ' ') AS chunk_text
-             |FROM s ORDER BY doc_id, chunk_id""".stripMargin)),
+             |FROM s""".stripMargin)),
 
     // ---- dedup ---------------------------------------------------------
     Q("dedup_exact",
       (s, d) => Dedup.exact(Tables.documents(s, d), "text", "doc_id")
-        .select(col("keep_id"), col("dup_count"))
-        .orderBy(col("keep_id")),
+        .select(col("keep_id"), col("dup_count")),
       Some("""SELECT CAST(min(doc_id) AS BIGINT) AS keep_id, CAST(count(*) AS BIGINT) AS dup_count
-             |FROM documents GROUP BY text ORDER BY keep_id""".stripMargin)),
+             |FROM documents GROUP BY text""".stripMargin)),
 
     Q("dedup_normalized",
       (s, d) => Dedup.normalized(Tables.documents(s, d), "text", "doc_id")
-        .select(col("fp"), col("keep_id"), col("dup_count"))
-        .orderBy(col("keep_id")),
+        .select(col("fp"), col("keep_id"), col("dup_count")),
       Some("""SELECT md5(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g'))) AS fp,
              |  CAST(min(doc_id) AS BIGINT) AS keep_id, CAST(count(*) AS BIGINT) AS dup_count
-             |FROM documents GROUP BY 1 ORDER BY keep_id""".stripMargin)),
+             |FROM documents GROUP BY 1""".stripMargin)),
 
     // incremental ingest dedup: corpus = doc_id < 250, batch = the rest
     // plus synthesized duplicates (a re-ingest of every 50th corpus doc
@@ -940,7 +884,6 @@ object SparkEntry {
             .select((col("doc_id") + 20000).as("doc_id"), col("text")))
         Dedup.incrementalNew(batch, corpus, "text", "doc_id")
           .select(col("doc_id"), col("fp"))
-          .orderBy(col("doc_id"))
       },
       Some("""WITH canon AS (
              |  SELECT doc_id,
@@ -956,18 +899,16 @@ object SparkEntry {
              |r AS (SELECT doc_id, fp,
              |        row_number() OVER (PARTITION BY fp ORDER BY doc_id) AS rn
              |      FROM nw)
-             |SELECT doc_id, fp FROM r WHERE rn = 1 ORDER BY doc_id""".stripMargin)),
+             |SELECT doc_id, fp FROM r WHERE rn = 1""".stripMargin)),
 
     Q("dedup_ngram_jaccard",
-      (s, d) => Dedup.ngramJaccardPairs(Tables.documents(s, d), "text", "doc_id", 3, 0.8)
-        .orderBy(col("doc_a"), col("doc_b")),
+      (s, d) => Dedup.ngramJaccardPairs(Tables.documents(s, d), "text", "doc_id", 3, 0.8),
       Some(jaccardOracleSql)),
 
     // asymmetric containment (near-subset detection — low-Jaccard
     // boilerplate wrappers that symmetric thresholds miss)
     Q("dedup_containment",
-      (s, d) => Dedup.containmentPairs(Tables.documents(s, d), "text", "doc_id", 3, 0.6)
-        .orderBy(col("doc_a"), col("doc_b")),
+      (s, d) => Dedup.containmentPairs(Tables.documents(s, d), "text", "doc_id", 3, 0.6),
       Some("""WITH toks AS (
              |  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS t
              |  FROM documents),
@@ -982,8 +923,7 @@ object SparkEntry {
              |       round(i * 1.0 / x.n, 6) AS c_ab,
              |       round(i * 1.0 / y.n, 6) AS c_ba
              |FROM inter JOIN sz x ON x.doc_id = doc_a JOIN sz y ON y.doc_id = doc_b
-             |WHERE round(i * 1.0 / x.n, 6) >= 0.6 OR round(i * 1.0 / y.n, 6) >= 0.6
-             |ORDER BY doc_a, doc_b""".stripMargin)),
+             |WHERE round(i * 1.0 / x.n, 6) >= 0.6 OR round(i * 1.0 / y.n, 6) >= 0.6""".stripMargin)),
 
     // cross-corpus decontamination: doc_id % 20 == 0 plays the benchmark
     // suite, the rest the training corpus; pairs sharing >= 2 distinct
@@ -996,7 +936,6 @@ object SparkEntry {
           docs.filter(col("doc_id") % 20 =!= 0),
           docs.filter(col("doc_id") % 20 === 0),
           "text", "doc_id", 3, 2)
-          .orderBy(col("train_doc"), col("bench_doc"))
       },
       Some("""WITH toks AS (
              |  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS t
@@ -1012,37 +951,33 @@ object SparkEntry {
              |SELECT train_doc, bench_doc, CAST(shared AS BIGINT) AS shared,
              |       round(shared * 1.0 / bn.n, 6) AS bench_containment
              |FROM ov JOIN bn ON bn.doc_id = bench_doc
-             |WHERE shared >= 2
-             |ORDER BY train_doc, bench_doc""".stripMargin)),
+             |WHERE shared >= 2""".stripMargin)),
 
     // MinHash+LSH candidates, exactly verified — oracle is the exact-Jaccard
     // pair set (LSH recall at j>=0.8 with 128 perms / 32 bands is ~1).
     Q("dedup_minhash_lsh",
       (s, d) => Dedup.minhashLshPairs(Tables.documents(s, d), "text", "doc_id",
-        3, 128, 16, 0.8)
-        .orderBy(col("doc_a"), col("doc_b")),
+        3, 128, 16, 0.8),
       Some(jaccardOracleSql)),
 
     // embedding-cosine near-dup with label blocking (equi join, not a
     // cross product — the blocking key is the shuffle key at scale)
     Q("dedup_embedding_cosine",
       (s, d) => Dedup.embeddingCosinePairs(Tables.embeddings(s, d),
-        "vec_id", "embedding", "label", 0.35)
-        .orderBy(col("id_a"), col("id_b")),
+        "vec_id", "embedding", "label", 0.35),
       Some("""WITH v AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS e FROM embeddings)
              |SELECT id_a, id_b, cosine FROM (
              |  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
              |         round(list_dot_product(a.e, b.e) /
              |           (sqrt(list_dot_product(a.e, a.e)) * sqrt(list_dot_product(b.e, b.e))), 6) AS cosine
              |  FROM v a JOIN v b ON a.label = b.label AND a.vec_id < b.vec_id)
-             |WHERE cosine >= 0.35 ORDER BY id_a, id_b""".stripMargin)),
+             |WHERE cosine >= 0.35""".stripMargin)),
 
     // connected components over the near-dup pair graph: (doc, cluster
     // representative) — oracle via recursive-CTE transitive closure
     Q("dedup_clusters",
       (s, d) => Dedup.nearDupClusters(
-        Dedup.ngramJaccardPairs(Tables.documents(s, d), "text", "doc_id", 3, 0.8))
-        .orderBy(col("doc")),
+        Dedup.ngramJaccardPairs(Tables.documents(s, d), "text", "doc_id", 3, 0.8)),
       Some("""WITH RECURSIVE toks AS (
              |  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS t
              |  FROM documents),
@@ -1065,15 +1000,14 @@ object SparkEntry {
              |SELECT n.doc, CAST(least(n.doc, min(r.d)) AS BIGINT) AS cluster
              |FROM (SELECT DISTINCT s AS doc FROM edges) n
              |LEFT JOIN reach r ON r.s = n.doc
-             |GROUP BY n.doc ORDER BY n.doc""".stripMargin)),
+             |GROUP BY n.doc""".stripMargin)),
 
     // SimHash pairs are fully oracle-checked: the 60-bit fingerprints use
     // md5-derived token hashes both engines can compute, so DuckDB
     // replicates fingerprinting, chunk-match candidate generation, and
     // hamming verification end-to-end.
     Q("dedup_simhash_pairs",
-      (s, d) => Dedup.simhashPairs(Tables.documents(s, d), "text", "doc_id", 3)
-        .orderBy(col("doc_a"), col("doc_b")),
+      (s, d) => Dedup.simhashPairs(Tables.documents(s, d), "text", "doc_id", 3),
       Some(simhashOracleSql)),
 
     // ---- similarity search ---------------------------------------------
@@ -1081,7 +1015,6 @@ object SparkEntry {
       (s, d) => {
         val emb = Tables.embeddings(s, d)
         Similarity.bruteForceTopK(emb, emb.filter(col("vec_id") < 10), 5)
-          .orderBy(col("probe_id"), col("rank"))
       },
       Some("""WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
              |s AS (SELECT p.vec_id AS probe_id, c.vec_id AS neighbor_id,
@@ -1093,7 +1026,7 @@ object SparkEntry {
              |        row_number() OVER (PARTITION BY probe_id ORDER BY cos DESC, neighbor_id) AS rank
              |      FROM s)
              |SELECT probe_id, neighbor_id, round(cos, 6) AS cosine, CAST(rank AS INT) AS rank
-             |FROM r WHERE rank <= 5 ORDER BY probe_id, rank""".stripMargin)),
+             |FROM r WHERE rank <= 5""".stripMargin)),
 
     // multi-table sign-LSH ANN, fully oracle-checked: the hyperplanes are
     // deterministic (fixed LCG seed), so the oracle SQL embeds them as
@@ -1103,7 +1036,6 @@ object SparkEntry {
       (s, d) => {
         val emb = Tables.embeddings(s, d)
         lshIndex(s, d).topK(emb.filter(col("vec_id") < 10), 5)
-          .orderBy(col("probe_id"), col("rank"))
       },
       Some(lshOracleSql)),
 
@@ -1111,7 +1043,6 @@ object SparkEntry {
       (s, d) => {
         val emb = Tables.embeddings(s, d)
         ivfIndex(s, d).topK(emb.filter(col("vec_id") < 10), 5)
-          .orderBy(col("probe_id"), col("rank"))
       },
       // full oracle exists, but is PER-DATASET (embeds the trained
       // centroid matrix as literals): generated by [[dynamicOracleSql]]
@@ -1126,8 +1057,7 @@ object SparkEntry {
       (s, d) => operators.Embeddings.quantizeInt8(Tables.embeddings(s, d))
         .select(col("vec_id"), col("scale"),
           array_join(transform(col("quantized"), _.cast("string")), ",")
-            .as("quantized"))
-        .orderBy(col("vec_id")),
+            .as("quantized")),
       Some("""WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
              |s AS (SELECT vec_id, e,
              |        round(list_max(list_transform(e, x -> abs(x))) / 127.0, 6) AS scale
@@ -1136,29 +1066,26 @@ object SparkEntry {
              |  CASE WHEN scale = 0 THEN array_to_string(list_transform(e, x -> 0), ',')
              |       ELSE array_to_string(list_transform(e, x -> CAST(round(x / scale, 0) AS INTEGER)), ',')
              |  END AS quantized
-             |FROM s ORDER BY vec_id""".stripMargin)),
+             |FROM s""".stripMargin)),
 
     // ---- deterministic hash sampling (reproducible downsampling/splits)
     Q("sample_deterministic",
       (s, d) => operators.Sampling.deterministicSample(ev(s, d), "event_id", 1, 10)
-        .select(col("event_id"), col("event_type"))
-        .orderBy(col("event_id")),
+        .select(col("event_id"), col("event_type")),
       Some("""SELECT event_id, event_type FROM events
-             |WHERE CAST(concat('0x', substring(md5(CAST(event_id AS VARCHAR)), 1, 15)) AS BIGINT) % 10 < 1
-             |ORDER BY event_id""".stripMargin)),
+             |WHERE CAST(concat('0x', substring(md5(CAST(event_id AS VARCHAR)), 1, 15)) AS BIGINT) % 10 < 1""".stripMargin)),
 
     Q("sample_split_labels",
       (s, d) => ev(s, d)
         .select(operators.Sampling.splitLabel(col("event_id"), 800, 100).as("label"))
-        .groupBy(col("label")).agg(count(lit(1)).as("n"))
-        .orderBy(col("label")),
+        .groupBy(col("label")).agg(count(lit(1)).as("n")),
       Some("""WITH b AS (
              |  SELECT CAST(concat('0x', substring(md5(CAST(event_id AS VARCHAR)), 1, 15)) AS BIGINT) % 1000 AS b
              |  FROM events)
              |SELECT CASE WHEN b < 800 THEN 'train'
              |            WHEN b < 900 THEN 'valid' ELSE 'test' END AS label,
              |       CAST(count(*) AS BIGINT) AS n
-             |FROM b GROUP BY 1 ORDER BY label""".stripMargin)),
+             |FROM b GROUP BY 1""".stripMargin)),
 
     // domain-mixing: per-stratum deterministic rates (click 50%, error 5%,
     // purchase 100%, everything else 10%) as one map-side filter
@@ -1166,8 +1093,7 @@ object SparkEntry {
       (s, d) => operators.Sampling.stratifiedSample(ev(s, d), "event_id",
         "event_type", Map("click" -> 50, "error" -> 5, "purchase" -> 100),
         defaultKeep = 10, buckets = 100)
-        .groupBy(col("event_type")).agg(count(lit(1)).as("n"))
-        .orderBy(col("event_type")),
+        .groupBy(col("event_type")).agg(count(lit(1)).as("n")),
       Some("""WITH b AS (
              |  SELECT event_type,
              |    CAST(concat('0x', substring(md5(CAST(event_id AS VARCHAR)), 1, 15)) AS BIGINT) % 100 AS b
@@ -1176,12 +1102,44 @@ object SparkEntry {
              |FROM b
              |WHERE b < CASE event_type WHEN 'click' THEN 50 WHEN 'error' THEN 5
              |                          WHEN 'purchase' THEN 100 ELSE 10 END
-             |GROUP BY 1 ORDER BY event_type""".stripMargin)),
+             |GROUP BY 1""".stripMargin)),
+
+    // ---- deterministic training order: seeded shard + in-shard position,
+    //      no global sort (the shuffle is repartition-by-shard; each shard
+    //      sorts independently)
+    Q("sample_train_order",
+      (s, d) => operators.Sampling.trainOrder(Tables.documents(s, d), "doc_id",
+        seed = "ep0", shards = 8)
+        .select(col("doc_id"), col("shard"), col("pos")),
+      Some("""WITH k AS (
+             |  SELECT doc_id, md5(concat('ep0:', CAST(doc_id AS VARCHAR))) AS skey
+             |  FROM documents),
+             |s AS (
+             |  SELECT doc_id, skey,
+             |         CAST(CAST(concat('0x', substring(skey, 1, 15)) AS BIGINT) % 8 AS INT) AS shard
+             |  FROM k)
+             |SELECT doc_id, shard,
+             |       CAST(row_number() OVER (PARTITION BY shard ORDER BY skey, doc_id) AS INT) AS pos
+             |FROM s""".stripMargin)),
+
+    // ---- corpus length distribution: exact per-source quantiles (the
+    //      curation-threshold primitive; approx_percentile is the
+    //      unbounded-cardinality path, unit-tested against this)
+    Q("stats_length_quantiles",
+      (s, d) => operators.Stats.exactQuantiles(Tables.documents(s, d),
+        "n_chars", "source", Seq(0.25, 0.5, 0.9)),
+      Some("""WITH q AS (
+             |  SELECT source, quantile_cont(n_chars, [0.25, 0.5, 0.9]) AS qs,
+             |         count(*) AS n
+             |  FROM documents GROUP BY source)
+             |SELECT source, v.p AS p,
+             |       CAST(CAST(round(qs[v.i], 4) AS DECIMAL(18,4)) AS VARCHAR) AS quantile,
+             |       CAST(n AS BIGINT) AS n
+             |FROM q CROSS JOIN (VALUES (1, '0.25'), (2, '0.50'), (3, '0.90')) v(i, p)""".stripMargin)),
 
     // ---- tf-idf top terms per document
     Q("text_tfidf_top_terms",
-      (s, d) => TextAnalysis.tfidfTopTerms(Tables.documents(s, d), 3)
-        .orderBy(col("doc"), col("rank")),
+      (s, d) => TextAnalysis.tfidfTopTerms(Tables.documents(s, d), 3),
       Some("""WITH t AS (
              |  SELECT doc_id, unnest(list_filter(string_split(lower(text), ' '), x -> x <> '')) AS term
              |  FROM documents),
@@ -1196,7 +1154,7 @@ object SparkEntry {
              |r AS (SELECT *, row_number() OVER (PARTITION BY doc ORDER BY tfidf DESC, term) AS rank
              |      FROM sc)
              |SELECT doc, term, tf, df, tfidf, CAST(rank AS INT) AS rank
-             |FROM r WHERE rank <= 3 ORDER BY doc, rank""".stripMargin)),
+             |FROM r WHERE rank <= 3""".stripMargin)),
 
     // ---- token-budget document packing (training-batch construction)
     // shardSize=64 exercises the sharded two-pass prefix sum (multiple
@@ -1204,8 +1162,7 @@ object SparkEntry {
     // oracle's single global cumsum is unchanged.
     Q("pack_token_budget",
       (s, d) => TextAnalysis.packByTokenBudget(Tables.documents(s, d), 1000,
-        shardSize = 64)
-        .orderBy(col("doc_id")),
+        shardSize = 64),
       Some("""WITH d AS (
              |  SELECT doc_id,
              |         CAST(len(list_filter(string_split(text, ' '), x -> x <> '')) AS BIGINT) AS n_tokens
@@ -1214,7 +1171,7 @@ object SparkEntry {
              |        sum(n_tokens) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING) AS cum
              |      FROM d)
              |SELECT doc_id, n_tokens, CAST((cum - n_tokens) // 1000 AS BIGINT) AS bin
-             |FROM c ORDER BY doc_id""".stripMargin)),
+             |FROM c""".stripMargin)),
 
     // ---- per-key ordered sequence construction (sequence-model rows)
     // Scalar-only terminal projection (driver gate cannot sort arrays):
@@ -1223,12 +1180,11 @@ object SparkEntry {
       (s, d) => operators.Sequences.orderedSequences(
         ev(s, d), "user_id", "event_id", "event_type", maxLen = 10)
         .select(col("user_id"), concat_ws(",", col("seq")).as("seq"),
-          col("n_events"))
-        .orderBy(col("user_id")),
+          col("n_events")),
       Some("""SELECT user_id,
              |       array_to_string((list(event_type ORDER BY event_id))[1:10], ',') AS seq,
              |       CAST(count(*) AS BIGINT) AS n_events
-             |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin)),
+             |FROM events GROUP BY user_id""".stripMargin)),
 
     // ---- composite corpus-curation pipeline: quality filter -> language
     //      filter -> normalized dedup -> deterministic sample. The full
@@ -1244,7 +1200,6 @@ object SparkEntry {
         val deduped = Dedup.normalized(kept, "text", "doc_id")
         operators.Sampling.deterministicSample(deduped, "keep_id", 8, 10)
           .select(col("keep_id"), col("dup_count"))
-          .orderBy(col("keep_id"))
       },
       Some("""WITH t AS (
              |  SELECT doc_id, text,
@@ -1279,22 +1234,20 @@ object SparkEntry {
              |               CAST(count(*) AS BIGINT) AS dup_count
              |        FROM en GROUP BY 1)
              |SELECT keep_id, dup_count FROM ded
-             |WHERE CAST(concat('0x', substring(md5(CAST(keep_id AS VARCHAR)), 1, 15)) AS BIGINT) % 10 < 8
-             |ORDER BY keep_id""".stripMargin)),
+             |WHERE CAST(concat('0x', substring(md5(CAST(keep_id AS VARCHAR)), 1, 15)) AS BIGINT) % 10 < 8""".stripMargin)),
 
     // ---- T10: dead-letter audit — corrupt envelopes per block bucket
     Q("t10_dead_letter",
       (s, d) => OpLog.deadLetter(plugTables(s, d)("_oplog"))
         .groupBy(expr("CAST(block_num DIV 100 AS INT)").as("bucket"))
-        .agg(count(lit(1)).as("n_corrupt"))
-        .orderBy(col("bucket")),
+        .agg(count(lit(1)).as("n_corrupt")),
       Some("""SELECT CAST(event_id // 1000 AS INT) AS bucket,
              |       CAST(count(*) AS BIGINT) AS n_corrupt
              |FROM events
              |WHERE event_type = 'error'
              |  AND CAST(json_extract_string(props,'$.k') AS INTEGER) % 2 = 1
              |  AND CAST(json_extract_string(props,'$.k') AS INTEGER) % 5 <> 0
-             |GROUP BY 1 ORDER BY bucket""".stripMargin)),
+             |GROUP BY 1""".stripMargin)),
 
     // ---- multimodal plumbing (stubbed decode; mapPartitions batch shape).
     // The stub's metadata is deterministic arithmetic over the payload
@@ -1304,7 +1257,6 @@ object SparkEntry {
       (s, d) => {
         val media = Multimodal.fromDocuments(s, Tables.documents(s, d))
         Multimodal.extractMeta(media).toDF()
-          .orderBy(col("doc_id"))
       },
       Some("""WITH m AS (
              |  SELECT doc_id,
@@ -1320,25 +1272,23 @@ object SparkEntry {
              |  CAST(CASE media_type WHEN 'image' THEN 1
              |       WHEN 'video' THEN 1 + n % 300 ELSE 1 + n % 9000 END AS INT) AS n_frames,
              |  sha
-             |FROM m ORDER BY doc_id""".stripMargin)),
+             |FROM m""".stripMargin)),
 
     // exact binary dedup over the media payloads: only (digest, id)
     // pairs shuffle, never the bytes
     Q("multimodal_dedup_binary",
       (s, d) => Multimodal.dedupBinary(
-        Multimodal.fromDocuments(s, Tables.documents(s, d)).toDF())
-        .orderBy(col("keep_id")),
+        Multimodal.fromDocuments(s, Tables.documents(s, d)).toDF()),
       Some("""SELECT sha256(text) AS content_sha,
              |       CAST(min(doc_id) AS BIGINT) AS keep_id,
              |       CAST(count(*) AS BIGINT) AS dup_count
-             |FROM documents GROUP BY 1 ORDER BY keep_id""".stripMargin)),
+             |FROM documents GROUP BY 1""".stripMargin)),
 
     // frame-sampling fanout over the (stubbed) decoded video metadata
     Q("multimodal_frames",
       (s, d) => {
         val media = Multimodal.fromDocuments(s, Tables.documents(s, d))
         Multimodal.sampleFrames(Multimodal.extractMeta(media).toDF(), every = 30)
-          .orderBy(col("doc_id"), col("frame_idx"))
       },
       Some("""WITH m AS (
              |  SELECT doc_id,
@@ -1351,7 +1301,7 @@ object SparkEntry {
              |             ELSE 1 + n % 9000 END AS nf
              |      FROM m)
              |SELECT doc_id, media_type, CAST(unnest(range(0, nf, 30)) AS INT) AS frame_idx
-             |FROM f WHERE nf > 1 ORDER BY doc_id, frame_idx""".stripMargin))
+             |FROM f WHERE nf > 1""".stripMargin))
   )
 
   /** Shared oracle fragments for the polls delete semantics: `d` = the
