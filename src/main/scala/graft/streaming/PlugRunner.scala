@@ -71,6 +71,12 @@ class PlugRunner(
             .option("partitionOverwriteMode", "dynamic")
             .partitionBy(partCols: _*)
             .parquet(tableDir(name))
+          // keep the directory count bounded: once enough per-batch
+          // partitions accumulate, fold everything before this batch into
+          // a compact segment (ids < batchId are past their replay window
+          // — their source offsets committed before this batch started)
+          if (CompactEvery > 0 && liveBatchIds(df.sparkSession, name).size >= CompactEvery)
+            compactAppends(df.sparkSession, name, batchId - 1)
       }
     }
     // engine metadata (hpp.plug_state equivalent, §1.1-B): cursor + check-in
@@ -162,13 +168,96 @@ class PlugRunner(
       .start()
   }
 
-  /** Read the current contents of a derived table. */
+  /** Auto-compaction threshold for append tables: once this many live
+    * `_batch_id=` partitions accumulate, [[processBatch]] folds them into
+    * a segment. 0 disables. The point is bounded directory counts: a
+    * year of minutely batches is ~500k directories, and every planner
+    * listing pays for all of them; with folding it's
+    * `CompactEvery + batches/CompactEvery` segment dirs.
+    */
+  val CompactEvery: Int = 64
+
+  private def appendStore(spark: SparkSession, name: String) =
+    new ParquetStateStore(spark, s"${tableDir(name)}/_compact")
+
+  /** Batch-id partitions currently on disk for an append table. */
+  private def liveBatchIds(spark: SparkSession, name: String): Seq[Long] = {
+    val root = new org.apache.hadoop.fs.Path(tableDir(name))
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(root)) Seq.empty
+    else fs.listStatus(root).toSeq
+      .filter(_.isDirectory).map(_.getPath.getName)
+      .filter(_.startsWith("_batch_id="))
+      .map(_.stripPrefix("_batch_id=").toLong).sorted
+  }
+
+  /** Fold append batches `<= upToBatch` into one compact segment — the
+    * manifest-commit answer to per-batch partition sprawl (NOTES: the
+    * batch-id overwrite sink is "correct but directory-heavy at high
+    * batch counts").
+    *
+    * Protocol: a segment `_compact/v=W` holds every batch in
+    * `(prevW, W]`; the version number IS the fold watermark, committed
+    * atomically by the parquet `_SUCCESS` marker. Readers take all
+    * segments plus only batch dirs `> maxW`, so the deletion of folded
+    * dirs afterwards is pure GC — a crash between commit and delete
+    * leaves stale dirs that every reader already excludes, and a replayed
+    * backfill chunk that re-materializes a folded id is excluded the same
+    * way. Folding is incremental (each segment reads only its own
+    * batches, never prior segments), so compaction cost is O(new data).
+    *
+    * Only call with `upToBatch` strictly below any batch id that may
+    * still replay; [[processBatch]]'s auto-trigger uses `batchId - 1`,
+    * whose source offsets committed before the current batch started.
+    */
+  def compactAppends(spark: SparkSession, name: String, upToBatch: Long): Unit = {
+    require(!mergeFns.contains(name),
+      s"$name is a merge table; its state store already compacts via prune")
+    val store = appendStore(spark, name)
+    val prevW = store.allVersions.lastOption.getOrElse(-1L)
+    if (upToBatch <= prevW) return
+    val foldable = liveBatchIds(spark, name).filter(n => n > prevW && n <= upToBatch)
+    if (foldable.isEmpty) return
+    val dir = tableDir(name)
+    val seg = spark.read.option("basePath", dir)
+      .parquet(foldable.map(n => s"$dir/_batch_id=$n"): _*)
+      .withColumn("_batch_id", col("_batch_id").cast("long"))
+    val partCols = if (seg.columns.contains("_block_bucket")) Seq("_block_bucket") else Nil
+    store.commit(upToBatch, seg, partCols)
+    val root = new org.apache.hadoop.fs.Path(dir)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    foldable.foreach(n =>
+      fs.delete(new org.apache.hadoop.fs.Path(root, s"_batch_id=$n"), true))
+  }
+
+  /** Read the current contents of a derived table. Append tables are the
+    * union of compact segments and not-yet-folded batch partitions
+    * strictly above the fold watermark (see [[compactAppends]] for why
+    * the watermark rule, not directory presence, decides membership).
+    */
   def table(spark: SparkSession, name: String): DataFrame =
     if (mergeFns.contains(name))
       new ParquetStateStore(spark, tableDir(name)).read()
         .getOrElse(spark.emptyDataFrame)
-    else
-      spark.read.parquet(tableDir(name)).drop("_batch_id", "_block_bucket")
+    else {
+      val dir = tableDir(name)
+      val segs = appendStore(spark, name).allVersions
+      if (segs.isEmpty)
+        spark.read.parquet(dir).drop("_batch_id", "_block_bucket")
+      else {
+        val maxW = segs.last
+        val segFrames = segs.map(w =>
+          spark.read.parquet(s"$dir/_compact/v=$w")
+            .drop("_batch_id", "_block_bucket"))
+        val live = liveBatchIds(spark, name).filter(_ > maxW)
+        val liveFrames =
+          if (live.isEmpty) Nil
+          else Seq(spark.read.option("basePath", dir)
+            .parquet(live.map(n => s"$dir/_batch_id=$n"): _*)
+            .drop("_batch_id", "_block_bucket"))
+        (segFrames ++ liveFrames).reduce(_.unionByName(_))
+      }
+    }
 
   /** DDL-at-boot (S9; reference `database/haf.py:38-47,72-84` runs
     * idempotent CREATE SCHEMA/TABLE from per-plug .sql files): register
@@ -190,6 +279,11 @@ class PlugRunner(
       if (mergeFns.contains(name))
         new ParquetStateStore(spark, tableDir(name)).read()
           .foreach(_.createOrReplaceTempView(s"${plug.name}_$name"))
+      else if (appendStore(spark, name).allVersions.nonEmpty)
+        // compacted: data lives in `_compact` segments the external-table
+        // path can't see (hidden dir) — register the watermark-aware
+        // union as a view, same refresh contract as the merge tables
+        table(spark, name).createOrReplaceTempView(s"${plug.name}_$name")
       else {
         // nothing written yet -> schema inference would fail; register on
         // a later boot once the first batch has landed (same not-yet-
@@ -281,14 +375,22 @@ class ParquetStateStore(spark: SparkSession, dir: String) {
 
   def latestVersion: Option[Long] = versions.lastOption
 
+  /** All committed versions, oldest first — for additive (segment) uses
+    * where every version is live data, not just the newest snapshot.
+    */
+  def allVersions: Seq[Long] = versions
+
   def readBefore(batchId: Long): Option[DataFrame] =
     versions.filter(_ < batchId).lastOption.map(v => spark.read.parquet(s"$dir/v=$v"))
 
   def read(): Option[DataFrame] =
     latestVersion.map(v => spark.read.parquet(s"$dir/v=$v"))
 
-  def commit(batchId: Long, df: DataFrame): Unit =
-    df.write.mode("overwrite").parquet(s"$dir/v=$batchId")
+  def commit(batchId: Long, df: DataFrame, partitionBy: Seq[String] = Nil): Unit = {
+    val w = df.write.mode("overwrite")
+    (if (partitionBy.nonEmpty) w.partitionBy(partitionBy: _*) else w)
+      .parquet(s"$dir/v=$batchId")
+  }
 
   /** Compaction: drop all but the newest `keepLast` committed versions
     * (old versions only exist to serve replay of *their* batch; once the

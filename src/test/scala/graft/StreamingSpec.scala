@@ -52,6 +52,51 @@ class StreamingSpec extends SparkSpec {
     assert(runner.table(spark, "updates").count() === 2)
   }
 
+  test("append compaction: segments fold batch dirs; reads identical; folded ids stay excluded") {
+    val src = tmp(); val out = tmp()
+    val runner = new PlugRunner(Podping, out)
+    def batch(i: Int) = opLog(spark, Seq(
+      op(i.toLong, 100 + i, 0, "2024-01-01 00:00:00", "podping", podpingV03(Seq(s"u$i")))))
+    (0 until 6).foreach(i => runner.processBatch(batch(i), i.toLong))
+    def urls() = runner.table(spark, "updates")
+      .select("url").collect().map(_.getString(0)).sorted.toSeq
+    def liveDirs() = new java.io.File(s"$out/podping/updates").list().toSeq
+      .filter(_.startsWith("_batch_id=")).map(_.stripPrefix("_batch_id=").toLong).sorted
+    val before = urls()
+    assert(before === (0 until 6).map(i => s"u$i"))
+
+    runner.compactAppends(spark, "updates", 3)
+    assert(liveDirs() === Seq(4L, 5L)) // 0..3 folded into segment v=3
+    assert(urls() === before)
+
+    // incremental: the second segment reads only (3, 5], never segment v=3
+    runner.compactAppends(spark, "updates", 5)
+    assert(liveDirs() === Seq.empty)
+    assert(urls() === before)
+
+    // a folded id re-materialized on disk (crashed GC / replayed backfill
+    // chunk) is excluded by the watermark rule, not double-counted
+    runner.processBatch(batch(2), 2L)
+    assert(liveDirs() === Seq(2L))
+    assert(urls() === before)
+
+    // catalog registration serves the segment-aware union as a view
+    runner.registerCatalog(spark, Seq("updates"))
+    assert(spark.sql("SELECT count(*) FROM podping_updates").collect().head.getLong(0) === 6L)
+  }
+
+  test("append compaction auto-triggers once enough batch partitions accumulate") {
+    val out = tmp()
+    val runner = new PlugRunner(Podping, out) { override val CompactEvery = 3 }
+    def batch(i: Int) = opLog(spark, Seq(
+      op(i.toLong, 100 + i, 0, "2024-01-01 00:00:00", "podping", podpingV03(Seq(s"u$i")))))
+    (0 until 7).foreach(i => runner.processBatch(batch(i), i.toLong))
+    val live = new java.io.File(s"$out/podping/updates").list().toSeq
+      .count(_.startsWith("_batch_id="))
+    assert(live < 3, s"live=$live") // folding kept the directory count bounded
+    assert(runner.table(spark, "updates").count() === 7)
+  }
+
   test("backfill: chunked historical batches, then plug_state cursor advances") {
     val src = tmp(); val out = tmp()
     writeBatch(src, 1, (0 until 30).map { i =>
