@@ -901,6 +901,39 @@ object SparkEntry {
              |      FROM nw)
              |SELECT doc_id, fp FROM r WHERE rn = 1""".stripMargin)),
 
+    // same fixture + oracle as dedup_incremental: the bloom prefilter is
+    // an optimization that must not change the answer (no false
+    // negatives; false positives are re-checked by the exact anti join)
+    Q("dedup_incremental_bloom",
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        val corpus = docs.filter(col("doc_id") < 250)
+        val fresh = docs.filter(col("doc_id") >= 250)
+        val batch = fresh.select(col("doc_id"), col("text"))
+          .union(corpus.filter(col("doc_id") % 50 === 0)
+            .select((col("doc_id") + 10000).as("doc_id"), col("text")))
+          .union(fresh.filter(col("doc_id") % 60 === 0)
+            .select((col("doc_id") + 20000).as("doc_id"), col("text")))
+        val bloom = Dedup.fingerprintBloom(corpus, "text", expectedItems = 1 << 16)
+        Dedup.incrementalNewBloom(batch, corpus, bloom, "text", "doc_id")
+          .select(col("doc_id"), col("fp"))
+      },
+      Some("""WITH canon AS (
+             |  SELECT doc_id,
+             |    md5(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g'))) AS fp
+             |  FROM documents),
+             |corpus AS (SELECT * FROM canon WHERE doc_id < 250),
+             |fresh AS (SELECT * FROM canon WHERE doc_id >= 250),
+             |batch AS (
+             |  SELECT doc_id, fp FROM fresh
+             |  UNION ALL SELECT doc_id + 10000, fp FROM corpus WHERE doc_id % 50 = 0
+             |  UNION ALL SELECT doc_id + 20000, fp FROM fresh WHERE doc_id % 60 = 0),
+             |nw AS (SELECT * FROM batch WHERE fp NOT IN (SELECT DISTINCT fp FROM corpus)),
+             |r AS (SELECT doc_id, fp,
+             |        row_number() OVER (PARTITION BY fp ORDER BY doc_id) AS rn
+             |      FROM nw)
+             |SELECT doc_id, fp FROM r WHERE rn = 1""".stripMargin)),
+
     Q("dedup_ngram_jaccard",
       (s, d) => Dedup.ngramJaccardPairs(Tables.documents(s, d), "text", "doc_id", 3, 0.8),
       Some(jaccardOracleSql)),

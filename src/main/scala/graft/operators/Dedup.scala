@@ -55,6 +55,49 @@ object Dedup {
       .drop("_rn")
   }
 
+  /** One-pass Bloom filter over the corpus's canonical fingerprints.
+    * Built with the public `stat.bloomFilter` (map-side inserts, tree
+    * aggregation of the bit array — no shuffle of the fingerprints
+    * themselves). Build once per ingest epoch and reuse across every
+    * incoming batch; at 100 TB this is the object that makes per-batch
+    * dedup cheap.
+    */
+  def fingerprintBloom(corpus: DataFrame, textCol: String,
+                       expectedItems: Long, fpp: Double = 0.01): org.apache.spark.util.sketch.BloomFilter =
+    corpus.select(TextAnalysis.fingerprint(col(textCol)).as("fp"))
+      .stat.bloomFilter("fp", expectedItems, fpp)
+
+  /** Bloom-prefiltered incremental dedup: same result as
+    * [[incrementalNew]], different scale shape. Batch rows whose
+    * fingerprint misses the corpus bloom are DEFINITELY new (no false
+    * negatives) and skip the join entirely; only the ~fpp fraction of
+    * false positives plus the true duplicates are confirmed with the
+    * exact anti join. For a mostly-fresh batch — the steady state of any
+    * crawler — this removes nearly all of the batch-side shuffle, and
+    * the corpus-side fingerprint scan only feeds the small candidate
+    * join. The filter is a parameter, not built inline, because its
+    * whole point is amortization across batches.
+    *
+    * Correctness: the probe is a pure function of the fingerprint, so
+    * duplicate rows within the batch land in the same branch and the
+    * post-union first-id-wins window sees every group intact.
+    */
+  def incrementalNewBloom(batch: DataFrame, corpus: DataFrame,
+                          bloom: org.apache.spark.util.sketch.BloomFilter,
+                          textCol: String, idCol: String): DataFrame = {
+    val bfp = batch.withColumn("fp", TextAnalysis.fingerprint(col(textCol)))
+    val probe = org.apache.spark.sql.GraftBridge.bloomMightContain(col("fp"), bloom)
+    val definiteNew = bfp.filter(!probe)
+    val seen = corpus
+      .select(TextAnalysis.fingerprint(col(textCol)).as("fp")).distinct()
+    val confirmedNew = bfp.filter(probe).join(seen, Seq("fp"), "left_anti")
+    val w = Window.partitionBy(col("fp")).orderBy(col(idCol))
+    definiteNew.unionByName(confirmedNew)
+      .withColumn("_rn", row_number().over(w))
+      .filter(col("_rn") === 1)
+      .drop("_rn")
+  }
+
   // ---------------------------------------------------------------- shingles
 
   /** Distinct word-w shingles per document: (id, shingle). Built with

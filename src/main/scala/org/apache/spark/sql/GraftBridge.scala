@@ -1,7 +1,8 @@
 package org.apache.spark.sql
 
-import graft.functions.DoubleDotProduct
+import graft.functions.{BloomMightContain, DoubleDotProduct}
 import org.apache.spark.sql.classic.ExpressionUtils
+import org.apache.spark.util.sketch.BloomFilter
 
 /** Bridge into Spark's private[sql] surface: wraps custom Catalyst
   * expressions as user-facing Columns. Lives in org.apache.spark.sql by
@@ -15,6 +16,12 @@ object GraftBridge {
   def dotProduct(a: Column, b: Column): Column =
     ExpressionUtils.column(DoubleDotProduct(
       ExpressionUtils.expression(a), ExpressionUtils.expression(b)))
+
+  /** Column probing a pre-built Bloom filter (see
+    * graft.functions.BloomMightContain).
+    */
+  def bloomMightContain(c: Column, filter: BloomFilter): Column =
+    ExpressionUtils.column(BloomMightContain(ExpressionUtils.expression(c), filter))
 
   /** Free the block-manager storage behind a `localCheckpoint`ed frame.
     * `Dataset.unpersist` only clears CacheManager entries; checkpoint

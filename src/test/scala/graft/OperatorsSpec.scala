@@ -180,6 +180,41 @@ class OperatorsSpec extends SparkSpec {
     assert(r === Set(11L, 13L))
   }
 
+  test("bloom-prefiltered incremental dedup matches the exact formulation") {
+    val s = spark
+    import s.implicits._
+    val corpus = (0L until 200L).map(i => (i, s"corpus document number $i"))
+      .toDF("doc_id", "text")
+    val batch = (
+      (500L until 600L).map(i => (i, s"fresh document $i")) ++          // new
+        (0L until 200L by 25).map(i => (i + 1000L, s"Corpus  DOCUMENT number $i!")) ++ // re-ingests
+        Seq((2000L, "fresh document 510"), (2001L, "FRESH document 510")) // in-batch dups
+      ).toDF("doc_id", "text").repartition(4)
+    val bloom = Dedup.fingerprintBloom(corpus, "text", expectedItems = 4096)
+    val viaBloom = Dedup.incrementalNewBloom(batch, corpus, bloom, "text", "doc_id")
+      .collect().map(r => (r.getAs[Long]("doc_id"), r.getAs[String]("fp"))).toSet
+    val exact = Dedup.incrementalNew(batch, corpus, "text", "doc_id")
+      .collect().map(r => (r.getAs[Long]("doc_id"), r.getAs[String]("fp"))).toSet
+    assert(viaBloom === exact)
+    assert(viaBloom.map(_._1).intersect((1000L until 1200L).toSet).isEmpty)
+  }
+
+  test("bloom probe: hits everything inserted, misses disjoint values") {
+    val s = spark
+    import s.implicits._
+    val inserted = (0 until 500).map(i => s"member-$i")
+    val bloom = inserted.toDF("v").stat.bloomFilter("v", 100000, 0.001)
+    val probeDf = ((0 until 500).map(i => (s"member-$i", true)) ++
+      (0 until 500).map(i => (s"absent-$i", false))).toDF("v", "expected")
+      .repartition(4) // multi-partition: the sketch must survive task serialization
+    val got = probeDf
+      .withColumn("hit", org.apache.spark.sql.GraftBridge.bloomMightContain(col("v"), bloom))
+      .collect()
+    // no false negatives ever; at 100k capacity / 500 absent probes the
+    // deterministic sketch has no false positives either
+    got.foreach(r => assert(r.getAs[Boolean]("hit") === r.getAs[Boolean]("expected"), r.getAs[String]("v")))
+  }
+
   test("binary dedup groups identical payloads, keeps min id") {
     val s = spark
     import s.implicits._
