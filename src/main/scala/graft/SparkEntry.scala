@@ -794,18 +794,21 @@ object SparkEntry {
     Q("text_repetition",
       (s, d) => TextAnalysis.repetitionScores(Tables.documents(s, d))
         .select(col("doc_id"), col("n_tokens"),
-          col("dup_token_frac"), col("top_bigram_frac")),
+          col("dup_token_frac"), col("top_bigram_frac"), col("dup_trigram_frac")),
       Some("""WITH t AS (
              |  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS toks
              |  FROM documents),
              |b AS (SELECT doc_id, toks,
-             |        list_transform(range(1, len(toks)), i -> concat_ws(' ', toks[i], toks[i+1])) AS bg
+             |        list_transform(range(1, len(toks)), i -> concat_ws(' ', toks[i], toks[i+1])) AS bg,
+             |        list_transform(range(1, len(toks) - 1), i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2])) AS tg
              |      FROM t)
              |SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_tokens,
              |  CASE WHEN len(toks) = 0 THEN 0.0
              |       ELSE round(1.0 - len(list_distinct(toks)) * 1.0 / len(toks), 6) END AS dup_token_frac,
              |  CASE WHEN len(bg) = 0 THEN 0.0
-             |       ELSE round(list_max(list_transform(list_distinct(bg), x -> len(list_filter(bg, y -> y = x)))) * 1.0 / len(bg), 6) END AS top_bigram_frac
+             |       ELSE round(list_max(list_transform(list_distinct(bg), x -> len(list_filter(bg, y -> y = x)))) * 1.0 / len(bg), 6) END AS top_bigram_frac,
+             |  CASE WHEN len(tg) = 0 THEN 0.0
+             |       ELSE round((len(tg) - len(list_filter(list_distinct(tg), x -> len(list_filter(tg, y -> y = x)) = 1))) * 1.0 / len(tg), 6) END AS dup_trigram_frac
              |FROM b""".stripMargin)),
 
     // PII scrubbing over deterministically synthesized PII (the corpus
@@ -1169,6 +1172,22 @@ object SparkEntry {
              |       CAST(CAST(round(qs[v.i], 4) AS DECIMAL(18,4)) AS VARCHAR) AS quantile,
              |       CAST(n AS BIGINT) AS n
              |FROM q CROSS JOIN (VALUES (1, '0.25'), (2, '0.50'), (3, '0.90')) v(i, p)""".stripMargin)),
+
+    // ---- corpus composition: per (lang, source) token totals, shares,
+    //      and cumulative share — the data-mixing decision table
+    Q("stats_corpus_mixture",
+      (s, d) => operators.Stats.corpusMixture(Tables.documents(s, d),
+        Seq("lang", "source")),
+      Some("""WITH a AS (
+             |  SELECT lang, source, CAST(count(*) AS BIGINT) AS n_docs,
+             |    CAST(sum(len(list_filter(string_split(text, ' '), x -> x <> ''))) AS BIGINT) AS n_tokens
+             |  FROM documents GROUP BY 1, 2)
+             |SELECT lang, source, n_docs, n_tokens,
+             |  round(CAST(n_tokens AS DOUBLE) / sum(n_tokens) OVER (), 6) AS token_share,
+             |  round(CAST(sum(n_tokens) OVER (ORDER BY n_tokens DESC, lang, source
+             |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+             |        / sum(n_tokens) OVER (), 6) AS cum_share
+             |FROM a ORDER BY n_tokens DESC, lang, source""".stripMargin)),
 
     // ---- tf-idf top terms per document
     Q("text_tfidf_top_terms",

@@ -59,4 +59,33 @@ object Stats {
       .select(col(groupCol), posexplode(col("qs")).as(Seq("pos", "q")))
       .select(col(groupCol), (col("pos") + 1).as("which"), col("q"))
   }
+
+  /** Corpus composition report: per stratum (e.g. language × source) the
+    * document count, token total, share of all corpus tokens, and the
+    * cumulative share in descending-size order — the table a data-mixing
+    * decision ("cap source X", "upsample language Y") reads first.
+    *
+    * One shuffle (the groupBy); the two windows that follow run over the
+    * AGGREGATED frame, whose cardinality is the number of strata —
+    * dimension-sized at any input scale, so the unpartitioned window is
+    * safe here (unlike over raw rows; cf. packByTokenBudget's sharding).
+    */
+  def corpusMixture(docs: DataFrame, strata: Seq[String],
+                    textCol: String = "text"): DataFrame = {
+    require(strata.nonEmpty)
+    import org.apache.spark.sql.expressions.Window
+    val ord = col("n_tokens").desc +: strata.map(col)
+    val w = Window.orderBy(ord: _*)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val total = Window.partitionBy()
+    docs
+      .groupBy(strata.map(col): _*)
+      .agg(count(lit(1)).as("n_docs"),
+        sum(size(TextAnalysis.tokens(col(textCol))).cast("long")).as("n_tokens"))
+      .withColumn("token_share",
+        round(col("n_tokens").cast("double") / sum(col("n_tokens")).over(total), 6))
+      .withColumn("cum_share",
+        round(sum(col("n_tokens")).over(w).cast("double")
+          / sum(col("n_tokens")).over(total), 6))
+  }
 }

@@ -140,17 +140,20 @@ object TextAnalysis {
   }
 
   /** Repetition scores (the Gopher-family repetition quality rules):
-    * `dup_token_frac` = 1 − distinct/total tokens, and `top_bigram_frac`
+    * `dup_token_frac` = 1 − distinct/total tokens, `top_bigram_frac`
     * = occurrences of the most frequent bigram / total bigrams (0 when a
-    * doc has fewer than 2 tokens). High values flag the
-    * boilerplate/keyword-stuffing documents that survive length and
-    * punctuation filters.
+    * doc has fewer than 2 tokens), and `dup_trigram_frac` = fraction of
+    * trigram slots whose trigram occurs more than once in the document.
+    * High values flag the boilerplate/keyword-stuffing documents that
+    * survive length and punctuation filters; the trigram rule catches
+    * longer-phrase loops that single-token and bigram stats miss.
     *
     * Map-side only, builtins only. The bigram mode (max multiplicity) is
     * computed per row by sorting the bigram array and counting the
     * longest equal run in one aggregate pass — O(n log n) per doc (the
-    * naive distinct×scan form was O(u·n) and 3× slower at sf0.1); no
-    * shuffle, linear at 100 TB.
+    * naive distinct×scan form was O(u·n) and 3× slower at sf0.1); the
+    * duplicated-trigram count sorts once and counts non-singletons by
+    * comparing sorted neighbors. No shuffle, linear at 100 TB.
     */
   def repetitionScores(docs: DataFrame, textCol: String = "text"): DataFrame = {
     val toks = tokens(col(textCol))
@@ -159,10 +162,30 @@ object TextAnalysis {
       slice(col("_toks"), lit(1), bigramLen),
       slice(col("_toks"), lit(2), bigramLen),
       (a, b) => concat_ws(" ", a, b))
+    val trigramLen = greatest(size(col("_toks")) - 2, lit(0))
+    val trigrams = zip_with(
+      zip_with(
+        slice(col("_toks"), lit(1), trigramLen),
+        slice(col("_toks"), lit(2), trigramLen),
+        (a, b) => concat_ws(" ", a, b)),
+      slice(col("_toks"), lit(3), trigramLen),
+      (ab, c) => concat_ws(" ", ab, c))
+    // elements of a sorted array that belong to a group of size > 1:
+    // total minus singletons (differ from both sorted neighbors); the
+    // or-chains short-circuit in codegen so the guarded element_at never
+    // sees an out-of-range index
+    def dupSlots(sorted: Column): Column = {
+      val n = size(sorted)
+      val singles = size(filter(sequence(lit(1), n), i =>
+        (i === 1 || element_at(sorted, i - 1) =!= element_at(sorted, i)) &&
+          (i === n || element_at(sorted, i + 1) =!= element_at(sorted, i))))
+      n - singles
+    }
     docs
       .withColumn("_toks", toks)
       .withColumn("n_tokens", size(col("_toks")).cast("long"))
       .withColumn("_bg", bigrams)
+      .withColumn("_tg", array_sort(trigrams))
       .withColumn("_top_bg",
         aggregate(array_sort(col("_bg")),
           struct(lit("").as("prev"), lit(0L).as("run"), lit(0L).as("best")),
@@ -180,7 +203,10 @@ object TextAnalysis {
       .withColumn("top_bigram_frac",
         when(size(col("_bg")) === 0, lit(0.0)).otherwise(round(
           col("_top_bg").cast("double") / size(col("_bg")), 6)))
-      .drop("_toks", "_bg", "_top_bg")
+      .withColumn("dup_trigram_frac",
+        when(size(col("_tg")) === 0, lit(0.0)).otherwise(round(
+          dupSlots(col("_tg")).cast("double") / size(col("_tg")), 6)))
+      .drop("_toks", "_bg", "_tg", "_top_bg")
   }
 
   /** PII scrubbing: redact emails, IPv4 literals, and long (>= 7) digit

@@ -245,23 +245,43 @@ class OperatorsSpec extends SparkSpec {
     assert(r.head.getAs[Double]("bench_containment") === 1.0) // all bench shingles leak
   }
 
-  test("repetition scores: dup-token and top-bigram fractions") {
+  test("repetition scores: dup-token, top-bigram, dup-trigram fractions") {
     val s = spark
     import s.implicits._
     val d = Seq(
-      (0L, "a a a b"),        // 4 tokens, 2 distinct; bigrams: 'a a','a a','a b'
-      (1L, "x y z"),          // no repetition
-      (2L, "w"),              // single token: no bigrams
-      (3L, "")                // empty
+      (0L, "a a a b"),        // 4 tokens, 2 distinct; bigrams: 'a a','a a','a b'; trigrams: 'a a a','a a b'
+      (1L, "x y z"),          // no repetition; one trigram (singleton)
+      (2L, "w"),              // single token: no bigrams/trigrams
+      (3L, ""),               // empty
+      (4L, "p q p q p q")     // trigrams: 'p q p','q p q','p q p','q p q' -> all duplicated
     ).toDF("doc_id", "text")
     val r = TextAnalysis.repetitionScores(d).collect()
       .map(x => x.getAs[Long]("doc_id") ->
         (x.getAs[Long]("n_tokens"), x.getAs[Double]("dup_token_frac"),
-          x.getAs[Double]("top_bigram_frac"))).toMap
-    assert(r(0L) === ((4L, 0.5, 0.666667)))
-    assert(r(1L) === ((3L, 0.0, 0.5))) // 2 distinct bigrams of 2 -> 1/2
-    assert(r(2L) === ((1L, 0.0, 0.0)))
-    assert(r(3L) === ((0L, 0.0, 0.0)))
+          x.getAs[Double]("top_bigram_frac"), x.getAs[Double]("dup_trigram_frac"))).toMap
+    assert(r(0L) === ((4L, 0.5, 0.666667, 0.0))) // both trigrams distinct
+    assert(r(1L) === ((3L, 0.0, 0.5, 0.0)))
+    assert(r(2L) === ((1L, 0.0, 0.0, 0.0)))
+    assert(r(3L) === ((0L, 0.0, 0.0, 0.0)))
+    assert(r(4L) === ((6L, 0.666667, 0.6, 1.0)))
+  }
+
+  test("corpus mixture: per-stratum token shares and cumulative share") {
+    val s = spark
+    import s.implicits._
+    val d = Seq(
+      ("en", "web", "a b c d"), ("en", "web", "x y"),
+      ("en", "book", "a a a"), ("de", "web", "q")
+    ).toDF("lang", "source", "text")
+    val r = operators.Stats.corpusMixture(d, Seq("lang", "source"))
+      .orderBy(col("n_tokens").desc, col("lang"), col("source")).collect()
+      .map(x => (x.getAs[String]("lang"), x.getAs[String]("source"),
+        x.getAs[Long]("n_docs"), x.getAs[Long]("n_tokens"),
+        x.getAs[Double]("token_share"), x.getAs[Double]("cum_share")))
+    assert(r === Array(
+      ("en", "web", 2L, 6L, 0.6, 0.6),
+      ("en", "book", 1L, 3L, 0.3, 0.9),
+      ("de", "web", 1L, 1L, 0.1, 1.0)))
   }
 
   test("PII redaction: emails, IPv4, digit runs — ordered, counted, scrubbed") {

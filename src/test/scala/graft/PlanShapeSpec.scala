@@ -90,4 +90,41 @@ class PlanShapeSpec extends SparkSpec {
     val seq = plan("seq_user_events")
     assert("Exchange hashpartitioning".r.findAllIn(seq).size <= 1)
   }
+
+  test("bloom ingest dedup: map-side probe, single anti join, no cross") {
+    // the gate's plan replicates the anti join per union branch of its
+    // synthetic batch (LeftSemiLeftAntiPushDown) — assert on the operator
+    // over a single-frame batch, the operational shape
+    import org.apache.spark.sql.functions.col
+    val docs = graft.core.Tables.documents(spark, sf)
+    val corpus = docs.filter(col("doc_id") < 250)
+    val batch = docs.filter(col("doc_id") >= 250)
+    val bloom = graft.operators.Dedup.fingerprintBloom(corpus, "text", 4096)
+    val p = graft.operators.Dedup
+      .incrementalNewBloom(batch, corpus, bloom, "text", "doc_id")
+      .queryExecution.executedPlan.toString
+    // the probe is a native expression evaluated in a Filter (pushed to
+    // the scan), not a join
+    assert(p.contains("graft_bloom_might_contain"), "bloom probe missing from plan")
+    // one exact confirm join for the candidate branch; the definite-new
+    // branch must not add a second
+    assert("LeftAnti".r.findAllIn(p).size === 1, "expected exactly one anti join")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))
+  }
+
+  test("corpus mixture: windows run over the aggregated (dimension-sized) frame only") {
+    val p = SparkEntry.queries("stats_corpus_mixture")(spark, sf)
+      .queryExecution.executedPlan
+    // the single-partition exchanges for the share windows must sit ABOVE
+    // the aggregate, never below it (that would funnel raw rows)
+    def containsAgg(n: org.apache.spark.sql.execution.SparkPlan): Boolean =
+      (n.nodeName.contains("HashAggregate")) || n.children.exists(containsAgg)
+    p.collect {
+      case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+          if e.outputPartitioning.numPartitions == 1 => e
+    }.foreach { e =>
+      assert(containsAgg(e), "single-partition exchange below the aggregation")
+    }
+    assert(p.toString.contains("HashAggregate"))
+  }
 }
