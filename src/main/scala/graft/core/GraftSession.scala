@@ -38,6 +38,9 @@ object GraftSession {
     // failing the stream; ANSI strict mode would abort the job on the
     // first malformed op.
     spark.conf.set("spark.sql.ansi.enabled", "false")
+    // SQL access to the native expressions (graft_dot, ...) even on
+    // sessions built without spark.sql.extensions=graft.GraftExtensions.
+    org.apache.spark.sql.GraftBridge.registerGraftFunctions(spark)
     spark
   }
 

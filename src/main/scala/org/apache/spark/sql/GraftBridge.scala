@@ -17,6 +17,19 @@ object GraftBridge {
     ExpressionUtils.column(DoubleDotProduct(
       ExpressionUtils.expression(a), ExpressionUtils.expression(b)))
 
+  /** Register graft's SQL functions on an already-constructed session —
+    * the `spark.sql.extensions` conf is only consulted at session build
+    * time, so driver-provided sessions register here instead (same
+    * triples as [[graft.GraftExtensions]]; idempotent, later wins).
+    */
+  def registerGraftFunctions(spark: SparkSession): Unit = {
+    val registry = spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+      .sessionState.functionRegistry
+    graft.GraftExtensions.registrations.foreach { case (ident, info, builder) =>
+      registry.registerFunction(ident, info, builder)
+    }
+  }
+
   /** Column probing a pre-built Bloom filter (see
     * graft.functions.BloomMightContain).
     */

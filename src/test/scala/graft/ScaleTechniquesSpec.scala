@@ -54,4 +54,34 @@ class ScaleTechniquesSpec extends SparkSpec {
       spark.sql("DROP TABLE ev_bucketed"); spark.sql("DROP TABLE stats_bucketed")
     }
   }
+
+  test("graft_dot is SQL-callable on a configured session") {
+    // GraftSession.configure registered the function on the shared session
+    val r = spark.sql(
+      "SELECT graft_dot(array(1.0D, 2.0D), array(3.0D, 4.0D)) AS d").collect()
+    assert(r.head.getDouble(0) === 11.0)
+    // and resolves against real columns + agrees with the Column helper
+    import spark.implicits._
+    val df = Seq((Array(1.0, 0.5), Array(2.0, 4.0))).toDF("a", "b")
+    df.createOrReplaceTempView("vecs")
+    val viaSql = spark.sql("SELECT graft_dot(a, b) AS d FROM vecs").collect().head.getDouble(0)
+    val viaCol = df.select(graft.operators.Similarity.dot(col("a"), col("b")).as("d"))
+      .collect().head.getDouble(0)
+    assert(viaSql === viaCol)
+    // arity errors surface at analysis, not execution
+    val e = intercept[Exception](spark.sql("SELECT graft_dot(array(1.0D))").collect())
+    assert(e.getMessage.contains("graft_dot"))
+  }
+
+  test("GraftExtensions injects its registrations into a fresh extension set") {
+    val exts = new org.apache.spark.sql.SparkSessionExtensions
+    new GraftExtensions().apply(exts) // must not throw; builder is arity-checked
+    val (_, _, builder) = GraftExtensions.registrations.head
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    import org.apache.spark.sql.types.{ArrayType, DoubleType}
+    val cols = Seq(Literal.create(Array(1.0, 2.0), ArrayType(DoubleType)),
+      Literal.create(Array(3.0, 4.0), ArrayType(DoubleType)))
+    assert(builder(cols).isInstanceOf[graft.functions.DoubleDotProduct])
+    assertThrows[IllegalArgumentException](builder(cols.take(1)))
+  }
 }
