@@ -996,6 +996,46 @@ object SparkEntry {
         3, 128, 16, 0.8),
       Some(jaccardOracleSql)),
 
+    // incremental near-dup: batch vs corpus cross-LSH, exact-verified.
+    // Fixture: corpus = doc_id < 250; batch = the rest plus near-copies
+    // of every 40th corpus doc (one appended token — jaccard ~ (n-2)/
+    // (n-1), far above the 0.8 bar). Oracle = the exact cross
+    // formulation, which LSH at r=8 must reproduce without misses.
+    Q("dedup_incremental_neardup",
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        val corpus = docs.filter(col("doc_id") < 250)
+          .select(col("doc_id"), col("text"))
+        val batch = docs.filter(col("doc_id") >= 250)
+          .select(col("doc_id"), col("text"))
+          .union(docs.filter(col("doc_id") < 250 && col("doc_id") % 40 === 0)
+            .select((col("doc_id") + 30000).as("doc_id"),
+              concat(col("text"), lit(" zz")).as("text")))
+        Dedup.incrementalNearDups(batch, corpus, "text", "doc_id")
+      },
+      Some("""WITH base AS (
+             |  SELECT doc_id, text FROM documents
+             |  UNION ALL
+             |  SELECT doc_id + 30000, concat(text, ' zz') FROM documents
+             |  WHERE doc_id < 250 AND doc_id % 40 = 0),
+             |toks AS (
+             |  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS t
+             |  FROM base),
+             |sh AS (SELECT DISTINCT doc_id, concat_ws(' ', t[i], t[i+1], t[i+2]) AS s
+             |       FROM (SELECT doc_id, t, unnest(range(1, len(t) - 1)) AS i FROM toks)
+             |       WHERE len(t) >= 3),
+             |sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+             |inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i
+             |          FROM sh a JOIN sh b ON a.s = b.s
+             |          WHERE a.doc_id >= 250 AND b.doc_id < 250
+             |          GROUP BY 1, 2)
+             |SELECT doc_a, doc_b,
+             |       round(i * 1.0 / (x.n + y.n - i), 6) AS jaccard
+             |FROM inter
+             |JOIN sz x ON x.doc_id = doc_a
+             |JOIN sz y ON y.doc_id = doc_b
+             |WHERE round(i * 1.0 / (x.n + y.n - i), 6) >= 0.8""".stripMargin)),
+
     // embedding-cosine near-dup with label blocking (equi join, not a
     // cross product — the blocking key is the shuffle key at scale)
     Q("dedup_embedding_cosine",
@@ -1103,6 +1143,36 @@ object SparkEntry {
              |       ELSE array_to_string(list_transform(e, x -> CAST(round(x / scale, 0) AS INTEGER)), ',')
              |  END AS quantized
              |FROM s""".stripMargin)),
+
+    // ---- embedding normalization (cosine-ready vectors); same CSV
+    // canonicalization, elements as round-6 fixed-scale decimals
+    Q("emb_l2_normalize",
+      (s, d) => operators.Embeddings.l2Normalize(Tables.embeddings(s, d))
+        .select(col("vec_id"),
+          array_join(transform(col("normalized"),
+            x => round(x, 6).cast("decimal(10,6)").cast("string")), ",")
+            .as("normalized")),
+      Some("""WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+             |n AS (SELECT vec_id, e, sqrt(list_dot_product(e, e)) AS nrm FROM v)
+             |SELECT vec_id,
+             |  CASE WHEN nrm = 0
+             |       THEN array_to_string(list_transform(e, x -> CAST(CAST(round(x, 6) AS DECIMAL(10,6)) AS VARCHAR)), ',')
+             |       ELSE array_to_string(list_transform(e, x -> CAST(CAST(round(x / nrm, 6) AS DECIMAL(10,6)) AS VARCHAR)), ',')
+             |  END AS normalized
+             |FROM n""".stripMargin)),
+
+    // ---- frequency cap: at most 3 docs per source, seeded hash order —
+    //      the anti-over-representation primitive
+    Q("sample_group_cap",
+      (s, d) => operators.Sampling.capPerGroup(Tables.documents(s, d),
+        "source", "doc_id", k = 3, seed = "cap0")
+        .select(col("doc_id"), col("source")),
+      Some("""WITH r AS (
+             |  SELECT doc_id, source,
+             |    row_number() OVER (PARTITION BY source
+             |      ORDER BY md5('cap0:' || CAST(doc_id AS VARCHAR)), doc_id) AS rk
+             |  FROM documents)
+             |SELECT doc_id, source FROM r WHERE rk <= 3""".stripMargin)),
 
     // ---- deterministic hash sampling (reproducible downsampling/splits)
     Q("sample_deterministic",

@@ -291,6 +291,62 @@ object Dedup {
     verifyPairsExact(candidates, sh, threshold)
   }
 
+  /** Incremental NEAR-dup detection: pairs (batch doc, corpus doc) with
+    * exact Jaccard >= threshold, found via cross-corpus MinHash-LSH — the
+    * near-dup analogue of [[incrementalNewBloom]]'s exact-dup path, and
+    * what a continuously-ingesting pipeline actually runs: the corpus is
+    * never re-paired against itself, only the increment is.
+    *
+    * Scale shape: the corpus side's signatures + band buckets are a pure
+    * function of the corpus — computed once per ingest epoch and
+    * persisted/bucketed by (band, bucket) at 100 TB, so each batch pays
+    * only its own signature pass plus an equi join against corpus
+    * buckets. Candidates are exactly verified on their shingle sets
+    * alone (two-sided: each side's shingles join only its own docs).
+    * LSH guarantees (probabilistically) no false negatives at the
+    * banding's S-curve; the oracle is the exact cross formulation, which
+    * the band parameters must therefore match (r=8 against 0.8).
+    */
+  def incrementalNearDups(batch: DataFrame, corpus: DataFrame,
+                          textCol: String, idCol: String,
+                          w: Int = 3, numPerm: Int = 128, bands: Int = 16,
+                          threshold: Double = 0.8): DataFrame = {
+    require(numPerm % bands == 0)
+    val r = numPerm / bands
+    def sides(df: DataFrame): (DataFrame, DataFrame) = {
+      val sh = graft.core.CacheScope.cached(shingles(df, textCol, idCol, w))
+      val bandCols = (0 until bands).map { b =>
+        struct(lit(b).as("band"),
+          hash(slice(col("sig"), b * r + 1, r)).as("bucket"))
+      }
+      val buckets = minhashSignatures(sh, numPerm)
+        .select(col("doc"), explode(array(bandCols: _*)).as("bk"))
+        .select(col("doc"), col("bk.band"), col("bk.bucket"))
+      (sh, buckets)
+    }
+    val (shB, bktB) = sides(batch)
+    val (shC, bktC) = sides(corpus)
+    val candidates = bktB.as("x")
+      .join(bktC.as("y"),
+        col("x.band") === col("y.band") && col("x.bucket") === col("y.bucket"))
+      .select(col("x.doc").as("doc_a"), col("y.doc").as("doc_b"))
+      .distinct()
+    val sizesB = shB.groupBy(col("doc")).agg(count(lit(1)).as("na"))
+    val sizesC = shC.groupBy(col("doc")).agg(count(lit(1)).as("nb"))
+    val inter = candidates
+      .join(shB.select(col("doc").as("doc_a"), col("shingle").as("s")), Seq("doc_a"))
+      .join(shC.select(col("doc").as("doc_b"), col("shingle").as("s")), Seq("doc_b", "s"))
+      .groupBy(col("doc_a"), col("doc_b"))
+      .agg(count(lit(1)).as("i"))
+    inter
+      .join(sizesB.withColumnRenamed("doc", "doc_a"), Seq("doc_a"))
+      .join(sizesC.withColumnRenamed("doc", "doc_b"), Seq("doc_b"))
+      .withColumn("jaccard",
+        round(col("i").cast("double") / (col("na") + col("nb") - col("i")), 6))
+      .filter(col("jaccard") >= threshold)
+      .select("doc_a", "doc_b", "jaccard")
+  }
+
   /** Exact-Jaccard verification restricted to candidate pairs — the
     * intersection join fans out only over candidates' shingles, never the
     * full cross of all docs (this is what keeps LSH sub-quadratic at scale).

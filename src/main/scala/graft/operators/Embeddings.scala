@@ -11,10 +11,25 @@ object Embeddings {
 
   private def asDouble(c: Column): Column = transform(c, x => x.cast("double"))
 
-  /** L2-normalize: v / ||v||; zero vectors pass through unchanged. */
-  def l2Normalize(vec: Column): Column = {
-    val n = Similarity.norm(vec)
-    when(n === 0.0, vec).otherwise(transform(vec, x => x / n))
+  /** L2-normalized embeddings: v / ||v||, zero vectors unchanged — the
+    * preprocessing step that turns dot products into cosines for every
+    * downstream ANN / near-dup operator.
+    *
+    * The norm (a whole-array reduction via the native dot expression) is
+    * staged as an ATTRIBUTE before the per-element divide references it:
+    * embedding the norm inside the transform lambda would re-evaluate
+    * the O(d) reduction per component — O(d²) per row (the same
+    * CollapseProject staging rule as quantizeInt8's scale).
+    */
+  def l2Normalize(emb: DataFrame, idCol: String = "vec_id",
+                  vecCol: String = "embedding"): DataFrame = {
+    val staged = emb.select(col(idCol), asDouble(col(vecCol)).as("_v"))
+      .withColumn("_n",
+        sqrt(org.apache.spark.sql.GraftBridge.dotProduct(col("_v"), col("_v"))))
+    staged.select(col(idCol),
+      when(col("_n") === 0.0, col("_v"))
+        .otherwise(transform(col("_v"), x => x / col("_n")))
+        .as("normalized"))
   }
 
   /** Symmetric per-vector int8 quantization: scale = max|x| / 127,

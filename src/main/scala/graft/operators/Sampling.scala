@@ -70,6 +70,26 @@ object Sampling {
     * (md5-derived like [[hashBucket]]); `key` tie-breaks exact hash
     * collisions so the order is total.
     */
+  /** Frequency cap: keep at most k rows per group, chosen
+    * deterministically by seeded hash order (md5(seed:key), key as
+    * tie-break — same stable key family as [[trainOrder]]). The
+    * anti-over-representation primitive: cap any one domain/source/site
+    * so head-heavy crawls don't dominate the mixture. One shuffle on the
+    * group key; the per-group sort is bounded by group size, and the
+    * heavy groups are exactly the ones being capped.
+    */
+  def capPerGroup(df: DataFrame, groupCol: String, keyCol: String,
+                  k: Int, seed: String): DataFrame = {
+    require(k > 0)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(groupCol)).orderBy(col("_skey"), col(keyCol))
+    df.withColumn("_skey",
+        md5(concat(lit(seed), lit(":"), col(keyCol).cast("string"))))
+      .withColumn("_rk", row_number().over(w))
+      .filter(col("_rk") <= k)
+      .drop("_skey", "_rk")
+  }
+
   def trainOrder(df: DataFrame, keyCol: String, seed: String,
                  shards: Int): DataFrame = {
     require(shards > 0)

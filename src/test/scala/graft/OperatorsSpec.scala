@@ -180,6 +180,25 @@ class OperatorsSpec extends SparkSpec {
     assert(r === Set(11L, 13L))
   }
 
+  test("incremental near-dup: batch near-copy of a corpus doc is flagged, fresh is not") {
+    val s = spark
+    import s.implicits._
+    val corpus = Seq(
+      (0L, "the quick brown fox jumps over the lazy dog tonight"),
+      (1L, "an entirely separate corpus document about spark plans")
+    ).toDF("doc_id", "text")
+    val batch = Seq(
+      (100L, "the quick brown fox jumps over the lazy dog tonight zz"), // near-copy of 0
+      (101L, "completely different words with no overlap at all today")
+    ).toDF("doc_id", "text")
+    val r = Dedup.incrementalNearDups(batch, corpus, "text", "doc_id")
+      .collect().map(x => (x.getAs[Long]("doc_a"), x.getAs[Long]("doc_b"),
+        x.getAs[Double]("jaccard")))
+    // 10-token corpus doc: 8 shingles; 11-token batch copy: 9, sharing 8
+    // -> 8 / (9 + 8 - 8)
+    assert(r.toSeq === Seq((100L, 0L, 0.888889)))
+  }
+
   test("bloom-prefiltered incremental dedup matches the exact formulation") {
     val s = spark
     import s.implicits._
@@ -264,6 +283,36 @@ class OperatorsSpec extends SparkSpec {
     assert(r(2L) === ((1L, 0.0, 0.0, 0.0)))
     assert(r(3L) === ((0L, 0.0, 0.0, 0.0)))
     assert(r(4L) === ((6L, 0.666667, 0.6, 1.0)))
+  }
+
+  test("l2 normalize: unit norm, zero vectors unchanged") {
+    val s = spark
+    import s.implicits._
+    val d = Seq((1L, Array(3.0, 4.0)), (2L, Array(0.0, 0.0)), (3L, Array(-2.0, 0.0)))
+      .toDF("vec_id", "embedding")
+    val r = Embeddings.l2Normalize(d).collect()
+      .map(x => x.getAs[Long]("vec_id") -> x.getAs[Seq[Double]]("normalized")).toMap
+    assert(r(1L) === Seq(0.6, 0.8))
+    assert(r(2L) === Seq(0.0, 0.0)) // zero vector passes through
+    assert(r(3L) === Seq(-1.0, 0.0))
+  }
+
+  test("group cap: at most k per group, deterministic, subset of input") {
+    val s = spark
+    import s.implicits._
+    val d = (0L until 100L).map(i => (i, s"src${i % 4}")).toDF("doc_id", "source")
+    val r1 = Sampling.capPerGroup(d, "source", "doc_id", 3, "cap0")
+      .collect().map(x => (x.getAs[Long]("doc_id"), x.getAs[String]("source")))
+    val r2 = Sampling.capPerGroup(d, "source", "doc_id", 3, "cap0")
+      .collect().map(x => (x.getAs[Long]("doc_id"), x.getAs[String]("source")))
+    assert(r1.toSet === r2.toSet) // deterministic
+    assert(r1.length === 12) // 4 groups of 25, capped at 3 each
+    assert(r1.groupBy(_._2).values.forall(_.length === 3))
+    // a different seed picks a different (but equally sized) subset
+    val r3 = Sampling.capPerGroup(d, "source", "doc_id", 3, "cap1")
+      .collect().map(x => (x.getAs[Long]("doc_id"), x.getAs[String]("source")))
+    assert(r3.length === 12)
+    assert(r3.toSet != r1.toSet)
   }
 
   test("corpus mixture: per-stratum token shares and cumulative share") {
