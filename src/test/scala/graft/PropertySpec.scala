@@ -208,4 +208,74 @@ class PropertySpec extends SparkSpec {
     val want = (even.collect().map(_.getLong(0)) ++ odd.collect().map(_.getLong(0))).toSet
     assert(got === want)
   }
+
+  test("bloom incremental dedup == exact incremental dedup on random corpora") {
+    val s = spark
+    import s.implicits._
+    for (seed <- Seq(3L, 77L, 500L)) {
+      val rnd = new scala.util.Random(seed)
+      def doc() = Seq.fill(5 + rnd.nextInt(10))(s"w${rnd.nextInt(20)}").mkString(" ")
+      val corpusDocs = Seq.tabulate(60)(i => (i.toLong, doc()))
+      // batch: fresh docs + re-ingests of random corpus docs + self-dups
+      val fresh = Seq.tabulate(40)(i => (1000L + i, doc()))
+      val reingest = Seq.fill(10)(corpusDocs(rnd.nextInt(60))).zipWithIndex
+        .map { case ((_, t), i) => (2000L + i, t) }
+      val selfdup = Seq.fill(5)(fresh(rnd.nextInt(40))).zipWithIndex
+        .map { case ((_, t), i) => (3000L + i, t) }
+      val corpus = corpusDocs.toDF("doc_id", "text")
+      val batch = rnd.shuffle(fresh ++ reingest ++ selfdup).toDF("doc_id", "text")
+        .repartition(4)
+      val bloom = graft.operators.Dedup.fingerprintBloom(corpus, "text", 4096)
+      val viaBloom = graft.operators.Dedup
+        .incrementalNewBloom(batch, corpus, bloom, "text", "doc_id")
+        .collect().map(_.getAs[Long]("doc_id")).toSet
+      val exact = graft.operators.Dedup
+        .incrementalNew(batch, corpus, "text", "doc_id")
+        .collect().map(_.getAs[Long]("doc_id")).toSet
+      assert(viaBloom === exact, s"seed=$seed")
+    }
+  }
+
+  test("group cap: never exceeds k, subset of input, insensitive to row order") {
+    val s = spark
+    import s.implicits._
+    for (seed <- Seq(11L, 222L)) {
+      val rnd = new scala.util.Random(seed)
+      val rows = Seq.tabulate(200)(i => (i.toLong, s"g${rnd.nextInt(7)}"))
+      val k = 1 + rnd.nextInt(5)
+      val a = graft.operators.Sampling
+        .capPerGroup(rows.toDF("doc_id", "source"), "source", "doc_id", k, "s")
+        .collect().map(r => (r.getLong(0), r.getString(1)))
+      val b = graft.operators.Sampling
+        .capPerGroup(rnd.shuffle(rows).toDF("doc_id", "source").repartition(5),
+          "source", "doc_id", k, "s")
+        .collect().map(r => (r.getLong(0), r.getString(1)))
+      assert(a.toSet === b.toSet, s"seed=$seed") // order/partitioning invariant
+      val perGroup = a.groupBy(_._2).view.mapValues(_.length)
+      val groupSizes = rows.groupBy(_._2).view.mapValues(_.length)
+      perGroup.foreach { case (g, n) => assert(n === math.min(k, groupSizes(g)), s"$g seed=$seed") }
+      assert(a.toSet.subsetOf(rows.toSet), s"seed=$seed")
+    }
+  }
+
+  test("l2 normalize: unit norm for nonzero vectors, direction preserved") {
+    val s = spark
+    import s.implicits._
+    val rnd = new scala.util.Random(9L)
+    val vecs = Seq.tabulate(50)(i =>
+      (i.toLong, Array.fill(16)(rnd.nextDouble() * 20 - 10)))
+    val normed = graft.operators.Embeddings
+      .l2Normalize(vecs.toDF("vec_id", "embedding"))
+      .collect().map(r => r.getAs[Long]("vec_id") -> r.getSeq[Double](1).toVector).toMap
+    val byId = vecs.toMap
+    normed.foreach { case (id, v) =>
+      val norm = math.sqrt(v.map(x => x * x).sum)
+      assert(math.abs(norm - 1.0) < 1e-9, s"id=$id norm=$norm")
+      // direction: positive scalar multiple of the original
+      val orig = byId(id)
+      val ratios = v.zip(orig).filter(p => math.abs(p._2) > 1e-12).map(p => p._1 / p._2)
+      assert(ratios.forall(r => math.abs(r - ratios.head) < 1e-9), s"id=$id")
+      assert(ratios.head > 0, s"id=$id")
+    }
+  }
 }
