@@ -77,10 +77,15 @@ object Bench {
     }
     if (timedFails > 0)
       System.err.println(s"[bench] timed pass: $timedFails queries failed")
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
+    // 3-decimal values: the driver captures a bounded tail of stdout, and
+    // at full double precision the line (~48 bytes/query) outgrew that
+    // window in rounds 2 AND 3 — the head was cut and the driver recorded
+    // parsed:null. Millisecond precision is ample for wall-clock seconds.
+    def fmt(v: Double): String = "%.3f".format(v)
+    val qs = results.map { case (k, v) => "\"" + k + "\":" + fmt(v) }
       .mkString("{", ",", "}")
     val total = results.collect { case (_, v) if v >= 0 => v }.sum
-    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    val line = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
     // the driver scrapes stdout, where sbt noise has truncated the tail
     // before (round 2 lost 7 queries): print the line FIRST and flush,
     // and also write it to a file as the durable copy
