@@ -871,6 +871,58 @@ object SparkEntry {
              |  array_to_string(toks[i:i+49], ' ') AS chunk_text
              |FROM s""".stripMargin)),
 
+    // C4-style structural cleaning over synthesized line structure (the
+    // corpus text has no newlines or punctuation, so both sides build the
+    // same lines first: 8-word segments, a terminal '.' on segments where
+    // (doc_id + seg) % 3 != 0 — same determinism trick as the PII gate)
+    Q("text_c4_filter",
+      (s, d) => {
+        val withLines = Tables.documents(s, d)
+          .withColumn("_t", TextAnalysis.tokens(col("text")))
+          .filter(size(col("_t")) > 0)
+          .withColumn("text", array_join(transform(
+            sequence(lit(1), size(col("_t")), lit(8)),
+            (st, i) => concat(array_join(slice(col("_t"), st, lit(8)), " "),
+              when((col("doc_id") + i) % 3 =!= 0, lit(".")).otherwise(lit("")))),
+            "\n"))
+          .select(col("doc_id"), col("text"))
+        TextAnalysis.c4LineFilter(withLines, 5, 2)
+          .select(col("doc_id"), col("n_lines"), col("n_kept_lines"),
+            col("text_filtered"))
+      },
+      Some("""WITH t AS (
+             |  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS toks
+             |  FROM documents),
+             |l AS (SELECT doc_id, i,
+             |        array_to_string(toks[i:i+7], ' ') ||
+             |        CASE WHEN (doc_id + (i - 1) // 8) % 3 <> 0 THEN '.' ELSE '' END AS line
+             |      FROM (SELECT doc_id, toks, unnest(range(1, len(toks) + 1, 8)) AS i
+             |            FROM t WHERE len(toks) > 0)),
+             |k AS (SELECT doc_id, i, line,
+             |        (len(list_filter(string_split(line, ' '), x -> x <> '')) >= 5
+             |         AND (line LIKE '%.' OR line LIKE '%!' OR line LIKE '%?')) AS keep
+             |      FROM l),
+             |g AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_lines,
+             |        CAST(sum(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS n_kept_lines,
+             |        coalesce(string_agg(CASE WHEN keep THEN line END, chr(10) ORDER BY i), '') AS text_filtered
+             |      FROM k GROUP BY doc_id)
+             |SELECT doc_id, n_lines, n_kept_lines, text_filtered
+             |FROM g WHERE n_kept_lines >= 2""".stripMargin)),
+
+    // corpus-unigram LM typicality score (add-one smoothing)
+    Q("text_unigram_logprob",
+      (s, d) => TextAnalysis.unigramLogProb(Tables.documents(s, d))
+        .select(col("doc").as("doc_id"), col("n_tokens"), col("avg_logprob")),
+      Some("""WITH t AS (
+             |  SELECT doc_id, unnest(list_filter(string_split(lower(text), ' '), x -> x <> '')) AS term
+             |  FROM documents),
+             |c AS (SELECT term, CAST(count(*) AS BIGINT) AS c FROM t GROUP BY term),
+             |st AS (SELECT CAST(sum(c) AS DOUBLE) AS T, CAST(count(*) AS DOUBLE) AS V FROM c)
+             |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+             |  round(avg(ln((c + 1) / (T + V))), 6) AS avg_logprob
+             |FROM t JOIN c USING (term), st
+             |GROUP BY doc_id""".stripMargin)),
+
     // ---- dedup ---------------------------------------------------------
     Q("dedup_exact",
       (s, d) => Dedup.exact(Tables.documents(s, d), "text", "doc_id")
@@ -884,6 +936,27 @@ object SparkEntry {
       Some("""SELECT md5(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g'))) AS fp,
              |  CAST(min(doc_id) AS BIGINT) AS keep_id, CAST(count(*) AS BIGINT) AS dup_count
              |FROM documents GROUP BY 1""".stripMargin)),
+
+    // CCNet-style segment-level dedup: repeated 12-word segments are
+    // dropped corpus-wide (first occurrence wins), documents reassembled
+    Q("dedup_paragraphs",
+      (s, d) => Dedup.segmentDedup(Tables.documents(s, d), "text", "doc_id", 12)
+        .select(col("doc").as("doc_id"), col("n_segments"), col("n_kept"),
+          col("text_dedup")),
+      Some("""WITH t AS (
+             |  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS toks
+             |  FROM documents),
+             |s AS (SELECT doc_id, CAST((i - 1) // 12 AS INT) AS seg_id,
+             |             array_to_string(toks[i:i+11], ' ') AS para
+             |      FROM (SELECT doc_id, toks, unnest(range(1, len(toks) + 1, 12)) AS i
+             |            FROM t WHERE len(toks) > 0)),
+             |r AS (SELECT doc_id, seg_id, para,
+             |             row_number() OVER (PARTITION BY para ORDER BY doc_id, seg_id) AS rn
+             |      FROM s)
+             |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_segments,
+             |  CAST(sum(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+             |  coalesce(string_agg(CASE WHEN rn = 1 THEN para END, chr(10) ORDER BY seg_id), '') AS text_dedup
+             |FROM r GROUP BY doc_id""".stripMargin)),
 
     // incremental ingest dedup: corpus = doc_id < 250, batch = the rest
     // plus synthesized duplicates (a re-ingest of every 50th corpus doc

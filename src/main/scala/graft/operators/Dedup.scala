@@ -368,6 +368,55 @@ object Dedup {
       .select("doc_a", "doc_b", "jaccard")
   }
 
+  /** Segment-level dedup (the CCNet paragraph-dedup formulation: drop
+    * every repeated paragraph corpus-wide, keeping only its first
+    * occurrence, then reassemble each document from its surviving
+    * paragraphs). Catches the shared boilerplate — headers, navigation,
+    * license blocks — that document-level dedup can never remove because
+    * the documents differ elsewhere.
+    *
+    * Segmentation is fixed-width word windows (`segWords` tokens), so
+    * corpora without explicit paragraph breaks still segment
+    * deterministically; swapping in a delimiter split changes only the
+    * segmenter, not the dedup shape. "First occurrence" = lowest
+    * (id, segment index) — a total deterministic order.
+    *
+    * Scale shape: one map-side explode (ceil(n/segWords) rows per doc),
+    * one shuffle partitioned by the segment text to rank occurrences, one
+    * shuffle back on the doc id to reassemble. The segment is the shuffle
+    * key (same key CCNet shards its hash table by); no driver state, no
+    * per-key memory beyond a row_number counter. Reassembly order rides a
+    * per-row array_sort over the doc's own kept segments — bounded by
+    * document size, not corpus size.
+    */
+  def segmentDedup(df: DataFrame, textCol: String, idCol: String,
+                   segWords: Int = 12): DataFrame = {
+    val segs = spread(df)
+      .select(col(idCol).as("doc"), TextAnalysis.tokens(col(textCol)).as("_t"))
+      .filter(size(col("_t")) > 0)
+      .select(col("doc"),
+        posexplode(transform(
+          sequence(lit(1), size(col("_t")), lit(segWords)),
+          st => array_join(slice(col("_t"), st, lit(segWords)), " "))))
+      .select(col("doc"), col("pos").as("seg_id"), col("col").as("para"))
+    val w = Window.partitionBy(col("para")).orderBy(col("doc"), col("seg_id"))
+    segs
+      .withColumn("_keep", row_number().over(w) === 1)
+      .groupBy(col("doc"))
+      .agg(
+        count(lit(1)).as("n_segments"),
+        sum(when(col("_keep"), 1L).otherwise(0L)).as("n_kept"),
+        // collect_list drops the nulls the `when` leaves for dropped
+        // segments; array_sort on (seg_id, para) structs restores the
+        // original in-document order before the join
+        array_join(
+          transform(
+            array_sort(collect_list(when(col("_keep"),
+              struct(col("seg_id"), col("para"))))),
+            x => x.getField("para")),
+          "\n").as("text_dedup"))
+  }
+
   // ------------------------------------------------- near-dup clustering
 
   /** Connected components over a near-dup pair graph -> (doc, cluster)

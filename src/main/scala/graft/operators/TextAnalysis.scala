@@ -262,6 +262,62 @@ object TextAnalysis {
         array_join(col("_chunk"), " ").as("chunk_text"))
   }
 
+  /** C4-style line filtering (boilerplate removal): keep only lines with
+    * at least `minWords` words that end in terminal punctuation (./!/?),
+    * and keep only documents with at least `minLines` surviving lines —
+    * the two structural rules of the C4 cleaning recipe. Navigation
+    * menus, cookie banners, and list fragments fail the sentence test;
+    * documents reduced to nothing fail the document test.
+    *
+    * Pure per-row array work (split → filter → re-join) — zero shuffle,
+    * one codegen'd map pass; at 100 TB this is scan-bound.
+    */
+  def c4LineFilter(docs: DataFrame, minWords: Int = 5, minLines: Int = 2,
+                   textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    val lines = split(col(textCol), "\n", -1)
+    val kept = filter(lines, l =>
+      size(filter(split(l, " ", -1), wd => wd =!= "")) >= minWords &&
+        (l.endsWith(".") || l.endsWith("!") || l.endsWith("?")))
+    docs
+      .withColumn("_lines", lines)
+      .withColumn("_kept", kept)
+      .withColumn("n_lines", size(col("_lines")).cast("long"))
+      .withColumn("n_kept_lines", size(col("_kept")).cast("long"))
+      .withColumn("text_filtered", array_join(col("_kept"), "\n"))
+      .filter(col("n_kept_lines") >= minLines)
+      .drop("_lines", "_kept")
+  }
+
+  /** Corpus-unigram language-model scoring — the classic cheap "quality
+    * by typicality" signal: train token frequencies on the corpus itself,
+    * then score each document by the mean log-probability of its tokens
+    * under that unigram model with add-one smoothing,
+    * p(t) = (c(t)+1) / (T+V). Keyword-stuffed or garbled documents score
+    * far below the corpus mode; the score is also the standard filter for
+    * matching a target-domain distribution (train counts on the target,
+    * score the crawl).
+    *
+    * Scale shape: one shuffle for the token-count dictionary (vocabulary-
+    * sized — the size-based planner broadcasts it back while it fits, and
+    * degrades to a shuffle join beyond that), one shuffle for the per-doc
+    * mean. Corpus totals (T, V) ride the plan as a one-row scalar
+    * aggregate cross-joined in — no driver-side action.
+    */
+  def unigramLogProb(docs: DataFrame,
+                     textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    val terms = docs
+      .repartition(docs.sparkSession.sparkContext.defaultParallelism)
+      .select(col(idCol).as("doc"), explode(tokens(lower(col(textCol)))).as("term"))
+    val counts = terms.groupBy(col("term")).agg(count(lit(1)).as("c"))
+    val stats = counts.agg(sum(col("c")).cast("double").as("_T"),
+      count(lit(1)).cast("double").as("_V"))
+    terms.join(counts, "term")
+      .crossJoin(stats)
+      .groupBy(col("doc"))
+      .agg(count(lit(1)).as("n_tokens"),
+        round(avg(log((col("c") + lit(1)) / (col("_T") + col("_V")))), 6).as("avg_logprob"))
+  }
+
   /** Sketch-based distinct counts per group (HyperLogLog++, SURVEY §4):
     * the opt-in replacement for exact `countDistinct` at 100 TB — one
     * fixed-size sketch per group instead of the exact two-phase expand,

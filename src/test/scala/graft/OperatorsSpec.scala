@@ -531,6 +531,68 @@ class OperatorsSpec extends SparkSpec {
     }
   }
 
+  test("segment dedup drops repeated segments corpus-wide, first occurrence wins") {
+    val s = spark
+    import s.implicits._
+    // 4-word segments: docs 10 and 11 share their first segment verbatim;
+    // doc 12 repeats its own first segment as its second
+    val d = Seq(
+      (10L, "alpha beta gamma delta one two three four"),
+      (11L, "alpha beta gamma delta five six seven eight"),
+      (12L, "red green blue white red green blue white")
+    ).toDF("doc_id", "text")
+    val r = Dedup.segmentDedup(d, "text", "doc_id", 4).collect()
+      .map(x => x.getAs[Long]("doc") ->
+        (x.getAs[Long]("n_segments"), x.getAs[Long]("n_kept"), x.getAs[String]("text_dedup"))).toMap
+    assert(r(10L) === ((2L, 2L, "alpha beta gamma delta\none two three four")))
+    // doc 11 loses the shared first segment (doc 10 owns it) but keeps its tail
+    assert(r(11L) === ((2L, 1L, "five six seven eight")))
+    // in-doc repeat: second copy dropped
+    assert(r(12L) === ((2L, 1L, "red green blue white")))
+  }
+
+  test("segment dedup keeps a partial trailing segment as its own unit") {
+    val s = spark
+    import s.implicits._
+    val d = Seq((0L, "a b c d e")).toDF("doc_id", "text")
+    val r = Dedup.segmentDedup(d, "text", "doc_id", 4).collect()
+    assert(r.length === 1)
+    assert(r.head.getAs[Long]("n_segments") === 2L)
+    assert(r.head.getAs[String]("text_dedup") === "a b c d\ne")
+  }
+
+  test("c4 line filter keeps punctuated sentences, drops fragments and thin docs") {
+    val s = spark
+    import s.implicits._
+    val d = Seq(
+      (0L, "this is a proper sentence right here.\nshort one.\nanother full sentence ends with a bang!\nno terminal punctuation on this line"),
+      (1L, "menu\nhome\nabout us\ncontact")
+    ).toDF("doc_id", "text")
+    val r = TextAnalysis.c4LineFilter(d, minWords = 5, minLines = 2).collect()
+    // doc 1 has no qualifying lines at all -> dropped by the minLines rule
+    assert(r.length === 1 && r.head.getAs[Long]("doc_id") === 0L)
+    assert(r.head.getAs[Long]("n_lines") === 4L)
+    assert(r.head.getAs[Long]("n_kept_lines") === 2L) // "short one." fails minWords
+    assert(r.head.getAs[String]("text_filtered") ===
+      "this is a proper sentence right here.\nanother full sentence ends with a bang!")
+  }
+
+  test("unigram logprob: rare-token docs score below common-token docs") {
+    val s = spark
+    import s.implicits._
+    val d = Seq(
+      (0L, "the the the the"),
+      (1L, "the the the zzzz")
+    ).toDF("doc_id", "text")
+    val r = TextAnalysis.unigramLogProb(d).collect()
+      .map(x => x.getAs[Long]("doc") -> x.getAs[Double]("avg_logprob")).toMap
+    // corpus: c(the)=7, c(zzzz)=1, T=8, V=2 -> p(the)=8/10, p(zzzz)=2/10
+    val pThe = math.log(8.0 / 10.0); val pZ = math.log(2.0 / 10.0)
+    assert(math.abs(r(0L) - pThe) < 1e-6)
+    assert(math.abs(r(1L) - (3 * pThe + pZ) / 4) < 1e-6)
+    assert(r(1L) < r(0L))
+  }
+
   test("multimodal: stubbed decode plumbing produces typed metadata per row") {
     val media = Multimodal.fromDocuments(spark, docs.withColumn("doc_id", col("doc_id")))
     val meta = Multimodal.extractMeta(media).collect()
