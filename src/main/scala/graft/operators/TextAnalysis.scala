@@ -273,7 +273,7 @@ object TextAnalysis {
     * one codegen'd map pass; at 100 TB this is scan-bound.
     */
   def c4LineFilter(docs: DataFrame, minWords: Int = 5, minLines: Int = 2,
-                   textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+                   textCol: String = "text"): DataFrame = {
     val lines = split(col(textCol), "\n", -1)
     val kept = filter(lines, l =>
       size(filter(split(l, " ", -1), wd => wd =!= "")) >= minWords &&
@@ -315,6 +315,10 @@ object TextAnalysis {
       .crossJoin(stats)
       .groupBy(col("doc"))
       .agg(count(lit(1)).as("n_tokens"),
+        // avg over doubles sums in partition order; the terminal round(,6)
+        // absorbs it in practice (gate green since r3). If a boundary-case
+        // hash flake ever appears, the established fix is the decimal->
+        // string canonicalization, not an order-forcing sort.
         round(avg(log((col("c") + lit(1)) / (col("_T") + col("_V")))), 6).as("avg_logprob"))
   }
 
