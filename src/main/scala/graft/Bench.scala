@@ -107,7 +107,11 @@ object Bench {
         while (keep > 0 && out.length > Budget) {
           keep -= 1
           val omitted = bySlowest.drop(keep)
-          val extra = s""","omitted":{"n":${omitted.length},"sum":${fmt(omitted.map(_._2).sum)},"full":"BENCH_LOCAL.json"}"""
+          // failed queries carry the -1 sentinel: keep them out of the
+          // omitted-seconds sum (value == sum(queries) + omitted.sum must
+          // hold) and surface them as an explicit count instead
+          val omittedSecs = omitted.collect { case (_, v) if v >= 0 => v }.sum
+          val extra = s""","omitted":{"n":${omitted.length},"sum":${fmt(omittedSecs)},"failed":$timedFails,"full":"BENCH_LOCAL.json"}"""
           out = render(bySlowest.take(keep), extra)
         }
         out

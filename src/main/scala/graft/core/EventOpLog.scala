@@ -49,8 +49,8 @@ object EventOpLog {
 
   def fromEvents(events0: DataFrame): DataFrame = {
     // single-file source = one split; spread the JSON-heavy synthesis
-    val events = events0
-      .repartition(events0.sparkSession.sparkContext.defaultParallelism)
+    // (conditional — a well-split source gets no extra Exchange)
+    val events = Spread.ensureParallel(events0)
       .withColumn("_k", get_json_object(col("props"), "$.k").cast("int"))
 
     // {"version": "0.3", "reason": "feed_update", "urls": ["url_A", "url_B"]}

@@ -14,10 +14,11 @@ import org.apache.spark.sql.functions._
 object Dedup {
 
   /** Repartition a (possibly single-split) source so CPU-heavy downstream
-    * work parallelizes; no-op cost at scale, unlocks all cores locally.
+    * work parallelizes — conditional: an already-well-split source gets
+    * no extra Exchange (see [[graft.core.Spread.ensureParallel]]).
     */
   private[operators] def spread(df: DataFrame): DataFrame =
-    df.repartition(df.sparkSession.sparkContext.defaultParallelism)
+    graft.core.Spread.ensureParallel(df)
 
   /** Exact dedup: keep the smallest id per identical key (hash-groupBy).
     * Returns the kept rows plus `dup_count`.
@@ -46,8 +47,13 @@ object Dedup {
   def incrementalNew(batch: DataFrame, corpus: DataFrame,
                      textCol: String, idCol: String): DataFrame = {
     val bfp = batch.withColumn("fp", TextAnalysis.fingerprint(col(textCol)))
-    val seen = corpus
-      .select(TextAnalysis.fingerprint(col(textCol)).as("fp")).distinct()
+    // Materialize the corpus fingerprint set once: when the batch is a
+    // multi-branch union, LeftSemiLeftAntiPushDown replicates the anti
+    // join into every branch — legitimate for the join, but without the
+    // cache each replica recomputes the md5+regexp canonicalization and
+    // the distinct over the whole corpus.
+    val seen = graft.core.CacheScope.cached(corpus
+      .select(TextAnalysis.fingerprint(col(textCol)).as("fp")).distinct())
     val w = Window.partitionBy(col("fp")).orderBy(col(idCol))
     bfp.join(seen, Seq("fp"), "left_anti")
       .withColumn("_rn", row_number().over(w))
@@ -85,11 +91,15 @@ object Dedup {
   def incrementalNewBloom(batch: DataFrame, corpus: DataFrame,
                           bloom: org.apache.spark.util.sketch.BloomFilter,
                           textCol: String, idCol: String): DataFrame = {
-    val bfp = batch.withColumn("fp", TextAnalysis.fingerprint(col(textCol)))
+    // bfp feeds both branches (bloom-hit and bloom-miss); cache it so the
+    // batch's canonicalization runs once, and materialize the corpus
+    // fingerprint set for the same reason as in [[incrementalNew]]
+    val bfp = graft.core.CacheScope.cached(
+      batch.withColumn("fp", TextAnalysis.fingerprint(col(textCol))))
     val probe = org.apache.spark.sql.GraftBridge.bloomMightContain(col("fp"), bloom)
     val definiteNew = bfp.filter(!probe)
-    val seen = corpus
-      .select(TextAnalysis.fingerprint(col(textCol)).as("fp")).distinct()
+    val seen = graft.core.CacheScope.cached(corpus
+      .select(TextAnalysis.fingerprint(col(textCol)).as("fp")).distinct())
     val confirmedNew = bfp.filter(probe).join(seen, Seq("fp"), "left_anti")
     val w = Window.partitionBy(col("fp")).orderBy(col(idCol))
     definiteNew.unionByName(confirmedNew)

@@ -39,10 +39,11 @@ object Similarity {
   private def asDouble(c: Column): Column = transform(c, x => x.cast("double"))
 
   /** Spread a (possibly single-split) corpus across all cores before the
-    * per-vector scoring work.
+    * per-vector scoring work — conditional: a well-split source gets no
+    * extra Exchange (see [[graft.core.Spread.ensureParallel]]).
     */
   private def spread(df: DataFrame): DataFrame =
-    df.repartition(df.sparkSession.sparkContext.defaultParallelism)
+    graft.core.Spread.ensureParallel(df)
 
   /** Brute-force cosine top-k: for each probe vector, the k nearest corpus
     * vectors (excluding itself). The probe side is broadcast — the corpus

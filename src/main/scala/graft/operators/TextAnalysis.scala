@@ -305,8 +305,7 @@ object TextAnalysis {
     */
   def unigramLogProb(docs: DataFrame,
                      textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
-    val terms = docs
-      .repartition(docs.sparkSession.sparkContext.defaultParallelism)
+    val terms = graft.core.Spread.ensureParallel(docs)
       .select(col(idCol).as("doc"), explode(tokens(lower(col(textCol)))).as("term"))
     val counts = terms.groupBy(col("term")).agg(count(lit(1)).as("c"))
     val stats = counts.agg(sum(col("c")).cast("double").as("_T"),

@@ -112,6 +112,22 @@ class PlanShapeSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))
   }
 
+  test("spread is conditional: a well-split source gets no extra round-robin exchange") {
+    import org.apache.spark.sql.functions.col
+    val docs = graft.core.Tables.documents(spark, sf).select(col("doc_id"), col("text"))
+    // pre-split to >= defaultParallelism: the only round-robin in the plan
+    // must be this explicit one — spread() must not add a second
+    val pre = docs.repartition(8)
+    val p = graft.operators.Dedup.shingles(pre, "text", "doc_id")
+      .queryExecution.executedPlan.toString
+    assert("RoundRobinPartitioning".r.findAllIn(p).size === 1,
+      "well-split input must not be re-shuffled by spread()")
+    // a single-split source still spreads
+    val p1 = graft.operators.Dedup.shingles(docs.coalesce(1), "text", "doc_id")
+      .queryExecution.executedPlan.toString
+    assert(p1.contains("RoundRobinPartitioning"), "single-split input must spread")
+  }
+
   test("corpus mixture: windows run over the aggregated (dimension-sized) frame only") {
     val p = SparkEntry.queries("stats_corpus_mixture")(spark, sf)
       .queryExecution.executedPlan
