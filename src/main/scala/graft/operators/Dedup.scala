@@ -320,41 +320,120 @@ object Dedup {
   def incrementalNearDups(batch: DataFrame, corpus: DataFrame,
                           textCol: String, idCol: String,
                           w: Int = 3, numPerm: Int = 128, bands: Int = 16,
-                          threshold: Double = 0.8): DataFrame = {
-    require(numPerm % bands == 0)
+                          threshold: Double = 0.8): DataFrame =
+    // one-shot path: a throwaway index must not persist long-lived storage
+    // (see ivfTopK) — its frames register with the query-scoped CacheScope
+    buildNearDupIndex(corpus, textCol, idCol, w, numPerm, bands, cache = false)
+      .pairs(batch, textCol, idCol, threshold)
+
+  /** LSH band buckets (doc, band, bucket) from a shingle table — the
+    * corpus-side hash tables of MinHash-LSH.
+    */
+  private def bandBuckets(sh: DataFrame, numPerm: Int, bands: Int): DataFrame = {
     val r = numPerm / bands
-    def sides(df: DataFrame): (DataFrame, DataFrame) = {
-      val sh = graft.core.CacheScope.cached(shingles(df, textCol, idCol, w))
-      val bandCols = (0 until bands).map { b =>
-        struct(lit(b).as("band"),
-          hash(slice(col("sig"), b * r + 1, r)).as("bucket"))
-      }
-      val buckets = minhashSignatures(sh, numPerm)
-        .select(col("doc"), explode(array(bandCols: _*)).as("bk"))
-        .select(col("doc"), col("bk.band"), col("bk.bucket"))
-      (sh, buckets)
+    val bandCols = (0 until bands).map { b =>
+      struct(lit(b).as("band"),
+        hash(slice(col("sig"), b * r + 1, r)).as("bucket"))
     }
-    val (shB, bktB) = sides(batch)
-    val (shC, bktC) = sides(corpus)
-    val candidates = bktB.as("x")
-      .join(bktC.as("y"),
-        col("x.band") === col("y.band") && col("x.bucket") === col("y.bucket"))
-      .select(col("x.doc").as("doc_a"), col("y.doc").as("doc_b"))
-      .distinct()
-    val sizesB = shB.groupBy(col("doc")).agg(count(lit(1)).as("na"))
-    val sizesC = shC.groupBy(col("doc")).agg(count(lit(1)).as("nb"))
-    val inter = candidates
-      .join(shB.select(col("doc").as("doc_a"), col("shingle").as("s")), Seq("doc_a"))
-      .join(shC.select(col("doc").as("doc_b"), col("shingle").as("s")), Seq("doc_b", "s"))
-      .groupBy(col("doc_a"), col("doc_b"))
-      .agg(count(lit(1)).as("i"))
-    inter
-      .join(sizesB.withColumnRenamed("doc", "doc_a"), Seq("doc_a"))
-      .join(sizesC.withColumnRenamed("doc", "doc_b"), Seq("doc_b"))
-      .withColumn("jaccard",
-        round(col("i").cast("double") / (col("na") + col("nb") - col("i")), 6))
-      .filter(col("jaccard") >= threshold)
-      .select("doc_a", "doc_b", "jaccard")
+    minhashSignatures(sh, numPerm)
+      .select(col("doc"), explode(array(bandCols: _*)).as("bk"))
+      .select(col("doc"), col("bk.band"), col("bk.bucket"))
+  }
+
+  /** Build the corpus side of incremental near-dup detection ONCE per
+    * ingest epoch: shingles (exact-verify side), band buckets (candidate
+    * side), per-doc shingle counts. `cache = true` persists the frames for
+    * the build-once/query-many lifecycle (an epoch's worth of batches);
+    * `cache = false` scopes them to the current query via CacheScope.
+    */
+  def buildNearDupIndex(corpus: DataFrame, textCol: String, idCol: String,
+                        w: Int = 3, numPerm: Int = 128, bands: Int = 16,
+                        cache: Boolean = true): NearDupIndex = {
+    require(numPerm % bands == 0)
+    def keep(df: DataFrame): DataFrame =
+      if (cache) df.persist() else graft.core.CacheScope.cached(df)
+    val sh = keep(shingles(corpus, textCol, idCol, w))
+    val bkt = keep(bandBuckets(sh, numPerm, bands))
+    val sizes = keep(sh.groupBy(col("doc")).agg(count(lit(1)).as("nb")))
+    new NearDupIndex(sh, bkt, sizes, w, numPerm, bands)
+  }
+
+  /** Re-open a saved near-dup index ([[NearDupIndex.save]]); band/params
+    * come from the persisted params row, the frames read lazily.
+    */
+  def loadNearDupIndex(spark: org.apache.spark.sql.SparkSession, dir: String,
+                       cache: Boolean = true): NearDupIndex = {
+    val p = spark.read.parquet(s"$dir/params").collect().head
+    def keep(df: DataFrame): DataFrame = if (cache) df.persist() else df
+    new NearDupIndex(
+      keep(spark.read.parquet(s"$dir/shingles")),
+      keep(spark.read.parquet(s"$dir/buckets")),
+      keep(spark.read.parquet(s"$dir/sizes")),
+      p.getAs[Int]("w"), p.getAs[Int]("num_perm"), p.getAs[Int]("bands"))
+  }
+
+  /** The corpus-side artifacts of incremental near-dup detection — a pure
+    * function of the corpus, computed once per ingest epoch and queried by
+    * every incoming batch ([[incrementalNearDups]] semantics). At 100 TB
+    * the saved form is the deployment shape: `buckets` partitioned by band
+    * so a batch's bucket join prunes to the bands it actually probes, the
+    * shingle table co-partitioned on the join key by the shuffle itself.
+    */
+  class NearDupIndex private[operators] (
+      /** Corpus shingles (doc, shingle) — the exact-verify side. */
+      val shingles: DataFrame,
+      /** Corpus LSH band buckets (doc, band, bucket) — the candidate side. */
+      val buckets: DataFrame,
+      /** Per-doc distinct shingle counts (doc, nb). */
+      val sizes: DataFrame,
+      val shingleWidth: Int, val numPerm: Int, val bands: Int) {
+
+    /** Persist the index for reuse across batches/sessions. */
+    def save(dir: String): Unit = {
+      buckets.write.mode("overwrite").partitionBy("band").parquet(s"$dir/buckets")
+      shingles.write.mode("overwrite").parquet(s"$dir/shingles")
+      sizes.write.mode("overwrite").parquet(s"$dir/sizes")
+      val spark = shingles.sparkSession
+      import spark.implicits._
+      Seq((shingleWidth, numPerm, bands)).toDF("w", "num_perm", "bands")
+        .coalesce(1).write.mode("overwrite").parquet(s"$dir/params")
+    }
+
+    def unpersist(): Unit = {
+      shingles.unpersist(false); buckets.unpersist(false); sizes.unpersist(false)
+    }
+
+    /** Near-dup pairs (batch doc, corpus doc) with exact Jaccard >=
+      * threshold: the batch pays only its own signature pass plus the
+      * bucket equi join against the prebuilt corpus side.
+      */
+    def pairs(batch: DataFrame, textCol: String, idCol: String,
+              threshold: Double = 0.8): DataFrame = {
+      val shB = graft.core.CacheScope.cached(
+        shingles_(batch, textCol, idCol))
+      val bktB = bandBuckets(shB, numPerm, bands)
+      val candidates = bktB.as("x")
+        .join(buckets.as("y"),
+          col("x.band") === col("y.band") && col("x.bucket") === col("y.bucket"))
+        .select(col("x.doc").as("doc_a"), col("y.doc").as("doc_b"))
+        .distinct()
+      val sizesB = shB.groupBy(col("doc")).agg(count(lit(1)).as("na"))
+      val inter = candidates
+        .join(shB.select(col("doc").as("doc_a"), col("shingle").as("s")), Seq("doc_a"))
+        .join(shingles.select(col("doc").as("doc_b"), col("shingle").as("s")), Seq("doc_b", "s"))
+        .groupBy(col("doc_a"), col("doc_b"))
+        .agg(count(lit(1)).as("i"))
+      inter
+        .join(sizesB.withColumnRenamed("doc", "doc_a"), Seq("doc_a"))
+        .join(sizes.withColumnRenamed("doc", "doc_b"), Seq("doc_b"))
+        .withColumn("jaccard",
+          round(col("i").cast("double") / (col("na") + col("nb") - col("i")), 6))
+        .filter(col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", "jaccard")
+    }
+
+    private def shingles_(df: DataFrame, textCol: String, idCol: String): DataFrame =
+      Dedup.shingles(df, textCol, idCol, shingleWidth)
   }
 
   /** Exact-Jaccard verification restricted to candidate pairs — the
@@ -458,13 +537,16 @@ object Dedup {
         .groupBy(col("src").as("doc"))
         .agg(min(col("cluster")).as("n_cluster"))
       // carry the old label through the join so convergence is a cheap
-      // filter-count over the checkpointed result, not another join
+      // filter-count over the checkpointed result, not another join.
+      // l1 is a LAZY cache: the pointer-jump self-join below references it
+      // twice; the cache dedups the compute inside the one checkpoint job
+      // instead of paying a second eager-checkpoint job per round.
       val l1 = labels.withColumnRenamed("cluster", "_old")
         .join(viaNeighbors, Seq("doc"), "left")
         .select(col("doc"),
           least(col("_old"), coalesce(col("n_cluster"), col("_old"))).as("cluster"),
           col("_old"))
-        .localCheckpoint(true)
+        .cache()
       // pointer jump (label-of-label): neighbor propagation alone needs
       // O(diameter) rounds — a long chain silently hits maxIter
       // unconverged; following the label one hop each round compresses
@@ -476,9 +558,16 @@ object Dedup {
           least(col("a.cluster"), coalesce(col("_lc"), col("a.cluster"))).as("cluster"),
           col("a._old").as("_old"))
         .localCheckpoint(true)
-      changed = next.filter(col("cluster") =!= col("_old")).count()
+      l1.unpersist(false)
+      // convergence count every OTHER round (and always on the last
+      // permissible one): pointer jumping converges in 2-3 rounds, and a
+      // count over the materialized checkpoint is still a scheduled job —
+      // at worst one extra cheap round replaces half the count jobs
+      changed =
+        if (i % 2 == 1 || i == maxIter - 1)
+          next.filter(col("cluster") =!= col("_old")).count()
+        else 1L
       org.apache.spark.sql.GraftBridge.freeCheckpoint(labels)
-      org.apache.spark.sql.GraftBridge.freeCheckpoint(l1)
       labels = next.drop("_old")
       i += 1
     }

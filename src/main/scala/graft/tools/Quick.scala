@@ -1,0 +1,31 @@
+package graft.tools
+
+import graft.SparkEntry
+import graft.core.GraftSession
+
+/** Targeted bench: time a comma-separated subset of SparkEntry queries
+  * with the same session/warm/noop-sink protocol as graft.Bench —
+  * for iterating on one query family without paying the full suite.
+  * Usage: runMain graft.tools.Quick <sfDir> <q1,q2,...> [reps]
+  */
+object Quick {
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val names = args.lift(1).map(_.split(",").toSeq)
+      .getOrElse(SparkEntry.queries.keys.toSeq.sorted)
+    val reps = args.lift(2).map(_.toInt).getOrElse(2)
+    val spark = GraftSession.local(32)
+    spark.sparkContext.setLogLevel("WARN")
+    SparkEntry.warm(spark, sfDir)
+    (1 to reps).foreach { rep =>
+      names.foreach { n =>
+        val t0 = System.nanoTime()
+        SparkEntry.queries(n)(spark, sfDir).write.format("noop").mode("overwrite").save()
+        val t = (System.nanoTime() - t0) / 1e9
+        graft.core.CacheScope.release()
+        println(f"[quick] rep$rep $n%-28s $t%.3f s")
+      }
+    }
+    spark.stop()
+  }
+}

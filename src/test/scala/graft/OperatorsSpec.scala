@@ -199,6 +199,30 @@ class OperatorsSpec extends SparkSpec {
     assert(r.toSeq === Seq((100L, 0L, 0.888889)))
   }
 
+  test("near-dup index round-trips through save/load with identical results") {
+    val docs = graft.core.Tables.documents(spark, "/root/testdata/sf0.001")
+      .select(col("doc_id"), col("text"))
+    val corpus = docs.filter(col("doc_id") < 50)
+    val s = spark
+    import s.implicits._
+    val batch = docs.filter(col("doc_id").between(50, 80))
+      .union(corpus.filter(col("doc_id") % 10 === 0)
+        .select((col("doc_id") + 900).as("doc_id"),
+          concat(col("text"), lit(" zz")).as("text")))
+    val built = Dedup.buildNearDupIndex(corpus, "text", "doc_id", cache = false)
+    val dir = java.nio.file.Files.createTempDirectory("graft-ndi").toString
+    built.save(dir)
+    val loaded = Dedup.loadNearDupIndex(spark, dir, cache = false)
+    assert((loaded.shingleWidth, loaded.numPerm, loaded.bands) ===
+      (built.shingleWidth, built.numPerm, built.bands))
+    def results(i: Dedup.NearDupIndex) = i.pairs(batch, "text", "doc_id").collect()
+      .map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b")) ->
+        r.getAs[Double]("jaccard")).toMap
+    val b = results(built)
+    assert(b.nonEmpty, "fixture must produce at least one near-dup pair")
+    assert(results(loaded) === b)
+  }
+
   test("bloom-prefiltered incremental dedup matches the exact formulation") {
     val s = spark
     import s.implicits._
