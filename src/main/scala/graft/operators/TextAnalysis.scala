@@ -314,11 +314,14 @@ object TextAnalysis {
       .crossJoin(stats)
       .groupBy(col("doc"))
       .agg(count(lit(1)).as("n_tokens"),
-        // avg over doubles sums in partition order; the terminal round(,6)
-        // absorbs it in practice (gate green since r3). If a boundary-case
-        // hash flake ever appears, the established fix is the decimal->
-        // string canonicalization, not an order-forcing sort.
-        round(avg(log((col("c") + lit(1)) / (col("_T") + col("_V")))), 6).as("avg_logprob"))
+        // ORDER-INVARIANT mean: each per-term log is truncated to a
+        // decimal(28,18) before summing, so the aggregate is exact
+        // integer arithmetic — identical under any partitioning / merge
+        // order (double summation is partition-order-dependent; the gate
+        // hash is the contract, so "round(,6) absorbs it" is not enough).
+        round(avg(log((col("c") + lit(1)) / (col("_T") + col("_V")))
+          .cast(org.apache.spark.sql.types.DecimalType(28, 18))), 6)
+          .cast("double").as("avg_logprob"))
   }
 
   /** Sketch-based distinct counts per group (HyperLogLog++, SURVEY §4):

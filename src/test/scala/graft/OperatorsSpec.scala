@@ -617,6 +617,22 @@ class OperatorsSpec extends SparkSpec {
     assert(r(1L) < r(0L))
   }
 
+  test("unigram logprob is partition-order invariant (exact decimal mean)") {
+    val docs = graft.core.Tables.documents(spark, "/root/testdata/sf0.001")
+      .select(col("doc_id"), col("text"))
+    def run(df: org.apache.spark.sql.DataFrame) =
+      TextAnalysis.unigramLogProb(df).collect()
+        .map(r => r.getAs[Long]("doc") ->
+          (r.getAs[Long]("n_tokens"), r.getAs[Double]("avg_logprob"))).toMap
+    val base = run(docs)
+    // different partitionings force different per-partition sum orders;
+    // the decimal aggregation must produce BITWISE-identical results
+    val shuffled = run(docs.repartition(7, col("doc_id") % 3))
+    val single = run(docs.coalesce(1))
+    assert(shuffled === base)
+    assert(single === base)
+  }
+
   test("multimodal: stubbed decode plumbing produces typed metadata per row") {
     val media = Multimodal.fromDocuments(spark, docs.withColumn("doc_id", col("doc_id")))
     val meta = Multimodal.extractMeta(media).collect()
