@@ -7,9 +7,11 @@ import org.apache.spark.sql.SparkSession
   * prints one JSON line with per-query wall-clock seconds.
   */
 object Bench {
-  def main(args: Array[String]): Unit = {
-    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+
+  /** The benchmark session. Shared with [[graft.tools.Quick]] so targeted
+    * timings are directly comparable to full-suite numbers.
+    */
+  def session(cpus: String): SparkSession = {
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", "32")
@@ -26,6 +28,12 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     GraftSession.configure(spark)
+  }
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = session(cpus)
     // Warm the JVM across every plan shape on the smallest tier: class
     // loading, Catalyst rule JIT, and Janino whole-stage-codegen
     // compilation are per-plan fixed costs (CodeGenerator caches the
@@ -100,7 +108,10 @@ object Bench {
     val line =
       if (fullLine.length <= Budget) fullLine
       else {
-        val bySlowest = results.sortBy { case (_, v) => -v }
+        // failures (sentinel -1) sort LAST, not as if they took 1 second:
+        // they must be the first entries omitted so kept values are real
+        // times and the invariant value == sum(queries) + omitted.sum holds
+        val bySlowest = results.sortBy { case (_, v) => if (v < 0) Double.MaxValue else -v }
         // largest prefix of slowest-first entries whose rendered line fits
         var keep = bySlowest.length
         var out = fullLine

@@ -1,11 +1,13 @@
 package graft.tools
 
-import graft.SparkEntry
-import graft.core.GraftSession
+import graft.{Bench, SparkEntry}
 
 /** Targeted bench: time a comma-separated subset of SparkEntry queries
-  * with the same session/warm/noop-sink protocol as graft.Bench —
-  * for iterating on one query family without paying the full suite.
+  * with the SAME session config and noop-sink protocol as [[graft.Bench]]
+  * (shared via `Bench.session`) — for iterating on one query family
+  * without paying the full suite. Bench's cross-query warm pass at
+  * sf0.001 is replaced by reps: rep1 absorbs JIT/codegen, so compare
+  * rep2+ against BENCH_LOCAL numbers.
   * Usage: runMain graft.tools.Quick <sfDir> <q1,q2,...> [reps]
   */
 object Quick {
@@ -14,8 +16,7 @@ object Quick {
     val names = args.lift(1).map(_.split(",").toSeq)
       .getOrElse(SparkEntry.queries.keys.toSeq.sorted)
     val reps = args.lift(2).map(_.toInt).getOrElse(2)
-    val spark = GraftSession.local(32)
-    spark.sparkContext.setLogLevel("WARN")
+    val spark = Bench.session("32")
     SparkEntry.warm(spark, sfDir)
     (1 to reps).foreach { rep =>
       names.foreach { n =>

@@ -128,6 +128,31 @@ class PlanShapeSpec extends SparkSpec {
     assert(p1.contains("RoundRobinPartitioning"), "single-split input must spread")
   }
 
+  test("spread passes a shuffled input through without probing or re-shuffling") {
+    import org.apache.spark.sql.functions._
+    val docs = graft.core.Tables.documents(spark, sf)
+    // an aggregate already redistributes to spark.sql.shuffle.partitions;
+    // spread() must not probe .rdd (under AQE that would RUN the shuffle
+    // stages) nor add a round-robin on top. Track job launches to prove
+    // the probe didn't execute anything.
+    val jobs = new java.util.concurrent.atomic.AtomicInteger(0)
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(js: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+        jobs.incrementAndGet()
+    }
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      val agg = docs.groupBy(col("lang")).agg(concat_ws(" ", collect_list(col("text"))).as("text"))
+      val out = graft.core.Spread.ensureParallel(agg)
+      val p = out.queryExecution.executedPlan.toString
+      assert(!p.contains("RoundRobinPartitioning"), "shuffled input must not be re-shuffled")
+      // listener delivery is async; a short bounded wait is enough to
+      // catch a probe-launched job (they arrive within milliseconds)
+      Thread.sleep(300)
+      assert(jobs.get() === 0, "partition probe must not launch jobs on a shuffled input")
+    } finally spark.sparkContext.removeSparkListener(listener)
+  }
+
   test("corpus mixture: windows run over the aggregated (dimension-sized) frame only") {
     val p = SparkEntry.queries("stats_corpus_mixture")(spark, sf)
       .queryExecution.executedPlan
