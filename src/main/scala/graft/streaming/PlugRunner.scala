@@ -309,6 +309,14 @@ class PlugRunner(
   * queryable table because the status API (E3) reads it.
   */
 object PlugState {
+
+  /** Check-in directories retained verbatim; older ones fold into the
+    * roll-up (see [[prune]]). Folding triggers at 2x this count so the
+    * listing+fold cost amortizes to O(1) per batch instead of running
+    * every check-in.
+    */
+  val KeepLast: Int = 8
+
   def checkIn(spark: SparkSession, outDir: String, plugName: String,
               batchId: Long, batch: DataFrame): Unit = {
     val cursor = batch.agg(
@@ -319,6 +327,74 @@ object PlugState {
       .withColumn("batch_id", lit(batchId))
       .withColumn("check_in", current_timestamp())
       .write.mode("overwrite").parquet(s"$outDir/$plugName/_plug_state/v=$batchId")
+    prune(spark, outDir, plugName)
+  }
+
+  private def stateRoot(outDir: String, plugName: String) =
+    new org.apache.hadoop.fs.Path(s"$outDir/$plugName/_plug_state")
+
+  private def versionIds(fs: org.apache.hadoop.fs.FileSystem,
+                         root: org.apache.hadoop.fs.Path): Seq[Long] =
+    if (!fs.exists(root)) Seq.empty
+    else fs.listStatus(root).toSeq
+      .filter(_.isDirectory).map(_.getPath.getName)
+      .filter(_.startsWith("v="))
+      .map(_.stripPrefix("v=").toLong).sorted
+
+  /** Bound the check-in directory count: without this, one `v=N` dir per
+    * batch accumulates forever (a year of minutely batches is ~500k
+    * directories, and [[read]]'s glob lists all of them on every status /
+    * origin probe). Everything older than the newest [[KeepLast]] dirs
+    * folds into a 1-2 row roll-up written AS the newest folded version
+    * (`v=maxFolded`), so readers need no new code path. The roll-up
+    * preserves exactly what the two consumers derive from history:
+    *
+    *  - the newest non-null-cursor row verbatim (for [[latest]] — the
+    *    status endpoint and stream-origin block cursor), and
+    *  - a null-cursor watermark row carrying the max folded batch id
+    *    (for [[maxBatchId]] — batch-id allocation), when that id's own
+    *    check-in had no cursor.
+    *
+    * The reference's `hpp.plug_state` is a single row per plug updated in
+    * place (database/sql/tables.sql:8-15), so folding history is faithful;
+    * the retained window is purely operational telemetry. Crash-safe:
+    * the summary lands in a hidden tmp dir (invisible to the `v=*` glob)
+    * and replaces `v=maxFolded` by rename; a crash before the source-dir
+    * deletes leaves rows the roll-up already subsumes (duplicates change
+    * neither argmax nor max), and the next check-in re-folds them.
+    */
+  def prune(spark: SparkSession, outDir: String, plugName: String,
+            keepLast: Int = KeepLast): Unit = {
+    val root = stateRoot(outDir, plugName)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val vs = versionIds(fs, root)
+    if (vs.size <= 2 * keepLast) return
+    val foldIds = vs.dropRight(keepLast)
+    val folded = spark.read.parquet(foldIds.map(v => s"$root/v=$v"): _*)
+    val schema = folded.schema
+    val all = folded.collect().toSeq // 1 row/dir + <=2 in a prior roll-up
+    val idOf = schema.fieldIndex("batch_id")
+    val blockOf = schema.fieldIndex("latest_block_num")
+    val maxId = foldIds.max
+    val cursorRow = all.filter(!_.isNullAt(blockOf))
+      .sortBy(_.getLong(idOf)).lastOption
+    val watermark =
+      if (cursorRow.exists(_.getLong(idOf) == maxId)) None
+      else all.find(_.getLong(idOf) == maxId).map { r =>
+        org.apache.spark.sql.Row.fromSeq(
+          r.toSeq.zipWithIndex.map { case (v, i) =>
+            if (i == blockOf || i == schema.fieldIndex("latest_block_time")) null else v
+          })
+      }
+    val summary = spark.createDataFrame(
+      spark.sparkContext.parallelize((cursorRow.toSeq ++ watermark.toSeq).toList, 1), schema)
+    val tmp = new org.apache.hadoop.fs.Path(root, ".rollup_tmp")
+    summary.write.mode("overwrite").parquet(tmp.toString)
+    val target = new org.apache.hadoop.fs.Path(root, s"v=$maxId")
+    fs.delete(target, true)
+    fs.rename(tmp, target)
+    foldIds.filter(_ != maxId)
+      .foreach(v => fs.delete(new org.apache.hadoop.fs.Path(root, s"v=$v"), true))
   }
 
   def read(spark: SparkSession, outDir: String, plugName: String): DataFrame =

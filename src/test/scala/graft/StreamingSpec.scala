@@ -97,6 +97,29 @@ class StreamingSpec extends SparkSpec {
     assert(runner.table(spark, "updates").count() === 7)
   }
 
+  test("plug_state check-in dirs stay bounded; cursor and max batch id survive folding") {
+    import graft.streaming.PlugState
+    val out = tmp()
+    // 18 cursor-bearing batches then 7 empty ones (null cursor) — enough
+    // to trigger the fold (> 2*KeepLast dirs) with the newest real cursor
+    // already inside the folded range
+    (0 until 25).foreach { i =>
+      val batch =
+        if (i < 18) opLog(spark, Seq(
+          op(i.toLong, 100 + i, 0, "2024-01-01 00:00:00", "podping", podpingV03(Seq(s"u$i")))))
+        else opLog(spark, Seq.empty)
+      PlugState.checkIn(spark, out, "podping", i.toLong, batch)
+    }
+    val dirs = new java.io.File(s"$out/podping/_plug_state").list().toSeq
+      .count(_.startsWith("v="))
+    assert(dirs <= 2 * PlugState.KeepLast, s"dirs=$dirs grew past the fold bound")
+    // batch-id allocation sees every committed id, including empty ones
+    assert(PlugState.maxBatchId(spark, out, "podping") === Some(24L))
+    // the status cursor is the newest check-in that advanced the block
+    // high-water mark, preserved verbatim through the roll-up
+    assert(PlugState.latest(spark, out, "podping") === Some((17L, 117L)))
+  }
+
   test("backfill: chunked historical batches, then plug_state cursor advances") {
     val src = tmp(); val out = tmp()
     writeBatch(src, 1, (0 until 30).map { i =>
