@@ -45,8 +45,15 @@ class HttpApi(
 
   private var server: HttpServer = _
 
-  def start(port: Int = 0): Int = {
-    server = HttpServer.create(new InetSocketAddress("127.0.0.1", port), 0)
+  def start(port: Int = 0): Int = start("127.0.0.1", port)
+
+  /** Bind per boot config (reference serve.py:41-42 binds uvicorn to
+    * `config['server_host']:config['server_port']`).
+    */
+  def start(cfg: graft.core.GraftConfig): Int = start(cfg.serverHost, cfg.serverPort)
+
+  def start(host: String, port: Int): Int = {
+    server = HttpServer.create(new InetSocketAddress(host, port), 0)
     server.createContext("/api", (ex: HttpExchange) => handle(ex))
     server.setExecutor(null)
     server.start()
@@ -62,10 +69,13 @@ class HttpApi(
       val path = ex.getRequestURI.getPath
       val q = parseQuery(Option(ex.getRequestURI.getQuery).getOrElse(""))
       val result: Either[String, String] = path match {
-        // root shape mirrors serve.py's `{'name', 'status'}` report
+        // root shape mirrors serve.py's `{'name', 'status'}` report, plus
+        // the API metadata document FastAPI would fold into its OpenAPI doc
         case "/api" => Right(JsonOut.obj(
-          Map("name" -> "graft plug & play", "status" -> statusFn()),
-          Seq("name", "status")))
+          Map("name" -> "graft plug & play", "status" -> statusFn(),
+            "metadata" -> JsonOut.Raw(ApiMetadata.json)),
+          Seq("name", "status", "metadata")))
+        case "/api/metadata" => Right(ApiMetadata.json)
         case "/api/podping/history/counts" => podpingCounts(q)
         case "/api/podping/feeds/latest" => podpingLatest(q)
         // reference-literal route + param name (podping.py:39-40: `iri`)

@@ -55,4 +55,12 @@ object PostgresOpLog {
       .options(props)
       .load()
       .select(OpLog.schema.fieldNames.map(org.apache.spark.sql.functions.col): _*)
+
+  /** Boot-config form: connection details from the ini, exactly as
+    * `database/core.py:8-21` builds the psycopg2 connection from
+    * `Config.config`.
+    */
+  def read(spark: SparkSession, cfg: graft.core.GraftConfig, first: Long,
+           last: Long, opTypeIds: Set[Int], numPartitions: Int): DataFrame =
+    read(spark, cfg.jdbcUrl, first, last, opTypeIds, numPartitions, cfg.jdbcProps)
 }

@@ -48,6 +48,37 @@ class HttpApiSpec extends SparkSpec {
     assert(code === 200 && body.contains("\"status\""))
   }
 
+  test("GET /api carries the metadata document; /api/metadata serves it standalone") {
+    val (code, body) = get("/api")
+    assert(code === 200)
+    // title/description/version/tags, the api_metadata.py surface
+    assert(body.contains("\"title\": \"graft plug & play (API)\""))
+    assert(body.contains("\"version\": \"1.0\""))
+    val (mc, meta) = get("/api/metadata")
+    assert(mc === 200)
+    Seq("\"title\"", "\"description\"", "\"version\"", "\"contact\"",
+      "\"license\"", "\"tags\"").foreach(k => assert(meta.contains(k), s"missing $k"))
+    assert(meta.contains("\"podping\"") && meta.contains("\"polls\""))
+  }
+
+  test("HttpApi binds host:port from a boot config ini") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-cfg")
+    val ini = dir.resolve("config.ini")
+    java.nio.file.Files.writeString(ini,
+      "db_host=localhost\ndb_name=haf\ndb_username=postgres\n" +
+        "db_password=pw\nserver_host=127.0.0.1\nserver_port=0\n")
+    val cfg = graft.core.GraftConfig.load(ini.toString)
+      .fold(e => fail(e), identity)
+    val api2 = new HttpApi(tables = Map.empty)
+    val p2 = api2.start(cfg)
+    try {
+      val resp = client.send(
+        HttpRequest.newBuilder(URI.create(s"http://127.0.0.1:$p2/api")).GET().build(),
+        HttpResponse.BodyHandlers.ofString())
+      assert(resp.statusCode() === 200 && resp.body().contains("graft plug & play"))
+    } finally api2.stop()
+  }
+
   test("podping counts over default window, shaped JSON") {
     val (code, body) = get("/api/podping/history/counts")
     assert(code === 200)

@@ -6,6 +6,33 @@ import org.scalatest.funsuite.AnyFunSuite
 
 class ServingSpec extends AnyFunSuite {
 
+  test("boot config: fixture ini loads the six reference fields") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-cfg")
+    val ini = dir.resolve("config.ini")
+    java.nio.file.Files.writeString(ini,
+      "db_host=localhost\ndb_name=haf\ndb_username=postgres\n" +
+        "db_password=p=w\nserver_host=127.0.0.2\nserver_port=8080\n")
+    val cfg = graft.core.GraftConfig.load(ini.toString).fold(e => fail(e), identity)
+    assert(cfg.dbHost === "localhost" && cfg.dbName === "haf")
+    assert(cfg.dbPassword === "p=w") // split on FIRST '=' only
+    assert(cfg.serverHost === "127.0.0.2" && cfg.serverPort === 8080)
+    assert(cfg.jdbcUrl === "jdbc:postgresql://localhost/haf")
+    assert(cfg.jdbcProps === Map("user" -> "postgres", "password" -> "p=w"))
+  }
+
+  test("boot config: unknown keys rejected; missing file writes a blank template") {
+    assert(graft.core.GraftConfig.parse("nonsense_key=1\n").isLeft)
+    val dir = java.nio.file.Files.createTempDirectory("graft-cfg")
+    val ini = dir.resolve("config.ini")
+    val r = graft.core.GraftConfig.load(ini.toString)
+    assert(r.isLeft) // refuse to boot, like config.py's create-and-exit
+    val written = java.nio.file.Files.readString(ini)
+    graft.core.GraftConfig.Fields.foreach(f =>
+      assert(written.contains(s"$f="), s"template missing $f"))
+    // the blank template round-trips (empty values, all keys valid)
+    assert(graft.core.GraftConfig.load(ini.toString).isRight)
+  }
+
   test("slug: ampersand, accumulation cap, charset strip") {
     assert(slug("What do you think?") === "what-do-you-think")
     assert(slug("Cats & Dogs") === "cats-and-dogs")
