@@ -518,9 +518,15 @@ object Dedup {
     */
   def nearDupClusters(pairs: DataFrame, maxIter: Int = 25): DataFrame = {
     // pairs carry doc_a < doc_b exactly once, so the two directed copies
-    // cannot collide — no distinct needed (that was a full extra shuffle)
-    val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
-      .union(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+    // cannot collide — no distinct needed (that was a full extra shuffle).
+    // Directed copies fan out via explode, NOT a self-union: union
+    // branches don't share subexpressions, so the (expensive) pair
+    // generation subplan would run once per branch when the cache first
+    // materializes.
+    val edges = pairs.select(explode(array(
+        struct(col("doc_a").as("src"), col("doc_b").as("dst")),
+        struct(col("doc_b").as("src"), col("doc_a").as("dst")))).as("e"))
+      .select(col("e.src").as("src"), col("e.dst").as("dst"))
       .cache()
     // localCheckpoint each round: truncates the growing lineage (the
     // classic iterative-algorithm fix — without it round N recomputes

@@ -305,22 +305,40 @@ object TextAnalysis {
     */
   def unigramLogProb(docs: DataFrame,
                      textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
-    val terms = graft.core.Spread.ensureParallel(docs)
+    // Aggregate (doc, term) occurrence counts FIRST: tokenization+explode
+    // then runs once (not once per consumer), and everything downstream —
+    // the vocabulary rollup, the dictionary join, the per-doc mean —
+    // moves distinct doc-term pairs instead of every token occurrence.
+    val docTerm = graft.core.Spread.ensureParallel(docs)
       .select(col(idCol).as("doc"), explode(tokens(lower(col(textCol)))).as("term"))
-    val counts = terms.groupBy(col("term")).agg(count(lit(1)).as("c"))
+      .groupBy(col("doc"), col("term")).agg(count(lit(1)).as("tf"))
+    val counts = docTerm.groupBy(col("term")).agg(sum(col("tf")).as("c"))
     val stats = counts.agg(sum(col("c")).cast("double").as("_T"),
       count(lit(1)).cast("double").as("_V"))
-    terms.join(counts, "term")
+    docTerm.join(counts, "term")
       .crossJoin(stats)
       .groupBy(col("doc"))
-      .agg(count(lit(1)).as("n_tokens"),
+      .agg(sum(col("tf")).as("n_tokens"),
         // ORDER-INVARIANT mean: each per-term log is truncated to a
-        // decimal(28,18) before summing, so the aggregate is exact
-        // integer arithmetic — identical under any partitioning / merge
-        // order (double summation is partition-order-dependent; the gate
-        // hash is the contract, so "round(,6) absorbs it" is not enough).
-        round(avg(log((col("c") + lit(1)) / (col("_T") + col("_V")))
-          .cast(org.apache.spark.sql.types.DecimalType(28, 18))), 6)
+        // decimal(28,18) before summing (weighted by the exact integer
+        // term frequency), so the aggregate is exact integer arithmetic —
+        // identical under any partitioning / merge order (double summation
+        // is partition-order-dependent; the gate hash is the contract, so
+        // "round(,6) absorbs it" is not enough). sum(tf*x)/sum(tf) over
+        // exact decimals equals the expanded-multiset mean.
+        // EXACTLY Average-over-decimal(28,18) semantics, reproduced in
+        // weighted form: tf cast to decimal(9,0) keeps the product inside
+        // decimal(38,18) (a bare long multiplicand would trip the
+        // precision-loss rule and truncate the scale to 7), the sum is
+        // exact integer arithmetic, and dividing by the decimal(20,0)
+        // token count hits the same result type (scale 18, MathContext-38
+        // HALF_UP) that Average's internal Divide produces — so this
+        // rounds identically to the per-occurrence avg() it replaces,
+        // and stays order-invariant
+        round(sum(col("tf").cast(org.apache.spark.sql.types.DecimalType(9, 0))
+            * log((col("c") + lit(1)) / (col("_T") + col("_V")))
+            .cast(org.apache.spark.sql.types.DecimalType(28, 18)))
+          / sum(col("tf")).cast(org.apache.spark.sql.types.DecimalType(20, 0)), 6)
           .cast("double").as("avg_logprob"))
   }
 
