@@ -515,6 +515,15 @@ object Dedup {
     * converges in O(diameter) rounds (near-dup components are tiny, so
     * 2-3 rounds in practice). Each round is one shuffle — the standard
     * scalable CC formulation; no driver-side graph state.
+    *
+    * Job-count discipline (each scheduled job pays a fixed floor in
+    * local mode and a stage round-trip on a cluster): the initial
+    * labeling IS the first propagation round (groupBy src -> min
+    * neighbor, folded into the same job that materializes the edge
+    * cache), and convergence is read from a [[org.apache.spark.sql.Observation]]
+    * metric that rides each round's checkpoint job — no separate
+    * count job per round, and the loop exits on the first round that
+    * observes zero label changes.
     */
   def nearDupClusters(pairs: DataFrame, maxIter: Int = 25): DataFrame = {
     // pairs carry doc_a < doc_b exactly once, so the two directed copies
@@ -532,8 +541,13 @@ object Dedup {
     // classic iterative-algorithm fix — without it round N recomputes
     // rounds 1..N-1). Each round's checkpoint storage is freed as soon as
     // the next round is materialized — working set stays at 2 rounds.
-    var labels = edges.select(col("src").as("doc")).distinct()
-      .withColumn("cluster", col("doc"))
+    // The init labeling is already the first neighbor-min round: every
+    // node is a src (edges carry both directions), so
+    // least(src, min(dst)) == one propagation from the identity
+    // labeling — a pure pair (size-2 component) is final before the
+    // loop even starts.
+    var labels = edges.groupBy(col("src").as("doc"))
+      .agg(least(col("src"), min(col("dst"))).as("cluster"))
       .localCheckpoint(true)
     var changed = 1L
     var i = 0
@@ -542,8 +556,8 @@ object Dedup {
         .join(labels.withColumnRenamed("doc", "dst"), "dst")
         .groupBy(col("src").as("doc"))
         .agg(min(col("cluster")).as("n_cluster"))
-      // carry the old label through the join so convergence is a cheap
-      // filter-count over the checkpointed result, not another join.
+      // carry the old label through the join so convergence is observable
+      // inside the checkpoint job itself (no separate count job).
       // l1 is a LAZY cache: the pointer-jump self-join below references it
       // twice; the cache dedups the compute inside the one checkpoint job
       // instead of paying a second eager-checkpoint job per round.
@@ -557,24 +571,25 @@ object Dedup {
       // O(diameter) rounds — a long chain silently hits maxIter
       // unconverged; following the label one hop each round compresses
       // paths and converges in O(log diameter)
+      val obs = org.apache.spark.sql.Observation(s"cc_round_$i")
       val next = l1.as("a")
         .join(l1.select(col("doc").as("_ldoc"), col("cluster").as("_lc")),
           col("a.cluster") === col("_ldoc"), "left")
         .select(col("a.doc").as("doc"),
           least(col("a.cluster"), coalesce(col("_lc"), col("a.cluster"))).as("cluster"),
           col("a._old").as("_old"))
+        // convergence metric rides the checkpoint job: CollectMetrics is
+        // evaluated while the round materializes, so reading it costs no
+        // extra job — and checking EVERY round (vs every other) exits one
+        // round earlier once the fixed point is reached
+        .observe(obs, coalesce(sum(when(col("cluster") =!= col("_old"), 1L)
+          .otherwise(0L)), lit(0L)).as("changed"))
+        .select(col("doc"), col("cluster"))
         .localCheckpoint(true)
       l1.unpersist(false)
-      // convergence count every OTHER round (and always on the last
-      // permissible one): pointer jumping converges in 2-3 rounds, and a
-      // count over the materialized checkpoint is still a scheduled job —
-      // at worst one extra cheap round replaces half the count jobs
-      changed =
-        if (i % 2 == 1 || i == maxIter - 1)
-          next.filter(col("cluster") =!= col("_old")).count()
-        else 1L
+      changed = obs.get("changed").asInstanceOf[Long]
       org.apache.spark.sql.GraftBridge.freeCheckpoint(labels)
-      labels = next.drop("_old")
+      labels = next
       i += 1
     }
     require(changed == 0,
