@@ -290,8 +290,15 @@ object Dedup {
       struct(lit(b).as("band"),
         hash(slice(col("sig"), b * r + 1, r)).as("bucket"))
     }
-    val buckets = sig.select(col("doc"), explode(array(bandCols: _*)).as("bk"))
-      .select(col("doc"), col("bk.band"), col("bk.bucket"))
+    // cache the bucket table: the candidate self-join broadcasts one side,
+    // so WITHOUT the cache the whole signature aggregation (the expensive
+    // 128-permutation pass over every shingle) is computed twice — once
+    // for the probe side, once inside the broadcast build (plan-confirmed:
+    // two ObjectHashAggregate pairs). The cached frame is bands rows per
+    // doc of three longs — dimension-sized at any corpus scale.
+    val buckets = graft.core.CacheScope.cached(
+      sig.select(col("doc"), explode(array(bandCols: _*)).as("bk"))
+        .select(col("doc"), col("bk.band"), col("bk.bucket")))
     val candidates = buckets.as("x")
       .join(buckets.as("y"),
         col("x.band") === col("y.band") && col("x.bucket") === col("y.bucket") &&
