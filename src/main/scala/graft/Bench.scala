@@ -28,6 +28,10 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     GraftSession.configure(spark)
+    // experiment knob: SPARK_GRAFT_AQE=false disables adaptive execution
+    sys.env.get("SPARK_GRAFT_AQE").foreach(v =>
+      spark.conf.set("spark.sql.adaptive.enabled", v))
+    spark
   }
 
   def main(args: Array[String]): Unit = {

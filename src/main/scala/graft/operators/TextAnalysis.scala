@@ -309,17 +309,14 @@ object TextAnalysis {
     // then runs once (not once per consumer), and everything downstream —
     // the vocabulary rollup, the dictionary join, the per-doc mean —
     // moves distinct doc-term pairs instead of every token occurrence.
-    // cache the doc-term frame: it feeds both the dictionary rollup and
-    // the per-doc join, and the dictionary side is BROADCAST — without
-    // the cache the tokenize+explode+groupBy subplan is recomputed inside
-    // the broadcast build instead of reusing the probe side's exchange.
-    // Distinct doc-term pairs are far smaller than token occurrences, and
-    // the scoring pass needs them twice regardless, so the cache (disk-
-    // spillable) beats two full tokenization passes at any corpus size.
-    val docTerm = graft.core.CacheScope.cached(
-      graft.core.Spread.ensureParallel(docs)
-        .select(col(idCol).as("doc"), explode(tokens(lower(col(textCol)))).as("term"))
-        .groupBy(col("doc"), col("term")).agg(count(lit(1)).as("tf")))
+    // docTerm feeds both the dictionary rollup and the per-doc join;
+    // deliberately NOT cached: the duplicated subplan is map-side work
+    // the partial aggregation overlaps with the shuffle, and measured
+    // end-to-end the cache's materialization barrier + columnar
+    // conversion costs more than the recompute at every tier tried.
+    val docTerm = graft.core.Spread.ensureParallel(docs)
+      .select(col(idCol).as("doc"), explode(tokens(lower(col(textCol)))).as("term"))
+      .groupBy(col("doc"), col("term")).agg(count(lit(1)).as("tf"))
     val counts = docTerm.groupBy(col("term")).agg(sum(col("tf")).as("c"))
     val stats = counts.agg(sum(col("c")).cast("double").as("_T"),
       count(lit(1)).cast("double").as("_V"))
