@@ -113,7 +113,7 @@ object SparkEntry {
     ivfIndex(s, d).cells.count()
     lshIndex(s, d).buckets.count()
     val ndi = nearDupIndex(s, d)
-    ndi.shingles.count(); ndi.buckets.count(); ndi.sizes.count()
+    ndi.shingles.count(); ndi.buckets.count()
     corpusBloom(s, d): Unit
   }
 

@@ -116,18 +116,41 @@ object Dedup {
     * distinct shuffle is needed — at scale this is the difference between
     * a map-only fanout and shuffling every shingle.
     */
-  def shingles(df: DataFrame, textCol: String, idCol: String, w: Int = 3): DataFrame = {
+  def shingles(df: DataFrame, textCol: String, idCol: String, w: Int = 3): DataFrame =
+    shinglesN(df, textCol, idCol, w).select(col("doc"), col("shingle"))
+
+  /** [[shingles]] plus the per-doc distinct-shingle count `n` ON EVERY
+    * ROW, computed map-side from the same in-row array (`size` before the
+    * explode). Carrying the 8-byte count through the shingle join lets
+    * every similarity consumer (Jaccard, containment, exact verification)
+    * read both docs' set sizes straight off the joined rows — eliminating
+    * the per-doc sizes aggregation AND the two broadcast joins that
+    * otherwise follow the pair count.
+    */
+  def shinglesN(df: DataFrame, textCol: String, idCol: String, w: Int = 3): DataFrame = {
     val toks = TextAnalysis.tokens(col(textCol))
     // single-file sources arrive as one split; spread the CPU-heavy
     // shingle explode + hashing across the cluster before fanning out
     spread(df).select(col(idCol).as("doc"), toks.as("_t"))
       .filter(size(col("_t")) >= w)
       .select(col("doc"),
-        explode(array_distinct(transform(
+        array_distinct(transform(
           sequence(lit(0), size(col("_t")) - w),
           // element_at per position instead of slice(): no intermediate
           // array allocation per shingle (w is known at plan time)
-          i => concat_ws(" ", (0 until w).map(j => element_at(col("_t"), i + j + 1)): _*)))).as("shingle"))
+          i => concat_ws(" ", (0 until w).map(j => element_at(col("_t"), i + j + 1)): _*))).as("_arr"))
+      // _arr is referenced twice (size + explode) but CollapseProject's
+      // expensive-expression guard keeps the transform single-evaluated.
+      // The when() wrapper is LOAD-BEARING: explode over a bare Attribute
+      // triggers InferFiltersFromGenerate's `size(_arr) > 0` filter, which
+      // PushDownPredicates then substitutes through the aliases (no
+      // expensive-expression guard — NOTES.md finding 1) and lands below
+      // the spread Exchange: the whole tokenize+shingle chain re-evaluated
+      // per row on the UN-spread input, single-threaded on a single-split
+      // source. A CASE WHEN child is not inferable, costs O(1), and
+      // explode(outer=false) drops the null rows identically.
+      .select(col("doc"), size(col("_arr")).as("n"),
+        explode(when(size(col("_arr")) > 0, col("_arr"))).as("shingle"))
   }
 
   /** Exact n-gram Jaccard similarity for all pairs sharing >=1 shingle.
@@ -136,16 +159,16 @@ object Dedup {
     */
   def ngramJaccardPairs(df: DataFrame, textCol: String, idCol: String,
                         w: Int = 3, threshold: Double = 0.8): DataFrame = {
-    val sh = graft.core.CacheScope.cached(shingles(df, textCol, idCol, w))
-    val sizes = sh.groupBy(col("doc")).agg(count(lit(1)).as("n"))
-    val inter = sh.as("a")
+    val sh = graft.core.CacheScope.cached(shinglesN(df, textCol, idCol, w))
+    // both set sizes ride the joined rows (see shinglesN) — the group key
+    // gains two functionally-dependent longs instead of the pair count
+    // paying a sizes aggregation plus two broadcast joins afterwards
+    sh.as("a")
       .join(sh.as("b"),
         col("a.shingle") === col("b.shingle") && col("a.doc") < col("b.doc"))
-      .groupBy(col("a.doc").as("doc_a"), col("b.doc").as("doc_b"))
+      .groupBy(col("a.doc").as("doc_a"), col("b.doc").as("doc_b"),
+        col("a.n").as("na"), col("b.n").as("nb"))
       .agg(count(lit(1)).as("i"))
-    inter
-      .join(sizes.withColumnRenamed("doc", "doc_a").withColumnRenamed("n", "na"), "doc_a")
-      .join(sizes.withColumnRenamed("doc", "doc_b").withColumnRenamed("n", "nb"), "doc_b")
       .withColumn("jaccard",
         round(col("i").cast("double") / (col("na") + col("nb") - col("i")), 6))
       .filter(col("jaccard") >= threshold)
@@ -161,16 +184,14 @@ object Dedup {
     */
   def containmentPairs(df: DataFrame, textCol: String, idCol: String,
                        w: Int = 3, threshold: Double = 0.8): DataFrame = {
-    val sh = graft.core.CacheScope.cached(shingles(df, textCol, idCol, w))
-    val sizes = sh.groupBy(col("doc")).agg(count(lit(1)).as("n"))
-    val inter = sh.as("a")
+    val sh = graft.core.CacheScope.cached(shinglesN(df, textCol, idCol, w))
+    // set sizes ride the joined rows — same shape as [[ngramJaccardPairs]]
+    sh.as("a")
       .join(sh.as("b"),
         col("a.shingle") === col("b.shingle") && col("a.doc") < col("b.doc"))
-      .groupBy(col("a.doc").as("doc_a"), col("b.doc").as("doc_b"))
+      .groupBy(col("a.doc").as("doc_a"), col("b.doc").as("doc_b"),
+        col("a.n").as("na"), col("b.n").as("nb"))
       .agg(count(lit(1)).as("i"))
-    inter
-      .join(sizes.select(col("doc").as("doc_a"), col("n").as("na")), Seq("doc_a"))
-      .join(sizes.select(col("doc").as("doc_b"), col("n").as("nb")), Seq("doc_b"))
       .withColumn("c_ab", round(col("i").cast("double") / col("na"), 6))
       .withColumn("c_ba", round(col("i").cast("double") / col("nb"), 6))
       .filter(col("c_ab") >= threshold || col("c_ba") >= threshold)
@@ -195,14 +216,15 @@ object Dedup {
                            w: Int = 8, minShared: Long = 1): DataFrame = {
     val ts = shingles(train, textCol, idCol, w)
       .withColumnRenamed("doc", "train_doc")
+    // the bench doc's shingle count rides each broadcast row (shinglesN),
+    // so no per-doc sizes rollup or extra join follows the overlap count
     val bs = graft.core.CacheScope.cached(
-      shingles(bench, textCol, idCol, w).withColumnRenamed("doc", "bench_doc"))
-    val benchSizes = bs.groupBy(col("bench_doc")).agg(count(lit(1)).as("bn"))
+      shinglesN(bench, textCol, idCol, w)
+        .select(col("doc").as("bench_doc"), col("n").as("bn"), col("shingle")))
     ts.join(bs, "shingle")
-      .groupBy(col("train_doc"), col("bench_doc"))
+      .groupBy(col("train_doc"), col("bench_doc"), col("bn"))
       .agg(count(lit(1)).as("shared"))
       .filter(col("shared") >= minShared)
-      .join(benchSizes, "bench_doc")
       .withColumn("bench_containment",
         round(col("shared").cast("double") / col("bn"), 6))
       .select("train_doc", "bench_doc", "shared", "bench_containment")
@@ -284,7 +306,7 @@ object Dedup {
                       threshold: Double = 0.8): DataFrame = {
     require(numPerm % bands == 0)
     val r = numPerm / bands
-    val sh = graft.core.CacheScope.cached(shingles(df, textCol, idCol, w))
+    val sh = graft.core.CacheScope.cached(shinglesN(df, textCol, idCol, w))
     val sig = minhashSignatures(sh, numPerm)
     val bandCols = (0 until bands).map { b =>
       struct(lit(b).as("band"),
@@ -359,10 +381,9 @@ object Dedup {
     require(numPerm % bands == 0)
     def keep(df: DataFrame): DataFrame =
       if (cache) df.persist() else graft.core.CacheScope.cached(df)
-    val sh = keep(shingles(corpus, textCol, idCol, w))
+    val sh = keep(shinglesN(corpus, textCol, idCol, w))
     val bkt = keep(bandBuckets(sh, numPerm, bands))
-    val sizes = keep(sh.groupBy(col("doc")).agg(count(lit(1)).as("nb")))
-    new NearDupIndex(sh, bkt, sizes, w, numPerm, bands)
+    new NearDupIndex(sh, bkt, w, numPerm, bands)
   }
 
   /** Re-open a saved near-dup index ([[NearDupIndex.save]]); band/params
@@ -375,7 +396,6 @@ object Dedup {
     new NearDupIndex(
       keep(spark.read.parquet(s"$dir/shingles")),
       keep(spark.read.parquet(s"$dir/buckets")),
-      keep(spark.read.parquet(s"$dir/sizes")),
       p.getAs[Int]("w"), p.getAs[Int]("num_perm"), p.getAs[Int]("bands"))
   }
 
@@ -387,19 +407,19 @@ object Dedup {
     * shingle table co-partitioned on the join key by the shuffle itself.
     */
   class NearDupIndex private[operators] (
-      /** Corpus shingles (doc, shingle) — the exact-verify side. */
+      /** Corpus shingles (doc, n, shingle) — the exact-verify side; `n`
+        * is the doc's distinct-shingle count, carried per row so the
+        * verify join needs no sizes rollup (see [[shinglesN]]).
+        */
       val shingles: DataFrame,
       /** Corpus LSH band buckets (doc, band, bucket) — the candidate side. */
       val buckets: DataFrame,
-      /** Per-doc distinct shingle counts (doc, nb). */
-      val sizes: DataFrame,
       val shingleWidth: Int, val numPerm: Int, val bands: Int) {
 
     /** Persist the index for reuse across batches/sessions. */
     def save(dir: String): Unit = {
       buckets.write.mode("overwrite").partitionBy("band").parquet(s"$dir/buckets")
       shingles.write.mode("overwrite").parquet(s"$dir/shingles")
-      sizes.write.mode("overwrite").parquet(s"$dir/sizes")
       val spark = shingles.sparkSession
       import spark.implicits._
       Seq((shingleWidth, numPerm, bands)).toDF("w", "num_perm", "bands")
@@ -407,7 +427,7 @@ object Dedup {
     }
 
     def unpersist(): Unit = {
-      shingles.unpersist(false); buckets.unpersist(false); sizes.unpersist(false)
+      shingles.unpersist(false); buckets.unpersist(false)
     }
 
     /** Near-dup pairs (batch doc, corpus doc) with exact Jaccard >=
@@ -417,47 +437,42 @@ object Dedup {
     def pairs(batch: DataFrame, textCol: String, idCol: String,
               threshold: Double = 0.8): DataFrame = {
       val shB = graft.core.CacheScope.cached(
-        shingles_(batch, textCol, idCol))
+        shinglesN(batch, textCol, idCol, shingleWidth))
       val bktB = bandBuckets(shB, numPerm, bands)
       val candidates = bktB.as("x")
         .join(buckets.as("y"),
           col("x.band") === col("y.band") && col("x.bucket") === col("y.bucket"))
         .select(col("x.doc").as("doc_a"), col("y.doc").as("doc_b"))
         .distinct()
-      val sizesB = shB.groupBy(col("doc")).agg(count(lit(1)).as("na"))
-      val inter = candidates
-        .join(shB.select(col("doc").as("doc_a"), col("shingle").as("s")), Seq("doc_a"))
-        .join(shingles.select(col("doc").as("doc_b"), col("shingle").as("s")), Seq("doc_b", "s"))
-        .groupBy(col("doc_a"), col("doc_b"))
+      candidates
+        .join(shB.select(col("doc").as("doc_a"), col("n").as("na"),
+          col("shingle").as("s")), Seq("doc_a"))
+        .join(shingles.select(col("doc").as("doc_b"), col("n").as("nb"),
+          col("shingle").as("s")), Seq("doc_b", "s"))
+        .groupBy(col("doc_a"), col("doc_b"), col("na"), col("nb"))
         .agg(count(lit(1)).as("i"))
-      inter
-        .join(sizesB.withColumnRenamed("doc", "doc_a"), Seq("doc_a"))
-        .join(sizes.withColumnRenamed("doc", "doc_b"), Seq("doc_b"))
         .withColumn("jaccard",
           round(col("i").cast("double") / (col("na") + col("nb") - col("i")), 6))
         .filter(col("jaccard") >= threshold)
         .select("doc_a", "doc_b", "jaccard")
     }
-
-    private def shingles_(df: DataFrame, textCol: String, idCol: String): DataFrame =
-      Dedup.shingles(df, textCol, idCol, shingleWidth)
   }
 
   /** Exact-Jaccard verification restricted to candidate pairs — the
     * intersection join fans out only over candidates' shingles, never the
     * full cross of all docs (this is what keeps LSH sub-quadratic at scale).
+    * `sh` must be a [[shinglesN]] frame (doc, n, shingle): both docs' set
+    * sizes ride the intersection rows, so no sizes rollup/join is needed.
     */
   def verifyPairsExact(candidates: DataFrame, sh: DataFrame, threshold: Double): DataFrame = {
     val shc = graft.core.CacheScope.cached(sh)
-    val sizes = shc.groupBy(col("doc")).agg(count(lit(1)).as("n"))
-    val inter = candidates
-      .join(shc.select(col("doc").as("doc_a"), col("shingle").as("s_a")), Seq("doc_a"))
-      .join(shc.select(col("doc").as("doc_b"), col("shingle").as("s_a")), Seq("doc_b", "s_a"))
-      .groupBy(col("doc_a"), col("doc_b"))
+    candidates
+      .join(shc.select(col("doc").as("doc_a"), col("n").as("na"),
+        col("shingle").as("s_a")), Seq("doc_a"))
+      .join(shc.select(col("doc").as("doc_b"), col("n").as("nb"),
+        col("shingle").as("s_a")), Seq("doc_b", "s_a"))
+      .groupBy(col("doc_a"), col("doc_b"), col("na"), col("nb"))
       .agg(count(lit(1)).as("i"))
-    inter
-      .join(sizes.select(col("doc").as("doc_a"), col("n").as("na")), Seq("doc_a"))
-      .join(sizes.select(col("doc").as("doc_b"), col("n").as("nb")), Seq("doc_b"))
       .withColumn("jaccard",
         round(col("i").cast("double") / (col("na") + col("nb") - col("i")), 6))
       .filter(col("jaccard") >= threshold)

@@ -42,6 +42,12 @@ object GraftBridge {
     * cleanup — unacceptable for iterative algorithms that checkpoint
     * every round.
     */
+  /** Drain the async listener bus — lets dev tooling read listener-fed
+    * counters (job/task metrics) deterministically after an action.
+    */
+  def drainListenerBus(spark: SparkSession): Unit =
+    spark.sparkContext.listenerBus.waitUntilEmpty()
+
   def freeCheckpoint(df: Dataset[_]): Unit =
     df.queryExecution.analyzed.foreach {
       case l: org.apache.spark.sql.execution.LogicalRDD => l.rdd.unpersist(false)
