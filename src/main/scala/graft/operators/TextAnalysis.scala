@@ -47,7 +47,9 @@ object TextAnalysis {
     */
   def quality(docs: DataFrame, textCol: String = "text"): DataFrame = {
     val toks = tokens(col(textCol))
-    docs
+    // spread: CPU-heavy map pass; a single-split source otherwise runs it
+    // on one task (no-op on well-split / already-shuffled inputs)
+    graft.core.Spread.ensureParallel(docs)
       .withColumn("_toks", toks)
       .withColumn("n_tokens", size(col("_toks")).cast("long"))
       .withColumn("n_chars_obs", length(col(textCol)).cast("long"))
@@ -74,7 +76,8 @@ object TextAnalysis {
   /** Language ID: lexicon-hit counts per language, argmax with deterministic
     * lexicographic tiebreak, 'und' when nothing matches.
     */
-  def languageId(docs: DataFrame, textCol: String = "text"): DataFrame = {
+  def languageId(docs0: DataFrame, textCol: String = "text"): DataFrame = {
+    val docs = graft.core.Spread.ensureParallel(docs0)
     val toks = tokens(lower(col(textCol)))
     // argmax = array_max over (hits, nrank, lang) structs compared
     // field-by-field; `nrank` = negated alphabetical rank makes equal-hit
@@ -155,7 +158,8 @@ object TextAnalysis {
     * duplicated-trigram count sorts once and counts non-singletons by
     * comparing sorted neighbors. No shuffle, linear at 100 TB.
     */
-  def repetitionScores(docs: DataFrame, textCol: String = "text"): DataFrame = {
+  def repetitionScores(docs0: DataFrame, textCol: String = "text"): DataFrame = {
+    val docs = graft.core.Spread.ensureParallel(docs0)
     val toks = tokens(col(textCol))
     val bigramLen = greatest(size(col("_toks")) - 1, lit(0))
     val bigrams = zip_with(
@@ -228,7 +232,7 @@ object TextAnalysis {
   def redactPii(docs: DataFrame, textCol: String = "text"): DataFrame = {
     def count(c: Column, re: String): Column =
       size(regexp_extract_all(c, lit(re), lit(0))).cast("long")
-    docs
+    graft.core.Spread.ensureParallel(docs)
       .withColumn("n_emails", count(col(textCol), EmailRe))
       .withColumn("_r1", regexp_replace(col(textCol), EmailRe, "<EMAIL>"))
       .withColumn("n_ipv4", count(col("_r1"), Ipv4Re))
@@ -278,7 +282,7 @@ object TextAnalysis {
     val kept = filter(lines, l =>
       size(filter(split(l, " ", -1), wd => wd =!= "")) >= minWords &&
         (l.endsWith(".") || l.endsWith("!") || l.endsWith("?")))
-    docs
+    graft.core.Spread.ensureParallel(docs)
       .withColumn("_lines", lines)
       .withColumn("_kept", kept)
       .withColumn("n_lines", size(col("_lines")).cast("long"))
