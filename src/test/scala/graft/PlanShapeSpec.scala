@@ -112,6 +112,25 @@ class PlanShapeSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))
   }
 
+  test("no inferred generate filter re-evaluates the shingle chain below the spread exchange") {
+    import org.apache.spark.sql.functions.col
+    val docs = graft.core.Tables.documents(spark, sf).select(col("doc_id"), col("text"))
+    val p = graft.operators.Dedup.shinglesN(docs.coalesce(1), "text", "doc_id")
+      .queryExecution.executedPlan.toString
+    // InferFiltersFromGenerate over a bare explode(attr) infers
+    // size(arr) > 0, and PushDownPredicates substitutes the FULL
+    // array_distinct(transform(...)) chain into a filter below the
+    // round-robin exchange — the whole shingle computation re-run per
+    // row, single-threaded on the un-spread source. The when() guard in
+    // shinglesN must keep it out: the expensive chain appears exactly
+    // once, above the exchange.
+    assert("array_distinct".r.findAllIn(p).size === 1,
+      "shingle chain must be evaluated exactly once (inferred filter leaked below the exchange?)")
+    val belowExchange = p.substring(p.indexOf("RoundRobinPartitioning"))
+    assert(!belowExchange.contains("array_distinct"),
+      "shingle chain must stay above the spread exchange")
+  }
+
   test("spread is conditional: a well-split source gets no extra round-robin exchange") {
     import org.apache.spark.sql.functions.col
     val docs = graft.core.Tables.documents(spark, sf).select(col("doc_id"), col("text"))
