@@ -249,7 +249,10 @@ object SparkEntry {
         val price = col("l_extendedprice").cast(dec(18, 2))
         val disc = col("l_discount").cast(dec(4, 2))
         val tax = col("l_tax").cast(dec(4, 2))
-        Tables.lineitem(s, d)
+        // spread: the decimal partial aggregation otherwise runs inside
+        // the single scan task of a one-row-group local source (no-op on
+        // well-split inputs — Spread.ensureParallel)
+        graft.core.Spread.ensureParallel(Tables.lineitem(s, d))
           .filter(col("l_shipdate") <= lit(java.sql.Timestamp.valueOf("2000-12-01 00:00:00")))
           .groupBy(col("l_returnflag"), col("l_linestatus"))
           .agg(
@@ -288,7 +291,7 @@ object SparkEntry {
     // ---- J2: equi join + theta residual (vote-validity window shape)
     Q("j2_theta_residual",
       (s, d) => Tables.orders(s, d)
-        .join(Tables.lineitem(s, d),
+        .join(graft.core.Spread.ensureParallel(Tables.lineitem(s, d)),
           col("l_orderkey") === col("o_orderkey") &&
             col("l_shipdate") <= col("o_orderdate") + expr("INTERVAL 60 DAYS"))
         .groupBy(col("o_orderkey"))
@@ -742,6 +745,9 @@ object SparkEntry {
     //      20% of their part's average quantity
     Q("q17_small_quantity",
       (s, d) => {
+        // no spread: both consumers aggregate immediately and the
+        // per-partkey shuffle already redistributes — measured slower
+        // with the extra exchange
         val l = Tables.lineitem(s, d)
         // per-partkey averages scale with SF — no broadcast hint; the
         // size-based planner picks BHJ while the agg fits, SMJ beyond
