@@ -68,8 +68,27 @@ object Bench {
     catch { case e: Throwable =>
       System.err.println(s"[bench] warm($sfDir) failed: ${e.getMessage}")
     }
+    // per-query job/task counts land in BENCH_LOCAL.json (never the
+    // stdout line — the driver's 2000-char tail budget): wall clock on a
+    // shared host swings with external load, while scheduled-job and task
+    // counts are deterministic per plan — the durable record of plan
+    // shape alongside the timings.
+    val jobsC = new java.util.concurrent.atomic.AtomicLong
+    val tasksC = new java.util.concurrent.atomic.AtomicLong
+    val taskMsC = new java.util.concurrent.atomic.AtomicLong
+    spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(j: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+        jobsC.incrementAndGet()
+      override def onTaskEnd(t: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
+        tasksC.incrementAndGet()
+        Option(t.taskMetrics).foreach(m => taskMsC.addAndGet(m.executorRunTime))
+      }
+    })
     var timedFails = 0
+    val planMetrics = scala.collection.mutable.LinkedHashMap[String, (Long, Long, Double)]()
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+      org.apache.spark.sql.GraftBridge.drainListenerBus(spark)
+      val (j0, k0, m0) = (jobsC.get, tasksC.get, taskMsC.get)
       val t0 = System.nanoTime()
       // noop sink: materializes every output column (count() lets Catalyst
       // prune the select list, which under-times projection-heavy queries)
@@ -85,6 +104,8 @@ object Bench {
       }
       // free this query's scoped caches so they can't pressure later queries
       graft.core.CacheScope.release()
+      org.apache.spark.sql.GraftBridge.drainListenerBus(spark)
+      planMetrics(name) = (jobsC.get - j0, tasksC.get - k0, (taskMsC.get - m0) / 1000.0)
       name -> t
     }
     if (timedFails > 0)
@@ -106,7 +127,11 @@ object Bench {
       s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs$extra,"sf":"$sfDir"}"""
     }
     val fullLine = render(results, "")
-    try java.nio.file.Files.writeString(java.nio.file.Paths.get("BENCH_LOCAL.json"), fullLine + "\n")
+    val metricsJson = planMetrics.map { case (k, (j, tk, ts)) =>
+      "\"" + k + "\":{\"jobs\":" + j + ",\"tasks\":" + tk + ",\"task_sec\":" + fmt(ts) + "}"
+    }.mkString(",\"plan_metrics\":{", ",", "}")
+    val fullRecord = fullLine.patch(fullLine.lastIndexOf("}"), metricsJson + "}", 1)
+    try java.nio.file.Files.writeString(java.nio.file.Paths.get("BENCH_LOCAL.json"), fullRecord + "\n")
     catch { case _: Throwable => () }
     val Budget = 1800 // 2000-char tail minus the sbt epilogue, with margin
     val line =
