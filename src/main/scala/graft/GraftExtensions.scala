@@ -1,6 +1,8 @@
 package graft
 
-import graft.functions.DoubleDotProduct
+import graft.functions.{DoubleDotProduct, ShingleHashes}
+import org.apache.spark.sql.catalyst.expressions.Literal
+import org.apache.spark.sql.types.IntegerType
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
@@ -43,5 +45,15 @@ object GraftExtensions {
     Seq(
       (FunctionIdentifier("graft_dot"),
         new ExpressionInfo(classOf[DoubleDotProduct].getName, "graft_dot"),
-        arity("graft_dot", 2)(c => DoubleDotProduct(c.head, c(1)))))
+        arity("graft_dot", 2)(c => DoubleDotProduct(c.head, c(1)))),
+      (FunctionIdentifier("graft_shingle_hashes"),
+        new ExpressionInfo(classOf[ShingleHashes].getName, "graft_shingle_hashes"),
+        arity("graft_shingle_hashes", 2) { c =>
+          val w = c(1) match {
+            case Literal(v: Int, IntegerType) => v
+            case other => throw new IllegalArgumentException(
+              s"graft_shingle_hashes window must be an int literal, got $other")
+          }
+          ShingleHashes(c.head, w)
+        }))
 }

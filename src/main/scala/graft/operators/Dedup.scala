@@ -110,11 +110,11 @@ object Dedup {
 
   // ---------------------------------------------------------------- shingles
 
-  /** Distinct word-w shingles per document: (id, shingle). Built with
-    * sequence+transform so it stays in codegen; the per-doc dedup happens
-    * inside the row (`array_distinct` before explode) so no global
-    * distinct shuffle is needed — at scale this is the difference between
-    * a map-only fanout and shuffling every shingle.
+  /** Distinct word-w shingle HASHES per document: (id, shingle: long).
+    * The per-doc dedup happens inside the row (inside the native
+    * [[graft.functions.ShingleHashes]] expression, before explode) so no
+    * global distinct shuffle is needed — at scale this is the difference
+    * between a map-only fanout and shuffling every shingle.
     */
   def shingles(df: DataFrame, textCol: String, idCol: String, w: Int = 3): DataFrame =
     shinglesN(df, textCol, idCol, w).select(col("doc"), col("shingle"))
@@ -127,31 +127,30 @@ object Dedup {
     * the per-doc sizes aggregation AND the two broadcast joins that
     * otherwise follow the pair count.
     */
-  def shinglesN(df: DataFrame, textCol: String, idCol: String, w: Int = 3): DataFrame = {
-    val toks = TextAnalysis.tokens(col(textCol))
+  def shinglesN(df: DataFrame, textCol: String, idCol: String, w: Int = 3): DataFrame =
     // single-file sources arrive as one split; spread the CPU-heavy
-    // shingle explode + hashing across the cluster before fanning out
-    spread(df).select(col(idCol).as("doc"), toks.as("_t"))
-      .filter(size(col("_t")) >= w)
-      .select(col("doc"),
-        array_distinct(transform(
-          sequence(lit(0), size(col("_t")) - w),
-          // element_at per position instead of slice(): no intermediate
-          // array allocation per shingle (w is known at plan time)
-          i => concat_ws(" ", (0 until w).map(j => element_at(col("_t"), i + j + 1)): _*))).as("_arr"))
-      // _arr is referenced twice (size + explode) but CollapseProject's
-      // expensive-expression guard keeps the transform single-evaluated.
-      // The when() wrapper is LOAD-BEARING: explode over a bare Attribute
-      // triggers InferFiltersFromGenerate's `size(_arr) > 0` filter, which
+    // shingle hashing across the cluster before fanning out.
+    // `shingle` is the 64-bit xxhash64 of the w-token shingle string (the
+    // native fused ShingleHashes expression — bit-identical to
+    // xxhash64(concat_ws(' ', window)), so MinHash/SimHash signatures are
+    // unchanged), never the string itself: every consumer joins or
+    // aggregates on shingle identity, and an 8-byte key keeps the
+    // shingle shuffle width independent of n-gram width at 100 TB.
+    spread(df).select(col(idCol).as("doc"),
+        org.apache.spark.sql.GraftBridge.shingleHashes(col(textCol), w).as("_arr"))
+      // _arr is referenced thrice (n + the when guard) but CollapseProject's
+      // expensive-expression guard keeps it single-evaluated. The when()
+      // wrapper is LOAD-BEARING: explode over a bare Attribute triggers
+      // InferFiltersFromGenerate's `size(_arr) > 0` filter, which
       // PushDownPredicates then substitutes through the aliases (no
       // expensive-expression guard — NOTES.md finding 1) and lands below
-      // the spread Exchange: the whole tokenize+shingle chain re-evaluated
-      // per row on the UN-spread input, single-threaded on a single-split
-      // source. A CASE WHEN child is not inferable, costs O(1), and
-      // explode(outer=false) drops the null rows identically.
+      // the spread Exchange: the whole shingle chain re-evaluated per row
+      // on the UN-spread input, single-threaded on a single-split source.
+      // A CASE WHEN child is not inferable, costs O(1), and
+      // explode(outer=false) drops the null/empty rows identically (fewer
+      // than w tokens => empty array from the expression).
       .select(col("doc"), size(col("_arr")).as("n"),
         explode(when(size(col("_arr")) > 0, col("_arr"))).as("shingle"))
-  }
 
   /** Exact n-gram Jaccard similarity for all pairs sharing >=1 shingle.
     * Self-join on shingle (shuffle on shingle), pair-count, then
@@ -289,7 +288,9 @@ object Dedup {
   /** MinHash signatures as one `sig: array<bigint>` column per doc. */
   def minhashSignatures(sh: DataFrame, numPerm: Int = 128): DataFrame = {
     val agg = udaf(new MinHashSigAgg(numPerm), org.apache.spark.sql.Encoders.LONG)
-    sh.select(col("doc"), shingleHash(col("shingle")).as("_h"))
+    // `shingle` already IS the xxhash64 value (see [[shinglesN]]) — feed
+    // it straight to the permutation family
+    sh.select(col("doc"), col("shingle").as("_h"))
       .groupBy(col("doc"))
       .agg(agg(col("_h")).as("sig"))
   }

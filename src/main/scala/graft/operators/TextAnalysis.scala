@@ -18,7 +18,12 @@ object TextAnalysis {
     * `list_filter(string_split(text,' '), x -> x <> '')`).
     */
   def tokens(text: Column): Column =
-    filter(split(text, " ", -1), t => t =!= "")
+    // array_remove, not filter(_ =!= ""): identical result (split yields
+    // no nulls), but ArrayFilter is a CodegenFallback higher-order
+    // function — the whole split+filter subtree evaluates interpreted at
+    // EVERY tokens() call site, which at corpus scale is the dominant CPU
+    // of the text family. ArrayRemove stays inside whole-stage codegen.
+    array_remove(split(text, " ", -1), "")
 
   /** BPE-ish subword segments: maximal runs of lowercase letters or digits. */
   def regexTokens(text: Column): Column =

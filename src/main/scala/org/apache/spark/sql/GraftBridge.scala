@@ -1,6 +1,6 @@
 package org.apache.spark.sql
 
-import graft.functions.{BloomMightContain, DoubleDotProduct}
+import graft.functions.{BloomMightContain, DoubleDotProduct, ShingleHashes}
 import org.apache.spark.sql.classic.ExpressionUtils
 import org.apache.spark.util.sketch.BloomFilter
 
@@ -29,6 +29,12 @@ object GraftBridge {
       registry.registerFunction(ident, info, builder)
     }
   }
+
+  /** Column of distinct w-shingle xxhash64 values (see
+    * graft.functions.ShingleHashes).
+    */
+  def shingleHashes(text: Column, w: Int): Column =
+    ExpressionUtils.column(ShingleHashes(ExpressionUtils.expression(text), w))
 
   /** Column probing a pre-built Bloom filter (see
     * graft.functions.BloomMightContain).

@@ -119,15 +119,15 @@ class PlanShapeSpec extends SparkSpec {
       .queryExecution.executedPlan.toString
     // InferFiltersFromGenerate over a bare explode(attr) infers
     // size(arr) > 0, and PushDownPredicates substitutes the FULL
-    // array_distinct(transform(...)) chain into a filter below the
-    // round-robin exchange — the whole shingle computation re-run per
-    // row, single-threaded on the un-spread source. The when() guard in
-    // shinglesN must keep it out: the expensive chain appears exactly
-    // once, above the exchange.
-    assert("array_distinct".r.findAllIn(p).size === 1,
+    // shingle-hash expression into a filter below the round-robin
+    // exchange — the whole shingle computation re-run per row,
+    // single-threaded on the un-spread source. The when() guard in
+    // shinglesN must keep it out: the expensive expression appears
+    // exactly once, above the exchange.
+    assert("graft_shingle_hashes".r.findAllIn(p).size === 1,
       "shingle chain must be evaluated exactly once (inferred filter leaked below the exchange?)")
     val belowExchange = p.substring(p.indexOf("RoundRobinPartitioning"))
-    assert(!belowExchange.contains("array_distinct"),
+    assert(!belowExchange.contains("graft_shingle_hashes"),
       "shingle chain must stay above the spread exchange")
   }
 

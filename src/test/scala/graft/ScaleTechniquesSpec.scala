@@ -73,6 +73,42 @@ class ScaleTechniquesSpec extends SparkSpec {
     assert(e.getMessage.contains("graft_dot"))
   }
 
+  test("graft_shingle_hashes is bit-identical to xxhash64 over concat_ws shingles") {
+    import spark.implicits._
+    // adversarial token shapes: multi-space runs (empty tokens), leading/
+    // trailing separators, single tokens, fewer tokens than the window,
+    // repeated shingles (distinctness), unicode
+    val texts = Seq(
+      "the quick brown fox jumps over the lazy dog",
+      "a  b   c a  b   c a b", "  leading and trailing  ", "one",
+      "", "exactly three toks", "ab", "á é í ó ú ñ ü 中 文 词",
+      "x x x x x x x x", "tab\tis one token here"
+    ).zipWithIndex.map { case (t, i) => (i.toLong, t) }
+    for (w <- Seq(2, 3, 8)) {
+      val df = texts.toDF("doc_id", "text")
+      // reference formulation: the pre-native SQL chain
+      val toks = graft.operators.TextAnalysis.tokens(col("text"))
+      val ref = df.filter(size(toks) >= w)
+        .select(col("doc_id"), array_distinct(transform(
+          sequence(lit(0), size(toks) - w),
+          i => xxhash64(concat_ws(" ",
+            (0 until w).map(j => element_at(toks, i + j + 1)): _*)))).as("hs"))
+        .select(col("doc_id"), explode(col("hs")).as("h"))
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val native = df.select(col("doc_id"),
+          org.apache.spark.sql.GraftBridge.shingleHashes(col("text"), w).as("hs"))
+        .select(col("doc_id"), explode(col("hs")).as("h"))
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(native === ref, s"w=$w")
+      // and the SQL registration resolves to the same expression
+      df.createOrReplaceTempView("sh_texts")
+      val viaSql = spark.sql(
+        s"SELECT doc_id, explode(graft_shingle_hashes(text, $w)) AS h FROM sh_texts")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(viaSql === ref, s"sql w=$w")
+    }
+  }
+
   test("GraftExtensions injects its registrations into a fresh extension set") {
     val exts = new org.apache.spark.sql.SparkSessionExtensions
     new GraftExtensions().apply(exts) // must not throw; builder is arity-checked
