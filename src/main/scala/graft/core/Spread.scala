@@ -38,7 +38,10 @@ object Spread {
     * upstream stages, and their shuffle already sets the parallelism.
     */
   def ensureParallel(df: DataFrame): DataFrame = {
-    if (hasShuffle(df.queryExecution.analyzed)) df
+    // streaming frames: no .rdd (illegal on an unstarted streaming plan),
+    // and no widening — micro-batch parallelism comes from the source's
+    // own file/offset splitting; the operators stay shape-identical
+    if (df.isStreaming || hasShuffle(df.queryExecution.analyzed)) df
     else {
       val p = df.sparkSession.sparkContext.defaultParallelism
       if (df.rdd.getNumPartitions < p) df.repartition(p) else df
