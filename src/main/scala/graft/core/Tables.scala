@@ -17,22 +17,42 @@ object Tables {
     "region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings")
 
+  /** Memoized resolved relations, keyed by (session, file path).
+    *
+    * `spark.read.parquet(path)` resolves lazily — but resolution
+    * (`ResolveDataSource`: file listing + parquet footer/schema read) runs
+    * again for EVERY query that re-reads the table, and rule profiling
+    * shows it at ~50-100 ms per table reference — the single largest
+    * driver-side cost of short queries. Reusing the analyzed DataFrame
+    * makes resolution once-per-session-per-table, exactly what a catalog
+    * (metastore table / DSv2 catalog) provides at 100 TB, where schemas
+    * are declared rather than re-inferred per query. Plan-object reuse
+    * only: no data is cached, and Catalyst re-optimizes each consuming
+    * query from scratch (a weak-keyed map would be nicer; sessions here
+    * are few and long-lived).
+    */
+  private val resolved =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
+
   def load(spark: SparkSession, sfDir: String, name: String): DataFrame =
     name match {
       case "events" => events(spark, sfDir)
-      case other    => spark.read.parquet(s"$sfDir/$other.parquet")
+      case other =>
+        resolved.getOrElseUpdate((spark, s"$sfDir/$other.parquet"),
+          spark.read.parquet(s"$sfDir/$other.parquet"))
     }
 
   /** events with `ts` as a proper TimestampType (microsecond precision,
     * truncated from the stored nanoseconds — `ts DIV 1000` is exact integer
     * division; a double division would lose precision at 1.7e18 ns).
     */
-  def events(spark: SparkSession, sfDir: String): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    spark.read
-      .parquet(s"$sfDir/events.parquet")
-      .withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
-  }
+  def events(spark: SparkSession, sfDir: String): DataFrame =
+    resolved.getOrElseUpdate((spark, s"$sfDir/events.parquet"), {
+      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      spark.read
+        .parquet(s"$sfDir/events.parquet")
+        .withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+    })
 
   def lineitem(spark: SparkSession, sfDir: String): DataFrame = load(spark, sfDir, "lineitem")
   def orders(spark: SparkSession, sfDir: String): DataFrame = load(spark, sfDir, "orders")

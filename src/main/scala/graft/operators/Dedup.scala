@@ -719,15 +719,21 @@ object Dedup {
       explode(array((0 until 4).map(c =>
         struct(lit(c).as("c"),
           shiftright(col("simhash"), c * 15).bitwiseAND(0x7FFF).as("v"))): _*)).as("ck"))
-    val cands = chunks.as("x").join(chunks.as("y"),
+    // VERIFY BEFORE DISTINCT: hamming is a codegen'd two-long bit_count
+    // riding the join output, while distinct is a full aggregation — and
+    // template-heavy corpora make chunk buckets quadratically hot (docs
+    // with identical fingerprints collide on every chunk), so the join
+    // fanout is orders of magnitude larger than the verified pair set.
+    // Filtering first keeps the aggregation input at |true pairs| x 4
+    // instead of the full collision fanout — the difference between a
+    // dimension-sized distinct and a corpus-squared one at 100 TB.
+    chunks.as("x").join(chunks.as("y"),
         col("x.ck.c") === col("y.ck.c") && col("x.ck.v") === col("y.ck.v") &&
           col("x.doc") < col("y.doc"))
-      .select(col("x.doc").as("doc_a"), col("x.simhash").as("fp_a"),
-        col("y.doc").as("doc_b"), col("y.simhash").as("fp_b"))
-      .distinct()
-    cands
-      .withColumn("hamming", bit_count(col("fp_a").bitwiseXOR(col("fp_b"))))
+      .select(col("x.doc").as("doc_a"), col("y.doc").as("doc_b"),
+        bit_count(col("x.simhash").bitwiseXOR(col("y.simhash"))).as("hamming"))
       .filter(col("hamming") <= maxHamming)
+      .distinct()
       .select("doc_a", "doc_b", "hamming")
   }
 }
