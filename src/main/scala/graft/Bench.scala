@@ -24,7 +24,14 @@ object Bench {
       // PROCESS_LOCAL). A cluster deployment keeps the defaults.
       .config("spark.shuffle.compress", "false")
       .config("spark.shuffle.spill.compress", "false")
+      .config("spark.broadcast.compress", "false")
       .config("spark.locality.wait", "0")
+      // static conf: the generated-class cache defaults to 100 entries,
+      // but the full suite compiles several hundred distinct codegen
+      // classes — with the default, the warm pass's compiled classes are
+      // evicted before their query is timed and every timed run pays
+      // Janino again. Sized to hold the whole suite.
+      .config("spark.sql.codegen.cache.maxEntries", "5000")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     GraftSession.configure(spark)
@@ -38,13 +45,15 @@ object Bench {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = session(cpus)
-    // Warm the JVM across every plan shape on the smallest tier: class
+    // Warm the JVM across every plan shape AT THE BENCH TIER: class
     // loading, Catalyst rule JIT, and Janino whole-stage-codegen
-    // compilation are per-plan fixed costs (CodeGenerator caches the
-    // compiled classes by source, which is identical across tiers), so
-    // per-query times at the benchmark tier measure the plan's execution,
-    // not first-use compiler work.
-    val warmTier = sys.env.getOrElse("SPARK_GRAFT_WARM_DIR", "/root/testdata/sf0.001")
+    // compilation are per-plan fixed costs — and AQE's runtime re-plans
+    // depend on actual stage sizes, so a warm pass at a smaller tier
+    // compiles the WRONG physical stages (different generated classes)
+    // and every timed query still pays first-run codegen + JIT. Warming
+    // on the same tier measures steady-state latency, which is what the
+    // per-query numbers claim to be.
+    val warmTier = sys.env.getOrElse("SPARK_GRAFT_WARM_DIR", sfDir)
     var warmFails = 0
     SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (_, fn) =>
       try { fn(spark, warmTier).write.format("noop").mode("overwrite").save() }

