@@ -715,25 +715,39 @@ object Dedup {
   def simhashPairs(df: DataFrame, textCol: String, idCol: String,
                    maxHamming: Int = 3): DataFrame = {
     val fps = graft.core.CacheScope.cached(simhash(df, textCol, idCol))
-    val chunks = fps.select(col("doc"), col("simhash"),
+    // candidate generation runs on DISTINCT fingerprints, not docs:
+    // template-heavy corpora concentrate many docs onto few fingerprints,
+    // and chunk-bucket collisions grow quadratically in bucket occupancy —
+    // deduping first cuts the join fanout by the square of the average
+    // group size, and identical-fp doc pairs (hamming 0) come from a
+    // cheap equi self-join instead of 4 chunk collisions each. The
+    // verified fp-pair set then expands back to doc pairs through two
+    // equi joins on the fingerprint (each doc has exactly one fp, so the
+    // expansion cannot duplicate a pair and needs no distinct).
+    val ufp = graft.core.CacheScope.cached(fps.select(col("simhash")).distinct())
+    val chunks = ufp.select(col("simhash"),
       explode(array((0 until 4).map(c =>
         struct(lit(c).as("c"),
           shiftright(col("simhash"), c * 15).bitwiseAND(0x7FFF).as("v"))): _*)).as("ck"))
-    // VERIFY BEFORE DISTINCT: hamming is a codegen'd two-long bit_count
-    // riding the join output, while distinct is a full aggregation — and
-    // template-heavy corpora make chunk buckets quadratically hot (docs
-    // with identical fingerprints collide on every chunk), so the join
-    // fanout is orders of magnitude larger than the verified pair set.
-    // Filtering first keeps the aggregation input at |true pairs| x 4
-    // instead of the full collision fanout — the difference between a
-    // dimension-sized distinct and a corpus-squared one at 100 TB.
-    chunks.as("x").join(chunks.as("y"),
+    // hamming rides the join output (codegen'd two-long bit_count) and
+    // filters BEFORE the distinct, so the aggregation sees only verified
+    // fp pairs, never the full collision fanout
+    val fpPairs = chunks.as("x").join(chunks.as("y"),
         col("x.ck.c") === col("y.ck.c") && col("x.ck.v") === col("y.ck.v") &&
-          col("x.doc") < col("y.doc"))
-      .select(col("x.doc").as("doc_a"), col("y.doc").as("doc_b"),
+          col("x.simhash") < col("y.simhash"))
+      .select(col("x.simhash").as("fp_a"), col("y.simhash").as("fp_b"),
         bit_count(col("x.simhash").bitwiseXOR(col("y.simhash"))).as("hamming"))
       .filter(col("hamming") <= maxHamming)
       .distinct()
-      .select("doc_a", "doc_b", "hamming")
+    val cross = fpPairs
+      .join(fps.select(col("simhash").as("fp_a"), col("doc").as("_da")), "fp_a")
+      .join(fps.select(col("simhash").as("fp_b"), col("doc").as("_db")), "fp_b")
+      .select(least(col("_da"), col("_db")).as("doc_a"),
+        greatest(col("_da"), col("_db")).as("doc_b"), col("hamming"))
+    val intra = fps.as("p").join(fps.as("q"),
+        col("p.simhash") === col("q.simhash") && col("p.doc") < col("q.doc"))
+      .select(col("p.doc").as("doc_a"), col("q.doc").as("doc_b"),
+        bit_count(lit(0L)).as("hamming"))
+    cross.unionByName(intra).select("doc_a", "doc_b", "hamming")
   }
 }
