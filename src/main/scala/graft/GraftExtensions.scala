@@ -55,5 +55,10 @@ object GraftExtensions {
               s"graft_shingle_hashes window must be an int literal, got $other")
           }
           ShingleHashes(c.head, w)
-        }))
+        }),
+      (FunctionIdentifier("graft_repetition_stats"),
+        new ExpressionInfo(classOf[graft.functions.RepetitionStats].getName,
+          "graft_repetition_stats"),
+        arity("graft_repetition_stats", 1)(c =>
+          graft.functions.RepetitionStats(c.head))))
 }

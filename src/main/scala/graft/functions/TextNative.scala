@@ -1,0 +1,234 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression, XXH64}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
+import org.apache.spark.sql.types.{ArrayType, DataType, LongType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Shared byte-level tokenizer for the native text expressions: single
+  * 0x20 separators (a space byte never appears inside a UTF-8 multibyte
+  * sequence), empty tokens skipped — exactly the semantics of
+  * `array_remove(split(text, " ", -1), "")` used across the text family.
+  */
+private[functions] object Tok {
+  /** Fills `starts`/`ends` (grown copies returned) and returns
+    * (starts, ends, count).
+    */
+  def scan(b: Array[Byte]): (Array[Int], Array[Int], Int) = {
+    var starts = new Array[Int](16)
+    var ends = new Array[Int](16)
+    var t = 0
+    var i = 0
+    val n = b.length
+    while (i <= n) {
+      val s = i
+      while (i < n && b(i) != ' ') i += 1
+      if (i > s) {
+        if (t == starts.length) {
+          starts = java.util.Arrays.copyOf(starts, t * 2)
+          ends = java.util.Arrays.copyOf(ends, t * 2)
+        }
+        starts(t) = s; ends(t) = i; t += 1
+      }
+      i += 1
+    }
+    (starts, ends, t)
+  }
+
+  /** xxhash64 (seed 42) of the w-token window ending shingle-style —
+    * identical value scheme to [[ShingleHashes]]; keeps duplicates.
+    */
+  def windowHashes(b: Array[Byte], starts: Array[Int], ends: Array[Int],
+                   t: Int, w: Int): Array[Long] = {
+    if (t < w) return Array.emptyLongArray
+    val m = t - w + 1
+    val out = new Array[Long](m)
+    var scratch: Array[Byte] = null
+    var k = 0
+    while (k < m) {
+      val last = k + w - 1
+      var contiguous = true
+      var j = k
+      while (contiguous && j < last) {
+        if (starts(j + 1) != ends(j) + 1) contiguous = false
+        j += 1
+      }
+      if (contiguous) {
+        val off = starts(k)
+        out(k) = XXH64.hashUnsafeBytes(
+          b, org.apache.spark.unsafe.Platform.BYTE_ARRAY_OFFSET + off,
+          ends(last) - off, 42L)
+      } else {
+        var len = w - 1
+        j = k
+        while (j <= last) { len += ends(j) - starts(j); j += 1 }
+        if (scratch == null || scratch.length < len) scratch = new Array[Byte](len)
+        var p = 0
+        j = k
+        while (j <= last) {
+          if (j > k) { scratch(p) = ' '; p += 1 }
+          val l = ends(j) - starts(j)
+          System.arraycopy(b, starts(j), scratch, p, l)
+          p += l
+          j += 1
+        }
+        out(k) = XXH64.hashUnsafeBytes(
+          scratch, org.apache.spark.unsafe.Platform.BYTE_ARRAY_OFFSET, len, 42L)
+      }
+      k += 1
+    }
+    out
+  }
+
+  /** Sorts IN PLACE; returns (distinctCount, longestEqualRun,
+    * slotsInGroupsLargerThanOne).
+    */
+  def runStats(h: Array[Long]): (Long, Long, Long) = {
+    if (h.length == 0) return (0L, 0L, 0L)
+    java.util.Arrays.sort(h)
+    var distinct = 1L
+    var run = 1L
+    var best = 1L
+    var dupSlots = 0L
+    var i = 1
+    while (i < h.length) {
+      if (h(i) == h(i - 1)) run += 1
+      else {
+        if (run > 1) dupSlots += run
+        if (run > best) best = run
+        distinct += 1; run = 1
+      }
+      i += 1
+    }
+    if (run > 1) dupSlots += run
+    if (run > best) best = run
+    (distinct, best, dupSlots)
+  }
+}
+
+/** Token membership counts against small static word sets, fused with
+  * token and token-character counts — one codegen'd pass over the raw
+  * text.
+  *
+  * Returns `array<long>` of `[n_tokens, token_chars, hits(set_0), ...,
+  * hits(set_k)]` where `token_chars` is the summed CODE-POINT length of
+  * the tokens (matching `aggregate(transform(toks, length), ...)`) and
+  * `hits(set_i)` counts tokens contained in the i-th set (matching
+  * `size(filter(toks, _.isin(set_i)))`).
+  *
+  * The composable formulation routes every row through interpreted
+  * HigherOrderFunction plumbing once per set (quality + language-ID ran
+  * SIX such chains per document); here the tokens are scanned once and
+  * each token probes the hash sets. At 100 TB these map passes are the
+  * dominant CPU of corpus curation.
+  */
+case class TokenSetHits(child: Expression, sets: Seq[Seq[String]])
+    extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires a string argument, got ${child.dataType.sql}")
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "graft_token_set_hits"
+
+  @transient private lazy val prepared: Array[java.util.HashSet[UTF8String]] =
+    sets.map { ws =>
+      val s = new java.util.HashSet[UTF8String](ws.length * 2)
+      ws.foreach(w => s.add(UTF8String.fromString(w)))
+      s
+    }.toArray
+
+  override protected def nullSafeEval(s: Any): Any =
+    TokenSetHits.compute(s.asInstanceOf[UTF8String], prepared)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("sets", prepared, "java.util.HashSet[]")
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.TokenSetHits.compute($c, $ref);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): TokenSetHits =
+    copy(child = newChild)
+}
+
+object TokenSetHits {
+  def compute(text: UTF8String,
+              sets: Array[java.util.HashSet[UTF8String]]): ArrayData = {
+    val b = text.getBytes
+    val (starts, ends, t) = Tok.scan(b)
+    val out = new Array[Long](2 + sets.length)
+    out(0) = t
+    var k = 0
+    while (k < t) {
+      var i = starts(k)
+      // code points = non-continuation bytes
+      while (i < ends(k)) {
+        if ((b(i) & 0xC0) != 0x80) out(1) += 1
+        i += 1
+      }
+      val tok = UTF8String.fromBytes(b, starts(k), ends(k) - starts(k))
+      var j = 0
+      while (j < sets.length) {
+        if (sets(j).contains(tok)) out(2 + j) += 1
+        j += 1
+      }
+      k += 1
+    }
+    UnsafeArrayData.fromPrimitiveArray(out)
+  }
+}
+
+/** Per-document repetition statistics in one codegen'd pass:
+  * `array<long>` of `[n_tokens, distinct_tokens, n_bigrams,
+  * top_bigram_count, n_trigrams, dup_trigram_slots]`.
+  *
+  * n-gram identity is the 64-bit xxhash of the ' '-joined window (the
+  * [[ShingleHashes]] scheme): within a document the collision odds are
+  * ~(n^2/2)/2^64 — negligible against the repetition ratios these feed.
+  * Replaces a chain of interpreted higher-order functions (three
+  * zip_with, an aggregate fold for the longest run, a filter-over-
+  * sequence for singleton detection) with sort + linear run counting on
+  * primitive longs.
+  */
+case class RepetitionStats(child: Expression) extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires a string argument, got ${child.dataType.sql}")
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "graft_repetition_stats"
+
+  override protected def nullSafeEval(s: Any): Any =
+    RepetitionStats.compute(s.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.RepetitionStats.compute($c);")
+
+  override protected def withNewChildInternal(newChild: Expression): RepetitionStats =
+    copy(child = newChild)
+}
+
+object RepetitionStats {
+  def compute(text: UTF8String): ArrayData = {
+    val b = text.getBytes
+    val (starts, ends, t) = Tok.scan(b)
+    val toks = Tok.windowHashes(b, starts, ends, t, 1)
+    val (distinct, _, _) = Tok.runStats(toks)
+    val bigrams = Tok.windowHashes(b, starts, ends, t, 2)
+    val nBg = bigrams.length.toLong
+    val (_, topBg, _) = Tok.runStats(bigrams)
+    val trigrams = Tok.windowHashes(b, starts, ends, t, 3)
+    val nTg = trigrams.length.toLong
+    val (_, _, dupTg) = Tok.runStats(trigrams)
+    UnsafeArrayData.fromPrimitiveArray(Array(
+      t.toLong, distinct, nBg, if (nBg == 0) 0L else topBg, nTg, dupTg))
+  }
+}

@@ -44,23 +44,23 @@ object TextAnalysis {
     "de" -> Seq("der", "die", "und", "das", "ist"),
     "zh" -> Seq("de", "shi", "le", "wo", "bu"))
 
-  private def countIn(toks: Column, words: Seq[String]): Column =
-    size(filter(toks, t => t.isin(words: _*)))
 
   /** doc_id, n_tokens, n_chars_obs, avg_token_len, stopword_ratio,
     * punct_ratio, quality_score — one pass, all map-side.
     */
   def quality(docs: DataFrame, textCol: String = "text"): DataFrame = {
-    val toks = tokens(col(textCol))
     // spread: CPU-heavy map pass; a single-split source otherwise runs it
-    // on one task (no-op on well-split / already-shuffled inputs)
+    // on one task (no-op on well-split / already-shuffled inputs).
+    // token count, summed token code-point length, and stopword hits come
+    // from ONE fused native pass (TokenSetHits) — the aggregate/transform/
+    // filter composition is interpreted HigherOrderFunction plumbing.
     graft.core.Spread.ensureParallel(docs)
-      .withColumn("_toks", toks)
-      .withColumn("n_tokens", size(col("_toks")).cast("long"))
+      .withColumn("_ts",
+        org.apache.spark.sql.GraftBridge.tokenSetHits(col(textCol), Seq(stopwords)))
+      .withColumn("n_tokens", element_at(col("_ts"), 1))
       .withColumn("n_chars_obs", length(col(textCol)).cast("long"))
-      .withColumn("_tok_chars",
-        aggregate(transform(col("_toks"), t => length(t)), lit(0), (a, x) => a + x))
-      .withColumn("_stop", countIn(col("_toks"), stopwords).cast("long"))
+      .withColumn("_tok_chars", element_at(col("_ts"), 2))
+      .withColumn("_stop", element_at(col("_ts"), 3))
       .withColumn("_punct",
         (length(col(textCol)) -
           length(regexp_replace(col(textCol), "[^a-zA-Z0-9 ]", ""))).cast("long"))
@@ -75,7 +75,7 @@ object TextAnalysis {
         when(col("n_tokens").between(5, 1000), lit(0.4)).otherwise(lit(0.0))
           + when(col("punct_ratio") <= 0.1, lit(0.3)).otherwise(lit(0.0))
           + when(col("stopword_ratio").between(0.01, 0.6), lit(0.3)).otherwise(lit(0.0)), 6))
-      .drop("_toks", "_tok_chars", "_stop", "_punct")
+      .drop("_ts", "_tok_chars", "_stop", "_punct")
   }
 
   /** Language ID: lexicon-hit counts per language, argmax with deterministic
@@ -83,23 +83,26 @@ object TextAnalysis {
     */
   def languageId(docs0: DataFrame, textCol: String = "text"): DataFrame = {
     val docs = graft.core.Spread.ensureParallel(docs0)
-    val toks = tokens(lower(col(textCol)))
+    // ONE fused tokenize-and-count pass for all five marker lexicons
+    // (TokenSetHits) — the per-language filter/isin chains each re-ran the
+    // interpreted tokenizer over every row.
+    val langs = langMarkers.toSeq.sortBy(_._1)
     // argmax = array_max over (hits, nrank, lang) structs compared
     // field-by-field; `nrank` = negated alphabetical rank makes equal-hit
     // ties pick the alphabetically FIRST language (matching the oracle's
     // CASE chain, which tests languages in alphabetical order).
-    val scored = langMarkers.toSeq.sortBy(_._1).zipWithIndex.map {
-      case ((lang, words), rank) =>
-        struct(countIn(toks, words).as("hits"),
-          lit(-rank).as("nrank"), lit(lang).as("lang"))
+    val scored = langs.zipWithIndex.map { case ((lang, _), rank) =>
+      struct(element_at(col("_lh"), 3 + rank).as("hits"),
+        lit(-rank).as("nrank"), lit(lang).as("lang"))
     }
-    val best = array_max(array(scored: _*))
     docs
-      .withColumn("_best", best)
+      .withColumn("_lh", org.apache.spark.sql.GraftBridge.tokenSetHits(
+        lower(col(textCol)), langs.map(_._2)))
+      .withColumn("_best", array_max(array(scored: _*)))
       .withColumn("predicted_lang",
         when(col("_best.hits") > 0, col("_best.lang")).otherwise(lit("und")))
       .withColumn("lang_hits", col("_best.hits").cast("long"))
-      .drop("_best")
+      .drop("_best", "_lh")
   }
 
   /** Document fingerprint: md5 over whitespace-collapsed, lowercased,
@@ -165,57 +168,25 @@ object TextAnalysis {
     */
   def repetitionScores(docs0: DataFrame, textCol: String = "text"): DataFrame = {
     val docs = graft.core.Spread.ensureParallel(docs0)
-    val toks = tokens(col(textCol))
-    val bigramLen = greatest(size(col("_toks")) - 1, lit(0))
-    val bigrams = zip_with(
-      slice(col("_toks"), lit(1), bigramLen),
-      slice(col("_toks"), lit(2), bigramLen),
-      (a, b) => concat_ws(" ", a, b))
-    val trigramLen = greatest(size(col("_toks")) - 2, lit(0))
-    val trigrams = zip_with(
-      zip_with(
-        slice(col("_toks"), lit(1), trigramLen),
-        slice(col("_toks"), lit(2), trigramLen),
-        (a, b) => concat_ws(" ", a, b)),
-      slice(col("_toks"), lit(3), trigramLen),
-      (ab, c) => concat_ws(" ", ab, c))
-    // elements of a sorted array that belong to a group of size > 1:
-    // total minus singletons (differ from both sorted neighbors); the
-    // or-chains short-circuit in codegen so the guarded element_at never
-    // sees an out-of-range index
-    def dupSlots(sorted: Column): Column = {
-      val n = size(sorted)
-      val singles = size(filter(sequence(lit(1), n), i =>
-        (i === 1 || element_at(sorted, i - 1) =!= element_at(sorted, i)) &&
-          (i === n || element_at(sorted, i + 1) =!= element_at(sorted, i))))
-      n - singles
-    }
+    // one fused native pass (RepetitionStats): token/bigram/trigram
+    // multiplicity stats via sorted 64-bit n-gram hashes — the
+    // composable form (three zip_with windows, an aggregate fold for the
+    // longest run, filter-over-sequence for singletons) is interpreted
+    // per row and was the costliest map pass of the text family.
+    val rs = col("_rs")
     docs
-      .withColumn("_toks", toks)
-      .withColumn("n_tokens", size(col("_toks")).cast("long"))
-      .withColumn("_bg", bigrams)
-      .withColumn("_tg", array_sort(trigrams))
-      .withColumn("_top_bg",
-        aggregate(array_sort(col("_bg")),
-          struct(lit("").as("prev"), lit(0L).as("run"), lit(0L).as("best")),
-          (acc, x) => {
-            val run = when(x === acc.getField("prev"),
-              acc.getField("run") + 1).otherwise(lit(1L))
-            struct(x.as("prev"), run.as("run"),
-              greatest(acc.getField("best"), run).as("best"))
-          },
-          acc => acc.getField("best")))
+      .withColumn("_rs", org.apache.spark.sql.GraftBridge.repetitionStats(col(textCol)))
+      .withColumn("n_tokens", element_at(rs, 1))
       .withColumn("dup_token_frac",
         when(col("n_tokens") === 0, lit(0.0)).otherwise(round(
-          lit(1.0) - size(array_distinct(col("_toks"))).cast("double")
-            / col("n_tokens"), 6)))
+          lit(1.0) - element_at(rs, 2).cast("double") / col("n_tokens"), 6)))
       .withColumn("top_bigram_frac",
-        when(size(col("_bg")) === 0, lit(0.0)).otherwise(round(
-          col("_top_bg").cast("double") / size(col("_bg")), 6)))
+        when(element_at(rs, 3) === 0, lit(0.0)).otherwise(round(
+          element_at(rs, 4).cast("double") / element_at(rs, 3), 6)))
       .withColumn("dup_trigram_frac",
-        when(size(col("_tg")) === 0, lit(0.0)).otherwise(round(
-          dupSlots(col("_tg")).cast("double") / size(col("_tg")), 6)))
-      .drop("_toks", "_bg", "_tg", "_top_bg")
+        when(element_at(rs, 5) === 0, lit(0.0)).otherwise(round(
+          element_at(rs, 6).cast("double") / element_at(rs, 5), 6)))
+      .drop("_rs")
   }
 
   /** PII scrubbing: redact emails, IPv4 literals, and long (>= 7) digit

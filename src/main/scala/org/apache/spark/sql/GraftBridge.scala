@@ -1,6 +1,6 @@
 package org.apache.spark.sql
 
-import graft.functions.{BloomMightContain, DoubleDotProduct, ShingleHashes}
+import graft.functions.{BloomMightContain, DoubleDotProduct, RepetitionStats, ShingleHashes, TokenSetHits}
 import org.apache.spark.sql.classic.ExpressionUtils
 import org.apache.spark.util.sketch.BloomFilter
 
@@ -35,6 +35,18 @@ object GraftBridge {
     */
   def shingleHashes(text: Column, w: Int): Column =
     ExpressionUtils.column(ShingleHashes(ExpressionUtils.expression(text), w))
+
+  /** Column of fused token/set-hit counts (see
+    * graft.functions.TokenSetHits).
+    */
+  def tokenSetHits(text: Column, sets: Seq[Seq[String]]): Column =
+    ExpressionUtils.column(TokenSetHits(ExpressionUtils.expression(text), sets))
+
+  /** Column of fused per-doc repetition statistics (see
+    * graft.functions.RepetitionStats).
+    */
+  def repetitionStats(text: Column): Column =
+    ExpressionUtils.column(RepetitionStats(ExpressionUtils.expression(text)))
 
   /** Column probing a pre-built Bloom filter (see
     * graft.functions.BloomMightContain).
