@@ -60,5 +60,10 @@ object GraftExtensions {
         new ExpressionInfo(classOf[graft.functions.RepetitionStats].getName,
           "graft_repetition_stats"),
         arity("graft_repetition_stats", 1)(c =>
-          graft.functions.RepetitionStats(c.head))))
+          graft.functions.RepetitionStats(c.head))),
+      (FunctionIdentifier("graft_canon_fingerprint"),
+        new ExpressionInfo(classOf[graft.functions.CanonFingerprint].getName,
+          "graft_canon_fingerprint"),
+        arity("graft_canon_fingerprint", 1)(c =>
+          graft.functions.CanonFingerprint(c.head))))
 }

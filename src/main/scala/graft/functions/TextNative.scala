@@ -110,20 +110,24 @@ private[functions] object Tok {
 }
 
 /** Token membership counts against small static word sets, fused with
-  * token and token-character counts — one codegen'd pass over the raw
-  * text.
+  * token, token-character, and punctuation counts — one codegen'd pass
+  * over the raw text.
   *
-  * Returns `array<long>` of `[n_tokens, token_chars, hits(set_0), ...,
-  * hits(set_k)]` where `token_chars` is the summed CODE-POINT length of
-  * the tokens (matching `aggregate(transform(toks, length), ...)`) and
-  * `hits(set_i)` counts tokens contained in the i-th set (matching
-  * `size(filter(toks, _.isin(set_i)))`).
+  * Returns `array<long>` of `[n_tokens, token_chars, punct_chars,
+  * hits(set_0), ..., hits(set_k)]` where `token_chars` is the summed
+  * CODE-POINT length of the tokens (matching
+  * `aggregate(transform(toks, length), ...)`), `punct_chars` counts code
+  * points outside `[a-zA-Z0-9 ]` (matching `length(text) -
+  * length(regexp_replace(text, "[^a-zA-Z0-9 ]", ""))` — non-ASCII code
+  * points count as punctuation, exactly like the ASCII-only regex
+  * class), and `hits(set_i)` counts tokens contained in the i-th set
+  * (matching `size(filter(toks, _.isin(set_i)))`).
   *
   * The composable formulation routes every row through interpreted
   * HigherOrderFunction plumbing once per set (quality + language-ID ran
-  * SIX such chains per document); here the tokens are scanned once and
-  * each token probes the hash sets. At 100 TB these map passes are the
-  * dominant CPU of corpus curation.
+  * SIX such chains per document) plus a regex scan; here the text is
+  * scanned once and each token probes the hash sets. At 100 TB these map
+  * passes are the dominant CPU of corpus curation.
   */
 case class TokenSetHits(child: Expression, sets: Seq[Seq[String]])
     extends UnaryExpression {
@@ -161,12 +165,23 @@ object TokenSetHits {
               sets: Array[java.util.HashSet[UTF8String]]): ArrayData = {
     val b = text.getBytes
     val (starts, ends, t) = Tok.scan(b)
-    val out = new Array[Long](2 + sets.length)
+    val out = new Array[Long](3 + sets.length)
     out(0) = t
+    var i = 0
+    while (i < b.length) {
+      val c = b(i)
+      // count code points (non-continuation bytes); ASCII alnum/space is
+      // the kept class, every other code point is "punctuation"
+      if ((c & 0xC0) != 0x80) {
+        val keep = (c >= 'a' && c <= 'z') || (c >= 'A' && c <= 'Z') ||
+          (c >= '0' && c <= '9') || c == ' '
+        if (!keep) out(2) += 1
+      }
+      i += 1
+    }
     var k = 0
     while (k < t) {
-      var i = starts(k)
-      // code points = non-continuation bytes
+      i = starts(k)
       while (i < ends(k)) {
         if ((b(i) & 0xC0) != 0x80) out(1) += 1
         i += 1
@@ -174,7 +189,7 @@ object TokenSetHits {
       val tok = UTF8String.fromBytes(b, starts(k), ends(k) - starts(k))
       var j = 0
       while (j < sets.length) {
-        if (sets(j).contains(tok)) out(2 + j) += 1
+        if (sets(j).contains(tok)) out(3 + j) += 1
         j += 1
       }
       k += 1
@@ -214,6 +229,150 @@ case class RepetitionStats(child: Expression) extends UnaryExpression {
 
   override protected def withNewChildInternal(newChild: Expression): RepetitionStats =
     copy(child = newChild)
+}
+
+/** Canonical-form document fingerprint in one codegen'd pass: the md5
+  * hex of lowercased, non-[a-z0-9 ]-stripped, space-collapsed, trimmed
+  * text — byte-identical to
+  * `md5(trim(regexp_replace(regexp_replace(lower(text), "[^a-z0-9 ]", ""), " +", " ")))`,
+  * which runs two full regex scans plus an intermediate string per row.
+  * ASCII text (the overwhelming case) canonicalizes in a single byte
+  * scan; text containing multibyte code points falls back to
+  * UTF8String.toLowerCase first (the exact builtin lower() semantics —
+  * Unicode lowercasing can map non-ASCII into [a-z], e.g. Kelvin K) and
+  * then the same scan.
+  */
+case class CanonFingerprint(child: Expression) extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires a string argument, got ${child.dataType.sql}")
+
+  override def dataType: DataType = StringType
+  override def prettyName: String = "graft_canon_fingerprint"
+
+  override protected def nullSafeEval(s: Any): Any =
+    CanonFingerprint.compute(s.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.CanonFingerprint.compute($c);")
+
+  override protected def withNewChildInternal(newChild: Expression): CanonFingerprint =
+    copy(child = newChild)
+}
+
+object CanonFingerprint {
+  private val HexDigits = "0123456789abcdef".toCharArray
+
+  def compute(text0: UTF8String): UTF8String = {
+    var b = text0.getBytes
+    var i = 0
+    var ascii = true
+    while (ascii && i < b.length) { if (b(i) < 0) ascii = false; i += 1 }
+    // non-ASCII: exact lower() semantics first (can introduce ASCII
+    // letters); the canonical scan below then drops remaining multibyte
+    // sequences exactly like the [^a-z0-9 ] regex
+    if (!ascii) b = text0.toLowerCase.getBytes
+    val out = new Array[Byte](b.length)
+    var p = 0
+    var pendingSpace = false
+    i = 0
+    while (i < b.length) {
+      var c = b(i)
+      if (c >= 'A' && c <= 'Z') c = (c + 32).toByte
+      val keep = (c >= 'a' && c <= 'z') || (c >= '0' && c <= '9')
+      if (keep) {
+        if (pendingSpace && p > 0) { out(p) = ' '; p += 1 }
+        out(p) = c; p += 1
+        pendingSpace = false
+      } else if (c == ' ') pendingSpace = true
+      // other bytes (punctuation, multibyte sequences): dropped, and they
+      // do NOT produce a separator — exactly the strip-then-collapse
+      // order of the regex chain
+      i += 1
+    }
+    val md = java.security.MessageDigest.getInstance("MD5")
+    md.update(out, 0, p)
+    val d = md.digest()
+    val hex = new Array[Byte](32)
+    var j = 0
+    while (j < 16) {
+      hex(j * 2) = HexDigits((d(j) >> 4) & 0xF).toByte
+      hex(j * 2 + 1) = HexDigits(d(j) & 0xF).toByte
+      j += 1
+    }
+    UTF8String.fromBytes(hex)
+  }
+}
+
+/** C4-style line filtering in one codegen'd pass: struct<n_lines,
+  * n_kept_lines, text_filtered> where a line is kept iff it has at least
+  * `minWords` space-separated words AND ends in '.', '!' or '?' —
+  * byte-identical to the composable
+  * `filter(split(text,"\n"), l => size(split-words) >= minWords && ends)`
+  * + `array_join(..., "\n")` chain, which evaluates interpreted
+  * (ArrayFilter is CodegenFallback) and re-splits every line.
+  */
+case class C4LineStats(child: Expression, minWords: Int)
+    extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType && minWords >= 1) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires a string argument and minWords >= 1, " +
+        s"got ${child.dataType.sql}, minWords=$minWords")
+
+  override def dataType: DataType = org.apache.spark.sql.types.StructType(Seq(
+    org.apache.spark.sql.types.StructField("n_lines", LongType, nullable = false),
+    org.apache.spark.sql.types.StructField("n_kept_lines", LongType, nullable = false),
+    org.apache.spark.sql.types.StructField("text_filtered", StringType, nullable = false)))
+  override def prettyName: String = "graft_c4_line_stats"
+
+  override protected def nullSafeEval(s: Any): Any =
+    C4LineStats.compute(s.asInstanceOf[UTF8String], minWords)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.C4LineStats.compute($c, $minWords);")
+
+  override protected def withNewChildInternal(newChild: Expression): C4LineStats =
+    copy(child = newChild)
+}
+
+object C4LineStats {
+  def compute(text: UTF8String, minWords: Int): org.apache.spark.sql.catalyst.InternalRow = {
+    val b = text.getBytes
+    val n = b.length
+    var nLines = 0L
+    var nKept = 0L
+    val out = new java.io.ByteArrayOutputStream(n)
+    var lineStart = 0
+    var i = 0
+    while (i <= n) {
+      if (i == n || b(i) == '\n') {
+        nLines += 1
+        // word count: non-empty runs between single spaces
+        var words = 0
+        var j = lineStart
+        while (j < i && words < minWords) {
+          while (j < i && b(j) == ' ') j += 1
+          if (j < i) { words += 1; while (j < i && b(j) != ' ') j += 1 }
+        }
+        val last = if (i > lineStart) b(i - 1) else 0
+        if (words >= minWords && (last == '.' || last == '!' || last == '?')) {
+          if (nKept > 0) out.write('\n')
+          out.write(b, lineStart, i - lineStart)
+          nKept += 1
+        }
+        lineStart = i + 1
+      }
+      i += 1
+    }
+    org.apache.spark.sql.catalyst.InternalRow(
+      nLines, nKept, UTF8String.fromBytes(out.toByteArray))
+  }
 }
 
 object RepetitionStats {

@@ -60,10 +60,8 @@ object TextAnalysis {
       .withColumn("n_tokens", element_at(col("_ts"), 1))
       .withColumn("n_chars_obs", length(col(textCol)).cast("long"))
       .withColumn("_tok_chars", element_at(col("_ts"), 2))
-      .withColumn("_stop", element_at(col("_ts"), 3))
-      .withColumn("_punct",
-        (length(col(textCol)) -
-          length(regexp_replace(col(textCol), "[^a-zA-Z0-9 ]", ""))).cast("long"))
+      .withColumn("_punct", element_at(col("_ts"), 3))
+      .withColumn("_stop", element_at(col("_ts"), 4))
       .withColumn("avg_token_len",
         round(col("_tok_chars").cast("double") / col("n_tokens"), 6))
       .withColumn("stopword_ratio",
@@ -92,7 +90,7 @@ object TextAnalysis {
     // ties pick the alphabetically FIRST language (matching the oracle's
     // CASE chain, which tests languages in alphabetical order).
     val scored = langs.zipWithIndex.map { case ((lang, _), rank) =>
-      struct(element_at(col("_lh"), 3 + rank).as("hits"),
+      struct(element_at(col("_lh"), 4 + rank).as("hits"),
         lit(-rank).as("nrank"), lit(lang).as("lang"))
     }
     docs
@@ -107,10 +105,12 @@ object TextAnalysis {
 
   /** Document fingerprint: md5 over whitespace-collapsed, lowercased,
     * punctuation-stripped text — the canonical-form hash used for
-    * normalized exact dedup.
+    * normalized exact dedup. One fused native pass (CanonFingerprint) —
+    * the regexp_replace chain ran two full regex scans per row and was
+    * the dominant CPU of every normalized/incremental dedup path.
     */
   def fingerprint(text: Column): Column =
-    md5(trim(regexp_replace(regexp_replace(lower(text), "[^a-z0-9 ]", ""), " +", " ")))
+    org.apache.spark.sql.GraftBridge.canonFingerprint(text)
 
   /** Token counts via both tokenizers. */
   def tokenCounts(docs: DataFrame, textCol: String = "text"): DataFrame =
@@ -253,20 +253,26 @@ object TextAnalysis {
     * one codegen'd map pass; at 100 TB this is scan-bound.
     */
   def c4LineFilter(docs: DataFrame, minWords: Int = 5, minLines: Int = 2,
-                   textCol: String = "text"): DataFrame = {
-    val lines = split(col(textCol), "\n", -1)
-    val kept = filter(lines, l =>
-      size(filter(split(l, " ", -1), wd => wd =!= "")) >= minWords &&
-        (l.endsWith(".") || l.endsWith("!") || l.endsWith("?")))
+                   textCol: String = "text"): DataFrame =
+    // one fused native pass (C4LineStats) — the nested filter/split HOF
+    // chain was interpreted AND its alias leaked into a pushed-down
+    // filter (see below).
     graft.core.Spread.ensureParallel(docs)
-      .withColumn("_lines", lines)
-      .withColumn("_kept", kept)
-      .withColumn("n_lines", size(col("_lines")).cast("long"))
-      .withColumn("n_kept_lines", size(col("_kept")).cast("long"))
-      .withColumn("text_filtered", array_join(col("_kept"), "\n"))
-      .filter(col("n_kept_lines") >= minLines)
-      .drop("_lines", "_kept")
-  }
+      .withColumn("_c4",
+        org.apache.spark.sql.GraftBridge.c4LineStats(col(textCol), minWords))
+      // the document gate rides explode's null-drop, NOT a Filter node:
+      // filtering on an alias of the expensive expression gets the full
+      // expression substituted into the filter by PushDownPredicates (no
+      // expensive-expression guard — NOTES.md round-1 finding 1) and
+      // pushed below the spread exchange, re-evaluating the pass per row
+      // on the un-spread source. A when()-guarded explode is not
+      // inferable and drops failing rows identically (shinglesN pattern).
+      .withColumn("_gate",
+        explode(when(col("_c4")("n_kept_lines") >= minLines, array(lit(1)))))
+      .withColumn("n_lines", col("_c4")("n_lines"))
+      .withColumn("n_kept_lines", col("_c4")("n_kept_lines"))
+      .withColumn("text_filtered", col("_c4")("text_filtered"))
+      .drop("_c4", "_gate")
 
   /** Corpus-unigram language-model scoring — the classic cheap "quality
     * by typicality" signal: train token frequencies on the corpus itself,

@@ -1,6 +1,6 @@
 package org.apache.spark.sql
 
-import graft.functions.{BloomMightContain, DoubleDotProduct, RepetitionStats, ShingleHashes, TokenSetHits}
+import graft.functions.{BloomMightContain, C4LineStats, CanonFingerprint, DoubleDotProduct, RepetitionStats, ShingleHashes, TokenSetHits}
 import org.apache.spark.sql.classic.ExpressionUtils
 import org.apache.spark.util.sketch.BloomFilter
 
@@ -47,6 +47,18 @@ object GraftBridge {
     */
   def repetitionStats(text: Column): Column =
     ExpressionUtils.column(RepetitionStats(ExpressionUtils.expression(text)))
+
+  /** Column of the fused canonical-form md5 fingerprint (see
+    * graft.functions.CanonFingerprint).
+    */
+  def canonFingerprint(text: Column): Column =
+    ExpressionUtils.column(CanonFingerprint(ExpressionUtils.expression(text)))
+
+  /** Column of fused C4 line-filter stats (see
+    * graft.functions.C4LineStats).
+    */
+  def c4LineStats(text: Column, minWords: Int): Column =
+    ExpressionUtils.column(C4LineStats(ExpressionUtils.expression(text), minWords))
 
   /** Column probing a pre-built Bloom filter (see
     * graft.functions.BloomMightContain).

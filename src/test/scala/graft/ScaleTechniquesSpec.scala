@@ -109,6 +109,82 @@ class ScaleTechniquesSpec extends SparkSpec {
     }
   }
 
+  test("fused text natives are bit-identical to their composable formulations") {
+    import spark.implicits._
+    val texts = Seq(
+      "The quick brown fox. Jumps over the lazy dog!",
+      "a  b   c a  b   c a b", "  leading, and trailing!  ", "one",
+      "", "the the the and of is it on", "á é í ó ú ñ ü 中 文 词",
+      "x x x x x x x x", "Line one has five words here.\nshort line\nAnother good line with words?",
+      "digits 123 and PUNCT!!! mixed-case Text.",
+      "no\nterminal\npunctuation\nanywhere"
+    ).zipWithIndex.map { case (t, i) => (i.toLong, t) }
+    val df = texts.toDF("doc_id", "text")
+    val toks = array_remove(split(col("text"), " ", -1), "")
+
+    // TokenSetHits vs filter/isin + aggregate/transform + regexp chain
+    val sets = Seq(graft.operators.TextAnalysis.stopwords,
+      Seq("the", "and", "of", "is", "it"))
+    val refTs = df.select(col("doc_id"),
+        size(toks).cast("long").as("nt"),
+        coalesce(aggregate(transform(toks, t => length(t)), lit(0), (a, x) => a + x), lit(0)).cast("long").as("tc"),
+        (length(col("text")) - length(regexp_replace(col("text"), "[^a-zA-Z0-9 ]", ""))).cast("long").as("pc"),
+        size(filter(toks, t => t.isin(sets.head: _*))).cast("long").as("h0"),
+        size(filter(toks, t => t.isin(sets(1): _*))).cast("long").as("h1"))
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))).toMap
+    val natTs = df.select(col("doc_id"),
+        org.apache.spark.sql.GraftBridge.tokenSetHits(col("text"), sets).as("a"))
+      .collect().map { r =>
+        val a = r.getSeq[Long](1); r.getLong(0) -> ((a(0), a(1), a(2), a(3), a(4)))
+      }.toMap
+    assert(natTs === refTs)
+
+    // CanonFingerprint vs the md5/regexp chain
+    val refFp = df.select(col("doc_id"),
+        md5(trim(regexp_replace(regexp_replace(lower(col("text")), "[^a-z0-9 ]", ""), " +", " "))).as("fp"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val natFp = df.select(col("doc_id"),
+        org.apache.spark.sql.GraftBridge.canonFingerprint(col("text")).as("fp"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(natFp === refFp)
+
+    // C4LineStats vs the nested filter/split chain
+    val lines = split(col("text"), "\n", -1)
+    val kept = filter(lines, l =>
+      size(filter(split(l, " ", -1), wd => wd =!= "")) >= 5 &&
+        (l.endsWith(".") || l.endsWith("!") || l.endsWith("?")))
+    val refC4 = df.select(col("doc_id"), size(lines).cast("long").as("nl"),
+        size(kept).cast("long").as("nk"), array_join(kept, "\n").as("tf"))
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getString(3)))).toMap
+    val natC4 = df.select(col("doc_id"),
+        org.apache.spark.sql.GraftBridge.c4LineStats(col("text"), 5).as("c"))
+      .select(col("doc_id"), col("c.n_lines"), col("c.n_kept_lines"), col("c.text_filtered"))
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getString(3)))).toMap
+    assert(natC4 === refC4)
+
+    // RepetitionStats consistency: multiplicity stats against the
+    // sorted-string formulations (hash order differs; counts must not)
+    val bigramLen = greatest(size(toks) - 1, lit(0))
+    val bigrams = zip_with(slice(toks, lit(1), bigramLen), slice(toks, lit(2), bigramLen),
+      (a, b) => concat_ws(" ", a, b))
+    val refRep = df.select(col("doc_id"), size(toks).cast("long").as("nt"),
+        size(array_distinct(toks)).cast("long").as("dt"),
+        size(bigrams).cast("long").as("nbg"),
+        coalesce(aggregate(array_sort(bigrams),
+          struct(lit("").as("prev"), lit(0L).as("run"), lit(0L).as("best")),
+          (acc, x) => {
+            val run = when(x === acc.getField("prev"), acc.getField("run") + 1).otherwise(lit(1L))
+            struct(x.as("prev"), run.as("run"), greatest(acc.getField("best"), run).as("best"))
+          }, acc => acc.getField("best")), lit(0L)).as("top"))
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    val natRep = df.select(col("doc_id"),
+        org.apache.spark.sql.GraftBridge.repetitionStats(col("text")).as("a"))
+      .collect().map { r =>
+        val a = r.getSeq[Long](1); r.getLong(0) -> ((a(0), a(1), a(2), a(3)))
+      }.toMap
+    assert(natRep === refRep)
+  }
+
   test("GraftExtensions injects its registrations into a fresh extension set") {
     val exts = new org.apache.spark.sql.SparkSessionExtensions
     new GraftExtensions().apply(exts) // must not throw; builder is arity-checked
