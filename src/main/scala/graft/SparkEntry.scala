@@ -1429,8 +1429,16 @@ object SparkEntry {
       (s, d) => {
         val scored = TextAnalysis.languageId(
           TextAnalysis.quality(Tables.documents(s, d)))
-        val kept = scored.filter(
-          col("quality_score") >= 0.7 && col("predicted_lang") === "en")
+        // the quality/language gate rides explode's null-drop, NOT a
+        // Filter node: a filter on aliases of the scoring chains gets
+        // their full defining expressions substituted in by
+        // PushDownPredicates (multiple re-evaluations per row, pushed
+        // below the spread exchange) — NOTES.md round-1 finding 1
+        val kept = scored
+          .withColumn("_gate", explode(when(
+            col("quality_score") >= 0.7 && col("predicted_lang") === "en",
+            array(lit(1)))))
+          .drop("_gate")
         val deduped = Dedup.normalized(kept, "text", "doc_id")
         operators.Sampling.deterministicSample(deduped, "keep_id", 8, 10)
           .select(col("keep_id"), col("dup_count"))

@@ -231,6 +231,48 @@ case class RepetitionStats(child: Expression) extends UnaryExpression {
     copy(child = newChild)
 }
 
+/** First 60 bits of the md5 of a string as an unsigned long —
+  * bit-identical to `conv(substring(md5(s), 1, 15), 16, 10)::long` (the
+  * engine-reproducible token hash of the SimHash contract, which the
+  * DuckDB oracle recomputes) without materializing the 32-char hex
+  * string or routing a 15-digit decimal through string radix conversion
+  * per token.
+  */
+case class Md5Hash60(child: Expression) extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires a string argument, got ${child.dataType.sql}")
+
+  override def dataType: DataType = LongType
+  override def prettyName: String = "graft_md5_hash60"
+
+  override protected def nullSafeEval(s: Any): Any =
+    Md5Hash60.compute(s.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.Md5Hash60.compute($c);")
+
+  override protected def withNewChildInternal(newChild: Expression): Md5Hash60 =
+    copy(child = newChild)
+}
+
+object Md5Hash60 {
+  def compute(s: UTF8String): Long = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val b = s.getBytes
+    md.update(b, 0, b.length)
+    val d = md.digest()
+    // first 15 hex digits = bytes 0..6 plus the high nibble of byte 7
+    var v = 0L
+    var i = 0
+    while (i < 7) { v = (v << 8) | (d(i) & 0xFFL); i += 1 }
+    (v << 4) | ((d(7) >> 4) & 0xFL)
+  }
+}
+
 /** Canonical-form document fingerprint in one codegen'd pass: the md5
   * hex of lowercased, non-[a-z0-9 ]-stripped, space-collapsed, trimmed
   * text — byte-identical to

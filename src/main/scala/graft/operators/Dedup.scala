@@ -653,7 +653,7 @@ object Dedup {
     * construction (< 2^60).
     */
   def md5Hash60(c: Column): Column =
-    conv(substring(md5(c), 1, 15), 16, 10).cast("long")
+    org.apache.spark.sql.GraftBridge.md5Hash60(c)
 
   /** Typed aggregator folding a document's token hashes into the 60
     * per-bit +/-1 sums in one buffer — one tight JVM loop per row with

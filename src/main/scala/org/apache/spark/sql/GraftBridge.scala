@@ -1,6 +1,6 @@
 package org.apache.spark.sql
 
-import graft.functions.{BloomMightContain, C4LineStats, CanonFingerprint, DoubleDotProduct, RepetitionStats, ShingleHashes, TokenSetHits}
+import graft.functions.{BloomMightContain, C4LineStats, CanonFingerprint, DoubleDotProduct, Md5Hash60, RepetitionStats, ShingleHashes, TokenSetHits}
 import org.apache.spark.sql.classic.ExpressionUtils
 import org.apache.spark.util.sketch.BloomFilter
 
@@ -47,6 +47,12 @@ object GraftBridge {
     */
   def repetitionStats(text: Column): Column =
     ExpressionUtils.column(RepetitionStats(ExpressionUtils.expression(text)))
+
+  /** Column of the first 60 md5 bits as a long (see
+    * graft.functions.Md5Hash60).
+    */
+  def md5Hash60(c: Column): Column =
+    ExpressionUtils.column(Md5Hash60(ExpressionUtils.expression(c)))
 
   /** Column of the fused canonical-form md5 fingerprint (see
     * graft.functions.CanonFingerprint).

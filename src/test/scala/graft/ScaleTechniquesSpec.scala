@@ -162,6 +162,15 @@ class ScaleTechniquesSpec extends SparkSpec {
       .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getString(3)))).toMap
     assert(natC4 === refC4)
 
+    // Md5Hash60 vs the conv/substring/md5 chain
+    val refH = df.select(col("doc_id"),
+        conv(substring(md5(col("text")), 1, 15), 16, 10).cast("long").as("h"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val natH = df.select(col("doc_id"),
+        org.apache.spark.sql.GraftBridge.md5Hash60(col("text")).as("h"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(natH === refH)
+
     // RepetitionStats consistency: multiplicity stats against the
     // sorted-string formulations (hash order differs; counts must not)
     val bigramLen = greatest(size(toks) - 1, lit(0))
