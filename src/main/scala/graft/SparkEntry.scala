@@ -252,16 +252,36 @@ object SparkEntry {
         // spread: the decimal partial aggregation otherwise runs inside
         // the single scan task of a one-row-group local source (no-op on
         // well-split inputs — Spread.ensureParallel)
-        graft.core.Spread.ensureParallel(Tables.lineitem(s, d))
+        // exact decimal sums via the int128 accumulator (graft_sum128):
+        // identical values to sum(decimal).cast(dec(38,s)) — see
+        // functions.Sum128 for why builtin decimal sums are the CPU
+        // bottleneck of this family. The decimal arithmetic and unscaled
+        // extraction stay in a codegen'd PROJECTION; the aggregate sees
+        // plain long attributes (a TypedImperativeAggregate evaluates its
+        // child interpreted per row). Identical aggregate expressions
+        // (sum_qty / avg_qty share one) are deduplicated by the planner.
+        val br = org.apache.spark.sql.GraftBridge
+        val sumQty = br.sum128Long(col("_uq"), 2)
+        val sumPrice = br.sum128Long(col("_up"), 2)
+        // no spread: with the int128 sums the partial aggregation is
+        // scan-bound — the round-robin exchange of the filtered rows cost
+        // more than the few-split partial agg it parallelized (the spread
+        // predates Sum128, when BigDecimal accumulation dominated)
+        Tables.lineitem(s, d)
           .filter(col("l_shipdate") <= lit(java.sql.Timestamp.valueOf("2000-12-01 00:00:00")))
+          .select(col("l_returnflag"), col("l_linestatus"),
+            br.unscaled(col("l_quantity").cast(dec(18, 2))).as("_uq"),
+            br.unscaled(price).as("_up"),
+            br.unscaled(price * (lit(1) - disc)).as("_ud"),
+            br.unscaled(price * (lit(1) - disc) * (lit(1) + tax)).as("_uc"))
           .groupBy(col("l_returnflag"), col("l_linestatus"))
           .agg(
-            sum(col("l_quantity").cast(dec(18, 2))).cast(dec(38, 2)).cast("string").as("sum_qty"),
-            sum(price).cast(dec(38, 2)).cast("string").as("sum_base_price"),
-            sum(price * (lit(1) - disc)).cast(dec(38, 4)).cast("string").as("sum_disc_price"),
-            sum(price * (lit(1) - disc) * (lit(1) + tax)).cast(dec(38, 6)).cast("string").as("sum_charge"),
-            round(sum(col("l_quantity").cast(dec(18, 2))).cast("double") / count(lit(1)), 6).as("avg_qty"),
-            round(sum(price).cast("double") / count(lit(1)), 6).as("avg_price"),
+            sumQty.cast("string").as("sum_qty"),
+            sumPrice.cast("string").as("sum_base_price"),
+            br.sum128Long(col("_ud"), 4).cast("string").as("sum_disc_price"),
+            br.sum128Long(col("_uc"), 6).cast("string").as("sum_charge"),
+            round(sumQty.cast("double") / count(lit(1)), 6).as("avg_qty"),
+            round(sumPrice.cast("double") / count(lit(1)), 6).as("avg_price"),
             count(lit(1)).as("count_order"))
       },
       Some("""SELECT l_returnflag, l_linestatus,
@@ -290,13 +310,18 @@ object SparkEntry {
 
     // ---- J2: equi join + theta residual (vote-validity window shape)
     Q("j2_theta_residual",
+      // no spread on the probe side: with the int128 sum the join+agg is
+      // scan-bound and the broadcast probe parallelizes on file splits
       (s, d) => Tables.orders(s, d)
-        .join(graft.core.Spread.ensureParallel(Tables.lineitem(s, d)),
+        .join(Tables.lineitem(s, d),
           col("l_orderkey") === col("o_orderkey") &&
             col("l_shipdate") <= col("o_orderdate") + expr("INTERVAL 60 DAYS"))
+        .withColumn("_uv", org.apache.spark.sql.GraftBridge.unscaled(
+          col("l_extendedprice").cast(dec(18, 2))))
         .groupBy(col("o_orderkey"))
         .agg(count(lit(1)).as("n_lines"),
-          sum(col("l_extendedprice").cast(dec(18, 2))).cast(dec(38, 2)).cast("string").as("early_value")),
+          org.apache.spark.sql.GraftBridge.sum128Long(col("_uv"), 2)
+            .cast("string").as("early_value")),
       Some("""SELECT o_orderkey, CAST(count(*) AS BIGINT) AS n_lines,
              |  CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS VARCHAR) AS early_value
              |FROM orders JOIN lineitem ON l_orderkey = o_orderkey
@@ -326,10 +351,11 @@ object SparkEntry {
       (s, d) => Tables.customer(s, d).filter(col("c_mktsegment") === "BUILDING")
         .join(Tables.orders(s, d), col("c_custkey") === col("o_custkey"))
         .join(Tables.lineitem(s, d), col("o_orderkey") === col("l_orderkey"))
+        .withColumn("_ur", org.apache.spark.sql.GraftBridge.unscaled(
+          (col("l_extendedprice").cast(dec(18, 2)) *
+            (lit(1) - col("l_discount").cast(dec(4, 2)))).cast(dec(18, 4))))
         .groupBy(col("o_orderkey"), col("o_orderdate"))
-        .agg(sum((col("l_extendedprice").cast(dec(18, 2)) *
-          (lit(1) - col("l_discount").cast(dec(4, 2)))).cast(dec(18, 4)))
-          .cast(dec(38, 4)).as("_rev"))
+        .agg(org.apache.spark.sql.GraftBridge.sum128Long(col("_ur"), 4).as("_rev"))
         .orderBy(col("_rev").desc, col("o_orderkey")).limit(10)
         .select(col("o_orderkey"), col("o_orderdate"),
           col("_rev").cast("string").as("revenue"))
@@ -353,9 +379,12 @@ object SparkEntry {
         .join(Tables.nation(s, d), col("n_regionkey") === col("r_regionkey"))
         .join(Tables.customer(s, d), col("c_nationkey") === col("n_nationkey"))
         .join(Tables.orders(s, d), col("o_custkey") === col("c_custkey"))
+        .withColumn("_ut", org.apache.spark.sql.GraftBridge.unscaled(
+          col("o_totalprice").cast(dec(18, 2))))
         .groupBy(col("r_name"), col("n_name"))
         .agg(count(lit(1)).as("n_orders"),
-          sum(col("o_totalprice").cast(dec(18, 2))).cast(dec(38, 2)).cast("string").as("total_value")),
+          org.apache.spark.sql.GraftBridge.sum128Long(col("_ut"), 2)
+            .cast("string").as("total_value")),
       Some("""SELECT r_name, n_name, CAST(count(*) AS BIGINT) AS n_orders,
              |  CAST(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS VARCHAR) AS total_value
              |FROM region JOIN nation ON n_regionkey = r_regionkey
@@ -755,9 +784,12 @@ object SparkEntry {
           .agg(avg(col("l_quantity")).as("avg_qty"))
         l.join(avgQty, col("l_partkey") === col("p_key"))
           .filter(col("l_quantity") < col("avg_qty") * 0.2)
+          .withColumn("_up", org.apache.spark.sql.GraftBridge.unscaled(
+            col("l_extendedprice").cast(dec(18, 2))))
           .groupBy(col("l_partkey"))
           .agg(count(lit(1)).as("n"),
-            sum(col("l_extendedprice").cast(dec(18, 2))).cast(dec(38, 2)).cast("string").as("total_price"))
+            org.apache.spark.sql.GraftBridge.sum128Long(col("_up"), 2)
+              .cast("string").as("total_price"))
       },
       Some("""SELECT l_partkey, CAST(count(*) AS BIGINT) AS n,
              |  CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS VARCHAR) AS total_price

@@ -48,6 +48,30 @@ object GraftBridge {
   def repetitionStats(text: Column): Column =
     ExpressionUtils.column(RepetitionStats(ExpressionUtils.expression(text)))
 
+  /** Exact decimal(38, scale) sum via an int128 accumulator (see
+    * graft.functions.Sum128). `c` must already be the desired
+    * decimal(<=18, scale) — pass `col.cast(DecimalType(p, scale))`.
+    */
+  def sum128(c: Column, scale: Int): Column = {
+    import org.apache.spark.sql.catalyst.expressions.UnscaledValue
+    ExpressionUtils.column(graft.functions.Sum128(
+      UnscaledValue(ExpressionUtils.expression(c)), scale).toAggregateExpression())
+  }
+
+  /** The unscaled long of a decimal column — project this (codegen'd)
+    * ahead of an aggregation and feed the resulting ATTRIBUTE to
+    * [[sum128Long]]: a TypedImperativeAggregate evaluates its child
+    * interpreted per row, so arithmetic belongs in the projection.
+    */
+  def unscaled(c: Column): Column =
+    ExpressionUtils.column(org.apache.spark.sql.catalyst.expressions
+      .UnscaledValue(ExpressionUtils.expression(c)))
+
+  /** [[sum128]] over an already-unscaled long column. */
+  def sum128Long(c: Column, scale: Int): Column =
+    ExpressionUtils.column(graft.functions.Sum128(
+      ExpressionUtils.expression(c), scale).toAggregateExpression())
+
   /** Column of the first 60 md5 bits as a long (see
     * graft.functions.Md5Hash60).
     */
