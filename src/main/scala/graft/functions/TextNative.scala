@@ -231,6 +231,143 @@ case class RepetitionStats(child: Expression) extends UnaryExpression {
     copy(child = newChild)
 }
 
+/** Per-document term frequencies, aggregated IN-ROW: array<struct<h:
+  * long, tf: long>> of (xxhash64(token), occurrence count), sorted by
+  * hash. Replaces the explode-every-token → groupBy(doc, term) pattern:
+  * the per-(doc, term) aggregation happens inside the row, so the first
+  * shuffle of a unigram-LM / tf-idf style pipeline moves one row per
+  * DISTINCT term per doc instead of one per token occurrence — and
+  * downstream joins/rollups key on an 8-byte hash. Term identity is the
+  * 64-bit hash (vocabulary-squared / 2^65 collision odds — negligible);
+  * use only where the term string itself is not part of the output.
+  */
+case class TokenTfs(child: Expression) extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires a string argument, got ${child.dataType.sql}")
+
+  override def dataType: DataType = ArrayType(
+    org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("h", LongType, nullable = false),
+      org.apache.spark.sql.types.StructField("tf", LongType, nullable = false))),
+    containsNull = false)
+  override def prettyName: String = "graft_token_tfs"
+
+  override protected def nullSafeEval(s: Any): Any =
+    TokenTfs.compute(s.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.TokenTfs.compute($c);")
+
+  override protected def withNewChildInternal(newChild: Expression): TokenTfs =
+    copy(child = newChild)
+}
+
+object TokenTfs {
+  def compute(text: UTF8String): ArrayData = {
+    val b = text.getBytes
+    val (starts, ends, t) = Tok.scan(b)
+    val hs = Tok.windowHashes(b, starts, ends, t, 1)
+    java.util.Arrays.sort(hs)
+    var u = 0
+    var i = 0
+    while (i < hs.length) {
+      var j = i + 1
+      while (j < hs.length && hs(j) == hs(i)) j += 1
+      u += 1
+      i = j
+    }
+    val rows = new Array[Any](u)
+    var k = 0
+    i = 0
+    while (i < hs.length) {
+      var j = i + 1
+      while (j < hs.length && hs(j) == hs(i)) j += 1
+      rows(k) = org.apache.spark.sql.catalyst.InternalRow(hs(i), (j - i).toLong)
+      k += 1
+      i = j
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(rows)
+  }
+}
+
+/** Fixed-stride token chunks as strings: array of `' '`-joined windows
+  * of `window` tokens taken every `stride` tokens — identical to
+  * `transform(sequence(1, size(toks), stride),
+  *            st => array_join(slice(toks, st, window), " "))`,
+  * which routes every chunk through interpreted ArrayTransform + Slice +
+  * ArrayJoin plumbing. Single-spaced regions are emitted as zero-copy
+  * slices of the original text bytes. Empty token lists yield an empty
+  * array (callers guard with size() like the composable form's filter).
+  */
+case class TokenChunks(child: Expression, window: Int, stride: Int)
+    extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType && window >= 1 && stride >= 1)
+      TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires a string argument and positive window/stride, " +
+        s"got ${child.dataType.sql}, window=$window, stride=$stride")
+
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "graft_token_chunks"
+
+  override protected def nullSafeEval(s: Any): Any =
+    TokenChunks.compute(s.asInstanceOf[UTF8String], window, stride)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.TokenChunks.compute($c, $window, $stride);")
+
+  override protected def withNewChildInternal(newChild: Expression): TokenChunks =
+    copy(child = newChild)
+}
+
+object TokenChunks {
+  def compute(text: UTF8String, window: Int, stride: Int): ArrayData = {
+    val b = text.getBytes
+    val (starts, ends, t) = Tok.scan(b)
+    if (t == 0) return new org.apache.spark.sql.catalyst.util.GenericArrayData(Array.empty[Any])
+    val m = (t + stride - 1) / stride
+    val out = new Array[Any](m)
+    var k = 0
+    while (k < m) {
+      val first = k * stride
+      val last = math.min(first + window, t) - 1
+      var contiguous = true
+      var j = first
+      while (contiguous && j < last) {
+        if (starts(j + 1) != ends(j) + 1) contiguous = false
+        j += 1
+      }
+      if (contiguous) {
+        out(k) = UTF8String.fromBytes(b, starts(first), ends(last) - starts(first))
+      } else {
+        var len = last - first
+        j = first
+        while (j <= last) { len += ends(j) - starts(j); j += 1 }
+        val seg = new Array[Byte](len)
+        var p = 0
+        j = first
+        while (j <= last) {
+          if (j > first) { seg(p) = ' '; p += 1 }
+          val l = ends(j) - starts(j)
+          System.arraycopy(b, starts(j), seg, p, l)
+          p += l
+          j += 1
+        }
+        out(k) = UTF8String.fromBytes(seg)
+      }
+      k += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+}
+
 /** First 60 bits of the md5 of a string as an unsigned long —
   * bit-identical to `conv(substring(md5(s), 1, 15), 16, 10)::long` (the
   * engine-reproducible token hash of the SimHash contract, which the

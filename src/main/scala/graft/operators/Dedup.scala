@@ -503,13 +503,16 @@ object Dedup {
     */
   def segmentDedup(df: DataFrame, textCol: String, idCol: String,
                    segWords: Int = 12): DataFrame = {
+    // segments via the fused native chunker (TokenChunks) — the
+    // transform/slice/array_join composition was interpreted per
+    // segment. when() guard: see shinglesN (no inferable filter below
+    // the spread exchange); empty-token docs explode to nothing exactly
+    // like the old size(_t) > 0 filter.
     val segs = spread(df)
-      .select(col(idCol).as("doc"), TextAnalysis.tokens(col(textCol)).as("_t"))
-      .filter(size(col("_t")) > 0)
-      .select(col("doc"),
-        posexplode(transform(
-          sequence(lit(1), size(col("_t")), lit(segWords)),
-          st => array_join(slice(col("_t"), st, lit(segWords)), " "))))
+      .select(col(idCol).as("doc"),
+        org.apache.spark.sql.GraftBridge
+          .tokenChunks(col(textCol), segWords, segWords).as("_c"))
+      .select(col("doc"), posexplode(when(size(col("_c")) > 0, col("_c"))))
       .select(col("doc"), col("pos").as("seg_id"), col("col").as("para"))
     val w = Window.partitionBy(col("para")).orderBy(col("doc"), col("seg_id"))
     segs

@@ -230,16 +230,16 @@ object TextAnalysis {
   def chunkTokens(docs: DataFrame, window: Int, stride: Int,
                   textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
     require(window > 0 && stride > 0, "window and stride must be positive")
+    // fused native chunker (TokenChunks); chunk strings are always
+    // single-spaced, so the per-chunk token count is an exact re-split.
+    // Empty docs explode to nothing (the old size > 0 filter).
     docs
-      .withColumn("_toks", tokens(col(textCol)))
-      .filter(size(col("_toks")) > 0)
-      .withColumn("_start",
-        explode(sequence(lit(1), size(col("_toks")), lit(stride))))
-      .withColumn("chunk_id", expr(s"CAST((_start - 1) DIV $stride AS BIGINT)"))
-      .withColumn("_chunk", slice(col("_toks"), col("_start"), lit(window)))
-      .select(col(idCol), col("chunk_id"),
-        size(col("_chunk")).cast("long").as("chunk_tokens"),
-        array_join(col("_chunk"), " ").as("chunk_text"))
+      .withColumn("_c",
+        org.apache.spark.sql.GraftBridge.tokenChunks(col(textCol), window, stride))
+      .select(col(idCol), posexplode(when(size(col("_c")) > 0, col("_c"))))
+      .select(col(idCol), col("pos").cast("long").as("chunk_id"),
+        size(split(col("col"), " ", -1)).cast("long").as("chunk_tokens"),
+        col("col").as("chunk_text"))
   }
 
   /** C4-style line filtering (boilerplate removal): keep only lines with
@@ -291,18 +291,25 @@ object TextAnalysis {
     */
   def unigramLogProb(docs: DataFrame,
                      textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
-    // Aggregate (doc, term) occurrence counts FIRST: tokenization+explode
-    // then runs once (not once per consumer), and everything downstream —
-    // the vocabulary rollup, the dictionary join, the per-doc mean —
-    // moves distinct doc-term pairs instead of every token occurrence.
+    // Per-(doc, term) counts aggregated IN-ROW (TokenTfs): the first
+    // shuffle of the old explode → groupBy(doc, term) formulation moved
+    // every token occurrence; now there is NO doc-term shuffle at all —
+    // the explode emits pre-counted (hash, tf) pairs, the vocabulary
+    // rollup keys on the 8-byte hash, and the term string (which never
+    // reaches the output) is gone from the plan entirely.
     // docTerm feeds both the dictionary rollup and the per-doc join;
     // deliberately NOT cached: the duplicated subplan is map-side work
     // the partial aggregation overlaps with the shuffle, and measured
     // end-to-end the cache's materialization barrier + columnar
     // conversion costs more than the recompute at every tier tried.
     val docTerm = graft.core.Spread.ensureParallel(docs)
-      .select(col(idCol).as("doc"), explode(tokens(lower(col(textCol)))).as("term"))
-      .groupBy(col("doc"), col("term")).agg(count(lit(1)).as("tf"))
+      .select(col(idCol).as("doc"),
+        org.apache.spark.sql.GraftBridge.tokenTfs(lower(col(textCol))).as("_tc"))
+      // when() guard: explode over a bare computed alias would get an
+      // inferred size filter substituted below the spread exchange
+      // (NOTES.md round-1 finding 1)
+      .select(col("doc"), explode(when(size(col("_tc")) > 0, col("_tc"))).as("tc"))
+      .select(col("doc"), col("tc.h").as("term"), col("tc.tf").as("tf"))
     val counts = docTerm.groupBy(col("term")).agg(sum(col("tf")).as("c"))
     val stats = counts.agg(sum(col("c")).cast("double").as("_T"),
       count(lit(1)).cast("double").as("_V"))

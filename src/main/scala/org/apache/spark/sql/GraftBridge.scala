@@ -72,6 +72,20 @@ object GraftBridge {
     ExpressionUtils.column(graft.functions.Sum128(
       ExpressionUtils.expression(c), scale).toAggregateExpression())
 
+  /** Column of in-row (token-hash, tf) pairs (see
+    * graft.functions.TokenTfs).
+    */
+  def tokenTfs(text: Column): Column =
+    ExpressionUtils.column(graft.functions.TokenTfs(
+      ExpressionUtils.expression(text)))
+
+  /** Column of fixed-stride token chunk strings (see
+    * graft.functions.TokenChunks).
+    */
+  def tokenChunks(text: Column, window: Int, stride: Int): Column =
+    ExpressionUtils.column(graft.functions.TokenChunks(
+      ExpressionUtils.expression(text), window, stride))
+
   /** Column of the first 60 md5 bits as a long (see
     * graft.functions.Md5Hash60).
     */
