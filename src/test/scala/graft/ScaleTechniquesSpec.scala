@@ -171,6 +171,28 @@ class ScaleTechniquesSpec extends SparkSpec {
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(natH === refH)
 
+    // TokenTfs vs explode + groupBy(doc, term-hash) counts
+    val refTf = df.select(col("doc_id"), explode(toks).as("t"))
+      .groupBy(col("doc_id"), xxhash64(col("t")).as("h")).agg(count(lit(1)).as("tf"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val natTf = df.select(col("doc_id"),
+        explode(org.apache.spark.sql.GraftBridge.tokenTfs(col("text"))).as("tc"))
+      .select(col("doc_id"), col("tc.h"), col("tc.tf"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(natTf === refTf)
+
+    // TokenChunks vs transform/slice/array_join for two window/stride shapes
+    for ((w, st) <- Seq((3, 3), (4, 2))) {
+      val refCh = df.filter(size(toks) > 0).select(col("doc_id"),
+          posexplode(transform(sequence(lit(1), size(toks), lit(st)),
+            x => array_join(slice(toks, x, lit(w)), " "))))
+        .collect().map(r => (r.getLong(0), r.getInt(1), r.getString(2))).toSet
+      val natCh = df.select(col("doc_id"),
+          posexplode(org.apache.spark.sql.GraftBridge.tokenChunks(col("text"), w, st)))
+        .collect().map(r => (r.getLong(0), r.getInt(1), r.getString(2))).toSet
+      assert(natCh === refCh, s"w=$w stride=$st")
+    }
+
     // RepetitionStats consistency: multiplicity stats against the
     // sorted-string formulations (hash order differs; counts must not)
     val bigramLen = greatest(size(toks) - 1, lit(0))
