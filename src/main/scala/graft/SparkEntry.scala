@@ -465,8 +465,11 @@ object SparkEntry {
     // ---- hive-engine pipeline: contract dispatch + NUMERIC(18,10) sums
     Q("plug_hive_transfers",
       (s, d) => plugTables(s, d)("hive_transfers")
+        .withColumn("_uq", org.apache.spark.sql.GraftBridge.unscaled(
+          col("quantity").cast(dec(18, 10))))
         .groupBy(col("symbol"))
-        .agg(sum(col("quantity")).cast(dec(38, 10)).cast("string").as("total_qty"),
+        .agg(org.apache.spark.sql.GraftBridge.sum128Long(col("_uq"), 10)
+            .cast("string").as("total_qty"),
           count(lit(1)).as("n")),
       Some("""WITH src AS (
              |  SELECT CAST(json_extract_string(props,'$.k') AS INTEGER) AS k
@@ -479,8 +482,11 @@ object SparkEntry {
     // tokens-issue contract action (tables.sql:28-38 issuances)
     Q("plug_hive_issuances",
       (s, d) => plugTables(s, d)("hive_issuances")
+        .withColumn("_uq", org.apache.spark.sql.GraftBridge.unscaled(
+          col("quantity").cast(dec(18, 10))))
         .groupBy(col("symbol"))
-        .agg(sum(col("quantity")).cast(dec(38, 10)).cast("string").as("issued"),
+        .agg(org.apache.spark.sql.GraftBridge.sum128Long(col("_uq"), 10)
+            .cast("string").as("issued"),
           count(lit(1)).as("n")),
       Some("""WITH src AS (
              |  SELECT CAST(json_extract_string(props,'$.k') AS INTEGER) AS k
@@ -503,8 +509,11 @@ object SparkEntry {
 
     Q("plug_hive_burns",
       (s, d) => plugTables(s, d)("hive_burns")
+        .withColumn("_uq", org.apache.spark.sql.GraftBridge.unscaled(
+          col("quantity").cast(dec(18, 10))))
         .groupBy(col("symbol"))
-        .agg(sum(col("quantity")).cast(dec(38, 10)).cast("string").as("burned"),
+        .agg(org.apache.spark.sql.GraftBridge.sum128Long(col("_uq"), 10)
+            .cast("string").as("burned"),
           count(lit(1)).as("n")),
       Some("""WITH src AS (
              |  SELECT CAST(json_extract_string(props,'$.k') AS INTEGER) AS k
