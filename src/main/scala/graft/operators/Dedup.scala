@@ -127,7 +127,11 @@ object Dedup {
     * the per-doc sizes aggregation AND the two broadcast joins that
     * otherwise follow the pair count.
     */
-  def shinglesN(df: DataFrame, textCol: String, idCol: String, w: Int = 3): DataFrame =
+  /** One row per doc with its sorted distinct shingle-hash array —
+    * the pre-explode form every shingle consumer derives from (explode
+    * for joins, in-row MinHash signatures, set sizes).
+    */
+  def shingleArrays(df: DataFrame, textCol: String, idCol: String, w: Int = 3): DataFrame =
     // single-file sources arrive as one split; spread the CPU-heavy
     // shingle hashing across the cluster before fanning out.
     // `shingle` is the 64-bit xxhash64 of the w-token shingle string (the
@@ -138,6 +142,13 @@ object Dedup {
     // shingle shuffle width independent of n-gram width at 100 TB.
     spread(df).select(col(idCol).as("doc"),
         org.apache.spark.sql.GraftBridge.shingleHashes(col(textCol), w).as("_arr"))
+
+  def shinglesN(df: DataFrame, textCol: String, idCol: String, w: Int = 3): DataFrame =
+    explodeShingleArrays(shingleArrays(df, textCol, idCol, w))
+
+  /** (doc, n, shingle) from a [[shingleArrays]] frame. */
+  def explodeShingleArrays(arrs: DataFrame): DataFrame =
+    arrs
       // _arr is referenced thrice (n + the when guard) but CollapseProject's
       // expensive-expression guard keeps it single-evaluated. The when()
       // wrapper is LOAD-BEARING: explode over a bare Attribute triggers
@@ -252,48 +263,31 @@ object Dedup {
     Seq.fill(n)((next(), next()))
   }
 
-  /** Typed aggregator computing a whole MinHash signature in one buffer:
-    * minhash_i = min over shingles of (a_i*h + b_i) mod p. Gets map-side
-    * partial aggregation (one shuffle of one Array[Long] per doc per
-    * partition) and runs as a tight JVM loop — 128 separate `min(...)` agg
-    * columns compute the same thing but generate a pathologically large
-    * whole-stage-codegen method.
+  /** MinHash signatures as one `sig: array<bigint>` column per doc, from
+    * an exploded (doc, shingle) frame. Re-assembles the per-doc hash set
+    * and applies the in-row native [[graft.functions.MinHashSig]] —
+    * prefer [[minhashSignaturesFromArrays]] when the pre-explode arrays
+    * are at hand (zero shuffle).
     */
-  private class MinHashSigAgg(numPerm: Int)
-      extends org.apache.spark.sql.expressions.Aggregator[java.lang.Long, Array[Long], Seq[Long]] {
-    private val perms = permutations(numPerm).toArray
-    def zero: Array[Long] = Array.fill(numPerm)(Long.MaxValue)
-    def reduce(buf: Array[Long], h0: java.lang.Long): Array[Long] = {
-      val h = ((h0.longValue() % MinhashPrime) + MinhashPrime) % MinhashPrime
-      var i = 0
-      while (i < perms.length) {
-        val v = (h * perms(i)._1 + perms(i)._2) % MinhashPrime
-        if (v < buf(i)) buf(i) = v
-        i += 1
-      }
-      buf
-    }
-    def merge(a: Array[Long], b: Array[Long]): Array[Long] = {
-      var i = 0
-      while (i < a.length) { if (b(i) < a(i)) a(i) = b(i); i += 1 }
-      a
-    }
-    def finish(buf: Array[Long]): Seq[Long] = buf.toSeq
-    def bufferEncoder: org.apache.spark.sql.Encoder[Array[Long]] =
-      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder()
-    def outputEncoder: org.apache.spark.sql.Encoder[Seq[Long]] =
-      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder()
-  }
+  def minhashSignatures(sh: DataFrame, numPerm: Int = 128): DataFrame =
+    sh.groupBy(col("doc")).agg(collect_list(col("shingle")).as("_hs"))
+      .select(col("doc"),
+        org.apache.spark.sql.GraftBridge.minHashSig(col("_hs"), numPerm).as("sig"))
 
-  /** MinHash signatures as one `sig: array<bigint>` column per doc. */
-  def minhashSignatures(sh: DataFrame, numPerm: Int = 128): DataFrame = {
-    val agg = udaf(new MinHashSigAgg(numPerm), org.apache.spark.sql.Encoders.LONG)
-    // `shingle` already IS the xxhash64 value (see [[shinglesN]]) — feed
-    // it straight to the permutation family
-    sh.select(col("doc"), col("shingle").as("_h"))
-      .groupBy(col("doc"))
-      .agg(agg(col("_h")).as("sig"))
-  }
+  /** MinHash signatures straight off a [[shingleArrays]] frame — a pure
+    * MAP (the per-doc shingle set never leaves its row): no signature
+    * shuffle exists in this formulation at any scale. Docs with empty
+    * shingle sets are dropped (they previously produced no group).
+    *
+    * Call on a CACHED/materialized arrays frame: on a raw
+    * [[shingleArrays]] alias, PushDownPredicates would substitute the
+    * full shingle expression into the size filter below the spread
+    * exchange (NOTES.md round-1 finding 1).
+    */
+  def minhashSignaturesFromArrays(arrs: DataFrame, numPerm: Int = 128): DataFrame =
+    arrs.filter(size(col("_arr")) > 0)
+      .select(col("doc"),
+        org.apache.spark.sql.GraftBridge.minHashSig(col("_arr"), numPerm).as("sig"))
 
   /** MinHash + LSH near-dup candidate pairs, exactly verified.
     *
@@ -306,22 +300,17 @@ object Dedup {
                       w: Int = 3, numPerm: Int = 128, bands: Int = 16,
                       threshold: Double = 0.8): DataFrame = {
     require(numPerm % bands == 0)
-    val r = numPerm / bands
-    val sh = graft.core.CacheScope.cached(shinglesN(df, textCol, idCol, w))
-    val sig = minhashSignatures(sh, numPerm)
-    val bandCols = (0 until bands).map { b =>
-      struct(lit(b).as("band"),
-        hash(slice(col("sig"), b * r + 1, r)).as("bucket"))
-    }
-    // cache the bucket table: the candidate self-join broadcasts one side,
-    // so WITHOUT the cache the whole signature aggregation (the expensive
-    // 128-permutation pass over every shingle) is computed twice — once
-    // for the probe side, once inside the broadcast build (plan-confirmed:
-    // two ObjectHashAggregate pairs). The cached frame is bands rows per
-    // doc of three longs — dimension-sized at any corpus scale.
+    // ONE cached pass over the corpus: per-doc shingle-hash arrays. The
+    // exploded join view and the in-row signatures (a pure map — see
+    // minhashSignaturesFromArrays) both derive from it.
+    val arrs = graft.core.CacheScope.cached(shingleArrays(df, textCol, idCol, w))
+    val sh = explodeShingleArrays(arrs)
+    // cache the bucket table: the candidate self-join broadcasts one
+    // side, so without the cache the signature map runs twice. The
+    // cached frame is bands rows per doc of three longs —
+    // dimension-sized at any corpus scale.
     val buckets = graft.core.CacheScope.cached(
-      sig.select(col("doc"), explode(array(bandCols: _*)).as("bk"))
-        .select(col("doc"), col("bk.band"), col("bk.bucket")))
+      bandBuckets(minhashSignaturesFromArrays(arrs, numPerm), numPerm, bands))
     val candidates = buckets.as("x")
       .join(buckets.as("y"),
         col("x.band") === col("y.band") && col("x.bucket") === col("y.bucket") &&
@@ -359,14 +348,13 @@ object Dedup {
   /** LSH band buckets (doc, band, bucket) from a shingle table — the
     * corpus-side hash tables of MinHash-LSH.
     */
-  private def bandBuckets(sh: DataFrame, numPerm: Int, bands: Int): DataFrame = {
+  private def bandBuckets(sig: DataFrame, numPerm: Int, bands: Int): DataFrame = {
     val r = numPerm / bands
     val bandCols = (0 until bands).map { b =>
       struct(lit(b).as("band"),
         hash(slice(col("sig"), b * r + 1, r)).as("bucket"))
     }
-    minhashSignatures(sh, numPerm)
-      .select(col("doc"), explode(array(bandCols: _*)).as("bk"))
+    sig.select(col("doc"), explode(array(bandCols: _*)).as("bk"))
       .select(col("doc"), col("bk.band"), col("bk.bucket"))
   }
 
@@ -382,8 +370,18 @@ object Dedup {
     require(numPerm % bands == 0)
     def keep(df: DataFrame): DataFrame =
       if (cache) df.persist() else graft.core.CacheScope.cached(df)
-    val sh = keep(shinglesN(corpus, textCol, idCol, w))
-    val bkt = keep(bandBuckets(sh, numPerm, bands))
+    // one pass over the corpus builds the per-doc hash arrays; the
+    // exploded verify side and the (map-only, shuffle-free) signature
+    // buckets both derive from the same cached frame. Always
+    // QUERY-scoped (even for an epoch-lifetime index): it is only a
+    // build-time intermediate — once sh/bkt materialize their own
+    // persistence, the arrays frame is dead weight, and scoping it to
+    // the building query releases it without threading it through the
+    // index's unpersist lifecycle.
+    val arrs = graft.core.CacheScope.cached(shingleArrays(corpus, textCol, idCol, w))
+    val sh = keep(explodeShingleArrays(arrs))
+    val bkt = keep(bandBuckets(
+      minhashSignaturesFromArrays(arrs, numPerm), numPerm, bands))
     new NearDupIndex(sh, bkt, w, numPerm, bands)
   }
 
@@ -437,9 +435,11 @@ object Dedup {
       */
     def pairs(batch: DataFrame, textCol: String, idCol: String,
               threshold: Double = 0.8): DataFrame = {
-      val shB = graft.core.CacheScope.cached(
-        shinglesN(batch, textCol, idCol, shingleWidth))
-      val bktB = bandBuckets(shB, numPerm, bands)
+      val arrsB = graft.core.CacheScope.cached(
+        shingleArrays(batch, textCol, idCol, shingleWidth))
+      val shB = explodeShingleArrays(arrsB)
+      val bktB = bandBuckets(
+        minhashSignaturesFromArrays(arrsB, numPerm), numPerm, bands)
       val candidates = bktB.as("x")
         .join(buckets.as("y"),
           col("x.band") === col("y.band") && col("x.bucket") === col("y.bucket"))

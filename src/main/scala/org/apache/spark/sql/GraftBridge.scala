@@ -79,6 +79,13 @@ object GraftBridge {
     ExpressionUtils.column(graft.functions.TokenTfs(
       ExpressionUtils.expression(text)))
 
+  /** Column of the whole MinHash signature from a shingle-hash array
+    * (see graft.functions.MinHashSig).
+    */
+  def minHashSig(arr: Column, numPerm: Int): Column =
+    ExpressionUtils.column(graft.functions.MinHashSig(
+      ExpressionUtils.expression(arr), numPerm))
+
   /** Column of fixed-stride token chunk strings (see
     * graft.functions.TokenChunks).
     */
