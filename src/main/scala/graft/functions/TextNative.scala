@@ -397,16 +397,85 @@ case class Md5Hash60(child: Expression) extends UnaryExpression {
 }
 
 object Md5Hash60 {
+  private val digests = ThreadLocal.withInitial[java.security.MessageDigest](
+    () => java.security.MessageDigest.getInstance("MD5"))
+
   def compute(s: UTF8String): Long = {
-    val md = java.security.MessageDigest.getInstance("MD5")
     val b = s.getBytes
-    md.update(b, 0, b.length)
+    hashBytes(b, 0, b.length)
+  }
+
+  private[functions] def hashBytes(b: Array[Byte], off: Int, len: Int): Long = {
+    val md = digests.get()
+    md.reset()
+    md.update(b, off, len)
     val d = md.digest()
     // first 15 hex digits = bytes 0..6 plus the high nibble of byte 7
     var v = 0L
     var i = 0
     while (i < 7) { v = (v << 8) | (d(i) & 0xFFL); i += 1 }
     (v << 4) | ((d(7) >> 4) & 0xFL)
+  }
+}
+
+/** Whole SimHash fingerprint in one fused pass: tokenize the (already
+  * lowercased) text, distinct the tokens by exact string equality, hash
+  * each with [[Md5Hash60]], accumulate the per-bit +-1 sums, and
+  * assemble the fingerprint (bit j set iff the sum is positive) —
+  * bit-identical to the explode(array_distinct(tokens)) -> md5Hash60 ->
+  * per-bit sum aggregation -> assembly chain, with no explode fanout, no
+  * aggregation, and no shuffle: the fingerprint pass is a pure map at
+  * any corpus scale.
+  */
+case class SimHashFp(child: Expression, bits: Int) extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType && bits >= 1 && bits <= 60)
+      TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires a string argument and 1 <= bits <= 60, " +
+        s"got ${child.dataType.sql}, bits=$bits")
+
+  override def dataType: DataType = LongType
+  override def prettyName: String = "graft_simhash_fp"
+
+  override protected def nullSafeEval(s: Any): Any =
+    SimHashFp.compute(s.asInstanceOf[UTF8String], bits)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.SimHashFp.compute($c, $bits);")
+
+  override protected def withNewChildInternal(newChild: Expression): SimHashFp =
+    copy(child = newChild)
+}
+
+object SimHashFp {
+  def compute(text: UTF8String, bits: Int): Long = {
+    val b = text.getBytes
+    val (starts, ends, t) = Tok.scan(b)
+    val seen = new java.util.HashSet[UTF8String](t * 2)
+    val sums = new Array[Int](bits)
+    var k = 0
+    while (k < t) {
+      val tok = UTF8String.fromBytes(b, starts(k), ends(k) - starts(k))
+      if (seen.add(tok)) {
+        val h = Md5Hash60.hashBytes(b, starts(k), ends(k) - starts(k))
+        var j = 0
+        while (j < bits) {
+          sums(j) += (((h >>> j) & 1L).toInt * 2 - 1)
+          j += 1
+        }
+      }
+      k += 1
+    }
+    var fp = 0L
+    var j = 0
+    while (j < bits) {
+      if (sums(j) > 0) fp |= 1L << j
+      j += 1
+    }
+    fp
   }
 }
 

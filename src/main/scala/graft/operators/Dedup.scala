@@ -119,14 +119,6 @@ object Dedup {
   def shingles(df: DataFrame, textCol: String, idCol: String, w: Int = 3): DataFrame =
     shinglesN(df, textCol, idCol, w).select(col("doc"), col("shingle"))
 
-  /** [[shingles]] plus the per-doc distinct-shingle count `n` ON EVERY
-    * ROW, computed map-side from the same in-row array (`size` before the
-    * explode). Carrying the 8-byte count through the shingle join lets
-    * every similarity consumer (Jaccard, containment, exact verification)
-    * read both docs' set sizes straight off the joined rows — eliminating
-    * the per-doc sizes aggregation AND the two broadcast joins that
-    * otherwise follow the pair count.
-    */
   /** One row per doc with its sorted distinct shingle-hash array —
     * the pre-explode form every shingle consumer derives from (explode
     * for joins, in-row MinHash signatures, set sizes).
@@ -143,6 +135,14 @@ object Dedup {
     spread(df).select(col(idCol).as("doc"),
         org.apache.spark.sql.GraftBridge.shingleHashes(col(textCol), w).as("_arr"))
 
+  /** [[shingles]] plus the per-doc distinct-shingle count `n` ON EVERY
+    * ROW, computed map-side from the same in-row array (`size` before the
+    * explode). Carrying the 8-byte count through the shingle join lets
+    * every similarity consumer (Jaccard, containment, exact verification)
+    * read both docs' set sizes straight off the joined rows — eliminating
+    * the per-doc sizes aggregation AND the two broadcast joins that
+    * otherwise follow the pair count.
+    */
   def shinglesN(df: DataFrame, textCol: String, idCol: String, w: Int = 3): DataFrame =
     explodeShingleArrays(shingleArrays(df, textCol, idCol, w))
 
@@ -658,36 +658,6 @@ object Dedup {
   def md5Hash60(c: Column): Column =
     org.apache.spark.sql.GraftBridge.md5Hash60(c)
 
-  /** Typed aggregator folding a document's token hashes into the 60
-    * per-bit +/-1 sums in one buffer — one tight JVM loop per row with
-    * map-side partial aggregation, like [[MinHashSigAgg]]. 60 separate
-    * `sum(...)` aggregate columns compute the same thing but cost several
-    * times more in codegen size and per-row aggregate dispatch.
-    */
-  private class SimHashSumAgg(bits: Int)
-      extends org.apache.spark.sql.expressions.Aggregator[java.lang.Long, Array[Int], Seq[Int]] {
-    def zero: Array[Int] = Array.fill(bits)(0)
-    def reduce(buf: Array[Int], h0: java.lang.Long): Array[Int] = {
-      val h = h0.longValue()
-      var j = 0
-      while (j < buf.length) {
-        buf(j) += (((h >>> j) & 1L).toInt * 2 - 1)
-        j += 1
-      }
-      buf
-    }
-    def merge(a: Array[Int], b: Array[Int]): Array[Int] = {
-      var j = 0
-      while (j < a.length) { a(j) += b(j); j += 1 }
-      a
-    }
-    def finish(buf: Array[Int]): Seq[Int] = buf.toSeq
-    def bufferEncoder: org.apache.spark.sql.Encoder[Array[Int]] =
-      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder()
-    def outputEncoder: org.apache.spark.sql.Encoder[Seq[Int]] =
-      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder()
-  }
-
   /** 60-bit SimHash fingerprint per document from md5-derived token hashes:
     * bit j of the fingerprint is 1 iff sum over distinct tokens of
     * (2*bit_j(h)-1) > 0.
@@ -698,18 +668,13 @@ object Dedup {
     * whole-stage-codegen method; 60 separate sum() columns compile but pay
     * heavy per-row aggregate dispatch.)
     */
-  def simhash(df: DataFrame, textCol: String, idCol: String, bits: Int = 60): DataFrame = {
-    val toks = spread(df).select(col(idCol).as("doc"),
-      explode(array_distinct(TextAnalysis.tokens(lower(col(textCol))))).as("tok"))
-    val withH = toks.select(col("doc"),
-      md5Hash60(col("tok")).as("_h"))
-    val agg = udaf(new SimHashSumAgg(bits), org.apache.spark.sql.Encoders.LONG)
-    val summed = withH.groupBy(col("doc")).agg(agg(col("_h")).as("_sums"))
-    val fp = (0 until bits).map(j =>
-      when(element_at(col("_sums"), j + 1) > 0, lit(1L << j)).otherwise(lit(0L)))
-      .reduce((a, b) => a.bitwiseOR(b))
-    summed.select(col("doc"), fp.as("simhash"))
-  }
+  def simhash(df: DataFrame, textCol: String, idCol: String, bits: Int = 60): DataFrame =
+    // one fused map pass (SimHashFp): tokenize -> distinct -> md5-60bit
+    // -> per-bit sums -> assembly, bit-identical to the old
+    // explode/aggregate chain with no shuffle at any scale
+    spread(df).select(col(idCol).as("doc"),
+      org.apache.spark.sql.GraftBridge.simHashFp(lower(col(textCol)), bits)
+        .as("simhash"))
 
   /** SimHash near-dup pairs: candidate generation by exact-match on quarter
     * fingerprint chunks (any pair within hamming distance <= 3 shares at

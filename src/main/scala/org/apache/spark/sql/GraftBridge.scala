@@ -79,6 +79,13 @@ object GraftBridge {
     ExpressionUtils.column(graft.functions.TokenTfs(
       ExpressionUtils.expression(text)))
 
+  /** Column of the whole SimHash fingerprint in one fused pass (see
+    * graft.functions.SimHashFp).
+    */
+  def simHashFp(text: Column, bits: Int): Column =
+    ExpressionUtils.column(graft.functions.SimHashFp(
+      ExpressionUtils.expression(text), bits))
+
   /** Column of the whole MinHash signature from a shingle-hash array
     * (see graft.functions.MinHashSig).
     */

@@ -162,6 +162,29 @@ class ScaleTechniquesSpec extends SparkSpec {
       .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getString(3)))).toMap
     assert(natC4 === refC4)
 
+    // SimHashFp vs the explode/aggregate chain it replaces
+    val refFps = {
+      val ltoks = array_remove(split(lower(col("text")), " ", -1), "")
+      val toksDf = df.select(col("doc_id"),
+        explode(array_distinct(ltoks)).as("tok"))
+      val withH = toksDf.select(col("doc_id"),
+        conv(substring(md5(col("tok")), 1, 15), 16, 10).cast("long").as("h"))
+      val sums = (0 until 60).map(j =>
+        sum(shiftright(col("h"), j).bitwiseAND(1) * 2 - 1).as(s"s$j"))
+      val fp = (0 until 60).map(j =>
+        when(col(s"s$j") > 0, lit(1L << j)).otherwise(lit(0L)))
+        .reduce((a, b) => a.bitwiseOR(b))
+      withH.groupBy(col("doc_id")).agg(sums.head, sums.tail: _*)
+        .select(col("doc_id"), fp.as("fp"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    }
+    val natFps = df.select(col("doc_id"),
+        org.apache.spark.sql.GraftBridge.simHashFp(lower(col("text")), 60).as("fp"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // docs with no tokens produce no group in the reference chain but a
+    // zero fingerprint in the fused form — compare on the common keys
+    refFps.foreach { case (k, v) => assert(natFps(k) === v, s"doc $k") }
+
     // Md5Hash60 vs the conv/substring/md5 chain
     val refH = df.select(col("doc_id"),
         conv(substring(md5(col("text")), 1, 15), 16, 10).cast("long").as("h"))
