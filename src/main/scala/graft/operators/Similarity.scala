@@ -243,11 +243,17 @@ object Similarity {
       val p = bucketed(
         probes.select(col(idCol).as("probe_id"), asDouble(col(vecCol)).as("_v")), "probe_id")
         .withColumnRenamed("_v", "_pv")
-      val candidates = buckets.join(broadcast(p), Seq("tbl", "bucket"))
+      // cosine BEFORE the cross-table dedup: duplicates of a (probe,
+      // neighbor) pair score identically, the dot product is a codegen'd
+      // map-side pass on the broadcast join output, and the
+      // dropDuplicates shuffle then moves 24-byte (ids, score) rows
+      // instead of two embedding vectors per row — at 100 TB the
+      // difference between shuffling scores and shuffling the corpus
+      val scored = buckets.join(broadcast(p), Seq("tbl", "bucket"))
         .filter(col("probe_id") =!= col("neighbor_id"))
-        .select("probe_id", "_pv", "neighbor_id", "_cv")
+        .withColumn("cosine", cosine(col("_pv"), col("_cv")))
+        .select("probe_id", "neighbor_id", "cosine")
         .dropDuplicates("probe_id", "neighbor_id")
-      val scored = candidates.withColumn("cosine", cosine(col("_pv"), col("_cv")))
       val w = Window.partitionBy(col("probe_id"))
         .orderBy(col("cosine").desc, col("neighbor_id"))
       scored.withColumn("_rn", row_number().over(w))
