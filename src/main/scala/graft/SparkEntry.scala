@@ -394,13 +394,14 @@ object SparkEntry {
 
     // ---- corpus bigram counts (n-gram statistics over the corpus)
     Q("x2_bigram_counts",
+      // bigrams = width-2 stride-1 chunks, minus the trailing 1-token
+      // chunk (slice to size-1) — the fused native chunker replaces the
+      // interpreted transform/element_at/concat_ws chain
       (s, d) => Tables.documents(s, d)
-        .select(col("doc_id"), TextAnalysis.tokens(lower(col("text"))).as("_t"))
-        .filter(size(col("_t")) >= 2)
-        .select(explode(transform(
-          sequence(lit(0), size(col("_t")) - 2),
-          i => concat_ws(" ", element_at(col("_t"), i + 1),
-            element_at(col("_t"), i + 2)))).as("bigram"))
+        .select(col("doc_id"), org.apache.spark.sql.GraftBridge
+          .tokenChunks(lower(col("text")), 2, 1).as("_c"))
+        .select(explode(when(size(col("_c")) >= 2,
+          slice(col("_c"), lit(1), size(col("_c")) - 1))).as("bigram"))
         .groupBy(col("bigram")).agg(count(lit(1)).as("cnt"))
         .orderBy(col("cnt").desc, col("bigram")).limit(50),
       Some("""WITH toks AS (
