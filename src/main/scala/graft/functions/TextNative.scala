@@ -368,6 +368,63 @@ object TokenChunks {
   }
 }
 
+/** Per-document term frequencies with the term STRING retained:
+  * array<struct<term: string, tf: long>> — the string-keyed sibling of
+  * [[TokenTfs]] for consumers whose output carries the term itself
+  * (tf-idf). One pass, in-row aggregation: the emitted rows are distinct
+  * per (doc, term) by construction, so a document-frequency rollup is a
+  * plain count over the exploded rows — no per-(doc, term) shuffle and
+  * no separate distinct pass exist in the consuming plan.
+  */
+case class TokenTermTfs(child: Expression) extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires a string argument, got ${child.dataType.sql}")
+
+  override def dataType: DataType = ArrayType(
+    org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("term", StringType, nullable = false),
+      org.apache.spark.sql.types.StructField("tf", LongType, nullable = false))),
+    containsNull = false)
+  override def prettyName: String = "graft_token_term_tfs"
+
+  override protected def nullSafeEval(s: Any): Any =
+    TokenTermTfs.compute(s.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.TokenTermTfs.compute($c);")
+
+  override protected def withNewChildInternal(newChild: Expression): TokenTermTfs =
+    copy(child = newChild)
+}
+
+object TokenTermTfs {
+  def compute(text: UTF8String): ArrayData = {
+    val b = text.getBytes
+    val (starts, ends, t) = Tok.scan(b)
+    val counts = new java.util.LinkedHashMap[UTF8String, java.lang.Long](t * 2)
+    var k = 0
+    while (k < t) {
+      val tok = UTF8String.fromBytes(b, starts(k), ends(k) - starts(k))
+      val c = counts.get(tok)
+      counts.put(tok, if (c == null) 1L else c.longValue() + 1L)
+      k += 1
+    }
+    val rows = new Array[Any](counts.size)
+    val it = counts.entrySet().iterator()
+    var i = 0
+    while (it.hasNext) {
+      val e = it.next()
+      rows(i) = org.apache.spark.sql.catalyst.InternalRow(e.getKey, e.getValue)
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(rows)
+  }
+}
+
 /** First 60 bits of the md5 of a string as an unsigned long —
   * bit-identical to `conv(substring(md5(s), 1, 15), 16, 10)::long` (the
   * engine-reproducible token hash of the SimHash contract, which the

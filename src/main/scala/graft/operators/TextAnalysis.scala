@@ -132,11 +132,17 @@ object TextAnalysis {
     // cross-joined in (BroadcastNestedLoopJoin of one row) — no separate
     // driver-side count() job / extra scan per call.
     val nDf = docs.select(count(lit(1)).cast("double").as("_n"))
-    val terms = docs
-      .select(col(idCol).as("doc"), explode(tokens(lower(col(textCol)))).as("term"))
-    val tf = terms.groupBy(col("doc"), col("term")).agg(count(lit(1)).as("tf"))
-    val df_ = terms.select(col("doc"), col("term")).distinct()
-      .groupBy(col("term")).agg(count(lit(1)).as("df"))
+    // per-(doc, term) counts aggregate IN-ROW (TokenTermTfs): tf needs no
+    // shuffle at all, and since the exploded rows are distinct per
+    // (doc, term) by construction, df is a plain count — the old
+    // formulation paid a (doc, term) shuffle for tf plus a distinct pass
+    // for df. when() guard: see shinglesN.
+    val tf = graft.core.Spread.ensureParallel(docs)
+      .select(col(idCol).as("doc"),
+        org.apache.spark.sql.GraftBridge.tokenTermTfs(lower(col(textCol))).as("_tc"))
+      .select(col("doc"), explode(when(size(col("_tc")) > 0, col("_tc"))).as("t"))
+      .select(col("doc"), col("t.term").as("term"), col("t.tf").as("tf"))
+    val df_ = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
     val w = Window.partitionBy(col("doc"))
       .orderBy(col("tfidf").desc, col("term"))
     // no broadcast hint: a web-scale vocabulary outgrows an executor; the

@@ -79,6 +79,13 @@ object GraftBridge {
     ExpressionUtils.column(graft.functions.TokenTfs(
       ExpressionUtils.expression(text)))
 
+  /** Column of in-row (term-string, tf) pairs (see
+    * graft.functions.TokenTermTfs).
+    */
+  def tokenTermTfs(text: Column): Column =
+    ExpressionUtils.column(graft.functions.TokenTermTfs(
+      ExpressionUtils.expression(text)))
+
   /** Column of the whole SimHash fingerprint in one fused pass (see
     * graft.functions.SimHashFp).
     */
