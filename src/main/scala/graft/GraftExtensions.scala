@@ -41,6 +41,12 @@ object GraftExtensions {
     * fingerprints, quality scores) need no registration — they already
     * parse as plain SQL; only native expressions live here.
     */
+  private def intLit(name: String, e: Expression): Int = e match {
+    case Literal(v: Int, IntegerType) => v
+    case other => throw new IllegalArgumentException(
+      s"$name expects an int literal, got $other")
+  }
+
   val registrations: Seq[(FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression)] =
     Seq(
       (FunctionIdentifier("graft_dot"),
@@ -48,14 +54,8 @@ object GraftExtensions {
         arity("graft_dot", 2)(c => DoubleDotProduct(c.head, c(1)))),
       (FunctionIdentifier("graft_shingle_hashes"),
         new ExpressionInfo(classOf[ShingleHashes].getName, "graft_shingle_hashes"),
-        arity("graft_shingle_hashes", 2) { c =>
-          val w = c(1) match {
-            case Literal(v: Int, IntegerType) => v
-            case other => throw new IllegalArgumentException(
-              s"graft_shingle_hashes window must be an int literal, got $other")
-          }
-          ShingleHashes(c.head, w)
-        }),
+        arity("graft_shingle_hashes", 2)(c =>
+          ShingleHashes(c.head, intLit("graft_shingle_hashes window", c(1))))),
       (FunctionIdentifier("graft_repetition_stats"),
         new ExpressionInfo(classOf[graft.functions.RepetitionStats].getName,
           "graft_repetition_stats"),
@@ -65,5 +65,40 @@ object GraftExtensions {
         new ExpressionInfo(classOf[graft.functions.CanonFingerprint].getName,
           "graft_canon_fingerprint"),
         arity("graft_canon_fingerprint", 1)(c =>
-          graft.functions.CanonFingerprint(c.head))))
+          graft.functions.CanonFingerprint(c.head))),
+      (FunctionIdentifier("graft_md5_hash60"),
+        new ExpressionInfo(classOf[graft.functions.Md5Hash60].getName,
+          "graft_md5_hash60"),
+        arity("graft_md5_hash60", 1)(c => graft.functions.Md5Hash60(c.head))),
+      (FunctionIdentifier("graft_simhash_fp"),
+        new ExpressionInfo(classOf[graft.functions.SimHashFp].getName,
+          "graft_simhash_fp"),
+        arity("graft_simhash_fp", 2)(c =>
+          graft.functions.SimHashFp(c.head, intLit("graft_simhash_fp bits", c(1))))),
+      (FunctionIdentifier("graft_minhash_sig"),
+        new ExpressionInfo(classOf[graft.functions.MinHashSig].getName,
+          "graft_minhash_sig"),
+        arity("graft_minhash_sig", 2)(c =>
+          graft.functions.MinHashSig(c.head, intLit("graft_minhash_sig numPerm", c(1))))),
+      (FunctionIdentifier("graft_token_chunks"),
+        new ExpressionInfo(classOf[graft.functions.TokenChunks].getName,
+          "graft_token_chunks"),
+        arity("graft_token_chunks", 3)(c =>
+          graft.functions.TokenChunks(c.head,
+            intLit("graft_token_chunks window", c(1)),
+            intLit("graft_token_chunks stride", c(2))))),
+      (FunctionIdentifier("graft_token_tfs"),
+        new ExpressionInfo(classOf[graft.functions.TokenTfs].getName,
+          "graft_token_tfs"),
+        arity("graft_token_tfs", 1)(c => graft.functions.TokenTfs(c.head))),
+      (FunctionIdentifier("graft_token_term_tfs"),
+        new ExpressionInfo(classOf[graft.functions.TokenTermTfs].getName,
+          "graft_token_term_tfs"),
+        arity("graft_token_term_tfs", 1)(c => graft.functions.TokenTermTfs(c.head))),
+      (FunctionIdentifier("graft_sum128"),
+        new ExpressionInfo(classOf[graft.functions.Sum128].getName, "graft_sum128"),
+        arity("graft_sum128", 2)(c =>
+          // aggregate: the analyzer wraps a bare AggregateFunction; input
+          // is the UNSCALED long (see GraftBridge.sum128Long)
+          graft.functions.Sum128(c.head, intLit("graft_sum128 scale", c(1))))))
 }

@@ -239,6 +239,36 @@ class ScaleTechniquesSpec extends SparkSpec {
     assert(natRep === refRep)
   }
 
+  test("every registered graft function resolves and evaluates via SQL") {
+    val rows = spark.sql(
+      """SELECT
+        |  graft_dot(array(1.0D, 2.0D), array(3.0D, 4.0D)) AS d,
+        |  size(graft_shingle_hashes('a b c d', 2)) AS nsh,
+        |  size(graft_repetition_stats('a b a b')) AS nrep,
+        |  graft_canon_fingerprint('A  b!') AS fp,
+        |  graft_md5_hash60('tok') AS h60,
+        |  graft_simhash_fp('a b c', 60) AS sfp,
+        |  size(graft_minhash_sig(array(1L, 2L), 16)) AS nsig,
+        |  size(graft_token_chunks('a b c d e', 2, 2)) AS nch,
+        |  size(graft_token_tfs('a b a')) AS ntf,
+        |  size(graft_token_term_tfs('a b a')) AS nttf
+        |""".stripMargin).collect().head
+    assert(rows.getDouble(0) === 11.0)
+    assert(rows.getInt(1) === 3)
+    assert(rows.getInt(2) === 6)
+    assert(rows.getString(3).length === 32)
+    assert(rows.getLong(4) > 0)
+    assert(rows.getInt(6) === 16)
+    assert(rows.getInt(7) === 3)
+    assert(rows.getInt(8) === 2 && rows.getInt(9) === 2)
+    // the aggregate registration resolves and sums exactly
+    import spark.implicits._
+    Seq(150L, 250L).toDF("u").createOrReplaceTempView("u128")
+    val s = spark.sql("SELECT CAST(graft_sum128(u, 2) AS STRING) AS s FROM u128")
+      .collect().head.getString(0)
+    assert(s === "4.00")
+  }
+
   test("GraftExtensions injects its registrations into a fresh extension set") {
     val exts = new org.apache.spark.sql.SparkSessionExtensions
     new GraftExtensions().apply(exts) // must not throw; builder is arity-checked
