@@ -38,6 +38,13 @@ object Bench {
     // experiment knob: SPARK_GRAFT_AQE=false disables adaptive execution
     sys.env.get("SPARK_GRAFT_AQE").foreach(v =>
       spark.conf.set("spark.sql.adaptive.enabled", v))
+    // experiment knob: arbitrary runtime confs, "k=v;k=v" (A/B of
+    // scheduler/AQE settings without code edits; runtime confs only)
+    sys.env.get("SPARK_GRAFT_CONF").foreach(_.split(";").filter(_.nonEmpty)
+      .foreach { kv =>
+        val Array(k, v) = kv.split("=", 2)
+        spark.conf.set(k, v)
+      })
     spark
   }
 
