@@ -278,4 +278,86 @@ class PropertySpec extends SparkSpec {
       assert(ratios.head > 0, s"id=$id")
     }
   }
+
+  /** Seeded random text: words of random alphabets (ASCII, digits,
+    * punctuation, some multibyte), random multi-space runs, occasional
+    * newlines and empty strings — the input space the fused text natives
+    * must agree on with their composable formulations.
+    */
+  private def randomTexts(seed: Long, n: Int): Seq[String] = {
+    val rnd = new scala.util.Random(seed)
+    val alphabets = Seq("abc", "ABC", "019", ".,!?", "áé中", "ab .")
+    Seq.fill(n) {
+      if (rnd.nextInt(20) == 0) ""
+      else (0 until 1 + rnd.nextInt(30)).map { _ =>
+        val a = alphabets(rnd.nextInt(alphabets.length))
+        val word = Seq.fill(1 + rnd.nextInt(5))(a(rnd.nextInt(a.length))).mkString
+        val sep = if (rnd.nextInt(8) == 0) "  " else if (rnd.nextInt(15) == 0) "\n" else " "
+        word + sep
+      }.mkString
+    }
+  }
+
+  test("fused text natives agree with composable formulations on random text") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val br = org.apache.spark.sql.GraftBridge
+    for (seed <- Seq(7L, 42L, 777L)) {
+      val df = randomTexts(seed, 60).zipWithIndex
+        .map { case (t, i) => (i.toLong, t) }.toDF("id", "text")
+      val toks = array_remove(split(col("text"), " ", -1), "")
+
+      // shingle hashes (w=2): set equality per doc vs xxhash64(concat_ws)
+      val refSh = df.filter(size(toks) >= 2).select(col("id"),
+          transform(sequence(lit(0), size(toks) - 2),
+            i => xxhash64(concat_ws(" ", element_at(toks, i + 1), element_at(toks, i + 2))))
+            .as("hs"))
+        .collect().map(r => r.getLong(0) -> r.getSeq[Long](1).toSet).toMap
+      val natSh = df.select(col("id"), br.shingleHashes(col("text"), 2).as("hs"))
+        .collect().map(r => r.getLong(0) -> r.getSeq[Long](1).toSet).toMap
+      refSh.foreach { case (k, v) => assert(natSh(k) === v, s"seed=$seed id=$k") }
+
+      // canonical fingerprint vs the regex chain
+      val refFp = df.select(col("id"),
+          md5(trim(regexp_replace(regexp_replace(lower(col("text")), "[^a-z0-9 ]", ""), " +", " "))).as("fp"))
+        .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+      val natFp = df.select(col("id"), br.canonFingerprint(col("text")).as("fp"))
+        .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+      assert(natFp === refFp, s"seed=$seed")
+
+      // token/set-hit/punct counts vs the HOF + regex formulations
+      val ws = Seq("ab", "a", "019")
+      val refTs = df.select(col("id"),
+          size(toks).cast("long").as("nt"),
+          coalesce(aggregate(transform(toks, t => length(t)), lit(0), (a, x) => a + x), lit(0))
+            .cast("long").as("tc"),
+          (length(col("text")) - length(regexp_replace(col("text"), "[^a-zA-Z0-9 ]", "")))
+            .cast("long").as("pc"),
+          size(filter(toks, t => t.isin(ws: _*))).cast("long").as("h0"))
+        .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+      val natTs = df.select(col("id"), br.tokenSetHits(col("text"), Seq(ws)).as("a"))
+        .collect().map { r =>
+          val a = r.getSeq[Long](1); r.getLong(0) -> ((a(0), a(1), a(2), a(3)))
+        }.toMap
+      assert(natTs === refTs, s"seed=$seed")
+
+      // token chunks vs transform/slice/array_join (w=3, stride=2)
+      val refCh = df.filter(size(toks) > 0).select(col("id"),
+          transform(sequence(lit(1), size(toks), lit(2)),
+            st => array_join(slice(toks, st, lit(3)), " ")).as("c"))
+        .collect().map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
+      val natCh = df.select(col("id"), br.tokenChunks(col("text"), 3, 2).as("c"))
+        .collect().map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
+      refCh.foreach { case (k, v) => assert(natCh(k) === v, s"seed=$seed id=$k") }
+
+      // term tfs (string) vs explode + groupBy
+      val refTf = df.select(col("id"), explode(toks).as("t"))
+        .groupBy(col("id"), col("t")).agg(count(lit(1)).as("tf"))
+        .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+      val natTf = df.select(col("id"), explode(br.tokenTermTfs(col("text"))).as("tc"))
+        .select(col("id"), col("tc.term"), col("tc.tf"))
+        .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+      assert(natTf === refTf, s"seed=$seed")
+    }
+  }
 }
