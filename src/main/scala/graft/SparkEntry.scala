@@ -249,9 +249,6 @@ object SparkEntry {
         val price = col("l_extendedprice").cast(dec(18, 2))
         val disc = col("l_discount").cast(dec(4, 2))
         val tax = col("l_tax").cast(dec(4, 2))
-        // spread: the decimal partial aggregation otherwise runs inside
-        // the single scan task of a one-row-group local source (no-op on
-        // well-split inputs — Spread.ensureParallel)
         // exact decimal sums via the int128 accumulator (graft_sum128):
         // identical values to sum(decimal).cast(dec(38,s)) — see
         // functions.Sum128 for why builtin decimal sums are the CPU

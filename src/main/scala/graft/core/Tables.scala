@@ -34,6 +34,20 @@ object Tables {
   private val resolved =
     scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
 
+  /** Drop memoized resolutions — for ALL sessions, or one session's only.
+    *
+    * The memo captures the parquet file listing at first resolution, so
+    * data REWRITTEN at the same path within a session would otherwise be
+    * silently missed (stale InMemoryFileIndex; possibly missing-file task
+    * failures). Data-regeneration tooling must call this after rewriting
+    * any table it previously read. Also the release point for the map's
+    * strong SparkSession references when a session is torn down mid-JVM.
+    */
+  def invalidate(session: Option[SparkSession] = None): Unit = session match {
+    case None => resolved.clear()
+    case Some(s) => resolved.keys.filter(_._1 eq s).foreach(resolved.remove)
+  }
+
   def load(spark: SparkSession, sfDir: String, name: String): DataFrame =
     name match {
       case "events" => events(spark, sfDir)

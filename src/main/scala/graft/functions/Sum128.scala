@@ -79,7 +79,12 @@ case class Sum128(child: Expression, scale: Int,
       i += 1
     }
     val bd = new java.math.BigDecimal(new java.math.BigInteger(bytes), scale)
-    Decimal(bd, 38, scale)
+    // a group sum whose magnitude lies between 10^38 and the int128 max
+    // (~1.7e38) fits the accumulator but not decimal(38): return null,
+    // matching the non-ANSI overflow semantics of the
+    // sum(x).cast(DecimalType(38, scale)) this aggregate replaces
+    if (bd.precision > 38) null
+    else Decimal(bd, 38, scale)
   }
 
   override def serialize(b: Array[Long]): Array[Byte] = {

@@ -483,6 +483,12 @@ object Md5Hash60 {
   * per-bit sum aggregation -> assembly chain, with no explode fanout, no
   * aggregation, and no shuffle: the fingerprint pass is a pure map at
   * any corpus scale.
+  *
+  * Token-less text (empty or whitespace-only) yields NULL, matching the
+  * explode/aggregate chain it replaces, where a doc with no tokens
+  * produced no aggregation group and was dropped — NOT fingerprint 0,
+  * which would make every pair of empty docs a hamming-0 "near-dup"
+  * clique in [[graft.operators.Dedup.simhashPairs]].
   */
 case class SimHashFp(child: Expression, bits: Int) extends UnaryExpression {
 
@@ -493,24 +499,37 @@ case class SimHashFp(child: Expression, bits: Int) extends UnaryExpression {
       s"$prettyName requires a string argument and 1 <= bits <= 60, " +
         s"got ${child.dataType.sql}, bits=$bits")
 
+  override def nullable: Boolean = true
   override def dataType: DataType = LongType
   override def prettyName: String = "graft_simhash_fp"
 
-  override protected def nullSafeEval(s: Any): Any =
-    SimHashFp.compute(s.asInstanceOf[UTF8String], bits)
+  override protected def nullSafeEval(s: Any): Any = {
+    val fp = SimHashFp.compute(s.asInstanceOf[UTF8String], bits)
+    if (fp == SimHashFp.NoTokens) null else fp
+  }
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, c =>
-      s"${ev.value} = graft.functions.SimHashFp.compute($c, $bits);")
+      s"""
+         |${ev.value} = graft.functions.SimHashFp.compute($c, $bits);
+         |if (${ev.value} == java.lang.Long.MIN_VALUE) {
+         |  ${ev.isNull} = true;
+         |  ${ev.value} = -1L;
+         |}
+       """.stripMargin)
 
   override protected def withNewChildInternal(newChild: Expression): SimHashFp =
     copy(child = newChild)
 }
 
 object SimHashFp {
+  /** Sentinel for "no tokens" — outside the fingerprint range [0, 2^60). */
+  val NoTokens: Long = Long.MinValue
+
   def compute(text: UTF8String, bits: Int): Long = {
     val b = text.getBytes
     val (starts, ends, t) = Tok.scan(b)
+    if (t == 0) return NoTokens
     val seen = new java.util.HashSet[UTF8String](t * 2)
     val sums = new Array[Int](bits)
     var k = 0

@@ -385,15 +385,40 @@ object Dedup {
     new NearDupIndex(sh, bkt, w, numPerm, bands)
   }
 
+  /** On-disk format version written by [[NearDupIndex.save]] and required
+    * by [[loadNearDupIndex]]. Bump whenever the saved schema changes
+    * incompatibly (v2: shingles carry (doc, n, shingle:long) with in-row
+    * set sizes; the v1 sizes/ parquet and string shingles are gone).
+    */
+  val NearDupIndexFormatVersion: Int = 2
+
   /** Re-open a saved near-dup index ([[NearDupIndex.save]]); band/params
-    * come from the persisted params row, the frames read lazily.
+    * come from the persisted params row, the frames read lazily. Fails
+    * fast — with a "rebuild the index" message, not a confusing
+    * missing-column error at query time — if the directory was written
+    * by an incompatible build (no/old format version, wrong shingles
+    * schema).
     */
   def loadNearDupIndex(spark: org.apache.spark.sql.SparkSession, dir: String,
                        cache: Boolean = true): NearDupIndex = {
-    val p = spark.read.parquet(s"$dir/params").collect().head
+    val params = spark.read.parquet(s"$dir/params")
+    val ver =
+      if (params.columns.contains("format_version"))
+        params.collect().head.getAs[Int]("format_version")
+      else 1
+    require(ver == NearDupIndexFormatVersion,
+      s"near-dup index at $dir has format version $ver, this build reads " +
+        s"$NearDupIndexFormatVersion — rebuild the index with buildNearDupIndex().save()")
+    val shingles = spark.read.parquet(s"$dir/shingles")
+    val expected = Set("doc", "n", "shingle")
+    require(shingles.columns.toSet == expected &&
+        shingles.schema("shingle").dataType == org.apache.spark.sql.types.LongType,
+      s"near-dup index at $dir has shingles schema ${shingles.schema.simpleString}, " +
+        s"expected (doc, n, shingle:long) — rebuild the index")
+    val p = params.collect().head
     def keep(df: DataFrame): DataFrame = if (cache) df.persist() else df
     new NearDupIndex(
-      keep(spark.read.parquet(s"$dir/shingles")),
+      keep(shingles),
       keep(spark.read.parquet(s"$dir/buckets")),
       p.getAs[Int]("w"), p.getAs[Int]("num_perm"), p.getAs[Int]("bands"))
   }
@@ -421,7 +446,8 @@ object Dedup {
       shingles.write.mode("overwrite").parquet(s"$dir/shingles")
       val spark = shingles.sparkSession
       import spark.implicits._
-      Seq((shingleWidth, numPerm, bands)).toDF("w", "num_perm", "bands")
+      Seq((shingleWidth, numPerm, bands, Dedup.NearDupIndexFormatVersion))
+        .toDF("w", "num_perm", "bands", "format_version")
         .coalesce(1).write.mode("overwrite").parquet(s"$dir/params")
     }
 
@@ -671,10 +697,14 @@ object Dedup {
   def simhash(df: DataFrame, textCol: String, idCol: String, bits: Int = 60): DataFrame =
     // one fused map pass (SimHashFp): tokenize -> distinct -> md5-60bit
     // -> per-bit sums -> assembly, bit-identical to the old
-    // explode/aggregate chain with no shuffle at any scale
+    // explode/aggregate chain with no shuffle at any scale. Token-less
+    // docs fingerprint to NULL and are dropped here, exactly as the old
+    // chain dropped them (no tokens -> no aggregation group) — otherwise
+    // every pair of empty docs would surface as a hamming-0 clique.
     spread(df).select(col(idCol).as("doc"),
       org.apache.spark.sql.GraftBridge.simHashFp(lower(col(textCol)), bits)
         .as("simhash"))
+      .filter(col("simhash").isNotNull)
 
   /** SimHash near-dup pairs: candidate generation by exact-match on quarter
     * fingerprint chunks (any pair within hamming distance <= 3 shares at

@@ -30,6 +30,12 @@ object PollsQueries {
     * theta residual `v.created <= coalesce(expires, c.created + 7 days)`,
     * then per-answer distinct-voter counts (A2). `element_at` is 1-based,
     * matching Postgres `answers[answer]` (polls.py:62).
+    *
+    * Intentional divergence (SURVEY §2.12): the reference writes
+    * `created - INTERVAL '7 DAYS'` (polls.py:69-70), which would
+    * invalidate every vote on an expiry-less poll (no vote can be ≤
+    * creation − 7d); the evident intent is a 7-day default voting
+    * window, so this uses PLUS. Pinned by PollsSpec.
     */
   def pollSummary(content: DataFrame, votes: DataFrame): DataFrame = {
     val c = content.filter(!col("deleted"))

@@ -62,6 +62,22 @@ class OperatorsSpec extends SparkSpec {
     assert(nearDup < unrelated, s"near=$nearDup unrelated=$unrelated")
   }
 
+  test("simhash: token-less docs are dropped, never paired as hamming-0 dups") {
+    val s = spark
+    import s.implicits._
+    // two empty and two spaces-only docs: the old explode/aggregate
+    // chain produced no group for them; fp 0 would make all 6 pairs of
+    // them a hamming-0 "near-dup" clique (ADVICE r7). (The tokenizer
+    // contract is single-space split — "\n\t" WOULD be a token.)
+    val mix = Seq((1L, ""), (2L, ""), (3L, "    "), (4L, " "),
+      (5L, "real text here"), (6L, "real text here")).toDF("doc_id", "text")
+    val fps = Dedup.simhash(mix, "text", "doc_id").collect()
+    assert(fps.map(_.getAs[Long]("doc")).toSet === Set(5L, 6L))
+    val pairs = Dedup.simhashPairs(mix, "text", "doc_id").collect()
+      .map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"))).toSet
+    assert(pairs === Set((5L, 6L)))
+  }
+
   test("near-dup clustering: chains collapse to min-id components") {
     val s = spark
     import s.implicits._
@@ -221,6 +237,27 @@ class OperatorsSpec extends SparkSpec {
     val b = results(built)
     assert(b.nonEmpty, "fixture must produce at least one near-dup pair")
     assert(results(loaded) === b)
+  }
+
+  test("near-dup index load fails fast on a previous-format index dir") {
+    val s = spark
+    import s.implicits._
+    // emulate a v1 index: params without format_version, string shingles
+    val dir = java.nio.file.Files.createTempDirectory("graft-ndi-v1").toString
+    Seq((3, 128, 16)).toDF("w", "num_perm", "bands")
+      .write.mode("overwrite").parquet(s"$dir/params")
+    Seq((1L, "abc def ghi")).toDF("doc", "shingle")
+      .write.mode("overwrite").parquet(s"$dir/shingles")
+    Seq((1L, 0, 42)).toDF("doc", "band", "bucket")
+      .write.mode("overwrite").parquet(s"$dir/buckets")
+    val e = intercept[IllegalArgumentException](Dedup.loadNearDupIndex(spark, dir))
+    assert(e.getMessage.contains("rebuild the index"))
+    // and a current-format params row with a stale shingles schema
+    Seq((3, 128, 16, Dedup.NearDupIndexFormatVersion))
+      .toDF("w", "num_perm", "bands", "format_version")
+      .write.mode("overwrite").parquet(s"$dir/params")
+    val e2 = intercept[IllegalArgumentException](Dedup.loadNearDupIndex(spark, dir))
+    assert(e2.getMessage.contains("rebuild the index"))
   }
 
   test("bloom-prefiltered incremental dedup matches the exact formulation") {

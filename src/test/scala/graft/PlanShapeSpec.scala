@@ -172,6 +172,27 @@ class PlanShapeSpec extends SparkSpec {
     } finally spark.sparkContext.removeSparkListener(listener)
   }
 
+  test("global fence: every unpartitioned window in the whole query set sits above an aggregate") {
+    // the bench tail shows exactly one benign `WindowExec: No Partition
+    // Defined` warning (corpusMixture's cumulative share over the
+    // strata-cardinality aggregate — dimension-sized at any input scale).
+    // This fence makes that provenance a test: a FUTURE unpartitioned
+    // window over raw rows anywhere in the query set fails here instead
+    // of hiding behind the known warning.
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.window.WindowExec
+    def containsAgg(n: SparkPlan): Boolean =
+      n.nodeName.contains("Aggregate") || n.children.exists(containsAgg)
+    val offenders = SparkEntry.queries.keys.toSeq.sorted.flatMap { q =>
+      val p = SparkEntry.queries(q)(spark, sf).queryExecution.executedPlan
+      p.collect {
+        case w: WindowExec if w.partitionSpec.isEmpty && !containsAgg(w.child) =>
+          s"$q: unpartitioned window over a non-aggregated child"
+      }
+    }
+    assert(offenders.isEmpty, offenders.mkString("; "))
+  }
+
   test("corpus mixture: windows run over the aggregated (dimension-sized) frame only") {
     val p = SparkEntry.queries("stats_corpus_mixture")(spark, sf)
       .queryExecution.executedPlan

@@ -66,6 +66,28 @@ class PollsSpec extends SparkSpec {
     assert(byAnswer === Map("red" -> 1L, "green" -> 1L, "blue" -> 1L))
   }
 
+  test("expiry-less poll: vote within 7 days of creation counts (SURVEY §2.12 J2 divergence)") {
+    // the reference's residual is `<= COALESCE(expires, created - INTERVAL
+    // '7 DAYS')` (plugs/polls/polls.py:69-70) — the MINUS would invalidate
+    // this vote (and every vote on an expiry-less poll); the engine's
+    // intent-correct PLUS gives a 7-day default window
+    val noExpiry =
+      """[[1, "polls-app/0.01"], "create", {"permlink": "open-poll",
+        | "question": "Open?", "answers": ["yes", "no"], "tag": "misc"}]"""
+        .stripMargin.replace("\n", "")
+    val log = opLog(spark, Seq(
+      op(1, 100, 0, "2024-01-01 00:00:00", "polls", noExpiry, postingAuth = "alice"),
+      op(2, 101, 0, "2024-01-04 00:00:00", "polls", // day 3 of 7 -> counts
+        pollVote("alice", "open-poll", 1), postingAuth = "bob"),
+      op(3, 102, 0, "2024-01-09 00:00:00", "polls", // day 8 -> outside default window
+        pollVote("alice", "open-poll", 2), postingAuth = "carol")))
+    val tt = Polls.transform(log)
+    assert(tt("content").collect().head.getAs[java.sql.Timestamp]("expires") == null)
+    val byAnswer = PollsQueries.pollSummary(tt("content"), tt("votes")).collect()
+      .map(r => r.getAs[String]("parsed_answer") -> r.getAs[Long]("votes")).toMap
+    assert(byAnswer === Map("yes" -> 1L))
+  }
+
   test("vote list excludes nothing (J3 full list)") {
     val votes = PollsQueries.pollVotes(t("content"), t("votes"), "alice", "best-color").collect()
     assert(votes.length === 4)

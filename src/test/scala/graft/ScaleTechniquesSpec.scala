@@ -180,10 +180,12 @@ class ScaleTechniquesSpec extends SparkSpec {
     }
     val natFps = df.select(col("doc_id"),
         org.apache.spark.sql.GraftBridge.simHashFp(lower(col("text")), 60).as("fp"))
+      .filter(col("fp").isNotNull)
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
-    // docs with no tokens produce no group in the reference chain but a
-    // zero fingerprint in the fused form — compare on the common keys
-    refFps.foreach { case (k, v) => assert(natFps(k) === v, s"doc $k") }
+    // docs with no tokens produce no group in the reference chain and a
+    // NULL fingerprint in the fused form — after dropping nulls the two
+    // formulations must agree EXACTLY, key set included
+    assert(natFps === refFps)
 
     // Md5Hash60 vs the conv/substring/md5 chain
     val refH = df.select(col("doc_id"),
@@ -267,6 +269,23 @@ class ScaleTechniquesSpec extends SparkSpec {
     val s = spark.sql("SELECT CAST(graft_sum128(u, 2) AS STRING) AS s FROM u128")
       .collect().head.getString(0)
     assert(s === "4.00")
+  }
+
+  test("sum128 overflow past decimal(38) yields null, like non-ANSI sum+cast") {
+    // sums between 10^38 and the int128 max (~1.7e38) fit the two-long
+    // accumulator but not decimal(38): eval must return null (ADVICE r7),
+    // not throw — exercised directly on a crafted buffer because reaching
+    // 10^38 through data would take ~1e19 max-long rows
+    val agg = graft.functions.Sum128(
+      org.apache.spark.sql.catalyst.expressions.Literal(1L), 2)
+    def buf(v: BigInt): Array[Long] =
+      Array((v >> 64).toLong, v.toLong, 1L)
+    val over = BigInt(10).pow(38) + 7
+    assert(agg.eval(buf(over)) == null)
+    assert(agg.eval(buf(-over)) == null)
+    val under = BigInt(10).pow(38) - 1
+    val d = agg.eval(buf(under)).asInstanceOf[org.apache.spark.sql.types.Decimal]
+    assert(d.toBigDecimal.bigDecimal.unscaledValue.toString === under.toString)
   }
 
   test("GraftExtensions injects its registrations into a fresh extension set") {

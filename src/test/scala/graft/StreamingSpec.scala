@@ -467,4 +467,49 @@ class StreamingSpec extends SparkSpec {
       .count(_.getName.startsWith("v="))
     assert(versions <= 2)
   }
+
+  test("state-dir growth audit: many batches keep every polls table directory bounded") {
+    // VERDICT r7 item 6: old `v=N` state versions, per-batch append
+    // partitions AND check-in dirs must all stay bounded as batch count
+    // grows — the directory-listing cost is what kills a year of minutely
+    // batches, not the data volume
+    val out = tmp()
+    // CompactEvery scaled down so 15 batches exercise several fold cycles
+    // (default 64 would legitimately leave all 15 partitions live)
+    val runner = new PlugRunner(graft.plugs.Polls, out,
+      Map("content" -> PollsStreaming.mergeContent _)) {
+      override val CompactEvery = 4
+    }
+    val nBatches = 20 // > 2*PlugState.KeepLast so the check-in fold fires
+    (0 until nBatches).foreach { i =>
+      runner.processBatch(opLog(spark, Seq(
+        op(2L * i, 100 + 2 * i, 0, "2024-01-01 00:00:00", "polls",
+          pollCreate(s"p$i", s"Q$i?", Seq("a", "b"), "2024-06-01 00:00:00", "t"),
+          postingAuth = s"user$i"),
+        op(2L * i + 1, 100 + 2 * i + 1, 0, "2024-01-01 00:00:10", "polls",
+          pollVote(s"user$i", s"p$i", 1), postingAuth = "voter"))), i.toLong)
+    }
+    def entries(sub: String): Seq[String] =
+      Option(new java.io.File(s"$out/polls/$sub").list()).toSeq.flatten
+        .filterNot(n => n.startsWith("_") || n.startsWith("."))
+    // merge table: StateKeepLast versions, old v=N gone
+    val contentVs = entries("content").filter(_.startsWith("v="))
+    assert(contentVs.size <= runner.StateKeepLast,
+      s"content versions unbounded: $contentVs")
+    // append tables: compaction folds old _batch_id partitions
+    Seq("ops", "votes", "deletes").foreach { t =>
+      val live = Option(new java.io.File(s"$out/polls/$t").list()).toSeq.flatten
+        .count(_.startsWith("_batch_id="))
+      assert(live < nBatches / 2, s"$t append partitions unbounded: $live")
+    }
+    // check-in history folds into the roll-up window
+    val checkIns = Option(new java.io.File(s"$out/polls/_plug_state").list())
+      .toSeq.flatten.count(_.startsWith("v="))
+    assert(checkIns <= 2 * graft.streaming.PlugState.KeepLast,
+      s"check-in dirs unbounded: $checkIns")
+    // and nothing was lost: all polls present, cursor at the last batch
+    assert(runner.table(spark, "content").count() === nBatches.toLong)
+    assert(graft.streaming.PlugState.maxBatchId(spark, out, "polls") ===
+      Some(nBatches - 1L))
+  }
 }
