@@ -14,7 +14,6 @@ object Bench {
   def session(cpus: String): SparkSession = {
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", "32")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
@@ -34,17 +33,41 @@ object Bench {
       .config("spark.sql.codegen.cache.maxEntries", "5000")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // Local-mode scheduling-latency pins, measured at sf0.1 (A/B via the
+    // knobs below; NOTES.md round 8):
+    //  - AQE off: stage-by-stage materialization costs a blocking
+    //    driver round-trip per query stage (main thread parks in
+    //    AdaptiveSparkPlanExec.withFinalPlanUpdate while a fresh future
+    //    thread runs each stage) — ~40 ms/query of pure orchestration
+    //    on sub-second local queries, 251 -> 132 jobs on the suite. AQE
+    //    earns that latency back at scale (skew splits, runtime
+    //    coalescing, runtime broadcast); a cluster deployment keeps it
+    //    ON — GraftSession.configure/local, the production path, do.
+    //  - 12 shuffle partitions, not 32: most shuffled frames in the
+    //    suite are dimension-sized, and without AQE coalescing each
+    //    shuffle stage pays per-task launch overhead x partitions
+    //    (tasks 3144 -> 2756, sum of task time 106 -> 66 s). The
+    //    CPU-heavy stages parallelize by scan splits, not shuffle
+    //    partitions, so 12 does not starve them locally.
+    //    17.2 -> ~14.2 s total across the four A/B combinations.
+    // Registered as session-pinned overrides (not plain conf.set)
+    // because query paths re-run GraftSession.configure defensively,
+    // which would silently revert them (measured: the old env knob
+    // benched AQE "off" == on). Env knobs still win over the pins.
+    val localPins = Map(
+      "spark.sql.adaptive.enabled" -> "false",
+      "spark.sql.shuffle.partitions" -> "12")
+    // experiment knobs: SPARK_GRAFT_AQE=true re-enables adaptive
+    // execution; SPARK_GRAFT_CONF is arbitrary runtime confs "k=v;k=v"
+    val knobs =
+      sys.env.get("SPARK_GRAFT_AQE").map("spark.sql.adaptive.enabled" -> _).toMap ++
+        sys.env.get("SPARK_GRAFT_CONF").toSeq.flatMap(_.split(";").filter(_.nonEmpty)
+          .map { kv =>
+            val Array(k, v) = kv.split("=", 2)
+            k -> v
+          })
+    GraftSession.experimentOverrides = localPins ++ knobs
     GraftSession.configure(spark)
-    // experiment knob: SPARK_GRAFT_AQE=false disables adaptive execution
-    sys.env.get("SPARK_GRAFT_AQE").foreach(v =>
-      spark.conf.set("spark.sql.adaptive.enabled", v))
-    // experiment knob: arbitrary runtime confs, "k=v;k=v" (A/B of
-    // scheduler/AQE settings without code edits; runtime confs only)
-    sys.env.get("SPARK_GRAFT_CONF").foreach(_.split(";").filter(_.nonEmpty)
-      .foreach { kv =>
-        val Array(k, v) = kv.split("=", 2)
-        spark.conf.set(k, v)
-      })
     spark
   }
 

@@ -260,17 +260,32 @@ object SparkEntry {
         val br = org.apache.spark.sql.GraftBridge
         val sumQty = br.sum128Long(col("_uq"), 2)
         val sumPrice = br.sum128Long(col("_up"), 2)
-        // no spread: with the int128 sums the partial aggregation is
-        // scan-bound — the round-robin exchange of the filtered rows cost
-        // more than the few-split partial agg it parallelized (the spread
-        // predates Sum128, when BigDecimal accumulation dominated)
+        // no spread: the sf parquet files are single-row-group, so the
+        // scan+decode stage is single-threaded regardless of planned
+        // splits, and it, not the decimal projection, is the per-row
+        // cost — a round-robin exchange of the filtered rows costs more
+        // than the parallelism it buys (re-measured under AQE-off/sp=12:
+        // 0.70 -> 0.75 s wall, task_sec 0.7 -> 2.0)
+        //
+        // The products ride UNSCALED LONG arithmetic, not Decimal: a
+        // dec(18,2) x dec(4,2) multiply is exact at scale 4 (precision
+        // 23 < 38, no rounding), so unscaled(a*b) == ua * ub — pure
+        // codegen'd long math per row instead of a BigDecimal-backed
+        // Decimal.times (measured: 510 -> 380 ms on the projection).
+        // Per-ROW magnitudes are prices — they do not grow with data
+        // volume, so the long products (<= ~1e4 x unscaled price) are
+        // overflow-safe at any SF; only GROUP sums scale, and those
+        // ride the int128 accumulator.
+        val up = br.unscaled(price)
+        val udisc = br.unscaled(disc)
+        val utax = br.unscaled(tax)
         Tables.lineitem(s, d)
           .filter(col("l_shipdate") <= lit(java.sql.Timestamp.valueOf("2000-12-01 00:00:00")))
           .select(col("l_returnflag"), col("l_linestatus"),
             br.unscaled(col("l_quantity").cast(dec(18, 2))).as("_uq"),
-            br.unscaled(price).as("_up"),
-            br.unscaled(price * (lit(1) - disc)).as("_ud"),
-            br.unscaled(price * (lit(1) - disc) * (lit(1) + tax)).as("_uc"))
+            up.as("_up"),
+            (up * (lit(100L) - udisc)).as("_ud"),
+            (up * (lit(100L) - udisc) * (lit(100L) + utax)).as("_uc"))
           .groupBy(col("l_returnflag"), col("l_linestatus"))
           .agg(
             sumQty.cast("string").as("sum_qty"),
@@ -348,9 +363,13 @@ object SparkEntry {
       (s, d) => Tables.customer(s, d).filter(col("c_mktsegment") === "BUILDING")
         .join(Tables.orders(s, d), col("c_custkey") === col("o_custkey"))
         .join(Tables.lineitem(s, d), col("o_orderkey") === col("l_orderkey"))
-        .withColumn("_ur", org.apache.spark.sql.GraftBridge.unscaled(
-          (col("l_extendedprice").cast(dec(18, 2)) *
-            (lit(1) - col("l_discount").cast(dec(4, 2)))).cast(dec(18, 4))))
+        // unscaled-long product, not Decimal.times — see q1's projection
+        // comment (scale 2+2 -> 4, exact, overflow-safe per row)
+        .withColumn("_ur",
+          org.apache.spark.sql.GraftBridge.unscaled(
+            col("l_extendedprice").cast(dec(18, 2))) *
+            (lit(100L) - org.apache.spark.sql.GraftBridge.unscaled(
+              col("l_discount").cast(dec(4, 2)))))
         .groupBy(col("o_orderkey"), col("o_orderdate"))
         .agg(org.apache.spark.sql.GraftBridge.sum128Long(col("_ur"), 4).as("_rev"))
         .orderBy(col("_rev").desc, col("o_orderkey")).limit(10)

@@ -11,6 +11,15 @@ import org.apache.spark.sql.SparkSession
   */
 object GraftSession {
 
+  /** Experiment conf overrides applied LAST by [[configure]]. Needed
+    * because configure() is not called once per session: query paths
+    * re-apply it defensively (e.g. Tables.events via SparkEntry), so an
+    * A/B override set only at session build (the old Bench knob) was
+    * silently reverted to the defaults by the first such call — the
+    * AQE on/off experiment measured on == on.
+    */
+  @volatile var experimentOverrides: Map[String, String] = Map.empty
+
   /** Apply engine configs onto an arbitrary (possibly driver-provided)
     * session. All of these are runtime-settable SQL confs.
     */
@@ -41,6 +50,7 @@ object GraftSession {
     // SQL access to the native expressions (graft_dot, ...) even on
     // sessions built without spark.sql.extensions=graft.GraftExtensions.
     org.apache.spark.sql.GraftBridge.registerGraftFunctions(spark)
+    experimentOverrides.foreach { case (k, v) => spark.conf.set(k, v) }
     spark
   }
 
