@@ -21,31 +21,54 @@ object Multimodal {
   case class MediaMeta(doc_id: Long, media_type: String, byte_len: Long,
                        width: Int, height: Int, n_frames: Int, sha: String)
 
-  /** STUB decoder: deterministic fake metadata derived from the payload
-    * bytes. Replace with a real codec (??? boundary) in deployment.
+  /** Decoded media dimensions — what a codec extracts from one payload. */
+  case class Decoded(width: Int, height: Int, nFrames: Int)
+
+  /** The codec boundary: a deployment swaps a real decoder (JNI,
+    * external process, ...) in as a constructor argument / DI binding
+    * WITHOUT touching the operator or the plan. Implementations are
+    * shipped to executors (Serializable) and [[MediaCodec.init]] runs
+    * once per partition, so per-codec setup (native lib load, process
+    * spawn) amortizes across the partition's rows exactly like a
+    * Pandas-UDF batch.
     */
-  def decodeStub(payload: Array[Byte], mediaType: String): (Int, Int, Int) = {
-    val n = payload.length
-    mediaType match {
-      case "image" => (320 + n % 320, 240 + n % 240, 1)
-      case "video" => (640, 360, 1 + n % 300)
-      case _       => (0, 0, 1 + n % 9000)
+  trait MediaCodec extends Serializable {
+    /** Once-per-partition setup hook; default no-op. */
+    def init(): Unit = ()
+    def decode(payload: Array[Byte], mediaType: String): Decoded
+  }
+
+  /** STUB decoder (default): deterministic fake metadata derived from
+    * the payload bytes — media libraries are not available in this
+    * environment, so the decode itself is the one declared stub in the
+    * engine; everything around it (schema, partition-preserving batch
+    * iteration, output shape) is real and tested.
+    */
+  object StubCodec extends MediaCodec {
+    def decode(payload: Array[Byte], mediaType: String): Decoded = {
+      val n = payload.length
+      mediaType match {
+        case "image" => Decoded(320 + n % 320, 240 + n % 240, 1)
+        case "video" => Decoded(640, 360, 1 + n % 300)
+        case _       => Decoded(0, 0, 1 + n % 9000)
+      }
     }
   }
 
   /** Batch feature extraction over binary payloads. Partition-preserving;
-    * no shuffle.
+    * no shuffle. The codec defaults to the [[StubCodec]] boundary.
     */
-  def extractMeta(media: Dataset[MediaRow]): Dataset[MediaMeta] = {
+  def extractMeta(media: Dataset[MediaRow],
+                  codec: MediaCodec = StubCodec): Dataset[MediaMeta] = {
     import media.sparkSession.implicits._
     media.mapPartitions { it =>
-      // per-partition codec init would happen here (amortized like a
-      // Pandas-UDF batch)
+      codec.init() // per-partition codec setup (amortized like a Pandas-UDF batch)
       val digest = java.security.MessageDigest.getInstance("SHA-256")
       it.map { r =>
-        val (w, h, f) = decodeStub(r.payload, r.media_type)
+        val d = codec.decode(r.payload, r.media_type)
         val sha = digest.digest(r.payload).map("%02x".format(_)).mkString
-        MediaMeta(r.doc_id, r.media_type, r.payload.length.toLong, w, h, f, sha)
+        MediaMeta(r.doc_id, r.media_type, r.payload.length.toLong,
+          d.width, d.height, d.nFrames, sha)
       }
     }
   }
