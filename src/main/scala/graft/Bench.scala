@@ -125,13 +125,15 @@ object Bench {
     })
     var timedFails = 0
     val planMetrics = scala.collection.mutable.LinkedHashMap[String, (Long, Long, Double)]()
-    // Two timed passes, per-query MIN: external load on a shared host
+    // Three timed passes, per-query MIN: external load on a shared host
     // inflates single-shot wall clock by 30-50% in spikes (measured:
-    // identical commits swing 19.4 <-> 26.9 s); best-of-2 is the standard
+    // identical commits swing 19.4 <-> 26.9 s); best-of-N is the standard
     // steady-state latency estimator and the per-query floor is what the
-    // number claims to measure. Failures are never masked: a query that
-    // throws in EITHER pass records the sentinel -1.
-    val TimedReps = 2
+    // number claims to measure. Three passes (a pass is ~6 s at sf0.1
+    // after the round-8 floor work) halve the odds that a load spike
+    // touches a query's every sample vs two. Failures are never masked:
+    // a query that throws in ANY pass records the sentinel -1.
+    val TimedReps = 3
     def timedPass(): Seq[(String, Double)] =
       SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
         org.apache.spark.sql.GraftBridge.drainListenerBus(spark)

@@ -322,9 +322,15 @@ object SparkEntry {
 
     // ---- J2: equi join + theta residual (vote-validity window shape)
     Q("j2_theta_residual",
-      // no spread on the probe side: with the int128 sum the join+agg is
-      // scan-bound and the broadcast probe parallelizes on file splits
-      (s, d) => Tables.orders(s, d)
+      // merge hint = the at-scale plan, pinned locally: at 100 TB orders
+      // is nowhere near broadcastable and the planner sort-merges this
+      // join anyway; locally the size-based planner would broadcast the
+      // 150k-row orders side instead, which fuses probe + partial agg
+      // into the single-row-group scan task and serializes the whole
+      // query (NOTES round 8). The shuffle join also co-partitions the
+      // groupBy(o_orderkey) with the join — no second exchange.
+      // Measured at sf0.1: 1.04 -> 0.45 s.
+      (s, d) => Tables.orders(s, d).hint("merge")
         .join(Tables.lineitem(s, d),
           col("l_orderkey") === col("o_orderkey") &&
             col("l_shipdate") <= col("o_orderdate") + expr("INTERVAL 60 DAYS"))
@@ -360,8 +366,16 @@ object SparkEntry {
 
     // ---- 3-way join + agg + top-k revenue
     Q("q3_top_revenue",
+      // customer (true dimension) broadcasts; the orders-side ⋈ lineitem
+      // join takes the merge hint for the same reason as j2: the filtered
+      // customer⋈orders side is SF-proportional (not broadcastable at
+      // scale), and the shuffle join's orderkey partitioning feeds the
+      // groupBy(o_orderkey, o_orderdate) with no extra exchange
+      // (HashPartitioning(okey) satisfies the superset clustering).
+      // Measured at sf0.1: 0.70 -> 0.39 s.
       (s, d) => Tables.customer(s, d).filter(col("c_mktsegment") === "BUILDING")
         .join(Tables.orders(s, d), col("c_custkey") === col("o_custkey"))
+        .hint("merge")
         .join(Tables.lineitem(s, d), col("o_orderkey") === col("l_orderkey"))
         // unscaled-long product, not Decimal.times — see q1's projection
         // comment (scale 2+2 -> 4, exact, overflow-safe per row)
