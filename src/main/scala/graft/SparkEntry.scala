@@ -1358,6 +1358,28 @@ object SparkEntry {
              |  FROM documents)
              |SELECT doc_id, source FROM r WHERE rk <= 3""".stripMargin)),
 
+    // ---- temperature-weighted mixture resampling (data-recipe
+    //      reweighting: share ∝ n^T, deterministic per-source downsample)
+    Q("sample_mixture_temperature",
+      (s, d) => operators.Sampling.mixtureResample(Tables.documents(s, d),
+        "source", "doc_id", temperature = 0.5, targetRows = 300, seed = "mix0")
+        .select(col("doc_id"), col("source")),
+      Some("""WITH c AS (
+             |  SELECT source, count(*) AS n FROM documents GROUP BY source),
+             |w AS (
+             |  SELECT source, n, pow(CAST(n AS DOUBLE), 0.5) AS w FROM c),
+             |q AS (
+             |  SELECT source,
+             |    LEAST(n, CAST(FLOOR(300 * CAST(round(w / (SELECT sum(w) FROM w), 9) AS DECIMAL(12,9))) AS BIGINT)) AS quota
+             |  FROM w),
+             |r AS (
+             |  SELECT doc_id, source,
+             |    row_number() OVER (PARTITION BY source
+             |      ORDER BY md5('mix0:' || CAST(doc_id AS VARCHAR)), doc_id) AS rk
+             |  FROM documents)
+             |SELECT r.doc_id, r.source FROM r JOIN q USING (source)
+             |WHERE rk <= quota""".stripMargin)),
+
     // ---- deterministic hash sampling (reproducible downsampling/splits)
     Q("sample_deterministic",
       (s, d) => operators.Sampling.deterministicSample(ev(s, d), "event_id", 1, 10)

@@ -90,6 +90,51 @@ object Sampling {
       .drop("_skey", "_rk")
   }
 
+  /** Temperature-weighted mixture resampling — the data-recipe
+    * reweighting step of corpus construction: source s with n_s rows
+    * gets target share ∝ n_s^T, so T=1 keeps the natural mixture, T=0
+    * forces uniform shares, and 0<T<1 upweights tail sources at the
+    * expense of the head (the standard multilingual/multi-domain
+    * re-balancing). Each source is then DOWNSAMPLED deterministically
+    * (seeded hash-rank, same stable md5 family as [[capPerGroup]]) to
+    * `min(n_s, floor(targetRows * share_s))` rows — never upsampled, so
+    * the result is a subset and Σ quotas <= targetRows by flooring.
+    *
+    * Reproducibility: the share is rounded to 9 decimal digits and the
+    * quota computed in exact decimal arithmetic, so the only
+    * engine-floating-point steps (pow, one divide) would have to differ
+    * by ~1e-7 relative before a quota moves — membership is recomputable
+    * by any engine (the oracle recomputes it in SQL).
+    *
+    * Scale shape: source counts are a dimension-sized aggregate whose
+    * quota frame broadcast-joins back; ranking is one shuffle on the
+    * source key with per-source bounded sorts (the head sources being
+    * ranked are exactly the ones being cut). No driver-side state.
+    */
+  def mixtureResample(df: DataFrame, strataCol: String, keyCol: String,
+                      temperature: Double, targetRows: Long, seed: String): DataFrame = {
+    require(temperature >= 0.0 && targetRows > 0)
+    val counts = df.groupBy(col(strataCol)).agg(count(lit(1)).as("_n"))
+    val weighted = counts.withColumn("_w",
+      pow(col("_n").cast("double"), lit(temperature)))
+    val quotas = weighted
+      .crossJoin(weighted.agg(sum(col("_w")).as("_wsum"))) // scalar broadcast
+      .withColumn("_share",
+        round(col("_w") / col("_wsum"), 9)
+          .cast(org.apache.spark.sql.types.DecimalType(12, 9)))
+      .withColumn("_quota",
+        least(col("_n"), floor(lit(targetRows) * col("_share")).cast("long")))
+      .select(col(strataCol), col("_quota"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(strataCol)).orderBy(col("_skey"), col(keyCol))
+    df.withColumn("_skey",
+        md5(concat(lit(seed), lit(":"), col(keyCol).cast("string"))))
+      .withColumn("_rk", row_number().over(w))
+      .join(broadcast(quotas), strataCol)
+      .filter(col("_rk") <= col("_quota"))
+      .drop("_skey", "_rk", "_quota")
+  }
+
   def trainOrder(df: DataFrame, keyCol: String, seed: String,
                  shards: Int): DataFrame = {
     require(shards > 0)

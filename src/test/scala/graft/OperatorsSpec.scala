@@ -376,6 +376,36 @@ class OperatorsSpec extends SparkSpec {
     assert(r3.toSet != r1.toSet)
   }
 
+  test("mixture resample: T=1 natural shares, T=0 uniform, T=0.5 upweights the tail, always a subset") {
+    val s = spark
+    import s.implicits._
+    // head-heavy corpus: 160 web, 30 book, 10 code
+    val d = ((0L until 160L).map(i => (i, "web")) ++
+      (160L until 190L).map(i => (i, "book")) ++
+      (190L until 200L).map(i => (i, "code"))).toDF("doc_id", "source")
+    def quotas(t: Double, target: Long) =
+      Sampling.mixtureResample(d, "source", "doc_id", t, target, "mx").collect()
+        .groupBy(_.getAs[String]("source")).view.mapValues(_.length).toMap
+    // T=1: floor(100 * n_s/200) — the natural mixture
+    assert(quotas(1.0, 100) === Map("web" -> 80, "book" -> 15, "code" -> 5))
+    // T=0: every source weighs 1 -> uniform thirds; the 9-digit share
+    // round makes 30 * 0.333333333 floor to 9, not 10 (Σ quotas <= target
+    // by construction, documented on the operator)
+    assert(quotas(0.0, 30) === Map("web" -> 9, "book" -> 9, "code" -> 9))
+    // T=0.5: tail share rises vs natural (sqrt weights), head falls
+    val q = quotas(0.5, 100)
+    assert(q("web") < 80 && q("code") > 5, s"$q")
+    // subset property: never upsample past a source's row count
+    val all = Sampling.mixtureResample(d, "source", "doc_id", 0.0, 10000, "mx")
+    assert(all.count() === 200)
+    // deterministic: same seed -> identical membership
+    val a = Sampling.mixtureResample(d, "source", "doc_id", 0.5, 100, "mx")
+      .collect().map(_.getAs[Long]("doc_id")).toSet
+    val b = Sampling.mixtureResample(d, "source", "doc_id", 0.5, 100, "mx")
+      .collect().map(_.getAs[Long]("doc_id")).toSet
+    assert(a === b)
+  }
+
   test("corpus mixture: per-stratum token shares and cumulative share") {
     val s = spark
     import s.implicits._

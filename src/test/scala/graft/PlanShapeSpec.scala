@@ -30,6 +30,33 @@ class PlanShapeSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))
   }
 
+  test("j2/q3: fact-side joins sort-merge (the at-scale plan), reusing the join partitioning for the agg") {
+    // pinned via merge hints: locally the size-based planner would
+    // broadcast the SF-proportional orders side, fusing probe + partial
+    // agg into the serial single-row-group scan task (NOTES round 8) —
+    // and at 100 TB that side never broadcasts anyway
+    Seq("j2_theta_residual", "q3_top_revenue").foreach { q =>
+      val p = plan(q)
+      assert(p.contains("SortMergeJoin"), s"$q lost its sort-merge join")
+      // the groupBy must ride the join's orderkey partitioning: exactly
+      // the two join-input exchanges, none between join and aggregate
+      assert("Exchange hashpartitioning".r.findAllIn(p).size <= 2,
+        s"$q re-shuffles between join and aggregation")
+    }
+  }
+
+  test("mixture resample: quota side broadcasts; ranking is the only data shuffle") {
+    val p = plan("sample_mixture_temperature")
+    assert(p.contains("BroadcastHashJoin"), "quota frame must broadcast")
+    // the only nested-loop join is the scalar _wsum broadcast (one-row
+    // aggregate side — the same benign pattern as TextAnalysis's scalar
+    // cross joins); a cartesian over data rows is still forbidden
+    assert(!p.contains("CartesianProduct"))
+    // the rank window shuffles on the source key, never a global window
+    assert(p.contains("hashpartitioning(source"),
+      "per-source rank window must partition by source")
+  }
+
   test("q1: aggregation is two-phase (partial + final)") {
     val p = plan("q1_pricing_summary")
     assert("HashAggregate".r.findAllIn(p).size >= 2)
