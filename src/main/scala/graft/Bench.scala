@@ -66,7 +66,7 @@ object Bench {
             val Array(k, v) = kv.split("=", 2)
             k -> v
           })
-    GraftSession.experimentOverrides = localPins ++ knobs
+    GraftSession.registerOverrides(spark, localPins ++ knobs)
     GraftSession.configure(spark)
     spark
   }

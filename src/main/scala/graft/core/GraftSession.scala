@@ -11,14 +11,26 @@ import org.apache.spark.sql.SparkSession
   */
 object GraftSession {
 
-  /** Experiment conf overrides applied LAST by [[configure]]. Needed
+  /** Per-session conf overrides applied LAST by [[configure]]. Needed
     * because configure() is not called once per session: query paths
     * re-apply it defensively (e.g. Tables.events via SparkEntry), so an
     * A/B override set only at session build (the old Bench knob) was
     * silently reverted to the defaults by the first such call — the
-    * AQE on/off experiment measured on == on.
+    * AQE on/off experiment measured on == on. Keyed BY SESSION (weak, so
+    * a torn-down session releases its entry): a process-global map would
+    * leak Bench's local-only pins (AQE off, 12 shuffle partitions) into
+    * every other session configured later in the same JVM — exactly the
+    * production path the pins must not touch.
     */
-  @volatile var experimentOverrides: Map[String, String] = Map.empty
+  private val sessionOverrides =
+    java.util.Collections.synchronizedMap(
+      new java.util.WeakHashMap[SparkSession, Map[String, String]]())
+
+  /** Register overrides for ONE session; configure() re-applies them on
+    * every call for that session and no other.
+    */
+  def registerOverrides(spark: SparkSession, overrides: Map[String, String]): Unit =
+    sessionOverrides.put(spark, overrides)
 
   /** Apply engine configs onto an arbitrary (possibly driver-provided)
     * session. All of these are runtime-settable SQL confs.
@@ -50,7 +62,8 @@ object GraftSession {
     // SQL access to the native expressions (graft_dot, ...) even on
     // sessions built without spark.sql.extensions=graft.GraftExtensions.
     org.apache.spark.sql.GraftBridge.registerGraftFunctions(spark)
-    experimentOverrides.foreach { case (k, v) => spark.conf.set(k, v) }
+    Option(sessionOverrides.get(spark))
+      .foreach(_.foreach { case (k, v) => spark.conf.set(k, v) })
     spark
   }
 

@@ -402,9 +402,9 @@ object Dedup {
   def loadNearDupIndex(spark: org.apache.spark.sql.SparkSession, dir: String,
                        cache: Boolean = true): NearDupIndex = {
     val params = spark.read.parquet(s"$dir/params")
+    val p = params.collect().head // one collect serves version probe + params
     val ver =
-      if (params.columns.contains("format_version"))
-        params.collect().head.getAs[Int]("format_version")
+      if (params.columns.contains("format_version")) p.getAs[Int]("format_version")
       else 1
     require(ver == NearDupIndexFormatVersion,
       s"near-dup index at $dir has format version $ver, this build reads " +
@@ -415,7 +415,6 @@ object Dedup {
         shingles.schema("shingle").dataType == org.apache.spark.sql.types.LongType,
       s"near-dup index at $dir has shingles schema ${shingles.schema.simpleString}, " +
         s"expected (doc, n, shingle:long) — rebuild the index")
-    val p = params.collect().head
     def keep(df: DataFrame): DataFrame = if (cache) df.persist() else df
     new NearDupIndex(
       keep(shingles),

@@ -7,8 +7,9 @@ import org.apache.spark.sql.functions._
   * `binary` columns with typed metadata alongside. The Spark-side contract —
   * schema, partition-preserving batch iteration, output shape — is real;
   * the actual codec call is STUBBED (media libraries are not available in
-  * this environment) behind `decodeStub`, which a deployment replaces with
-  * a JNI/external-process decoder without touching the plan.
+  * this environment) behind the [[Multimodal.MediaCodec]] trait, whose
+  * default [[Multimodal.StubCodec]] instance a deployment replaces with a
+  * JNI/external-process decoder without touching the plan.
   *
   * Scale notes: decode runs per-partition (`mapPartitions`), so codec
   * initialization amortizes across a partition's rows exactly like a Pandas

@@ -113,7 +113,11 @@ object Sampling {
     */
   def mixtureResample(df: DataFrame, strataCol: String, keyCol: String,
                       temperature: Double, targetRows: Long, seed: String): DataFrame = {
-    require(temperature >= 0.0 && targetRows > 0)
+    // T <= 10 keeps pow(n, T) finite for any long-sized count
+    // (10 * log10(9.2e18) ≈ 190 << 308): past that, a head source's
+    // weight overflows to Infinity, shares go NaN/0, and the operator
+    // would silently return an empty frame instead of failing here
+    require(temperature >= 0.0 && temperature <= 10.0 && targetRows > 0)
     val counts = df.groupBy(col(strataCol)).agg(count(lit(1)).as("_n"))
     val weighted = counts.withColumn("_w",
       pow(col("_n").cast("double"), lit(temperature)))
