@@ -360,4 +360,40 @@ class PropertySpec extends SparkSpec {
       assert(natTf === refTf, s"seed=$seed")
     }
   }
+
+  test("mixture resample invariants on random corpora: subset, quota law, determinism") {
+    val s = spark
+    import s.implicits._
+    import org.apache.spark.sql.functions._
+    for (seed <- Seq(5L, 77L, 1234L)) {
+      val rnd = new scala.util.Random(seed)
+      val nSources = 2 + rnd.nextInt(5)
+      val rows = (0 until nSources).flatMap { si =>
+        val n = 1 + rnd.nextInt(120)
+        (0 until n).map(i => (si * 10000L + i, s"src$si"))
+      }
+      val df = rows.toDF("doc_id", "source")
+      val counts = rows.groupBy(_._2).view.mapValues(_.size.toLong).toMap
+      val t = rnd.nextDouble() * 2.0
+      val target = 1L + rnd.nextInt(300)
+      val picked = operators.Sampling
+        .mixtureResample(df, "source", "doc_id", t, target, s"p$seed")
+        .collect().map(r => (r.getAs[Long]("doc_id"), r.getAs[String]("source")))
+      // subset of the input, no duplicates
+      assert(picked.map(_._1).distinct.length === picked.length, s"seed=$seed")
+      assert(picked.map(_._1).toSet.subsetOf(rows.map(_._1).toSet), s"seed=$seed")
+      // per-source quota law: exactly min(n_s, floor(target * share9)),
+      // recomputed independently here with the same rounding contract
+      val w = counts.view.mapValues(n => math.pow(n.toDouble, t)).toMap
+      val wsum = w.values.sum
+      val bySource = picked.groupBy(_._2).view.mapValues(_.length.toLong).toMap
+      counts.foreach { case (src, n) =>
+        val share9 = BigDecimal(w(src) / wsum).setScale(9, BigDecimal.RoundingMode.HALF_UP)
+        val quota = math.min(n, (BigDecimal(target) * share9).setScale(0, BigDecimal.RoundingMode.FLOOR).toLong)
+        assert(bySource.getOrElse(src, 0L) === quota, s"seed=$seed src=$src t=$t target=$target")
+      }
+      // Σ picked <= target (floor law)
+      assert(picked.length <= target, s"seed=$seed")
+    }
+  }
 }

@@ -134,6 +134,35 @@ class StreamingSpec extends SparkSpec {
     assert(cursor.exists { case (batchId, block) => batchId == 2 && block == 290 })
   }
 
+  test("ingest floor: measured blocks/s on real chain-shaped ops at the reference chunk size") {
+    // BASELINE.md (a): live mode needs >= 0.33 blocks/s/plug with
+    // <= 100-block micro-batches. Measure an actual rate on the sf0.01
+    // synthesized op-log (1000 blocks, ten ops/block — the chain-density
+    // shape) through the full polls pipeline: parse -> state machine ->
+    // idempotent sinks -> check-in, in the reference's own 100-block
+    // chunks. This turns the floor from "trivially cleared" into a
+    // number; the margin asserted is 30x so host noise cannot flake it.
+    val out = tmp()
+    val ops = graft.core.EventOpLog
+      .fromEvents(graft.core.Tables.events(spark, "/root/testdata/sf0.01"))
+      .filter(col("block_num") < 1000)
+      .persist()
+    ops.count() // materialize: time the pipeline, not the synthesizer
+    val runner = graft.streaming.PollsStreaming.runner(out)
+    val t0 = System.nanoTime()
+    val chunks = runner.backfill(ops, 0, 999, chunk = 100)
+    val secs = (System.nanoTime() - t0) / 1e9
+    val rate = 1000.0 / secs
+    info(f"polls ingest: 1000 blocks in $secs%.1f s = $rate%.1f blocks/s ($chunks%d chunks of 100)")
+    assert(chunks === 10)
+    assert(rate >= 10.0, f"measured $rate%.1f blocks/s — floor is 0.33, margin gone")
+    // the pipeline actually ingested: state + cursor advanced to the end
+    assert(runner.table(spark, "content").count() > 0)
+    assert(graft.streaming.PlugState.latest(spark, out, "polls")
+      .exists { case (_, block) => block >= 990 })
+    ops.unpersist()
+  }
+
   test("backfill then stream: batch ids and blocks don't collide or re-ingest") {
     val src = tmp(); val out = tmp(); val ckpt = tmp()
     writeBatch(src, 1, (0 until 10).map { i =>
