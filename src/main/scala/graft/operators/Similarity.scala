@@ -168,6 +168,26 @@ object Similarity {
         .coalesce(1).write.mode("overwrite").parquet(s"$dir/centroids")
     }
 
+    /** Assign a batch of NEW vectors to the existing centroids — the
+      * production epoch lifecycle: centroids retrain rarely (a drifted
+      * mixture is a rebuild), while arrivals are assigned map-side and
+      * appended. A pure projection per row (argmax over nCells scores),
+      * no shuffle, no k-means job.
+      */
+    def assign(batch: DataFrame): DataFrame =
+      spread(batch).select(col(idCol).as("neighbor_id"), asDouble(col(vecCol)).as("_cv"))
+        .withColumn("cell",
+          array_max(cellScores(col("_cv"))).getField("cell"))
+
+    /** Append a new batch to a SAVED index directory: assignment rides
+      * the existing centroids and the rows land in their cell partitions
+      * (dynamic append — untouched cells' files are not rewritten).
+      * `loadIvf` then serves the union; probing all cells remains exact
+      * brute force over old + new (pinned by spec).
+      */
+    def appendTo(dir: String, batch: DataFrame): Unit =
+      assign(batch).write.mode("append").partitionBy("cell").parquet(s"$dir/cells")
+
     def topK(probes: DataFrame, k: Int, nProbe: Int = 4): DataFrame = {
       val p = probes.select(col(idCol).as("probe_id"), asDouble(col(vecCol)).as("_pv"))
         .withColumn("cell",

@@ -648,6 +648,27 @@ class OperatorsSpec extends SparkSpec {
     assert(results(loaded) === results(idx))
   }
 
+  test("IVF append: new vectors assign to existing centroids; full probe stays exact over the union") {
+    val emb = graft.core.Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val old = emb.filter(col("vec_id") < 250)
+    val fresh = emb.filter(col("vec_id") >= 250)
+    val idx = Similarity.buildIvf(old, nCells = 8, cache = false)
+    val dir = java.nio.file.Files.createTempDirectory("graft-ivf-app").toString
+    idx.save(dir)
+    idx.appendTo(dir, fresh)
+    val loaded = Similarity.loadIvf(spark, dir, cache = false)
+    // the appended rows live in their assigned cell partitions
+    assert(loaded.cells.count() === emb.count())
+    // probing every cell is brute force over old + new, regardless of
+    // how the assignment spread the batch
+    val probes = emb.filter(col("vec_id") < 5)
+    def pairs(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getAs[Long]("probe_id"), r.getAs[Int]("rank")) -> r.getAs[Long]("neighbor_id")).toMap
+    val exact = pairs(Similarity.bruteForceTopK(emb, probes, 3))
+    val viaIndex = pairs(loaded.topK(probes, 3, nProbe = 8))
+    assert(viaIndex === exact)
+  }
+
   test("native dot product expression matches the builtin HOF formulation bitwise") {
     val emb = graft.core.Tables.embeddings(spark, "/root/testdata/sf0.001")
       .select(col("vec_id"), transform(col("embedding"), x => x.cast("double")).as("e"))
