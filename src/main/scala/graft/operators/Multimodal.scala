@@ -6,10 +6,13 @@ import org.apache.spark.sql.functions._
 /** Multimodal column plumbing: image/audio/video payloads travel as opaque
   * `binary` columns with typed metadata alongside. The Spark-side contract —
   * schema, partition-preserving batch iteration, output shape — is real;
-  * the actual codec call is STUBBED (media libraries are not available in
-  * this environment) behind the [[Multimodal.MediaCodec]] trait, whose
-  * default [[Multimodal.StubCodec]] instance a deployment replaces with a
-  * JNI/external-process decoder without touching the plan.
+  * decode goes through the [[Multimodal.MediaCodec]] trait. The default
+  * [[Multimodal.HeaderCodec]] REALLY decodes image dimensions (PNG/GIF/
+  * JPEG headers, pure JVM byte reads) and falls back to the deterministic
+  * [[Multimodal.StubCodec]] for audio/video and unrecognized payloads
+  * (full media libraries are not available in this environment); a
+  * deployment swaps in a JNI/external-process decoder through the same
+  * trait without touching the plan.
   *
   * Scale notes: decode runs per-partition (`mapPartitions`), so codec
   * initialization amortizes across a partition's rows exactly like a Pandas
@@ -56,11 +59,63 @@ object Multimodal {
     }
   }
 
+  /** Real image-header decode in pure JVM byte reads — no media
+    * libraries: PNG (IHDR), GIF (logical screen descriptor) and JPEG
+    * (SOF0-SOF15 scan) carry width/height in their headers, so "decode"
+    * for the metadata contract needs no codec library at all. Payloads
+    * that are not a recognized image format (including every audio/video
+    * payload, and the synthetic text-byte fixtures) fall back to
+    * [[StubCodec]]'s deterministic fake — which keeps this safe as the
+    * DEFAULT codec: the stubbed families behave exactly as before, real
+    * images get real dimensions.
+    */
+  object HeaderCodec extends MediaCodec {
+    private def u16be(b: Array[Byte], i: Int): Int =
+      ((b(i) & 0xFF) << 8) | (b(i + 1) & 0xFF)
+    private def u16le(b: Array[Byte], i: Int): Int =
+      ((b(i + 1) & 0xFF) << 8) | (b(i) & 0xFF)
+    private def u32be(b: Array[Byte], i: Int): Int =
+      ((b(i) & 0xFF) << 24) | ((b(i + 1) & 0xFF) << 16) |
+        ((b(i + 2) & 0xFF) << 8) | (b(i + 3) & 0xFF)
+
+    /** (width, height) if the payload is a recognizable PNG/GIF/JPEG. */
+    private[operators] def imageDims(b: Array[Byte]): Option[(Int, Int)] = {
+      // PNG: 8-byte signature, IHDR chunk fixed at offset 8 (len+type),
+      // width/height big-endian at 16/20
+      if (b.length >= 24 && (b(0) & 0xFF) == 0x89 && b(1) == 'P' && b(2) == 'N' &&
+          b(3) == 'G' && b(12) == 'I' && b(13) == 'H' && b(14) == 'D' && b(15) == 'R')
+        Some((u32be(b, 16), u32be(b, 20)))
+      // GIF87a/GIF89a: logical screen w/h little-endian at 6/8
+      else if (b.length >= 10 && b(0) == 'G' && b(1) == 'I' && b(2) == 'F' &&
+          b(3) == '8' && (b(4) == '7' || b(4) == '9') && b(5) == 'a')
+        Some((u16le(b, 6), u16le(b, 8)))
+      // JPEG: SOI then marker scan for a start-of-frame (C0-CF minus the
+      // non-frame C4/C8/CC); height/width big-endian at +5/+7 from marker
+      else if (b.length >= 4 && (b(0) & 0xFF) == 0xFF && (b(1) & 0xFF) == 0xD8) {
+        var i = 2
+        while (i + 9 <= b.length && (b(i) & 0xFF) == 0xFF) {
+          val m = b(i + 1) & 0xFF
+          if (m >= 0xC0 && m <= 0xCF && m != 0xC4 && m != 0xC8 && m != 0xCC)
+            return Some((u16be(b, i + 7), u16be(b, i + 5)))
+          i += 2 + (if (m == 0xD8 || (m >= 0xD0 && m <= 0xD9)) 0 else u16be(b, i + 2))
+        }
+        None
+      } else None
+    }
+
+    def decode(payload: Array[Byte], mediaType: String): Decoded =
+      if (mediaType == "image")
+        imageDims(payload).map { case (w, h) => Decoded(w, h, 1) }
+          .getOrElse(StubCodec.decode(payload, mediaType))
+      else StubCodec.decode(payload, mediaType)
+  }
+
   /** Batch feature extraction over binary payloads. Partition-preserving;
-    * no shuffle. The codec defaults to the [[StubCodec]] boundary.
+    * no shuffle. The codec defaults to [[HeaderCodec]]: real header
+    * decode for images, the deterministic stub for everything else.
     */
   def extractMeta(media: Dataset[MediaRow],
-                  codec: MediaCodec = StubCodec): Dataset[MediaMeta] = {
+                  codec: MediaCodec = HeaderCodec): Dataset[MediaMeta] = {
     import media.sparkSession.implicits._
     media.mapPartitions { it =>
       codec.init() // per-partition codec setup (amortized like a Pandas-UDF batch)

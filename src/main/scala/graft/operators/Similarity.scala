@@ -184,6 +184,12 @@ object Similarity {
       * (dynamic append — untouched cells' files are not rewritten).
       * `loadIvf` then serves the union; probing all cells remains exact
       * brute force over old + new (pinned by spec).
+      *
+      * NOT replay-idempotent: appending the same batch twice duplicates
+      * its rows (and its ids in query results). A pipeline that can
+      * replay batches must route appends through an idempotent sink
+      * (e.g. [[graft.streaming.PlugRunner]]'s batch-id partition
+      * overwrite) or dedup on id at query time.
       */
     def appendTo(dir: String, batch: DataFrame): Unit =
       assign(batch).write.mode("append").partitionBy("cell").parquet(s"$dir/cells")

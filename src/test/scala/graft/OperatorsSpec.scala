@@ -770,6 +770,44 @@ class OperatorsSpec extends SparkSpec {
     assert(frames.count() > 0)
   }
 
+  test("multimodal: HeaderCodec reads real PNG/GIF/JPEG dimensions, stubs everything else") {
+    val s = spark
+    import s.implicits._
+    def png(w: Int, h: Int): Array[Byte] = {
+      val b = java.nio.ByteBuffer.allocate(24)
+      b.put(Array(0x89, 'P', 'N', 'G', 0x0D, 0x0A, 0x1A, 0x0A).map(_.toByte))
+      b.putInt(13).put("IHDR".getBytes).putInt(w).putInt(h)
+      b.array()
+    }
+    def gif(w: Int, h: Int): Array[Byte] =
+      "GIF89a".getBytes ++ Array((w & 0xFF).toByte, (w >> 8).toByte,
+        (h & 0xFF).toByte, (h >> 8).toByte)
+    def jpeg(w: Int, h: Int): Array[Byte] = {
+      val b = java.nio.ByteBuffer.allocate(30)
+      b.put(Array(0xFF, 0xD8).map(_.toByte))                    // SOI
+      b.put(Array(0xFF, 0xFE).map(_.toByte)).putShort(4).putShort(0) // COM skipped by scan
+      b.put(Array(0xFF, 0xC0).map(_.toByte)).putShort(17)       // SOF0
+      b.put(8.toByte).putShort(h.toShort).putShort(w.toShort)
+      b.array()
+    }
+    val media = Seq(
+      Multimodal.MediaRow(1L, "image", png(640, 480)),
+      Multimodal.MediaRow(2L, "image", gif(320, 200)),
+      Multimodal.MediaRow(3L, "image", jpeg(1920, 1080)),
+      Multimodal.MediaRow(4L, "image", "not an image".getBytes), // -> stub
+      Multimodal.MediaRow(5L, "audio", png(9, 9))                // non-image -> stub
+    ).toDS()
+    val meta = Multimodal.extractMeta(media).collect()
+      .map(m => m.doc_id -> ((m.width, m.height, m.n_frames))).toMap
+    assert(meta(1L) === ((640, 480, 1)))
+    assert(meta(2L) === ((320, 200, 1)))
+    assert(meta(3L) === ((1920, 1080, 1)))
+    val stub4 = Multimodal.StubCodec.decode("not an image".getBytes, "image")
+    assert(meta(4L) === ((stub4.width, stub4.height, stub4.nFrames)))
+    val stub5 = Multimodal.StubCodec.decode(png(9, 9), "audio")
+    assert(meta(5L) === ((stub5.width, stub5.height, stub5.nFrames)))
+  }
+
   test("multimodal: a second codec swaps in through the MediaCodec trait, not an operator edit") {
     // a "real" decoder stand-in with per-partition init — the deployment
     // shape for a JNI/external-process codec
