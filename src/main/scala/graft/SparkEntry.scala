@@ -1585,14 +1585,18 @@ object SparkEntry {
              |  AND CAST(json_extract_string(props,'$.k') AS INTEGER) % 5 <> 0
              |GROUP BY 1""".stripMargin)),
 
-    // ---- multimodal plumbing (stubbed decode; mapPartitions batch shape).
-    // The stub's metadata is deterministic arithmetic over the payload
-    // bytes, so even the stubbed pipeline is fully oracle-checked — a
-    // real codec swaps in behind the same verified plumbing.
+    // ---- multimodal plumbing (mapPartitions batch shape). The gates pin
+    // StubCodec EXPLICITLY: its metadata is deterministic arithmetic over
+    // the payload bytes that the DuckDB oracle replicates, so the whole
+    // pipeline is oracle-checked. The production default (HeaderCodec)
+    // really parses image headers — and a document whose text happens to
+    // start with an ASCII magic like "GIF89a" would then legitimately
+    // decode as an image, which an arithmetic oracle cannot express;
+    // pinning the codec keeps the gate deterministic on ANY corpus.
     Q("multimodal_meta",
       (s, d) => {
         val media = Multimodal.fromDocuments(s, Tables.documents(s, d))
-        Multimodal.extractMeta(media).toDF()
+        Multimodal.extractMeta(media, Multimodal.StubCodec).toDF()
       },
       Some("""WITH m AS (
              |  SELECT doc_id,
@@ -1620,11 +1624,13 @@ object SparkEntry {
              |       CAST(count(*) AS BIGINT) AS dup_count
              |FROM documents GROUP BY 1""".stripMargin)),
 
-    // frame-sampling fanout over the (stubbed) decoded video metadata
+    // frame-sampling fanout over the decoded video metadata (StubCodec
+    // pinned for the oracle — see multimodal_meta)
     Q("multimodal_frames",
       (s, d) => {
         val media = Multimodal.fromDocuments(s, Tables.documents(s, d))
-        Multimodal.sampleFrames(Multimodal.extractMeta(media).toDF(), every = 30)
+        Multimodal.sampleFrames(
+          Multimodal.extractMeta(media, Multimodal.StubCodec).toDF(), every = 30)
       },
       Some("""WITH m AS (
              |  SELECT doc_id,

@@ -42,11 +42,13 @@ object Multimodal {
     def decode(payload: Array[Byte], mediaType: String): Decoded
   }
 
-  /** STUB decoder (default): deterministic fake metadata derived from
-    * the payload bytes — media libraries are not available in this
-    * environment, so the decode itself is the one declared stub in the
-    * engine; everything around it (schema, partition-preserving batch
-    * iteration, output shape) is real and tested.
+  /** STUB decoder: deterministic fake metadata derived from the payload
+    * bytes — [[HeaderCodec]]'s fallback for non-image / unrecognized
+    * payloads (full media libraries are not available in this
+    * environment), and the explicit codec of the oracle-gated queries,
+    * whose DuckDB oracle replicates exactly this arithmetic. Everything
+    * around it (schema, partition-preserving batch iteration, output
+    * shape) is real and tested.
     */
   object StubCodec extends MediaCodec {
     def decode(payload: Array[Byte], mediaType: String): Decoded = {
@@ -78,26 +80,38 @@ object Multimodal {
       ((b(i) & 0xFF) << 24) | ((b(i + 1) & 0xFF) << 16) |
         ((b(i + 2) & 0xFF) << 8) | (b(i + 3) & 0xFF)
 
+    /** Positive-dimension guard: a structurally-valid-looking header
+      * with zero or sign-bit-set dimensions (malformed per every spec,
+      * trivially present in crawled bytes) must fall back to the stub,
+      * never emit negative/zero metadata.
+      */
+    private def validated(w: Int, h: Int): Option[(Int, Int)] =
+      if (w > 0 && h > 0) Some((w, h)) else None
+
     /** (width, height) if the payload is a recognizable PNG/GIF/JPEG. */
     private[operators] def imageDims(b: Array[Byte]): Option[(Int, Int)] = {
       // PNG: 8-byte signature, IHDR chunk fixed at offset 8 (len+type),
       // width/height big-endian at 16/20
       if (b.length >= 24 && (b(0) & 0xFF) == 0x89 && b(1) == 'P' && b(2) == 'N' &&
           b(3) == 'G' && b(12) == 'I' && b(13) == 'H' && b(14) == 'D' && b(15) == 'R')
-        Some((u32be(b, 16), u32be(b, 20)))
+        validated(u32be(b, 16), u32be(b, 20))
       // GIF87a/GIF89a: logical screen w/h little-endian at 6/8
       else if (b.length >= 10 && b(0) == 'G' && b(1) == 'I' && b(2) == 'F' &&
           b(3) == '8' && (b(4) == '7' || b(4) == '9') && b(5) == 'a')
-        Some((u16le(b, 6), u16le(b, 8)))
+        validated(u16le(b, 6), u16le(b, 8))
       // JPEG: SOI then marker scan for a start-of-frame (C0-CF minus the
       // non-frame C4/C8/CC); height/width big-endian at +5/+7 from marker
       else if (b.length >= 4 && (b(0) & 0xFF) == 0xFF && (b(1) & 0xFF) == 0xD8) {
         var i = 2
-        while (i + 9 <= b.length && (b(i) & 0xFF) == 0xFF) {
+        while (i + 1 < b.length && (b(i) & 0xFF) == 0xFF) {
           val m = b(i + 1) & 0xFF
-          if (m >= 0xC0 && m <= 0xCF && m != 0xC4 && m != 0xC8 && m != 0xCC)
-            return Some((u16be(b, i + 7), u16be(b, i + 5)))
-          i += 2 + (if (m == 0xD8 || (m >= 0xD0 && m <= 0xD9)) 0 else u16be(b, i + 2))
+          if (m == 0xFF) i += 1 // fill byte (spec-legal padding) — not a marker
+          else if (m == 0x01 || (m >= 0xD0 && m <= 0xD9)) i += 2 // TEM/RST/SOI/EOI: length-less
+          else if (m >= 0xC0 && m <= 0xCF && m != 0xC4 && m != 0xC8 && m != 0xCC)
+            return if (i + 9 <= b.length) validated(u16be(b, i + 7), u16be(b, i + 5))
+                   else None
+          else if (i + 4 <= b.length) i += 2 + u16be(b, i + 2)
+          else return None
         }
         None
       } else None

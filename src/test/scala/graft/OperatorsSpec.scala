@@ -790,12 +790,19 @@ class OperatorsSpec extends SparkSpec {
       b.put(8.toByte).putShort(h.toShort).putShort(w.toShort)
       b.array()
     }
+    // spec-legal 0xFF fill padding before the SOF marker must be skipped
+    val jpegFill = jpeg(800, 600).patch(2, Array(0xFF.toByte, 0xFF.toByte), 0)
+    // valid PNG signature but sign-bit width: malformed -> stub fallback
+    val pngBad = png(640, 480).patch(16,
+      Array(0xFF, 0xFF, 0xFF, 0xFF).map(_.toByte), 4)
     val media = Seq(
       Multimodal.MediaRow(1L, "image", png(640, 480)),
       Multimodal.MediaRow(2L, "image", gif(320, 200)),
       Multimodal.MediaRow(3L, "image", jpeg(1920, 1080)),
       Multimodal.MediaRow(4L, "image", "not an image".getBytes), // -> stub
-      Multimodal.MediaRow(5L, "audio", png(9, 9))                // non-image -> stub
+      Multimodal.MediaRow(5L, "audio", png(9, 9)),               // non-image -> stub
+      Multimodal.MediaRow(6L, "image", jpegFill),
+      Multimodal.MediaRow(7L, "image", pngBad)                   // malformed -> stub
     ).toDS()
     val meta = Multimodal.extractMeta(media).collect()
       .map(m => m.doc_id -> ((m.width, m.height, m.n_frames))).toMap
@@ -806,6 +813,9 @@ class OperatorsSpec extends SparkSpec {
     assert(meta(4L) === ((stub4.width, stub4.height, stub4.nFrames)))
     val stub5 = Multimodal.StubCodec.decode(png(9, 9), "audio")
     assert(meta(5L) === ((stub5.width, stub5.height, stub5.nFrames)))
+    assert(meta(6L) === ((800, 600, 1)), "fill bytes before SOF must be skipped")
+    val stub7 = Multimodal.StubCodec.decode(pngBad, "image")
+    assert(meta(7L) === ((stub7.width, stub7.height, stub7.nFrames)))
   }
 
   test("multimodal: a second codec swaps in through the MediaCodec trait, not an operator edit") {
