@@ -63,6 +63,7 @@ object Bench {
       sys.env.get("SPARK_GRAFT_AQE").map("spark.sql.adaptive.enabled" -> _).toMap ++
         sys.env.get("SPARK_GRAFT_CONF").toSeq.flatMap(_.split(";").filter(_.nonEmpty)
           .map { kv =>
+            require(kv.contains("="), s"bad SPARK_GRAFT_CONF entry (want k=v): $kv")
             val Array(k, v) = kv.split("=", 2)
             k -> v
           })

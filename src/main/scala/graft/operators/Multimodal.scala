@@ -8,8 +8,9 @@ import org.apache.spark.sql.functions._
   * schema, partition-preserving batch iteration, output shape — is real;
   * decode goes through the [[Multimodal.MediaCodec]] trait. The default
   * [[Multimodal.HeaderCodec]] REALLY decodes image dimensions (PNG/GIF/
-  * JPEG headers, pure JVM byte reads) and falls back to the deterministic
-  * [[Multimodal.StubCodec]] for audio/video and unrecognized payloads
+  * JPEG headers) and WAV audio duration/sample-rate (RIFF chunks), all
+  * pure JVM byte reads, and falls back to the deterministic
+  * [[Multimodal.StubCodec]] for video and unrecognized payloads
   * (full media libraries are not available in this environment); a
   * deployment swaps in a JNI/external-process decoder through the same
   * trait without touching the plan.
@@ -25,8 +26,13 @@ object Multimodal {
   case class MediaMeta(doc_id: Long, media_type: String, byte_len: Long,
                        width: Int, height: Int, n_frames: Int, sha: String)
 
-  /** Decoded media dimensions — what a codec extracts from one payload. */
-  case class Decoded(width: Int, height: Int, nFrames: Int)
+  /** Decoded media dimensions — what a codec extracts from one payload.
+    * For audio, `nFrames` counts sample frames, `sampleRate` is Hz and
+    * `durationMs` = nFrames * 1000 / sampleRate; both default to 0 for
+    * visual media so image-only codecs ignore them.
+    */
+  case class Decoded(width: Int, height: Int, nFrames: Int,
+                     sampleRate: Int = 0, durationMs: Long = 0L)
 
   /** The codec boundary: a deployment swaps a real decoder (JNI,
     * external process, ...) in as a constructor argument / DI binding
@@ -61,15 +67,15 @@ object Multimodal {
     }
   }
 
-  /** Real image-header decode in pure JVM byte reads — no media
+  /** Real media-header decode in pure JVM byte reads — no media
     * libraries: PNG (IHDR), GIF (logical screen descriptor) and JPEG
-    * (SOF0-SOF15 scan) carry width/height in their headers, so "decode"
-    * for the metadata contract needs no codec library at all. Payloads
-    * that are not a recognized image format (including every audio/video
-    * payload, and the synthetic text-byte fixtures) fall back to
-    * [[StubCodec]]'s deterministic fake — which keeps this safe as the
-    * DEFAULT codec: the stubbed families behave exactly as before, real
-    * images get real dimensions.
+    * (SOF0-SOF15 scan) carry width/height in their headers, and WAV
+    * (RIFF fmt/data chunks) carries sample rate + frame count, so
+    * "decode" for the metadata contract needs no codec library at all.
+    * Payloads that are not a recognized format (video, and the synthetic
+    * text-byte fixtures) fall back to [[StubCodec]]'s deterministic
+    * fake — which keeps this safe as the DEFAULT codec: the stubbed
+    * families behave exactly as before, real headers get real metadata.
     */
   object HeaderCodec extends MediaCodec {
     private def u16be(b: Array[Byte], i: Int): Int =
@@ -79,6 +85,9 @@ object Multimodal {
     private def u32be(b: Array[Byte], i: Int): Int =
       ((b(i) & 0xFF) << 24) | ((b(i + 1) & 0xFF) << 16) |
         ((b(i + 2) & 0xFF) << 8) | (b(i + 3) & 0xFF)
+    private def u32le(b: Array[Byte], i: Int): Long =
+      (((b(i + 3) & 0xFF) << 24) | ((b(i + 2) & 0xFF) << 16) |
+        ((b(i + 1) & 0xFF) << 8) | (b(i) & 0xFF)) & 0xFFFFFFFFL
 
     /** Positive-dimension guard: a structurally-valid-looking header
       * with zero or sign-bit-set dimensions (malformed per every spec,
@@ -106,6 +115,8 @@ object Multimodal {
         while (i + 1 < b.length && (b(i) & 0xFF) == 0xFF) {
           val m = b(i + 1) & 0xFF
           if (m == 0xFF) i += 1 // fill byte (spec-legal padding) — not a marker
+          else if (m == 0x00) return None // byte-stuffed 0xFF00: we're inside entropy-coded data
+          else if (m == 0xDA) return None // SOS with no prior SOF: stop before entropy-coded data
           else if (m == 0x01 || (m >= 0xD0 && m <= 0xD9)) i += 2 // TEM/RST/SOI/EOI: length-less
           else if (m >= 0xC0 && m <= 0xCF && m != 0xC4 && m != 0xC8 && m != 0xCC)
             return if (i + 9 <= b.length) validated(u16be(b, i + 7), u16be(b, i + 5))
@@ -117,10 +128,44 @@ object Multimodal {
       } else None
     }
 
+    /** (sampleRate, sampleFrames) if the payload is a RIFF/WAVE file.
+      * Same pure-JVM header-read trick as the image branches: the fmt
+      * chunk carries sample rate + block align, the data chunk's declared
+      * size divided by block align is the sample-frame count (duration =
+      * frames / rate). Chunk walk honors the RIFF word-alignment pad byte
+      * and bails on any size that walks past the buffer arithmetic.
+      */
+    private[operators] def wavMeta(b: Array[Byte]): Option[(Int, Long)] = {
+      if (b.length < 12 || b(0) != 'R' || b(1) != 'I' || b(2) != 'F' ||
+          b(3) != 'F' || b(8) != 'W' || b(9) != 'A' || b(10) != 'V' || b(11) != 'E')
+        return None
+      var i = 12L
+      var sampleRate = 0; var blockAlign = 0; var dataLen = -1L
+      while (i + 8 <= b.length && (sampleRate == 0 || dataLen < 0)) {
+        val p = i.toInt
+        val sz = u32le(b, p + 4)
+        if (b(p) == 'f' && b(p + 1) == 'm' && b(p + 2) == 't' && b(p + 3) == ' ') {
+          if (sz < 16 || p + 24 > b.length) return None
+          sampleRate = u32le(b, p + 12).toInt // fmt data +4
+          blockAlign = u16le(b, p + 20)       // fmt data +12
+        } else if (b(p) == 'd' && b(p + 1) == 'a' && b(p + 2) == 't' && b(p + 3) == 'a')
+          dataLen = sz // declared size: header-only fixtures may truncate the bytes
+        i += 8 + sz + (sz & 1) // chunks are word-aligned
+      }
+      if (sampleRate > 0 && blockAlign > 0 && dataLen >= 0)
+        Some((sampleRate, dataLen / blockAlign))
+      else None
+    }
+
     def decode(payload: Array[Byte], mediaType: String): Decoded =
       if (mediaType == "image")
         imageDims(payload).map { case (w, h) => Decoded(w, h, 1) }
           .getOrElse(StubCodec.decode(payload, mediaType))
+      else if (mediaType == "audio")
+        wavMeta(payload).map { case (rate, frames) =>
+          Decoded(0, 0, math.min(frames, Int.MaxValue).toInt,
+            sampleRate = rate, durationMs = frames * 1000L / rate)
+        }.getOrElse(StubCodec.decode(payload, mediaType))
       else StubCodec.decode(payload, mediaType)
   }
 

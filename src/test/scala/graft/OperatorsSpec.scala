@@ -818,6 +818,64 @@ class OperatorsSpec extends SparkSpec {
     assert(meta(7L) === ((stub7.width, stub7.height, stub7.nFrames)))
   }
 
+  test("multimodal: JPEG scan stops at SOS and never reads entropy-coded bytes as markers") {
+    // Malformed-but-plausible crawl payload: SOI, then SOS with no prior
+    // SOF, then entropy-coded data containing a byte-stuffed 0xFF00 and a
+    // coincidental 0xFF 0xC0 pair. The scan must bail at SOS (or at the
+    // stuffed 0xFF00), not misread the entropy data as a SOF segment.
+    val b = java.nio.ByteBuffer.allocate(32)
+    b.put(Array(0xFF, 0xD8).map(_.toByte))                     // SOI
+    b.put(Array(0xFF, 0xDA).map(_.toByte)).putShort(8)         // SOS, 8-byte header
+    b.put(Array(0x01, 0x01, 0x00, 0x3F, 0x00, 0x12).map(_.toByte))
+    b.put(Array(0xFF, 0x00).map(_.toByte))                     // byte-stuffed 0xFF in data
+    b.put(Array(0xFF, 0xC0).map(_.toByte)).putShort(17)        // fake "SOF" in entropy data
+    b.put(8.toByte).putShort(99).putShort(99)
+    val entropy = b.array()
+    assert(Multimodal.HeaderCodec.decode(entropy, "image") ===
+      Multimodal.StubCodec.decode(entropy, "image"))
+    // and also when the stuffed 0xFF00 comes before any SOS-like marker
+    val stuffed = Array(0xFF, 0xD8, 0xFF, 0x00, 0xFF, 0xC0, 0x00, 0x11,
+      0x08, 0x00, 0x63, 0x00, 0x63).map(_.toByte)
+    assert(Multimodal.HeaderCodec.decode(stuffed, "image") ===
+      Multimodal.StubCodec.decode(stuffed, "image"))
+  }
+
+  test("multimodal: HeaderCodec reads WAV sample rate and duration from RIFF chunks") {
+    def wav(rate: Int, blockAlign: Int, dataBytes: Int,
+            extraChunk: Boolean = false): Array[Byte] = {
+      val extra = if (extraChunk) 8 + 3 + 1 else 0 // odd-sized chunk + pad byte
+      val b = java.nio.ByteBuffer.allocate(44 + extra)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      b.put("RIFF".getBytes).putInt(36 + extra + dataBytes).put("WAVE".getBytes)
+      if (extraChunk) { // LIST chunk with odd size: walk must honor the pad byte
+        b.put("LIST".getBytes).putInt(3).put("abc".getBytes).put(0.toByte)
+      }
+      b.put("fmt ".getBytes).putInt(16)
+      b.putShort(1).putShort(2).putInt(rate).putInt(rate * blockAlign)
+      b.putShort(blockAlign.toShort).putShort(16)
+      b.put("data".getBytes).putInt(dataBytes) // header-only: bytes truncated
+      b.array()
+    }
+    // 44100 Hz stereo 16-bit, 1 s of data -> 44100 frames, 1000 ms
+    val d = Multimodal.HeaderCodec.decode(wav(44100, 4, 44100 * 4), "audio")
+    assert(d === Multimodal.Decoded(0, 0, 44100, sampleRate = 44100, durationMs = 1000L))
+    // odd-sized chunk before fmt: pad-byte alignment must not derail the walk
+    val d2 = Multimodal.HeaderCodec.decode(wav(16000, 2, 16000, extraChunk = true), "audio")
+    assert(d2.sampleRate === 16000 && d2.durationMs === 500L && d2.nFrames === 8000)
+    // non-WAV audio payload falls back to the stub unchanged
+    val junk = "not audio at all".getBytes
+    assert(Multimodal.HeaderCodec.decode(junk, "audio") ===
+      Multimodal.StubCodec.decode(junk, "audio"))
+    // WAV bytes under a non-audio media type do NOT take the audio branch
+    val w = wav(44100, 4, 44100 * 4)
+    assert(Multimodal.HeaderCodec.decode(w, "video") ===
+      Multimodal.StubCodec.decode(w, "video"))
+    // truncated fmt chunk -> stub, never a partial read
+    val trunc = wav(44100, 4, 100).take(28)
+    assert(Multimodal.HeaderCodec.decode(trunc, "audio") ===
+      Multimodal.StubCodec.decode(trunc, "audio"))
+  }
+
   test("multimodal: a second codec swaps in through the MediaCodec trait, not an operator edit") {
     // a "real" decoder stand-in with per-partition init — the deployment
     // shape for a JNI/external-process codec
