@@ -101,7 +101,9 @@ object SparkEntry {
       Dedup.buildNearDupIndex(
         Tables.documents(s, d).filter(col("doc_id") < 250)
           .select(col("doc_id"), col("text")),
-        "text", "doc_id"))
+        // r=4 banding: the cross-LSH gate is also held to an exact-Jaccard
+        // oracle (see the dedup_minhash_lsh comment on recall margins)
+        "text", "doc_id", bands = 32))
 
   /** Pre-materialize the long-lived derived state for `d` (plug tables,
     * ANN index) — what the streaming pipeline maintains continuously in
@@ -1174,17 +1176,21 @@ object SparkEntry {
              |WHERE shared >= 2""".stripMargin)),
 
     // MinHash+LSH candidates, exactly verified — oracle is the exact-Jaccard
-    // pair set (LSH recall at j>=0.8 with 128 perms / 32 bands is ~1).
+    // pair set, so banding must make recall loss NEGLIGIBLE at any tier,
+    // not just likely at the gate tier: r=4 x b=32 puts P(miss | j=0.8)
+    // at 0.59^32 ~= 5e-8. The old r=8 x b=16 (P(miss | j=0.8) ~= 5.3%)
+    // actually missed a j=0.800 pair at the 10x sf1 stress tier — the
+    // S-curve doing exactly what it promises (NOTES round 9).
     Q("dedup_minhash_lsh",
       (s, d) => Dedup.minhashLshPairs(Tables.documents(s, d), "text", "doc_id",
-        3, 128, 16, 0.8),
+        3, 128, 32, 0.8),
       Some(jaccardOracleSql)),
 
     // incremental near-dup: batch vs corpus cross-LSH, exact-verified.
     // Fixture: corpus = doc_id < 250; batch = the rest plus near-copies
     // of every 40th corpus doc (one appended token — jaccard ~ (n-2)/
     // (n-1), far above the 0.8 bar). Oracle = the exact cross
-    // formulation, which LSH at r=8 must reproduce without misses.
+    // formulation, reproduced without misses by the r=4 banding margin.
     Q("dedup_incremental_neardup",
       (s, d) => {
         val docs = Tables.documents(s, d)

@@ -295,6 +295,16 @@ object Dedup {
     * candidates (join on band hash — the LSH bucket join), then candidates
     * are verified with exact Jaccard so the output contains no false
     * positives; recall follows the standard 1-(1-s^r)^b curve.
+    *
+    * Choosing (numPerm, bands) is a recall-vs-candidate-volume trade on
+    * that curve, and the miss budget must be priced AT THE DEPLOYED
+    * SCALE, not the test tier: with r = numPerm/bands rows per band,
+    * P(miss | j=t) = (1-t^r)^bands — at t=0.8, r=8/b=16 is ~5.3% per
+    * borderline pair (measured: one j=0.800 pair missed at the 10x sf1
+    * stress tier), while r=4/b=32 is ~5e-8 at the cost of candidates
+    * down to j~0.42. Pipelines gated against an exact pair oracle use
+    * r=4; throughput-first 100 TB dedup where borderline misses are
+    * priced in keeps r=8.
     */
   def minhashLshPairs(df: DataFrame, textCol: String, idCol: String,
                       w: Int = 3, numPerm: Int = 128, bands: Int = 16,
@@ -576,7 +586,14 @@ object Dedup {
     * count job per round, and the loop exits on the first round that
     * observes zero label changes.
     */
-  def nearDupClusters(pairs: DataFrame, maxIter: Int = 25): DataFrame = {
+  def nearDupClusters(pairs: DataFrame, maxIter: Int = 25): DataFrame =
+    minLabelCc(pairs, maxIter)._1
+
+  /** [[nearDupClusters]] plus the number of label-propagation rounds the
+    * loop ran (including the final round that observes zero changes) —
+    * for round-count measurements on adversarial graph shapes.
+    */
+  private[graft] def minLabelCc(pairs: DataFrame, maxIter: Int = 25): (DataFrame, Int) = {
     // pairs carry doc_a < doc_b exactly once, so the two directed copies
     // cannot collide — no distinct needed (that was a full extra shuffle).
     // Directed copies fan out via explode, NOT a self-union: union
@@ -651,7 +668,96 @@ object Dedup {
     // truncated (freeing it would make the result permanently unusable,
     // not recomputable) and it is tiny — one row per near-dup node.
     edges.unpersist(false)
-    labels
+    (labels, i)
+  }
+
+  /** Connected components via alternating large-star / small-star edge
+    * rewiring (Kiveris et al., "Connected Components in MapReduce and
+    * Beyond", SoCC'14): each phase rewrites every edge toward the minimum
+    * of a node's neighborhood, and the edge set converges to a union of
+    * stars rooted at the component minima — O(log² n) rounds worst case,
+    * O(log log n) observed on skewed graphs, and each phase touches edges
+    * only (no separate label frame), which is the robust structure when
+    * the graph's diameter OR degree distribution is adversarial at 100 TB.
+    *
+    * Schedule: TWO large-stars then one small-star per round (the paper's
+    * two-phase structure runs large-star to a fixed point before each
+    * small-star; 2-1 is the bounded version of that). Large-star is what
+    * compresses diameter — one application halves the distance-to-minimum
+    * on path-like regions, so a round compresses 4× — while small-star
+    * flattens the stars large-star builds. Versus strict 1-1 alternation
+    * this halves the number of synchronization barriers (checkpoint +
+    * driver round trip, the per-round cost that hurts at cluster scale)
+    * at the same total shuffle volume: measured 10 → 6 rounds on a
+    * 512-node chain (OperatorsSpec "star CC" case). Each round ends in
+    * one localCheckpoint to truncate lineage. Convergence is read from an
+    * [[org.apache.spark.sql.Observation]] riding the checkpoint job — the
+    * edge multiset is a fixed point of both phases iff its (count,
+    * hash-sum) signature stops changing (a 64-bit commutative signature;
+    * collision odds are negligible and correctness is guarded by the
+    * union-find property spec).
+    *
+    * Same contract as [[nearDupClusters]]: input pairs (doc_a, doc_b),
+    * output (doc, cluster) with cluster = min doc id of the component.
+    * Returns the round count alongside, for A/B round measurements.
+    */
+  private[graft] def starCc(pairs: DataFrame, maxIter: Int = 25): (DataFrame, Int) = {
+    import org.apache.spark.sql.expressions.Window
+    // canonical u > v, dedup'd; self-pairs dropped defensively
+    var edges = pairs
+      .select(greatest(col("doc_a"), col("doc_b")).as("u"),
+        least(col("doc_a"), col("doc_b")).as("v"))
+      .filter(col("u") =!= col("v")).distinct()
+      .localCheckpoint(true)
+    // isolated roots never reappear as a large endpoint once their star
+    // collapses, so collect the node universe up front (tiny: two long
+    // columns) — the output must label every node that appeared in pairs
+    val nodes = edges.select(explode(array(col("u"), col("v"))).as("doc"))
+      .distinct().localCheckpoint(true)
+    // -- large-star: for every node s, larger neighbors re-point to
+    // min(N(s) ∪ {s}); output keeps the u > v invariant (m <= s < d)
+    def largeStar(e: DataFrame): DataFrame =
+      e.select(explode(array(
+          struct(col("u").as("s"), col("v").as("d")),
+          struct(col("v").as("s"), col("u").as("d")))).as("e"))
+        .select(col("e.s").as("s"), col("e.d").as("d"))
+        .withColumn("m", least(col("s"), min(col("d")).over(Window.partitionBy("s"))))
+        .filter(col("d") > col("s"))
+        .select(col("d").as("u"), col("m").as("v"))
+        .filter(col("u") =!= col("v")).distinct()
+    // -- small-star: group by the larger endpoint u over its smaller
+    // neighbors Γ; everyone (Γ ∪ {u}) re-points to min(Γ)
+    def smallStar(e: DataFrame): DataFrame =
+      e.withColumn("m", min(col("v")).over(Window.partitionBy("u")))
+        .select(explode(array(col("v"), col("u"))).as("n"), col("m"))
+        .filter(col("n") =!= col("m"))
+        .select(greatest(col("n"), col("m")).as("u"), least(col("n"), col("m")).as("v"))
+        .distinct()
+    var i = 0
+    var prev = (-1L, -1L)
+    var converged = false
+    while (!converged && i < maxIter) {
+      val ss = smallStar(largeStar(largeStar(edges)))
+      val obs = org.apache.spark.sql.Observation(s"star_cc_$i")
+      val next = ss
+        .observe(obs,
+          coalesce(count(lit(1)), lit(0L)).as("n"),
+          coalesce(sum(xxhash64(col("u"), col("v"))), lit(0L)).as("h"))
+        .localCheckpoint(true)
+      val sig = (obs.get("n").asInstanceOf[Long], obs.get("h").asInstanceOf[Long])
+      org.apache.spark.sql.GraftBridge.freeCheckpoint(edges)
+      edges = next
+      converged = sig == prev
+      prev = sig
+      i += 1
+    }
+    require(converged, s"starCc did not converge within $maxIter rounds")
+    // fixed point = min-rooted stars: every non-root carries exactly one
+    // edge (u, root); roots and isolated nodes label themselves
+    val labels = nodes.as("n")
+      .join(edges.select(col("u").as("doc"), col("v").as("root")), Seq("doc"), "left")
+      .select(col("doc"), coalesce(col("root"), col("doc")).as("cluster"))
+    (labels, i)
   }
 
   // ------------------------------------------------------- embedding cosine

@@ -125,14 +125,24 @@ object Similarity {
 
   /** Re-open a saved IVF index ([[IvfIndex.save]]): the inverted file is
     * read lazily (cell-partition pruning applies at query time), only the
-    * small centroid matrix is collected.
+    * small centroid matrix is collected. Idempotent batch appends
+    * ([[IvfIndex.appendBatchTo]]) live under `dir/appends` and are
+    * unioned in transparently.
     */
   def loadIvf(spark: org.apache.spark.sql.SparkSession, dir: String,
               idCol: String = "vec_id", vecCol: String = "embedding",
               cache: Boolean = true): IvfIndex = {
     val centers = spark.read.parquet(s"$dir/centroids").orderBy("cell").collect()
       .map(_.getAs[scala.collection.Seq[Double]]("centroid").toArray)
-    val cells = spark.read.parquet(s"$dir/cells")
+    val base = spark.read.parquet(s"$dir/cells")
+    val appendsPath = new org.apache.hadoop.fs.Path(s"$dir/appends")
+    val fs = appendsPath.getFileSystem(spark.sessionState.newHadoopConf())
+    val cells =
+      if (fs.exists(appendsPath))
+        base.unionByName(
+          spark.read.parquet(s"$dir/appends").drop("_batch_id")
+            .select(base.columns.map(col): _*))
+      else base
     new IvfIndex(if (cache) cells.persist() else cells, centers, idCol, vecCol)
   }
 
@@ -187,12 +197,29 @@ object Similarity {
       *
       * NOT replay-idempotent: appending the same batch twice duplicates
       * its rows (and its ids in query results). A pipeline that can
-      * replay batches must route appends through an idempotent sink
-      * (e.g. [[graft.streaming.PlugRunner]]'s batch-id partition
-      * overwrite) or dedup on id at query time.
+      * replay batches must use [[appendBatchTo]] (the batch-id overwrite
+      * sink — pinned by the OperatorsSpec case "IVF idempotent append")
+      * or dedup on id at query time.
       */
     def appendTo(dir: String, batch: DataFrame): Unit =
       assign(batch).write.mode("append").partitionBy("cell").parquet(s"$dir/cells")
+
+    /** Replay-idempotent append — the same batch-id partition-overwrite
+      * sink as [[graft.streaming.PlugRunner]]: the assigned batch lands
+      * under `dir/appends/_batch_id=<id>/cell=<c>/` with dynamic partition
+      * overwrite, so replaying a (batchId, batch) pair is a pure overwrite
+      * of its own directories, never a duplicate (cell assignment is a
+      * deterministic argmax over the frozen centroids, so a replay touches
+      * exactly the same partitions). [[Similarity.loadIvf]] unions the
+      * appends in and drops `_batch_id`; query results after a replay are
+      * identical to a single append (spec: "IVF idempotent append").
+      */
+    def appendBatchTo(dir: String, batchId: Long, batch: DataFrame): Unit =
+      assign(batch).withColumn("_batch_id", lit(batchId))
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("_batch_id", "cell")
+        .parquet(s"$dir/appends")
 
     def topK(probes: DataFrame, k: Int, nProbe: Int = 4): DataFrame = {
       val p = probes.select(col(idCol).as("probe_id"), asDouble(col(vecCol)).as("_pv"))

@@ -88,6 +88,25 @@ class OperatorsSpec extends SparkSpec {
     assert(r === Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 7L -> 7L, 9L -> 7L))
   }
 
+  test("star CC beats min-label propagation on an adversarial long chain, and matches it") {
+    val s = spark
+    import s.implicits._
+    // a 512-node path is the diameter-adversarial worst case for label
+    // propagation — the shape the two-phase star rewiring exists for
+    val n = 512L
+    val chain = (0L until n - 1).map(i => (i, i + 1)).toDF("doc_a", "doc_b")
+    val (viaLabels, labelRounds) = Dedup.minLabelCc(chain)
+    val (viaStar, starRounds) = Dedup.starCc(chain)
+    val expected = (0L until n).map(_ -> 0L).toMap
+    assert(viaLabels.collect().map(x =>
+      x.getAs[Long]("doc") -> x.getAs[Long]("cluster")).toMap === expected)
+    assert(viaStar.collect().map(x =>
+      x.getAs[Long]("doc") -> x.getAs[Long]("cluster")).toMap === expected)
+    info(s"chain n=$n: min-label rounds=$labelRounds, star rounds=$starRounds")
+    assert(starRounds <= labelRounds,
+      s"star ($starRounds) should need no more rounds than min-label ($labelRounds)")
+  }
+
   test("language id picks the language with most marker hits") {
     val r = TextAnalysis.languageId(docs).collect()
       .map(x => x.getAs[Long]("doc_id") -> x.getAs[String]("predicted_lang")).toMap
@@ -667,6 +686,41 @@ class OperatorsSpec extends SparkSpec {
     val exact = pairs(Similarity.bruteForceTopK(emb, probes, 3))
     val viaIndex = pairs(loaded.topK(probes, 3, nProbe = 8))
     assert(viaIndex === exact)
+  }
+
+  test("IVF idempotent append: a replayed batch through appendBatchTo is a pure overwrite, never a duplicate") {
+    // the crash-recovery composition appendTo's scaladoc points at: the
+    // batch-id partition-overwrite sink (PlugRunner's protocol) applied
+    // to the IVF appends lifecycle
+    val emb = graft.core.Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val old = emb.filter(col("vec_id") < 250)
+    val b1 = emb.filter(col("vec_id") >= 250 && col("vec_id") < 350)
+    val b2 = emb.filter(col("vec_id") >= 350)
+    val idx = Similarity.buildIvf(old, nCells = 8, cache = false)
+    val dir = java.nio.file.Files.createTempDirectory("graft-ivf-idem").toString
+    idx.save(dir)
+    idx.appendBatchTo(dir, 1L, b1)
+    idx.appendBatchTo(dir, 2L, b2)
+    // replay batch 1 — a restarted pipeline re-emitting its last batch
+    idx.appendBatchTo(dir, 1L, b1)
+    val loaded = Similarity.loadIvf(spark, dir, cache = false)
+    assert(loaded.cells.count() === emb.count())
+    assert(loaded.cells.groupBy("neighbor_id").count()
+      .filter(col("count") > 1).count() === 0L)
+    // full probe stays exact brute force over base + both batches
+    val probes = emb.filter(col("vec_id") < 5)
+    def pairs(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getAs[Long]("probe_id"), r.getAs[Int]("rank")) -> r.getAs[Long]("neighbor_id")).toMap
+    assert(pairs(loaded.topK(probes, 3, nProbe = 8)) ===
+      pairs(Similarity.bruteForceTopK(emb, probes, 3)))
+    // contrast — the plain append sink really does duplicate on replay
+    // (the hazard the scaladoc documents)
+    val dir2 = java.nio.file.Files.createTempDirectory("graft-ivf-dup").toString
+    idx.save(dir2)
+    idx.appendTo(dir2, b1)
+    idx.appendTo(dir2, b1)
+    assert(Similarity.loadIvf(spark, dir2, cache = false)
+      .cells.count() === old.count() + 2 * b1.count())
   }
 
   test("native dot product expression matches the builtin HOF formulation bitwise") {

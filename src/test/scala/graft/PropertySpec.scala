@@ -77,12 +77,17 @@ class PropertySpec extends SparkSpec {
         .map(n => n -> find(n.toInt).toLong).toMap
       val got = graft.operators.Dedup.nearDupClusters(pairs.toDF("doc_a", "doc_b"))
         .collect().map(r => r.getAs[Long]("doc") -> r.getAs[Long]("cluster")).toMap
+      // the alternating large-star/small-star formulation must agree on
+      // the same graphs (same contract, different round structure)
+      val gotStar = graft.operators.Dedup.starCc(pairs.toDF("doc_a", "doc_b"))._1
+        .collect().map(r => r.getAs[Long]("doc") -> r.getAs[Long]("cluster")).toMap
       // union-find roots are not necessarily component minima; normalize both
       def canon(m: Map[Long, Long]): Map[Long, Long] = {
         val byComp = m.groupBy(_._2).values
         byComp.flatMap(g => { val mn = g.keys.min; g.keys.map(_ -> mn) }).toMap
       }
       assert(canon(got) === canon(expected), s"seed=$seed")
+      assert(gotStar === canon(expected), s"star seed=$seed")
     }
   }
 
