@@ -43,10 +43,21 @@ object Tables {
     * any table it previously read. Also the release point for the map's
     * strong SparkSession references when a session is torn down mid-JVM.
     */
-  def invalidate(session: Option[SparkSession] = None): Unit = session match {
-    case None => resolved.clear()
-    case Some(s) => resolved.keys.filter(_._1 eq s).foreach(resolved.remove)
+  def invalidate(session: Option[SparkSession] = None): Unit = {
+    session match {
+      case None => resolved.clear()
+      case Some(s) => resolved.keys.filter(_._1 eq s).foreach(resolved.remove)
+    }
+    epochCounter.incrementAndGet()
   }
+
+  /** Data-version epoch: bumped by every [[invalidate]] call. Downstream
+    * plan caches (the serving layer's prepared plans) key on this so a
+    * data rewrite invalidates every prepared plan without coupling the
+    * cache to individual tables.
+    */
+  private val epochCounter = new java.util.concurrent.atomic.AtomicLong(0L)
+  def epoch: Long = epochCounter.get
 
   def load(spark: SparkSession, sfDir: String, name: String): DataFrame =
     name match {

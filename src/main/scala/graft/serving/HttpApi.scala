@@ -45,6 +45,37 @@ class HttpApi(
 
   private var server: HttpServer = _
 
+  /** Prepared-plan cache: per-(route, params) memoization of the built
+    * DataFrame, keyed additionally on [[graft.core.Tables.epoch]] so any
+    * data rewrite (`Tables.invalidate`) drops every prepared plan at
+    * once. A cache hit reuses the analyzed/optimized plan object —
+    * Catalyst analysis, optimization, and codegen for a repeated request
+    * are paid once per data epoch, which is what a prepared statement is.
+    *
+    * Only routes whose query is a PURE function of its params use it:
+    * anything embedding the injected clock (`active` filters,
+    * `time_since`) or a head-of-log probe (default block ranges) rebuilds
+    * per request, because its literals legitimately change between
+    * requests. Size-capped; overflow clears wholesale (a scan of random
+    * params must not grow the serving process).
+    */
+  private val planCache =
+    scala.collection.concurrent.TrieMap.empty[(String, Long), DataFrame]
+  private val PlanCacheMax = 256
+  private[graft] val planCacheHits = new java.util.concurrent.atomic.AtomicLong
+  private def prepared(key: String)(build: => DataFrame): DataFrame = {
+    val k = (key, graft.core.Tables.epoch)
+    planCache.get(k) match {
+      case Some(df) =>
+        planCacheHits.incrementAndGet(); df
+      case None =>
+        if (planCache.size >= PlanCacheMax) planCache.clear()
+        val df = build
+        planCache.putIfAbsent(k, df)
+        df
+    }
+  }
+
   def start(port: Int = 0): Int = start("127.0.0.1", port)
 
   /** Bind per boot config (reference serve.py:41-42 binds uvicorn to
@@ -90,7 +121,8 @@ class HttpApi(
         case "/api/polls/user" => pollsUser(q)
         case "/api/polls/tag" =>
           withParam(q, "tag")(t => validateTag(t).map(tag => rowsJson(
-            PollsQueries.pollsByTag(tables("polls_content"), tag))))
+            prepared(s"tag/$tag")(
+              PollsQueries.pollsByTag(tables("polls_content"), tag)))))
         // reference path-style routes (polls.py:131, 189, 231):
         // /api/polls/{author}[/{permlink}[/votes]] — the literal names
         // above take precedence, mirroring FastAPI registration order
@@ -155,7 +187,8 @@ class HttpApi(
           updates.select(org.apache.spark.sql.functions.col("block_num"))).getOrElse(0L))
         val first = loOpt.getOrElse(math.max(0L, last - DefaultCountsWindow))
         ApiShaping.validateBlockRange(first, last).map { case (lo, hi) =>
-          rowsJson(PodpingQueries.urlCounts(updates, lo, hi, limit))
+          rowsJson(prepared(s"counts/$lo/$hi/$limit")(
+            PodpingQueries.urlCounts(updates, lo, hi, limit)))
         }
       }
     } yield body
@@ -221,9 +254,12 @@ class HttpApi(
           val first = loOpt.getOrElse(math.max(0L, last - DefaultPollOpsWindow))
           ApiShaping.validateBlockRange(first, last).map { case (lo, hi) =>
             import org.apache.spark.sql.functions.col
-            rowsJson(PollsQueries.pollOps(ops, lo, hi, Some(t))
-              .select(col("transaction_id"), col("req_posting_auths"),
-                col("op_type"), col("op_payload")))
+            // pure in (op_type, lo, hi) after range resolution — the
+            // head-of-log probe above is per-request, the plan is not
+            rowsJson(prepared(s"ops/$t/$lo/$hi")(
+              PollsQueries.pollOps(ops, lo, hi, Some(t))
+                .select(col("transaction_id"), col("req_posting_auths"),
+                  col("op_type"), col("op_payload"))))
           }
         }
       } yield body
@@ -310,10 +346,15 @@ class HttpApi(
         author <- ApiShaping.validateAuthor(a)
         active <- boolParam(q, "active").map(_.getOrElse(false))
         tag <- tagParam(q)
-      } yield rowsJson(PollsQueries.userPolls(
-        tables("polls_content"), author,
-        activeAt = if (active) Some(now()) else None,
-        tag = tag))
+      } yield {
+        def build = PollsQueries.userPolls(
+          tables("polls_content"), author,
+          activeAt = if (active) Some(now()) else None,
+          tag = tag)
+        // the active variant embeds the injected clock — never cached
+        rowsJson(if (active) build
+                 else prepared(s"user/$author/${tag.getOrElse("")}")(build))
+      }
     }
 
   private def pollsSummary(q: Map[String, String]): Either[String, String] =
@@ -324,9 +365,10 @@ class HttpApi(
           permlink <- ApiShaping.validatePermlink(p)
         } yield {
           import org.apache.spark.sql.functions.col
-          rowsJson(PollsQueries.pollSummary(
-            tables("polls_content"), tables("polls_votes"))
-            .filter(col("author") === author && col("permlink") === permlink))
+          rowsJson(prepared(s"summary/$author/$permlink")(
+            PollsQueries.pollSummary(
+              tables("polls_content"), tables("polls_votes"))
+              .filter(col("author") === author && col("permlink") === permlink)))
         }
       }
     }
@@ -337,8 +379,9 @@ class HttpApi(
         for {
           author <- ApiShaping.validateAuthor(a)
           permlink <- ApiShaping.validatePermlink(p)
-        } yield rowsJson(PollsQueries.pollVotes(
-          tables("polls_content"), tables("polls_votes"), author, permlink))
+        } yield rowsJson(prepared(s"votes/$author/$permlink")(
+          PollsQueries.pollVotes(
+            tables("polls_content"), tables("polls_votes"), author, permlink)))
       }
     }
 

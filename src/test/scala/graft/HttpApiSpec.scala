@@ -217,5 +217,35 @@ class HttpApiSpec extends SparkSpec {
     assert(get("/api/nope")._1 === 400)
   }
 
+  test("prepared-plan cache: a repeated request reuses the analyzed plan, byte-identical body") {
+    val hits0 = api.planCacheHits.get()
+    val (c1, b1) = get("/api/polls/summary?author=alice&permlink=color")
+    assert(c1 === 200)
+    // first request for this (route, params, epoch) built the plan
+    val afterFirst = api.planCacheHits.get()
+    val (c2, b2) = get("/api/polls/summary?author=alice&permlink=color")
+    assert(c2 === 200)
+    // second identical request hit the cache — Catalyst analysis was
+    // skipped (the hit returns the same analyzed DataFrame object) —
+    // and the shaped body is byte-identical
+    assert(api.planCacheHits.get() === afterFirst + 1)
+    assert(b2 === b1)
+    // a different param is a different prepared plan, not a false hit
+    // (params no other test in the suite has requested)
+    val before = api.planCacheHits.get()
+    assert(get("/api/polls/votes?author=alice&permlink=neverseen")._1 === 200)
+    assert(api.planCacheHits.get() === before)
+    // a data-epoch bump (Tables.invalidate after a rewrite) drops every
+    // prepared plan: the same request misses, rebuilds, and re-caches
+    graft.core.Tables.invalidate(Some(spark))
+    val (c3, b3) = get("/api/polls/summary?author=alice&permlink=color")
+    assert(c3 === 200 && b3 === b1)
+    assert(api.planCacheHits.get() === before)
+    val (c4, b4) = get("/api/polls/summary?author=alice&permlink=color")
+    assert(c4 === 200 && b4 === b1)
+    assert(api.planCacheHits.get() === before + 1)
+    assert(hits0 >= 0)
+  }
+
   override def afterAll(): Unit = { api.stop(); super.afterAll() }
 }
