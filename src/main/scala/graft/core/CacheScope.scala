@@ -34,6 +34,14 @@ object CacheScope {
     checkpointFrames += df; df
   }
 
+  /** Number of frames currently registered in the scope — lets a harness
+    * detect whether building a query registered scoped caches (such a
+    * query must be re-built per execution so its registrations line up
+    * with the harness's release() calls; see graft.Bench's prepared-plan
+    * reuse).
+    */
+  def scopedCount: Int = synchronized { cachedFrames.size + checkpointFrames.size }
+
   /** Unpersist every registered frame (non-blocking) and clear the scope.
     *
     * Checkpoint-block freeing applies ONLY to frames that came in through

@@ -767,6 +767,14 @@ object Dedup {
     * space, then exact cosine filters. At 100 TB the blocking key is the
     * shuffle/partition key; without it this operator would be a cross
     * product.
+    *
+    * Cost is QUADRATIC IN BLOCK SIZE by construction (pair enumeration):
+    * 10x bigger blocks = 100x the cosine evaluations — measured 17.5x
+    * wall on the 10x stress tier (SCALE_STRESS.md). The blocking
+    * granularity is therefore the scale knob: blocks must stay bounded
+    * (finer labels, LSH-bucket blocking) as the corpus grows; when they
+    * cannot be bounded, use the candidate-restricted ANN paths
+    * ([[Similarity.lshTopK]] / IVF) instead of exhaustive pairs.
     */
   def embeddingCosinePairs(emb: DataFrame, idCol: String, vecCol: String,
                            blockCol: String, threshold: Double): DataFrame = {
