@@ -24,6 +24,13 @@ object SparkEntry {
     oracle: Option[String])
 
   private def ev(s: SparkSession, dir: String): DataFrame =
+    // NO spread here, measured (round 9): events arrives multi-split at
+    // the tiers that matter and the widening exchange round-robins the
+    // full props strings — A/B at sf1 showed the exchange costs more
+    // than the extra parallelism buys (p2 0.52 -> 0.61 s, f6 0.58 ->
+    // 0.73 s, t10 0.37 -> 0.43 s). The CPU-bound operators that DO win
+    // from widening (embeddings math, media decode, tokenization) spread
+    // inside the operator instead.
     Tables.events(GraftSession.configure(s), dir)
   private def k = get_json_object(col("props"), "$.k").cast("int")
   private def dec(p: Int, sc: Int) = DecimalType(p, sc)
@@ -407,10 +414,19 @@ object SparkEntry {
 
     // ---- 4-way dimension rollup (region -> nation -> customer -> orders)
     Q("q5_region_rollup",
-      (s, d) => Tables.region(s, d)
-        .join(Tables.nation(s, d), col("n_regionkey") === col("r_regionkey"))
-        .join(Tables.customer(s, d), col("c_nationkey") === col("n_nationkey"))
-        .join(Tables.orders(s, d), col("o_custkey") === col("c_custkey"))
+      // orders is the STREAMED fact side: joined first on the left so the
+      // build side is always the (10x smaller) customer subtree, never
+      // the SF-proportional orders table — the size-based planner used to
+      // broadcast 27 MB of orders at the 10x tier (a driver-side 1.5M-row
+      // hash build; at 100 TB that side never fits). nation/region are
+      // true fixed-size dimensions and broadcast explicitly; customer is
+      // left to the size-based planner (it scales with SF too — a cluster
+      // tier shuffle-joins it, and AQE re-plans to broadcast only when
+      // the post-scan size genuinely qualifies).
+      (s, d) => Tables.orders(s, d)
+        .join(Tables.customer(s, d), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(Tables.nation(s, d)), col("c_nationkey") === col("n_nationkey"))
+        .join(broadcast(Tables.region(s, d)), col("n_regionkey") === col("r_regionkey"))
         .withColumn("_ut", org.apache.spark.sql.GraftBridge.unscaled(
           col("o_totalprice").cast(dec(18, 2))))
         .groupBy(col("r_name"), col("n_name"))
@@ -1244,29 +1260,15 @@ object SparkEntry {
     Q("dedup_clusters",
       (s, d) => Dedup.nearDupClusters(
         Dedup.ngramJaccardPairs(Tables.documents(s, d), "text", "doc_id", 3, 0.8)),
-      Some("""WITH RECURSIVE toks AS (
-             |  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS t
-             |  FROM documents),
-             |sh AS (SELECT DISTINCT doc_id, concat_ws(' ', t[i], t[i+1], t[i+2]) AS s
-             |       FROM (SELECT doc_id, t, unnest(range(1, len(t) - 1)) AS i FROM toks)
-             |       WHERE len(t) >= 3),
-             |sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
-             |inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i
-             |          FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
-             |          GROUP BY 1, 2),
-             |pairs AS (SELECT doc_a, doc_b FROM inter
-             |          JOIN sz x ON x.doc_id = doc_a JOIN sz y ON y.doc_id = doc_b
-             |          WHERE round(i * 1.0 / (x.n + y.n - i), 6) >= 0.8),
-             |edges AS (SELECT doc_a AS s, doc_b AS d FROM pairs
-             |          UNION SELECT doc_b, doc_a FROM pairs),
-             |reach(s, d) AS (
-             |  SELECT s, d FROM edges
-             |  UNION
-             |  SELECT r.s, e.d FROM reach r JOIN edges e ON r.d = e.s)
-             |SELECT n.doc, CAST(least(n.doc, min(r.d)) AS BIGINT) AS cluster
-             |FROM (SELECT DISTINCT s AS doc FROM edges) n
-             |LEFT JOIN reach r ON r.s = n.doc
-             |GROUP BY n.doc""".stripMargin)),
+      Some(ccOracleSql)),
+
+    // same contract via the alternating large-star/small-star rewiring
+    // (the adversarial-diameter CC structure — see SCALE_STRESS.md and
+    // the OperatorsSpec round-count measurement); same oracle
+    Q("dedup_clusters_star",
+      (s, d) => Dedup.nearDupClustersStar(
+        Dedup.ngramJaccardPairs(Tables.documents(s, d), "text", "doc_id", 3, 0.8)),
+      Some(ccOracleSql)),
 
     // SimHash pairs are fully oracle-checked: the 60-bit fingerprints use
     // md5-derived token hashes both engines can compute, so DuckDB
@@ -1792,6 +1794,37 @@ object SparkEntry {
     */
   def dynamicOracleSql(s: SparkSession, d: String): Map[String, String] =
     Map("sim_ivf_topk" -> ivfOracleSql(s, d))
+
+  /** Recursive-CTE transitive closure over the exact-Jaccard near-dup
+    * pair graph — the shared oracle for BOTH connected-components
+    * formulations (`dedup_clusters` = min-label propagation,
+    * `dedup_clusters_star` = large-star/small-star), which share one
+    * output contract: (doc, cluster = component-min doc id).
+    */
+  private lazy val ccOracleSql: String =
+    """WITH RECURSIVE toks AS (
+      |  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS t
+      |  FROM documents),
+      |sh AS (SELECT DISTINCT doc_id, concat_ws(' ', t[i], t[i+1], t[i+2]) AS s
+      |       FROM (SELECT doc_id, t, unnest(range(1, len(t) - 1)) AS i FROM toks)
+      |       WHERE len(t) >= 3),
+      |sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+      |inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i
+      |          FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+      |          GROUP BY 1, 2),
+      |pairs AS (SELECT doc_a, doc_b FROM inter
+      |          JOIN sz x ON x.doc_id = doc_a JOIN sz y ON y.doc_id = doc_b
+      |          WHERE round(i * 1.0 / (x.n + y.n - i), 6) >= 0.8),
+      |edges AS (SELECT doc_a AS s, doc_b AS d FROM pairs
+      |          UNION SELECT doc_b, doc_a FROM pairs),
+      |reach(s, d) AS (
+      |  SELECT s, d FROM edges
+      |  UNION
+      |  SELECT r.s, e.d FROM reach r JOIN edges e ON r.d = e.s)
+      |SELECT n.doc, CAST(least(n.doc, min(r.d)) AS BIGINT) AS cluster
+      |FROM (SELECT DISTINCT s AS doc FROM edges) n
+      |LEFT JOIN reach r ON r.s = n.doc
+      |GROUP BY n.doc""".stripMargin
 
   private lazy val jaccardOracleSql: String =
     """WITH toks AS (

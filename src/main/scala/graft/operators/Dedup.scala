@@ -701,6 +701,9 @@ object Dedup {
     * output (doc, cluster) with cluster = min doc id of the component.
     * Returns the round count alongside, for A/B round measurements.
     */
+  def nearDupClustersStar(pairs: DataFrame, maxIter: Int = 25): DataFrame =
+    starCc(pairs, maxIter)._1
+
   private[graft] def starCc(pairs: DataFrame, maxIter: Int = 25): (DataFrame, Int) = {
     import org.apache.spark.sql.expressions.Window
     // canonical u > v, dedup'd; self-pairs dropped defensively

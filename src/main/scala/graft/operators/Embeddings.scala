@@ -23,7 +23,10 @@ object Embeddings {
     */
   def l2Normalize(emb: DataFrame, idCol: String = "vec_id",
                   vecCol: String = "embedding"): DataFrame = {
-    val staged = emb.select(col(idCol), asDouble(col(vecCol)).as("_v"))
+    // spread: the per-element HOF math is CPU-bound interpreted work — a
+    // single-split source would run the whole corpus on one core
+    val staged = graft.core.Spread.ensureParallel(emb)
+      .select(col(idCol), asDouble(col(vecCol)).as("_v"))
       .withColumn("_n",
         sqrt(org.apache.spark.sql.GraftBridge.dotProduct(col("_v"), col("_v"))))
     staged.select(col(idCol),
@@ -48,7 +51,7 @@ object Embeddings {
     // Two-stage select: `scale` (a per-row array fold) becomes an
     // attribute before the quantization pass references it twice — the
     // single projection form re-evaluated the fold per reference.
-    val staged = emb.select(
+    val staged = graft.core.Spread.ensureParallel(emb).select(
       col(idCol), asDouble(col(vecCol)).as("_v"),
       round(aggregate(asDouble(col(vecCol)), lit(0.0),
         (acc, x) => greatest(acc, abs(x))) / 127.0, 6).as("scale"))

@@ -176,7 +176,9 @@ object Multimodal {
   def extractMeta(media: Dataset[MediaRow],
                   codec: MediaCodec = HeaderCodec): Dataset[MediaMeta] = {
     import media.sparkSession.implicits._
-    media.mapPartitions { it =>
+    // spread: decode + SHA-256 are CPU-bound per row; widen a
+    // single-split source before the partition-wise pass
+    graft.core.Spread.ensureParallel(media.toDF).as[MediaRow].mapPartitions { it =>
       codec.init() // per-partition codec setup (amortized like a Pandas-UDF batch)
       val digest = java.security.MessageDigest.getInstance("SHA-256")
       it.map { r =>
@@ -206,7 +208,7 @@ object Multimodal {
     */
   def dedupBinary(media: DataFrame, payloadCol: String = "payload",
                   idCol: String = "doc_id"): DataFrame =
-    media
+    graft.core.Spread.ensureParallel(media)
       .select(col(idCol), sha2(col(payloadCol), 256).as("content_sha"))
       .groupBy(col("content_sha"))
       .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("dup_count"))

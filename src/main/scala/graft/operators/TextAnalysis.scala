@@ -114,7 +114,7 @@ object TextAnalysis {
 
   /** Token counts via both tokenizers. */
   def tokenCounts(docs: DataFrame, textCol: String = "text"): DataFrame =
-    docs
+    graft.core.Spread.ensureParallel(docs)
       .withColumn("ws_tokens", size(tokens(col(textCol))).cast("long"))
       .withColumn("re_tokens", size(regexTokens(col(textCol))).cast("long"))
 

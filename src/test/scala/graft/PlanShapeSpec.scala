@@ -220,6 +220,61 @@ class PlanShapeSpec extends SparkSpec {
     assert(offenders.isEmpty, offenders.mkString("; "))
   }
 
+  test("global fence: no broadcast join builds a bigger unreduced table than it streams") {
+    // the q5 inversion, pinned for every query: the size-based planner
+    // happily broadcast the 27 MB SF-proportional orders side and
+    // streamed the 10x smaller customer side (a driver hash build of the
+    // fact table; at 100 TB that side never fits). "Broadcast the smaller
+    // side" must hold STRUCTURALLY — by table identity, not by local
+    // size-estimate accidents. A side counts as reduced (exempt) once a
+    // genuine row-reducing step sits between the join and the scan: a
+    // filter beyond null checks, an aggregate, a limit, or an inner join.
+    import org.apache.spark.sql.catalyst.expressions.{And, Expression, IsNotNull}
+    import org.apache.spark.sql.catalyst.optimizer.BuildRight
+    import org.apache.spark.sql.execution.{FileSourceScanExec, FilterExec, SparkPlan}
+    import org.apache.spark.sql.execution.joins.{BroadcastHashJoinExec, BroadcastNestedLoopJoinExec}
+    // SF-proportionality rank: bigger number = bigger table at any tier
+    val rank = Map("lineitem" -> 10, "orders" -> 9, "events" -> 8,
+      "customer" -> 7, "part" -> 6, "documents" -> 5, "embeddings" -> 4,
+      "supplier" -> 3, "nation" -> 2, "region" -> 1)
+    def predicates(e: Expression): Seq[Expression] = e match {
+      case And(l, r) => predicates(l) ++ predicates(r)
+      case other => Seq(other)
+    }
+    def reduces(conds: Seq[Expression]): Boolean =
+      conds.flatMap(predicates).exists(!_.isInstanceOf[IsNotNull])
+    def scanRank(s: FileSourceScanExec): Option[Int] =
+      if (reduces(s.dataFilters)) None
+      else s.relation.location.rootPaths.flatMap(p =>
+        rank.collectFirst { case (t, r) if p.toString.contains(s"/$t.parquet") => r }
+      ).headOption
+    def unreduced(n: SparkPlan): Seq[Int] = n match {
+      case s: FileSourceScanExec => scanRank(s).toSeq
+      case f: FilterExec if reduces(Seq(f.condition)) => Nil
+      case x if x.nodeName.contains("Aggregate") || x.nodeName.contains("Limit") ||
+        x.nodeName.contains("Join") => Nil
+      case x => x.children.flatMap(unreduced)
+    }
+    val offenders = SparkEntry.queries.keys.toSeq.sorted.flatMap { q =>
+      val p = SparkEntry.queries(q)(spark, sf).queryExecution.executedPlan
+      graft.core.CacheScope.release()
+      p.collect {
+        case j: BroadcastHashJoinExec =>
+          val (build, stream) =
+            if (j.buildSide == BuildRight) (j.right, j.left) else (j.left, j.right)
+          (q, unreduced(build), unreduced(stream))
+        case j: BroadcastNestedLoopJoinExec =>
+          val (build, stream) =
+            if (j.buildSide == BuildRight) (j.right, j.left) else (j.left, j.right)
+          (q, unreduced(build), unreduced(stream))
+      }.collect {
+        case (qq, b, s) if b.nonEmpty && s.nonEmpty && b.max >= s.max =>
+          s"$qq: broadcasts rank-${b.max} side against rank-${s.max} stream"
+      }
+    }
+    assert(offenders.isEmpty, offenders.distinct.mkString("; "))
+  }
+
   test("corpus mixture: windows run over the aggregated (dimension-sized) frame only") {
     val p = SparkEntry.queries("stats_corpus_mixture")(spark, sf)
       .queryExecution.executedPlan
