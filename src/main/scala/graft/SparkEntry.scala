@@ -222,8 +222,9 @@ object SparkEntry {
     // ---- F6: version-gate dispatch (podping v0.3 vs v1.0 shape)
     Q("f6_version_dispatch",
       (s, d) => ev(s, d)
-        .withColumn("version", when(k % 2 === 0, "0.3").otherwise("1.0"))
-        .withColumn("medium", when(k % 2 === 0, "blog").otherwise("podcast"))
+        .withColumn("_k", k)
+        .withColumn("version", when(col("_k") % 2 === 0, "0.3").otherwise("1.0"))
+        .withColumn("medium", when(col("_k") % 2 === 0, "blog").otherwise("podcast"))
         .groupBy(col("version"), col("medium"))
         .agg(count(lit(1)).as("n"), countDistinct(col("user_id")).as("publishers")),
       Some("""SELECT CASE WHEN CAST(json_extract_string(props,'$.k') AS INTEGER) % 2 = 0
@@ -1619,6 +1620,7 @@ object SparkEntry {
              |       WHEN 'video' THEN 360 ELSE 0 END AS INT) AS height,
              |  CAST(CASE media_type WHEN 'image' THEN 1
              |       WHEN 'video' THEN 1 + n % 300 ELSE 1 + n % 9000 END AS INT) AS n_frames,
+             |  CAST(0 AS INT) AS sample_rate, CAST(0 AS BIGINT) AS duration_ms,
              |  sha
              |FROM m""".stripMargin)),
 

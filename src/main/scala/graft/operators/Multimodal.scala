@@ -24,7 +24,8 @@ object Multimodal {
 
   case class MediaRow(doc_id: Long, media_type: String, payload: Array[Byte])
   case class MediaMeta(doc_id: Long, media_type: String, byte_len: Long,
-                       width: Int, height: Int, n_frames: Int, sha: String)
+                       width: Int, height: Int, n_frames: Int,
+                       sample_rate: Int, duration_ms: Long, sha: String)
 
   /** Decoded media dimensions — what a codec extracts from one payload.
     * For audio, `nFrames` counts sample frames, `sampleRate` is Hz and
@@ -162,9 +163,13 @@ object Multimodal {
         imageDims(payload).map { case (w, h) => Decoded(w, h, 1) }
           .getOrElse(StubCodec.decode(payload, mediaType))
       else if (mediaType == "audio")
+        // audio decodes to duration/sample-rate, NEVER a frame count:
+        // n_frames is the VISUAL fanout knob (sampleFrames explodes it),
+        // and a declared data-chunk length is attacker-controlled — a
+        // 100-byte payload claiming 2^32 bytes of samples must not turn
+        // into a 2-billion-element frame explode downstream
         wavMeta(payload).map { case (rate, frames) =>
-          Decoded(0, 0, math.min(frames, Int.MaxValue).toInt,
-            sampleRate = rate, durationMs = frames * 1000L / rate)
+          Decoded(0, 0, 1, sampleRate = rate, durationMs = frames * 1000L / rate)
         }.getOrElse(StubCodec.decode(payload, mediaType))
       else StubCodec.decode(payload, mediaType)
   }
@@ -185,7 +190,7 @@ object Multimodal {
         val d = codec.decode(r.payload, r.media_type)
         val sha = digest.digest(r.payload).map("%02x".format(_)).mkString
         MediaMeta(r.doc_id, r.media_type, r.payload.length.toLong,
-          d.width, d.height, d.nFrames, sha)
+          d.width, d.height, d.nFrames, d.sampleRate, d.durationMs, sha)
       }
     }
   }

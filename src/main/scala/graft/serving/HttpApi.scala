@@ -56,20 +56,34 @@ class HttpApi(
     * anything embedding the injected clock (`active` filters,
     * `time_since`) or a head-of-log probe (default block ranges) rebuilds
     * per request, because its literals legitimately change between
-    * requests. Size-capped; overflow clears wholesale (a scan of random
-    * params must not grow the serving process).
+    * requests. Size-capped (a scan of random params must not grow the
+    * serving process): overflow evicts dead-epoch entries first and
+    * clears wholesale only if live entries alone still overflow.
     */
   private val planCache =
     scala.collection.concurrent.TrieMap.empty[(String, Long), DataFrame]
   private val PlanCacheMax = 256
   private[graft] val planCacheHits = new java.util.concurrent.atomic.AtomicLong
+  /** Unambiguous cache key: each param is URL-encoded before joining, so
+    * a '/' INSIDE a param value (the validators only bound lengths) can
+    * never make two distinct (author, permlink) pairs collide onto one
+    * key and serve each other's cached results.
+    */
+  private def planKey(parts: String*): String =
+    parts.map(java.net.URLEncoder.encode(_, "UTF-8")).mkString("/")
   private def prepared(key: String)(build: => DataFrame): DataFrame = {
-    val k = (key, graft.core.Tables.epoch)
+    val epoch = graft.core.Tables.epoch
+    val k = (key, epoch)
     planCache.get(k) match {
       case Some(df) =>
         planCacheHits.incrementAndGet(); df
       case None =>
-        if (planCache.size >= PlanCacheMax) planCache.clear()
+        // dead epochs first (an invalidate strands every older entry);
+        // wholesale clear only if live entries alone still overflow
+        if (planCache.size >= PlanCacheMax) {
+          planCache.keys.filter(_._2 != epoch).foreach(planCache.remove)
+          if (planCache.size >= PlanCacheMax) planCache.clear()
+        }
         val df = build
         planCache.putIfAbsent(k, df)
         df
@@ -121,7 +135,7 @@ class HttpApi(
         case "/api/polls/user" => pollsUser(q)
         case "/api/polls/tag" =>
           withParam(q, "tag")(t => validateTag(t).map(tag => rowsJson(
-            prepared(s"tag/$tag")(
+            prepared(planKey("tag", tag))(
               PollsQueries.pollsByTag(tables("polls_content"), tag)))))
         // reference path-style routes (polls.py:131, 189, 231):
         // /api/polls/{author}[/{permlink}[/votes]] — the literal names
@@ -187,7 +201,7 @@ class HttpApi(
           updates.select(org.apache.spark.sql.functions.col("block_num"))).getOrElse(0L))
         val first = loOpt.getOrElse(math.max(0L, last - DefaultCountsWindow))
         ApiShaping.validateBlockRange(first, last).map { case (lo, hi) =>
-          rowsJson(prepared(s"counts/$lo/$hi/$limit")(
+          rowsJson(prepared(planKey("counts", lo.toString, hi.toString, limit.toString))(
             PodpingQueries.urlCounts(updates, lo, hi, limit)))
         }
       }
@@ -256,7 +270,7 @@ class HttpApi(
             import org.apache.spark.sql.functions.col
             // pure in (op_type, lo, hi) after range resolution — the
             // head-of-log probe above is per-request, the plan is not
-            rowsJson(prepared(s"ops/$t/$lo/$hi")(
+            rowsJson(prepared(planKey("ops", t, lo.toString, hi.toString))(
               PollsQueries.pollOps(ops, lo, hi, Some(t))
                 .select(col("transaction_id"), col("req_posting_auths"),
                   col("op_type"), col("op_payload"))))
@@ -353,7 +367,7 @@ class HttpApi(
           tag = tag)
         // the active variant embeds the injected clock — never cached
         rowsJson(if (active) build
-                 else prepared(s"user/$author/${tag.getOrElse("")}")(build))
+                 else prepared(planKey("user", author, tag.getOrElse("")))(build))
       }
     }
 
@@ -365,7 +379,7 @@ class HttpApi(
           permlink <- ApiShaping.validatePermlink(p)
         } yield {
           import org.apache.spark.sql.functions.col
-          rowsJson(prepared(s"summary/$author/$permlink")(
+          rowsJson(prepared(planKey("summary", author, permlink))(
             PollsQueries.pollSummary(
               tables("polls_content"), tables("polls_votes"))
               .filter(col("author") === author && col("permlink") === permlink)))
@@ -379,7 +393,7 @@ class HttpApi(
         for {
           author <- ApiShaping.validateAuthor(a)
           permlink <- ApiShaping.validatePermlink(p)
-        } yield rowsJson(prepared(s"votes/$author/$permlink")(
+        } yield rowsJson(prepared(planKey("votes", author, permlink))(
           PollsQueries.pollVotes(
             tables("polls_content"), tables("polls_votes"), author, permlink)))
       }

@@ -218,7 +218,6 @@ class HttpApiSpec extends SparkSpec {
   }
 
   test("prepared-plan cache: a repeated request reuses the analyzed plan, byte-identical body") {
-    val hits0 = api.planCacheHits.get()
     val (c1, b1) = get("/api/polls/summary?author=alice&permlink=color")
     assert(c1 === 200)
     // first request for this (route, params, epoch) built the plan
@@ -244,7 +243,13 @@ class HttpApiSpec extends SparkSpec {
     val (c4, b4) = get("/api/polls/summary?author=alice&permlink=color")
     assert(c4 === 200 && b4 === b1)
     assert(api.planCacheHits.get() === before + 1)
-    assert(hits0 >= 0)
+    // key sanitization: a '/' inside one param must not alias another
+    // split of the same joined key (both requests 200 with DIFFERENT
+    // keys — the second is a miss, not a false hit on the first)
+    assert(get("/api/polls/summary?author=ali&permlink=b%2Fc")._1 === 200)
+    val h = api.planCacheHits.get()
+    assert(get("/api/polls/summary?author=ali%2Fb&permlink=c")._1 === 200)
+    assert(api.planCacheHits.get() === h)
   }
 
   override def afterAll(): Unit = { api.stop(); super.afterAll() }

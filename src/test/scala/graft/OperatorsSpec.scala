@@ -910,12 +910,14 @@ class OperatorsSpec extends SparkSpec {
       b.put("data".getBytes).putInt(dataBytes) // header-only: bytes truncated
       b.array()
     }
-    // 44100 Hz stereo 16-bit, 1 s of data -> 44100 frames, 1000 ms
+    // 44100 Hz stereo 16-bit, 1 s of data -> 1000 ms; n_frames stays 1
+    // (audio never feeds the visual frame-explode — a declared data size
+    // must not become a fanout factor)
     val d = Multimodal.HeaderCodec.decode(wav(44100, 4, 44100 * 4), "audio")
-    assert(d === Multimodal.Decoded(0, 0, 44100, sampleRate = 44100, durationMs = 1000L))
+    assert(d === Multimodal.Decoded(0, 0, 1, sampleRate = 44100, durationMs = 1000L))
     // odd-sized chunk before fmt: pad-byte alignment must not derail the walk
     val d2 = Multimodal.HeaderCodec.decode(wav(16000, 2, 16000, extraChunk = true), "audio")
-    assert(d2.sampleRate === 16000 && d2.durationMs === 500L && d2.nFrames === 8000)
+    assert(d2.sampleRate === 16000 && d2.durationMs === 500L && d2.nFrames === 1)
     // non-WAV audio payload falls back to the stub unchanged
     val junk = "not audio at all".getBytes
     assert(Multimodal.HeaderCodec.decode(junk, "audio") ===
