@@ -718,7 +718,12 @@ object Dedup {
     val nodes = edges.select(explode(array(col("u"), col("v"))).as("doc"))
       .distinct().localCheckpoint(true)
     // -- large-star: for every node s, larger neighbors re-point to
-    // min(N(s) ∪ {s}); output keeps the u > v invariant (m <= s < d)
+    // min(N(s) ∪ {s}); output keeps the u > v invariant (m <= s < d).
+    // NO dedup here: window-min is duplicate-insensitive, each input
+    // edge emits at most one output edge (so chained large-stars never
+    // grow the frame), and the one distinct per round lives at the
+    // small-star end where the convergence signature needs a canonical
+    // set — two shuffles per round saved vs dedup-after-every-phase.
     def largeStar(e: DataFrame): DataFrame =
       e.select(explode(array(
           struct(col("u").as("s"), col("v").as("d")),
@@ -727,7 +732,7 @@ object Dedup {
         .withColumn("m", least(col("s"), min(col("d")).over(Window.partitionBy("s"))))
         .filter(col("d") > col("s"))
         .select(col("d").as("u"), col("m").as("v"))
-        .filter(col("u") =!= col("v")).distinct()
+        .filter(col("u") =!= col("v"))
     // -- small-star: group by the larger endpoint u over its smaller
     // neighbors Γ; everyone (Γ ∪ {u}) re-points to min(Γ)
     def smallStar(e: DataFrame): DataFrame =
