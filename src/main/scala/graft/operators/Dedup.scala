@@ -675,10 +675,12 @@ object Dedup {
     * rewiring (Kiveris et al., "Connected Components in MapReduce and
     * Beyond", SoCC'14): each phase rewrites every edge toward the minimum
     * of a node's neighborhood, and the edge set converges to a union of
-    * stars rooted at the component minima — O(log² n) rounds worst case,
-    * O(log log n) observed on skewed graphs, and each phase touches edges
-    * only (no separate label frame), which is the robust structure when
-    * the graph's diameter OR degree distribution is adversarial at 100 TB.
+    * stars rooted at the component minima — O(log² n) rounds worst case
+    * (the paper reports O(log log n)-like round counts on realistic
+    * skewed graphs; our own measurement is the 512-chain fixture below),
+    * and each phase touches edges only (no separate label frame), which
+    * is the robust structure when the graph's diameter OR degree
+    * distribution is adversarial at 100 TB.
     *
     * Schedule: TWO large-stars then one small-star per round (the paper's
     * two-phase structure runs large-star to a fixed point before each
