@@ -5,7 +5,12 @@ package graft
   */
 class PlanShapeSpec extends SparkSpec {
 
-  private val sf = "/root/testdata/sf0.001"
+  // Tier override for plan audits at bigger tiers (size-based planner
+  // decisions are tier-dependent — the q5 broadcast inversion only
+  // appeared once orders outgrew the customer subtree's estimate):
+  //   GRAFT_PLANSPEC_SF=/root/testdata/sf0.1 sbt "testOnly graft.PlanShapeSpec"
+  // Default stays the committed sf0.001 pin the suite always runs.
+  private val sf = sys.env.getOrElse("GRAFT_PLANSPEC_SF", "/root/testdata/sf0.001")
 
   private def plan(name: String): String =
     SparkEntry.queries(name)(spark, sf).queryExecution.executedPlan.toString
