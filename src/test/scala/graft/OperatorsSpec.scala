@@ -105,6 +105,21 @@ class OperatorsSpec extends SparkSpec {
     info(s"chain n=$n: min-label rounds=$labelRounds, star rounds=$starRounds")
     assert(starRounds <= labelRounds,
       s"star ($starRounds) should need no more rounds than min-label ($labelRounds)")
+    // broom: a 2000-leaf hub with a 128-node chain hanging off one leaf —
+    // degree skew AND diameter in one component (the mixed adversary)
+    val hub = (1L to 2000L).map(i => (0L, i))
+    val tail = (0L until 127L).map(i => (2000L + i, 2001L + i)) :+ (1L, 2000L)
+    val broom = (hub ++ tail).toDF("doc_a", "doc_b")
+    val (bLabels, bLabelRounds) = Dedup.minLabelCc(broom)
+    val (bStar, bStarRounds) = Dedup.starCc(broom)
+    val bExpected = (0L to 2127L).map(_ -> 0L).toMap
+    assert(bLabels.collect().map(x =>
+      x.getAs[Long]("doc") -> x.getAs[Long]("cluster")).toMap === bExpected)
+    assert(bStar.collect().map(x =>
+      x.getAs[Long]("doc") -> x.getAs[Long]("cluster")).toMap === bExpected)
+    info(s"broom (2000-leaf hub + 128-chain): min-label rounds=$bLabelRounds, star rounds=$bStarRounds")
+    assert(bStarRounds <= bLabelRounds,
+      s"star ($bStarRounds) vs min-label ($bLabelRounds) on the broom")
   }
 
   test("language id picks the language with most marker hits") {
