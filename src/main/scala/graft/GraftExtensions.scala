@@ -47,8 +47,19 @@ object GraftExtensions {
       s"$name expects an int literal, got $other")
   }
 
+  private def strLit(name: String, e: Expression): String = e match {
+    case Literal(v: org.apache.spark.unsafe.types.UTF8String, _) => v.toString
+    case other => throw new IllegalArgumentException(
+      s"$name expects a string literal, got $other")
+  }
+
   val registrations: Seq[(FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression)] =
     Seq(
+      (FunctionIdentifier("graft_json_get"),
+        new ExpressionInfo(classOf[graft.functions.JsonGetField].getName,
+          "graft_json_get"),
+        arity("graft_json_get", 2)(c =>
+          graft.functions.JsonGetField(c.head, strLit("graft_json_get key", c(1))))),
       (FunctionIdentifier("graft_dot"),
         new ExpressionInfo(classOf[DoubleDotProduct].getName, "graft_dot"),
         arity("graft_dot", 2)(c => DoubleDotProduct(c.head, c(1)))),

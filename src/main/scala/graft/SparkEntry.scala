@@ -32,7 +32,7 @@ object SparkEntry {
     // from widening (embeddings math, media decode, tokenization) spread
     // inside the operator instead.
     Tables.events(GraftSession.configure(s), dir)
-  private def k = get_json_object(col("props"), "$.k").cast("int")
+  private def k = org.apache.spark.sql.GraftBridge.jsonGet(col("props"), "k").cast("int")
   private def dec(p: Int, sc: Int) = DecimalType(p, sc)
 
   /** Materialized plug-derived tables, once per (session, sf dir) — the

@@ -51,7 +51,7 @@ object EventOpLog {
     // single-file source = one split; spread the JSON-heavy synthesis
     // (conditional — a well-split source gets no extra Exchange)
     val events = Spread.ensureParallel(events0)
-      .withColumn("_k", get_json_object(col("props"), "$.k").cast("int"))
+      .withColumn("_k", org.apache.spark.sql.GraftBridge.jsonGet(col("props"), "k").cast("int"))
 
     // {"version": "0.3", "reason": "feed_update", "urls": ["url_A", "url_B"]}
     val podpingInner03 = esc(

@@ -51,18 +51,19 @@ object PollsStateful {
       .withColumn("_signer", signer)
     val spark = raw.sparkSession
     import spark.implicits._
+    val jg = org.apache.spark.sql.GraftBridge.jsonGet _
     cjos.select(
       when(col("_t") === "vote",
-        get_json_object(col("_p"), "$.author")).otherwise(col("_signer")).as("author"),
-      coalesce(get_json_object(col("_p"), "$.permlink"), lit("")).as("permlink"),
+        jg(col("_p"), "author")).otherwise(col("_signer")).as("author"),
+      coalesce(jg(col("_p"), "permlink"), lit("")).as("permlink"),
       col("_t").as("op_type"),
       col("timestamp").as("created"),
       col("_signer").as("account"),
-      get_json_object(col("_p"), "$.answer").cast("int").as("answer"),
-      from_json(get_json_object(col("_p"), "$.answers"),
+      jg(col("_p"), "answer").cast("int").as("answer"),
+      from_json(jg(col("_p"), "answers"),
         org.apache.spark.sql.types.ArrayType(
           org.apache.spark.sql.types.StringType)).as("answers"),
-      to_timestamp(get_json_object(col("_p"), "$.expires")).as("expires"),
+      to_timestamp(jg(col("_p"), "expires")).as("expires"),
       col("block_num"), col("trx_in_block"), col("id"))
       .filter(col("author").isNotNull && col("permlink") =!= "")
       .as[PollOp]

@@ -30,6 +30,14 @@ object GraftBridge {
     }
   }
 
+  /** Column extracting one top-level JSON field in a fused byte scan
+    * (see graft.functions.JsonGetField) — drop-in for
+    * `get_json_object(c, s"$$.$key")` on valid documents.
+    */
+  def jsonGet(c: Column, key: String): Column =
+    ExpressionUtils.column(graft.functions.JsonGetField(
+      ExpressionUtils.expression(c), key))
+
   /** Column of distinct w-shingle xxhash64 values (see
     * graft.functions.ShingleHashes).
     */

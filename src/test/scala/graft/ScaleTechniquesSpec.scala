@@ -291,7 +291,8 @@ class ScaleTechniquesSpec extends SparkSpec {
   test("GraftExtensions injects its registrations into a fresh extension set") {
     val exts = new org.apache.spark.sql.SparkSessionExtensions
     new GraftExtensions().apply(exts) // must not throw; builder is arity-checked
-    val (_, _, builder) = GraftExtensions.registrations.head
+    val (_, _, builder) = GraftExtensions.registrations
+      .find(_._1.funcName == "graft_dot").get
     import org.apache.spark.sql.catalyst.expressions.Literal
     import org.apache.spark.sql.types.{ArrayType, DoubleType}
     val cols = Seq(Literal.create(Array(1.0, 2.0), ArrayType(DoubleType)),
