@@ -1653,7 +1653,59 @@ object SparkEntry {
              |             ELSE 1 + n % 9000 END AS nf
              |      FROM m)
              |SELECT doc_id, media_type, CAST(unnest(range(0, nf, 30)) AS INT) AS frame_idx
-             |FROM f WHERE nf > 1""".stripMargin))
+             |FROM f WHERE nf > 1""".stripMargin)),
+
+    // the REAL codec under the oracle: payloads are valid RIFF/WAVE
+    // headers synthesized from doc_id (Multimodal.wavHex), parsed by the
+    // default HeaderCodec; the oracle independently rebuilds both the
+    // hex bytes and the expected metadata from the same arithmetic, so a
+    // parse defect (endianness, chunk offset, block-align math) or a
+    // synthesis divergence both fail. payload_hex pins byte-identical
+    // construction across engines (DuckDB sha256 can't hash blobs here,
+    // so the hex string itself is the integrity column).
+    Q("multimodal_wav_meta",
+      (s, d) => {
+        import s.implicits._
+        val media = Tables.documents(s, d).select(col("doc_id"),
+            lit("audio").as("media_type"),
+            Multimodal.syntheticWav(col("doc_id")).as("payload"))
+          .as[Multimodal.MediaRow]
+        Multimodal.extractMeta(media).toDF()
+          .select(col("doc_id"), col("media_type"), col("byte_len"),
+            col("width"), col("height"), col("n_frames"),
+            col("sample_rate"), col("duration_ms"),
+            Multimodal.wavHex(col("doc_id")).as("payload_hex"))
+      },
+      Some("""WITH p AS (
+             |  SELECT doc_id, 1 + doc_id % 2 AS ch,
+             |         8000 * (1 + doc_id % 3) AS rate,
+             |         100 + doc_id % 900 AS frames
+             |  FROM documents),
+             |q AS (
+             |  SELECT doc_id, ch, rate, frames, ch * 2 AS ba,
+             |         frames * ch * 2 AS dlen, rate * ch * 2 AS brate
+             |  FROM p)
+             |SELECT doc_id, 'audio' AS media_type,
+             |  CAST(44 AS BIGINT) AS byte_len,
+             |  CAST(0 AS INT) AS width, CAST(0 AS INT) AS height,
+             |  CAST(1 AS INT) AS n_frames,
+             |  CAST(rate AS INT) AS sample_rate,
+             |  CAST(frames * 1000 // rate AS BIGINT) AS duration_ms,
+             |  '52494646'
+             |    || substr(lpad(to_hex(36 + dlen),8,'0'),7,2) || substr(lpad(to_hex(36 + dlen),8,'0'),5,2)
+             |    || substr(lpad(to_hex(36 + dlen),8,'0'),3,2) || substr(lpad(to_hex(36 + dlen),8,'0'),1,2)
+             |    || '57415645666d742010000000' || '0100'
+             |    || substr(lpad(to_hex(ch),4,'0'),3,2) || substr(lpad(to_hex(ch),4,'0'),1,2)
+             |    || substr(lpad(to_hex(rate),8,'0'),7,2) || substr(lpad(to_hex(rate),8,'0'),5,2)
+             |    || substr(lpad(to_hex(rate),8,'0'),3,2) || substr(lpad(to_hex(rate),8,'0'),1,2)
+             |    || substr(lpad(to_hex(brate),8,'0'),7,2) || substr(lpad(to_hex(brate),8,'0'),5,2)
+             |    || substr(lpad(to_hex(brate),8,'0'),3,2) || substr(lpad(to_hex(brate),8,'0'),1,2)
+             |    || substr(lpad(to_hex(ba),4,'0'),3,2) || substr(lpad(to_hex(ba),4,'0'),1,2)
+             |    || '1000' || '64617461'
+             |    || substr(lpad(to_hex(dlen),8,'0'),7,2) || substr(lpad(to_hex(dlen),8,'0'),5,2)
+             |    || substr(lpad(to_hex(dlen),8,'0'),3,2) || substr(lpad(to_hex(dlen),8,'0'),1,2)
+             |    AS payload_hex
+             |FROM q""".stripMargin))
   )
 
   /** Shared oracle fragments for the polls delete semantics: `d` = the

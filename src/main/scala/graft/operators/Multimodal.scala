@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Multimodal column plumbing: image/audio/video payloads travel as opaque
@@ -217,6 +217,45 @@ object Multimodal {
       .select(col(idCol), sha2(col(payloadCol), 256).as("content_sha"))
       .groupBy(col("content_sha"))
       .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("dup_count"))
+
+  // uppercase hex on both sides: Spark `hex` and DuckDB `to_hex` agree
+  private def le32(c: Column): Column = {
+    val h = lpad(hex(c), 8, "0")
+    concat(substring(h, 7, 2), substring(h, 5, 2), substring(h, 3, 2), substring(h, 1, 2))
+  }
+  private def le16(c: Column): Column = {
+    val h = lpad(hex(c), 4, "0")
+    concat(substring(h, 3, 2), substring(h, 1, 2))
+  }
+
+  /** Hex of a VALID 44-byte RIFF/WAVE header whose parameters
+    * derive deterministically from `docId`: channels = 1 + id%2, sample
+    * rate = 8000 * (1 + id%3), sample frames = 100 + id%900, 16-bit PCM;
+    * the data chunk declares its size but carries no bytes (the codec
+    * reads declared sizes — truncated fixtures are the documented
+    * contract, [[HeaderCodec.wavMeta]]). Exists so the REAL header
+    * parser can sit under an arithmetic DuckDB oracle: the oracle
+    * rebuilds this hex string and the expected metadata independently,
+    * so a parse defect (endianness, chunk offset, block-align math) or a
+    * synthesis divergence both fail the gate.
+    */
+  def wavHex(docId: Column): Column = {
+    val ch = lit(1) + docId % 2
+    val rate = lit(8000) * (lit(1) + docId % 3)
+    val frames = lit(100) + docId % 900
+    val ba = ch * 2
+    val dlen = frames * ba
+    val brate = rate * ba
+    concat(
+      lit("52494646"), le32(lit(36) + dlen), // "RIFF" + riff size
+      lit("57415645666d742010000000"), // "WAVE" + "fmt " + fmt size 16
+      lit("0100"), le16(ch), le32(rate), le32(brate), le16(ba),
+      lit("1000"), // 16 bits/sample
+      lit("64617461"), le32(dlen)) // "data" + declared size
+  }
+
+  /** The binary payload for [[wavHex]] — what the codec actually parses. */
+  def syntheticWav(docId: Column): Column = unhex(wavHex(docId))
 
   /** Build a synthetic media table from the documents table (text bytes as
     * payload) — exercises the plumbing on driver test data.
