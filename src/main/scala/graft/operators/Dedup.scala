@@ -172,8 +172,13 @@ object Dedup {
     val sh = graft.core.CacheScope.cached(shinglesN(df, textCol, idCol, w))
     // both set sizes ride the joined rows (see shinglesN) — the group key
     // gains two functionally-dependent longs instead of the pair count
-    // paying a sizes aggregation plus two broadcast joins afterwards
-    sh.as("a")
+    // paying a sizes aggregation plus two broadcast joins afterwards.
+    // merge hint: BOTH sides are the corpus's shingle table — there is no
+    // dimension side, and the explode-derived size estimate undersells
+    // the frame badly enough that the size-based planner broadcast it on
+    // whole tiers (driver OOM class at 100 TB; measured on the LSH bucket
+    // twin at the 100x tier). SMJ is the no-memory-assumption default.
+    sh.as("a").hint("merge")
       .join(sh.as("b"),
         col("a.shingle") === col("b.shingle") && col("a.doc") < col("b.doc"))
       .groupBy(col("a.doc").as("doc_a"), col("b.doc").as("doc_b"),
@@ -195,8 +200,9 @@ object Dedup {
   def containmentPairs(df: DataFrame, textCol: String, idCol: String,
                        w: Int = 3, threshold: Double = 0.8): DataFrame = {
     val sh = graft.core.CacheScope.cached(shinglesN(df, textCol, idCol, w))
-    // set sizes ride the joined rows — same shape as [[ngramJaccardPairs]]
-    sh.as("a")
+    // set sizes ride the joined rows; merge hint — same shape and same
+    // no-dimension-side reasoning as [[ngramJaccardPairs]]
+    sh.as("a").hint("merge")
       .join(sh.as("b"),
         col("a.shingle") === col("b.shingle") && col("a.doc") < col("b.doc"))
       .groupBy(col("a.doc").as("doc_a"), col("b.doc").as("doc_b"),
@@ -315,13 +321,17 @@ object Dedup {
     // minhashSignaturesFromArrays) both derive from it.
     val arrs = graft.core.CacheScope.cached(shingleArrays(df, textCol, idCol, w))
     val sh = explodeShingleArrays(arrs)
-    // cache the bucket table: the candidate self-join broadcasts one
-    // side, so without the cache the signature map runs twice. The
-    // cached frame is bands rows per doc of three longs —
-    // dimension-sized at any corpus scale.
+    // cache the bucket table (bands rows per doc of three longs) so the
+    // signature map feeding both sides of the self-join runs once. merge
+    // hint: the frame is CORPUS-proportional (docs x bands), not a
+    // dimension — the size-based planner's explode-derived estimate
+    // undersold it and broadcast it for whole tiers, which built fine at
+    // 10x and OOM'd the driver at the 100x tier ("Not enough memory to
+    // build and broadcast"). The at-scale plan is one shuffle of each
+    // side on (band, bucket).
     val buckets = graft.core.CacheScope.cached(
       bandBuckets(minhashSignaturesFromArrays(arrs, numPerm), numPerm, bands))
-    val candidates = buckets.as("x")
+    val candidates = buckets.as("x").hint("merge")
       .join(buckets.as("y"),
         col("x.band") === col("y.band") && col("x.bucket") === col("y.bucket") &&
           col("x.doc") < col("y.doc"))
@@ -502,9 +512,14 @@ object Dedup {
     */
   def verifyPairsExact(candidates: DataFrame, sh: DataFrame, threshold: Double): DataFrame = {
     val shc = graft.core.CacheScope.cached(sh)
-    candidates
+    // merge hints: candidates are RESULT-proportional (near-dup density
+    // decides, unbounded at 100 TB) and the shingle side is
+    // corpus-proportional — neither is a broadcastable dimension, same
+    // reasoning as the bucket self-join above
+    candidates.hint("merge")
       .join(shc.select(col("doc").as("doc_a"), col("n").as("na"),
         col("shingle").as("s_a")), Seq("doc_a"))
+      .hint("merge")
       .join(shc.select(col("doc").as("doc_b"), col("n").as("nb"),
         col("shingle").as("s_a")), Seq("doc_b", "s_a"))
       .groupBy(col("doc_a"), col("doc_b"), col("na"), col("nb"))
@@ -790,7 +805,11 @@ object Dedup {
                            blockCol: String, threshold: Double): DataFrame = {
     val v = spread(emb).select(col(blockCol).as("blk"), col(idCol).as("vid"),
       transform(col(vecCol), x => x.cast("double")).as("vec"))
-    v.as("a").join(v.as("b"),
+    // merge hint: both sides are the full vector table (corpus-
+    // proportional, and heavy rows — the embedding array rides the join);
+    // broadcasting it is a driver OOM at scale, same class as the LSH
+    // bucket self-join
+    v.as("a").hint("merge").join(v.as("b"),
         col("a.blk") === col("b.blk") && col("a.vid") < col("b.vid"))
       .select(col("a.vid").as("id_a"), col("b.vid").as("id_b"),
         round(Similarity.cosine(col("a.vec"), col("b.vec")), 6).as("cosine"))
@@ -853,19 +872,24 @@ object Dedup {
     // hamming rides the join output (codegen'd two-long bit_count) and
     // filters BEFORE the distinct, so the aggregation sees only verified
     // fp pairs, never the full collision fanout
-    val fpPairs = chunks.as("x").join(chunks.as("y"),
+    // merge hints on every join below: distinct fingerprints approach doc
+    // count on diverse corpora, so chunks/fps frames are all
+    // corpus-proportional and fpPairs is result-proportional — no
+    // broadcastable dimension anywhere (see minhashLshPairs)
+    val fpPairs = chunks.as("x").hint("merge").join(chunks.as("y"),
         col("x.ck.c") === col("y.ck.c") && col("x.ck.v") === col("y.ck.v") &&
           col("x.simhash") < col("y.simhash"))
       .select(col("x.simhash").as("fp_a"), col("y.simhash").as("fp_b"),
         bit_count(col("x.simhash").bitwiseXOR(col("y.simhash"))).as("hamming"))
       .filter(col("hamming") <= maxHamming)
       .distinct()
-    val cross = fpPairs
+    val cross = fpPairs.hint("merge")
       .join(fps.select(col("simhash").as("fp_a"), col("doc").as("_da")), "fp_a")
+      .hint("merge")
       .join(fps.select(col("simhash").as("fp_b"), col("doc").as("_db")), "fp_b")
       .select(least(col("_da"), col("_db")).as("doc_a"),
         greatest(col("_da"), col("_db")).as("doc_b"), col("hamming"))
-    val intra = fps.as("p").join(fps.as("q"),
+    val intra = fps.as("p").hint("merge").join(fps.as("q"),
         col("p.simhash") === col("q.simhash") && col("p.doc") < col("q.doc"))
       .select(col("p.doc").as("doc_a"), col("q.doc").as("doc_b"),
         bit_count(lit(0L)).as("hamming"))

@@ -76,6 +76,22 @@ class PlanShapeSpec extends SparkSpec {
     }
   }
 
+  test("corpus self-join dedup plans never broadcast: every side is corpus- or result-proportional") {
+    // The size-based planner's estimate for explode-derived frames
+    // undersold the LSH bucket table badly enough to broadcast it on
+    // whole tiers — fine at 10x, driver OOM at the 100x tier ("Not
+    // enough memory to build and broadcast"). These queries have no
+    // dimension side anywhere: shingles, band buckets, fingerprints,
+    // chunk tables and candidate pairs all grow with the corpus (or the
+    // result), so every join must be a shuffle join at every tier.
+    Seq("dedup_ngram_jaccard", "dedup_containment", "dedup_minhash_lsh",
+      "dedup_simhash_pairs", "dedup_embedding_cosine").foreach { q =>
+      val p = plan(q)
+      assert(!p.contains("BroadcastHashJoin"),
+        s"$q broadcasts a corpus-proportional side")
+    }
+  }
+
   test("poll_ops: the block-range predicate reaches the scan side") {
     val p = SparkEntry.queries("plug_polls_ops")(spark, sf)
       .queryExecution.optimizedPlan.toString
