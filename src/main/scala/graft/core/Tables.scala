@@ -67,16 +67,31 @@ object Tables {
           spark.read.parquet(s"$sfDir/$other.parquet"))
     }
 
-  /** events with `ts` as a proper TimestampType (microsecond precision,
-    * truncated from the stored nanoseconds — `ts DIV 1000` is exact integer
-    * division; a double division would lose precision at 1.7e18 ns).
+  /** events with `ts` as a proper TimestampType (microsecond precision),
+    * whatever the file's physical type. Generations of the driver testdata
+    * have stored `ts` three ways:
+    *
+    *  - parquet TIMESTAMP(NANOS): unreadable by Spark's reader natively —
+    *    read as epoch-nanos long (`spark.sql.legacy.parquet.nanosAsLong`)
+    *    and truncate to microseconds (`ts DIV 1000` is exact integer
+    *    division; a double division would lose precision at 1.7e18 ns).
+    *    Matches DuckDB's ns->us truncation on the same file.
+    *  - TIMESTAMP(MICROS, isAdjustedToUTC=false): Spark reads
+    *    TIMESTAMP_NTZ; cast to TimestampType — value-identical under the
+    *    pinned UTC session timezone, and keeps every downstream window /
+    *    interval expression on the single type they were written for.
+    *  - TIMESTAMP(MICROS, utc): already TimestampType; passthrough.
     */
   def events(spark: SparkSession, sfDir: String): DataFrame =
     resolved.getOrElseUpdate((spark, s"$sfDir/events.parquet"), {
       spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-      spark.read
-        .parquet(s"$sfDir/events.parquet")
-        .withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+      val raw = spark.read.parquet(s"$sfDir/events.parquet")
+      import org.apache.spark.sql.types.{LongType, TimestampType}
+      raw.schema("ts").dataType match {
+        case LongType => raw.withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+        case TimestampType => raw
+        case _ => raw.withColumn("ts", col("ts").cast(TimestampType))
+      }
     })
 
   def lineitem(spark: SparkSession, sfDir: String): DataFrame = load(spark, sfDir, "lineitem")
