@@ -81,18 +81,69 @@ object Tables {
     *    pinned UTC session timezone, and keeps every downstream window /
     *    interval expression on the single type they were written for.
     *  - TIMESTAMP(MICROS, utc): already TimestampType; passthrough.
+    *
+    * Dispatch is STRICT: the LongType branch only fires when the parquet
+    * footer's logical annotation actually says TIMESTAMP(NANOS) (a future
+    * generation storing plain INT64 epoch-micros/millis would otherwise be
+    * silently scaled 1000x wrong), the cast branch only fires for
+    * TIMESTAMP_NTZ, and any other encoding throws instead of being
+    * coerced to nulls by a permissive cast.
     */
   def events(spark: SparkSession, sfDir: String): DataFrame =
     resolved.getOrElseUpdate((spark, s"$sfDir/events.parquet"), {
       spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-      val raw = spark.read.parquet(s"$sfDir/events.parquet")
-      import org.apache.spark.sql.types.{LongType, TimestampType}
+      val path = s"$sfDir/events.parquet"
+      val raw = spark.read.parquet(path)
+      import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
       raw.schema("ts").dataType match {
-        case LongType => raw.withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+        case LongType if tsAnnotationIsNanos(spark, path) =>
+          raw.withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
         case TimestampType => raw
-        case _ => raw.withColumn("ts", col("ts").cast(TimestampType))
+        case TimestampNTZType => raw.withColumn("ts", col("ts").cast(TimestampType))
+        case other =>
+          throw new IllegalStateException(
+            s"events.ts at $path has unsupported encoding $other " +
+              "(footer annotation: " + tsAnnotation(spark, path).getOrElse("none") + "); " +
+              "known encodings are TIMESTAMP(NANOS), TIMESTAMP(MICROS,NTZ), TIMESTAMP(MICROS,UTC). " +
+              "Refusing to guess a scale factor — extend Tables.events deliberately.")
       }
     })
+
+  /** Parquet footer logical-type annotation of the `ts` column in the first
+    * footer under `path` (file or directory) — one footer read, no data scan.
+    */
+  private def tsAnnotation(spark: SparkSession, path: String): Option[String] = {
+    import org.apache.hadoop.fs.{FileSystem, Path => HPath}
+    import org.apache.parquet.hadoop.ParquetFileReader
+    import org.apache.parquet.hadoop.util.HadoopInputFile
+    val conf = spark.sessionState.newHadoopConf()
+    val p = new HPath(path)
+    val fs = FileSystem.get(p.toUri, conf)
+    val first =
+      if (fs.getFileStatus(p).isDirectory)
+        fs.listStatus(p).iterator
+          .filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
+          .toSeq.sortBy(_.getPath.getName).headOption.map(_.getPath)
+      else Some(p)
+    first.flatMap { f =>
+      val reader = ParquetFileReader.open(HadoopInputFile.fromPath(f, conf))
+      try {
+        val schema = reader.getFooter.getFileMetaData.getSchema
+        Option(schema.getType(Seq("ts"): _*).asPrimitiveType().getLogicalTypeAnnotation)
+          .map(_.toString)
+      } finally reader.close()
+    }
+  }
+
+  private def tsAnnotationIsNanos(spark: SparkSession, path: String): Boolean =
+    tsAnnotation(spark, path).exists { ann =>
+      val isNanos = ann.contains("NANOS")
+      if (!isNanos) throw new IllegalStateException(
+        s"events.ts at $path reads as INT64 but the footer annotation is $ann, " +
+          "not TIMESTAMP(NANOS) — refusing to apply the nanos->micros truncation " +
+          "to a value of unknown scale. Extend Tables.events deliberately.")
+      isNanos
+    }
 
   def lineitem(spark: SparkSession, sfDir: String): DataFrame = load(spark, sfDir, "lineitem")
   def orders(spark: SparkSession, sfDir: String): DataFrame = load(spark, sfDir, "orders")
