@@ -63,6 +63,11 @@ object GraftExtensions {
       (FunctionIdentifier("graft_dot"),
         new ExpressionInfo(classOf[DoubleDotProduct].getName, "graft_dot"),
         arity("graft_dot", 2)(c => DoubleDotProduct(c.head, c(1)))),
+      (FunctionIdentifier("graft_intersect_count"),
+        new ExpressionInfo(classOf[graft.functions.SortedIntersectCount].getName,
+          "graft_intersect_count"),
+        arity("graft_intersect_count", 2)(c =>
+          graft.functions.SortedIntersectCount(c.head, c(1)))),
       (FunctionIdentifier("graft_shingle_hashes"),
         new ExpressionInfo(classOf[ShingleHashes].getName, "graft_shingle_hashes"),
         arity("graft_shingle_hashes", 2)(c =>

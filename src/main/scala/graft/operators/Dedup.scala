@@ -317,10 +317,9 @@ object Dedup {
                       threshold: Double = 0.8): DataFrame = {
     require(numPerm % bands == 0)
     // ONE cached pass over the corpus: per-doc shingle-hash arrays. The
-    // exploded join view and the in-row signatures (a pure map — see
-    // minhashSignaturesFromArrays) both derive from it.
+    // in-row signatures (a pure map — see minhashSignaturesFromArrays)
+    // and the array-based exact verification both derive from it.
     val arrs = graft.core.CacheScope.cached(shingleArrays(df, textCol, idCol, w))
-    val sh = explodeShingleArrays(arrs)
     // cache the bucket table (bands rows per doc of three longs) so the
     // signature map feeding both sides of the self-join runs once. merge
     // hint: the frame is CORPUS-proportional (docs x bands), not a
@@ -337,7 +336,7 @@ object Dedup {
           col("x.doc") < col("y.doc"))
       .select(col("x.doc").as("doc_a"), col("y.doc").as("doc_b"))
       .distinct()
-    verifyPairsExact(candidates, sh, threshold)
+    verifyPairsExactArrays(candidates, arrs, threshold)
   }
 
   /** Incremental NEAR-dup detection: pairs (batch doc, corpus doc) with
@@ -379,10 +378,11 @@ object Dedup {
   }
 
   /** Build the corpus side of incremental near-dup detection ONCE per
-    * ingest epoch: shingles (exact-verify side), band buckets (candidate
-    * side), per-doc shingle counts. `cache = true` persists the frames for
-    * the build-once/query-many lifecycle (an epoch's worth of batches);
-    * `cache = false` scopes them to the current query via CacheScope.
+    * ingest epoch: per-doc sorted shingle arrays (exact-verify side) and
+    * band buckets (candidate side). `cache = true` persists the frames
+    * for the build-once/query-many lifecycle (an epoch's worth of
+    * batches); `cache = false` scopes them to the current query via
+    * CacheScope.
     */
   def buildNearDupIndex(corpus: DataFrame, textCol: String, idCol: String,
                         w: Int = 3, numPerm: Int = 128, bands: Int = 16,
@@ -390,27 +390,25 @@ object Dedup {
     require(numPerm % bands == 0)
     def keep(df: DataFrame): DataFrame =
       if (cache) df.persist() else graft.core.CacheScope.cached(df)
-    // one pass over the corpus builds the per-doc hash arrays; the
-    // exploded verify side and the (map-only, shuffle-free) signature
-    // buckets both derive from the same cached frame. Always
-    // QUERY-scoped (even for an epoch-lifetime index): it is only a
-    // build-time intermediate — once sh/bkt materialize their own
-    // persistence, the arrays frame is dead weight, and scoping it to
-    // the building query releases it without threading it through the
-    // index's unpersist lifecycle.
-    val arrs = graft.core.CacheScope.cached(shingleArrays(corpus, textCol, idCol, w))
-    val sh = keep(explodeShingleArrays(arrs))
+    // one pass over the corpus builds the per-doc hash arrays — kept as
+    // the index's verify side (the array-merge verification reads them
+    // directly; nothing re-derives the exploded view), with the
+    // (map-only, shuffle-free) signature buckets derived from the same
+    // frame at build time.
+    val arrs = keep(shingleArrays(corpus, textCol, idCol, w))
     val bkt = keep(bandBuckets(
       minhashSignaturesFromArrays(arrs, numPerm), numPerm, bands))
-    new NearDupIndex(sh, bkt, w, numPerm, bands)
+    new NearDupIndex(arrs, bkt, w, numPerm, bands)
   }
 
   /** On-disk format version written by [[NearDupIndex.save]] and required
     * by [[loadNearDupIndex]]. Bump whenever the saved schema changes
-    * incompatibly (v2: shingles carry (doc, n, shingle:long) with in-row
-    * set sizes; the v1 sizes/ parquet and string shingles are gone).
+    * incompatibly (v3: the verify side is the per-doc sorted-distinct
+    * shingle array table (doc, _arr) — the v2 exploded (doc, n, shingle)
+    * parquet is gone; v2: shingles carried (doc, n, shingle:long) with
+    * in-row set sizes).
     */
-  val NearDupIndexFormatVersion: Int = 2
+  val NearDupIndexFormatVersion: Int = 3
 
   /** Re-open a saved near-dup index ([[NearDupIndex.save]]); band/params
     * come from the persisted params row, the frames read lazily. Fails
@@ -429,15 +427,19 @@ object Dedup {
     require(ver == NearDupIndexFormatVersion,
       s"near-dup index at $dir has format version $ver, this build reads " +
         s"$NearDupIndexFormatVersion — rebuild the index with buildNearDupIndex().save()")
-    val shingles = spark.read.parquet(s"$dir/shingles")
-    val expected = Set("doc", "n", "shingle")
-    require(shingles.columns.toSet == expected &&
-        shingles.schema("shingle").dataType == org.apache.spark.sql.types.LongType,
-      s"near-dup index at $dir has shingles schema ${shingles.schema.simpleString}, " +
-        s"expected (doc, n, shingle:long) — rebuild the index")
+    val arrays = spark.read.parquet(s"$dir/arrays")
+    val expected = Set("doc", "_arr")
+    require(arrays.columns.toSet == expected &&
+        (arrays.schema("_arr").dataType match {
+          case org.apache.spark.sql.types.ArrayType(
+            org.apache.spark.sql.types.LongType, _) => true
+          case _ => false
+        }),
+      s"near-dup index at $dir has arrays schema ${arrays.schema.simpleString}, " +
+        s"expected (doc, _arr:array<bigint>) — rebuild the index")
     def keep(df: DataFrame): DataFrame = if (cache) df.persist() else df
     new NearDupIndex(
-      keep(shingles),
+      keep(arrays),
       keep(spark.read.parquet(s"$dir/buckets")),
       p.getAs[Int]("w"), p.getAs[Int]("num_perm"), p.getAs[Int]("bands"))
   }
@@ -450,11 +452,11 @@ object Dedup {
     * shingle table co-partitioned on the join key by the shuffle itself.
     */
   class NearDupIndex private[operators] (
-      /** Corpus shingles (doc, n, shingle) — the exact-verify side; `n`
-        * is the doc's distinct-shingle count, carried per row so the
-        * verify join needs no sizes rollup (see [[shinglesN]]).
+      /** Corpus per-doc sorted-distinct shingle arrays (doc, _arr) — the
+        * exact-verify side, consumed in-row by the native sorted-merge
+        * intersection ([[graft.functions.SortedIntersectCount]]).
         */
-      val shingles: DataFrame,
+      val arrays: DataFrame,
       /** Corpus LSH band buckets (doc, band, bucket) — the candidate side. */
       val buckets: DataFrame,
       val shingleWidth: Int, val numPerm: Int, val bands: Int) {
@@ -462,8 +464,8 @@ object Dedup {
     /** Persist the index for reuse across batches/sessions. */
     def save(dir: String): Unit = {
       buckets.write.mode("overwrite").partitionBy("band").parquet(s"$dir/buckets")
-      shingles.write.mode("overwrite").parquet(s"$dir/shingles")
-      val spark = shingles.sparkSession
+      arrays.write.mode("overwrite").parquet(s"$dir/arrays")
+      val spark = arrays.sparkSession
       import spark.implicits._
       Seq((shingleWidth, numPerm, bands, Dedup.NearDupIndexFormatVersion))
         .toDF("w", "num_perm", "bands", "format_version")
@@ -471,18 +473,21 @@ object Dedup {
     }
 
     def unpersist(): Unit = {
-      shingles.unpersist(false); buckets.unpersist(false)
+      arrays.unpersist(false); buckets.unpersist(false)
     }
 
     /** Near-dup pairs (batch doc, corpus doc) with exact Jaccard >=
       * threshold: the batch pays only its own signature pass plus the
-      * bucket equi join against the prebuilt corpus side.
+      * bucket equi join against the prebuilt corpus side. Verification
+      * fetches both docs' arrays by id and merges in-row — the batch
+      * arrays side is batch-proportional (MBs against a TB corpus), so
+      * the size-based planner broadcasts it and only the corpus-array
+      * fetch shuffles.
       */
     def pairs(batch: DataFrame, textCol: String, idCol: String,
               threshold: Double = 0.8): DataFrame = {
       val arrsB = graft.core.CacheScope.cached(
         shingleArrays(batch, textCol, idCol, shingleWidth))
-      val shB = explodeShingleArrays(arrsB)
       val bktB = bandBuckets(
         minhashSignaturesFromArrays(arrsB, numPerm), numPerm, bands)
       val candidates = bktB.as("x")
@@ -491,12 +496,15 @@ object Dedup {
         .select(col("x.doc").as("doc_a"), col("y.doc").as("doc_b"))
         .distinct()
       candidates
-        .join(shB.select(col("doc").as("doc_a"), col("n").as("na"),
-          col("shingle").as("s")), Seq("doc_a"))
-        .join(shingles.select(col("doc").as("doc_b"), col("n").as("nb"),
-          col("shingle").as("s")), Seq("doc_b", "s"))
-        .groupBy(col("doc_a"), col("doc_b"), col("na"), col("nb"))
-        .agg(count(lit(1)).as("i"))
+        .join(arrsB.select(col("doc").as("doc_a"), col("_arr").as("_arr_a")),
+          Seq("doc_a"))
+        .join(arrays.select(col("doc").as("doc_b"), col("_arr").as("_arr_b")),
+          Seq("doc_b"))
+        .select(col("doc_a"), col("doc_b"),
+          org.apache.spark.sql.GraftBridge
+            .intersectCount(col("_arr_a"), col("_arr_b")).as("i"),
+          size(col("_arr_a")).cast("long").as("na"),
+          size(col("_arr_b")).cast("long").as("nb"))
         .withColumn("jaccard",
           round(col("i").cast("double") / (col("na") + col("nb") - col("i")), 6))
         .filter(col("jaccard") >= threshold)
@@ -509,6 +517,10 @@ object Dedup {
     * full cross of all docs (this is what keeps LSH sub-quadratic at scale).
     * `sh` must be a [[shinglesN]] frame (doc, n, shingle): both docs' set
     * sizes ride the intersection rows, so no sizes rollup/join is needed.
+    *
+    * Prefer [[verifyPairsExactArrays]] when the pre-explode arrays are at
+    * hand — it replaces the two shingle-fanout joins + count shuffle with
+    * two id-equi joins and an in-row sorted merge.
     */
   def verifyPairsExact(candidates: DataFrame, sh: DataFrame, threshold: Double): DataFrame = {
     val shc = graft.core.CacheScope.cached(sh)
@@ -524,6 +536,43 @@ object Dedup {
         col("shingle").as("s_a")), Seq("doc_b", "s_a"))
       .groupBy(col("doc_a"), col("doc_b"), col("na"), col("nb"))
       .agg(count(lit(1)).as("i"))
+      .withColumn("jaccard",
+        round(col("i").cast("double") / (col("na") + col("nb") - col("i")), 6))
+      .filter(col("jaccard") >= threshold)
+      .select("doc_a", "doc_b", "jaccard")
+  }
+
+  /** Exact-Jaccard verification of candidate pairs against per-doc
+    * SORTED-DISTINCT shingle arrays ([[shingleArrays]] output): two
+    * id-equi joins fetch both docs' arrays onto the pair row, then the
+    * native [[graft.functions.SortedIntersectCount]] merge computes the
+    * intersection in-row. Compared to [[verifyPairsExact]], the
+    * post-join row count drops from O(sum of candidate pairs' matching
+    * shingles) to O(pairs), and the count-group shuffle disappears — the
+    * intersection never leaves the row it is computed on.
+    *
+    * At 100 TB this is the fetch-signatures-by-id shape every LSH
+    * deduper deploys: the arrays table is the persisted per-doc
+    * signature store, the joins partition on doc id, and pair rows carry
+    * two bounded arrays (document shingle counts, not corpus size).
+    */
+  def verifyPairsExactArrays(candidates: DataFrame, arrs: DataFrame,
+                             threshold: Double): DataFrame = {
+    // merge hints: candidates are RESULT-proportional and the arrays side
+    // is corpus-proportional — neither is a broadcastable dimension (the
+    // explode-derived estimates undersell these frames; see the bucket
+    // self-join rationale above)
+    candidates.hint("merge")
+      .join(arrs.select(col("doc").as("doc_a"), col("_arr").as("_arr_a")),
+        Seq("doc_a"))
+      .hint("merge")
+      .join(arrs.select(col("doc").as("doc_b"), col("_arr").as("_arr_b")),
+        Seq("doc_b"))
+      .select(col("doc_a"), col("doc_b"),
+        org.apache.spark.sql.GraftBridge
+          .intersectCount(col("_arr_a"), col("_arr_b")).as("i"),
+        size(col("_arr_a")).cast("long").as("na"),
+        size(col("_arr_b")).cast("long").as("nb"))
       .withColumn("jaccard",
         round(col("i").cast("double") / (col("na") + col("nb") - col("i")), 6))
       .filter(col("jaccard") >= threshold)
@@ -697,17 +746,23 @@ object Dedup {
     * is the robust structure when the graph's diameter OR degree
     * distribution is adversarial at 100 TB.
     *
-    * Schedule: TWO large-stars then one small-star per round (the paper's
-    * two-phase structure runs large-star to a fixed point before each
-    * small-star; 2-1 is the bounded version of that). Large-star is what
-    * compresses diameter — one application halves the distance-to-minimum
-    * on path-like regions, so a round compresses 4× — while small-star
-    * flattens the stars large-star builds. Versus strict 1-1 alternation
-    * this halves the number of synchronization barriers (checkpoint +
-    * driver round trip, the per-round cost that hurts at cluster scale)
-    * at the same total shuffle volume: measured 10 → 6 rounds on a
-    * 512-node chain (OperatorsSpec "star CC" case). Each round ends in
-    * one localCheckpoint to truncate lineage. Convergence is read from an
+    * Schedule (`largeStars` large-star phases then one small-star per
+    * round): large-star is what compresses diameter — one application
+    * halves the distance-to-minimum on path-like regions — while
+    * small-star flattens the stars large-star builds. The default 2-1
+    * (the bounded version of the paper's run-large-star-to-fixed-point
+    * structure) halves the number of synchronization barriers
+    * (checkpoint + driver round trip, the per-round cost that hurts at
+    * cluster scale) versus strict 1-1 alternation at the same total
+    * shuffle volume on DEEP graphs: measured 10 → 6 rounds on a
+    * 512-node chain (OperatorsSpec "star CC" case). On SHALLOW graphs
+    * (real near-dup components: diameter 2-3) the second large-star in
+    * a round does no extra compression and is pure per-round cost —
+    * 1-1 converges in the same number of rounds with one fewer
+    * window+shuffle each (measured at sf0.1: same 3 rounds both
+    * schedules; see SparkEntry's gate choice). Pick per graph shape.
+    * Each round ends in one localCheckpoint to truncate lineage.
+    * Convergence is read from an
     * [[org.apache.spark.sql.Observation]] riding the checkpoint job — the
     * edge multiset is a fixed point of both phases iff its (count,
     * hash-sum) signature stops changing (a 64-bit commutative signature;
@@ -718,10 +773,13 @@ object Dedup {
     * output (doc, cluster) with cluster = min doc id of the component.
     * Returns the round count alongside, for A/B round measurements.
     */
-  def nearDupClustersStar(pairs: DataFrame, maxIter: Int = 25): DataFrame =
-    starCc(pairs, maxIter)._1
+  def nearDupClustersStar(pairs: DataFrame, maxIter: Int = 25,
+                          largeStars: Int = 2): DataFrame =
+    starCc(pairs, maxIter, largeStars)._1
 
-  private[graft] def starCc(pairs: DataFrame, maxIter: Int = 25): (DataFrame, Int) = {
+  private[graft] def starCc(pairs: DataFrame, maxIter: Int = 25,
+                            largeStars: Int = 2): (DataFrame, Int) = {
+    require(largeStars >= 1, "at least one large-star phase per round")
     import org.apache.spark.sql.expressions.Window
     // canonical u > v, dedup'd; self-pairs dropped defensively
     var edges = pairs
@@ -762,7 +820,8 @@ object Dedup {
     var prev = (-1L, -1L)
     var converged = false
     while (!converged && i < maxIter) {
-      val ss = smallStar(largeStar(largeStar(edges)))
+      val ss = smallStar(
+        (1 to largeStars).foldLeft(edges)((e, _) => largeStar(e)))
       val obs = org.apache.spark.sql.Observation(s"star_cc_$i")
       val next = ss
         .observe(obs,

@@ -44,6 +44,13 @@ object GraftBridge {
   def shingleHashes(text: Column, w: Int): Column =
     ExpressionUtils.column(ShingleHashes(ExpressionUtils.expression(text), w))
 
+  /** Column counting common elements of two sorted-distinct long arrays
+    * (see graft.functions.SortedIntersectCount).
+    */
+  def intersectCount(a: Column, b: Column): Column =
+    ExpressionUtils.column(graft.functions.SortedIntersectCount(
+      ExpressionUtils.expression(a), ExpressionUtils.expression(b)))
+
   /** Column of fused token/set-hit counts (see
     * graft.functions.TokenSetHits).
     */

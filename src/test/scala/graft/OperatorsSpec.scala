@@ -286,10 +286,13 @@ class OperatorsSpec extends SparkSpec {
       .write.mode("overwrite").parquet(s"$dir/buckets")
     val e = intercept[IllegalArgumentException](Dedup.loadNearDupIndex(spark, dir))
     assert(e.getMessage.contains("rebuild the index"))
-    // and a current-format params row with a stale shingles schema
+    // and a current-format params row with a stale verify-side schema
+    // (the v2 exploded (doc, n, shingle) layout in the arrays/ slot)
     Seq((3, 128, 16, Dedup.NearDupIndexFormatVersion))
       .toDF("w", "num_perm", "bands", "format_version")
       .write.mode("overwrite").parquet(s"$dir/params")
+    Seq((1L, 3L, 42L)).toDF("doc", "n", "shingle")
+      .write.mode("overwrite").parquet(s"$dir/arrays")
     val e2 = intercept[IllegalArgumentException](Dedup.loadNearDupIndex(spark, dir))
     assert(e2.getMessage.contains("rebuild the index"))
   }

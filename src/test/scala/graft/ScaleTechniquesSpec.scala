@@ -73,6 +73,49 @@ class ScaleTechniquesSpec extends SparkSpec {
     assert(e.getMessage.contains("graft_dot"))
   }
 
+  test("graft_intersect_count matches size(array_intersect) on sorted-distinct arrays") {
+    import spark.implicits._
+    val br = org.apache.spark.sql.GraftBridge
+    // real shingle arrays from documents — the production input shape
+    val docs = graft.core.Tables.documents(spark, "/root/testdata/sf0.001")
+      .select(col("doc_id"), col("text")).limit(60)
+    val arrs = graft.operators.Dedup.shingleArrays(docs, "text", "doc_id", 3).cache()
+    val pairs = arrs.as("a").join(arrs.as("b"), col("a.doc") < col("b.doc"))
+      .select(col("a._arr").as("x"), col("b._arr").as("y"))
+    val both = pairs.select(
+        br.intersectCount(col("x"), col("y")).as("native"),
+        size(array_intersect(col("x"), col("y"))).cast("long").as("builtin"))
+      .collect()
+    assert(both.nonEmpty && both.exists(_.getLong(1) > 0),
+      "fixture must exercise non-empty intersections")
+    both.foreach(r => assert(r.getLong(0) === r.getLong(1)))
+    arrs.unpersist()
+    // seeded random sorted-distinct arrays — empties, disjoint, identical,
+    // negative values (signed-long ordering), single elements
+    val rnd = new scala.util.Random(7)
+    val randoms = (0 until 200).map { i =>
+      def arr() = rnd.nextInt(4) match {
+        case 0 => Array.empty[Long]
+        case _ => Array.fill(rnd.nextInt(40) + 1)(rnd.nextLong() % 50)
+          .distinct.sorted
+      }
+      val a = arr()
+      (i.toLong, a, if (i % 5 == 0) a else arr())
+    }
+    val rdf = randoms.toDF("i", "x", "y")
+    rdf.select(
+        br.intersectCount(col("x"), col("y")).as("native"),
+        size(array_intersect(col("x"), col("y"))).cast("long").as("builtin"))
+      .collect()
+      .foreach(r => assert(r.getLong(0) === r.getLong(1)))
+    // null propagation + SQL registration
+    val viaSql = spark.sql(
+      "SELECT graft_intersect_count(array(1L, 3L, 7L), array(3L, 5L, 7L)) AS c, " +
+        "graft_intersect_count(CAST(NULL AS ARRAY<BIGINT>), array(1L)) AS n")
+      .collect().head
+    assert(viaSql.getLong(0) === 2L && viaSql.isNullAt(1))
+  }
+
   test("graft_shingle_hashes is bit-identical to xxhash64 over concat_ws shingles") {
     import spark.implicits._
     // adversarial token shapes: multi-space runs (empty tokens), leading/
