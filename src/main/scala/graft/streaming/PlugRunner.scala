@@ -71,11 +71,27 @@ class PlugRunner(
             .option("partitionOverwriteMode", "dynamic")
             .partitionBy(partCols: _*)
             .parquet(tableDir(name))
+          // manifest commit: record the batch id in the one-file commit
+          // record (idempotent — a replayed id is already a member). The
+          // data write lands first, so a crash between the two replays
+          // the batch (offsets commit after processBatch) and re-runs
+          // both steps. An EMPTY batch writes no partition directory at
+          // all (dynamic overwrite of zero rows), so membership is
+          // gated on the directory existing — recording a dir-less id
+          // would point readers at a nonexistent path.
+          val bDir = new org.apache.hadoop.fs.Path(
+            tableDir(name), s"_batch_id=$batchId")
+          val bFs = bDir.getFileSystem(df.sparkSession.sparkContext.hadoopConfiguration)
+          if (bFs.exists(bDir)) {
+            val m = manifest(df.sparkSession, name)
+            writeManifest(df.sparkSession, name,
+              m.copy(live = (m.live.toSet + batchId).toSeq.sorted))
+          }
           // keep the directory count bounded: once enough per-batch
           // partitions accumulate, fold everything before this batch into
           // a compact segment (ids < batchId are past their replay window
           // — their source offsets committed before this batch started)
-          if (CompactEvery > 0 && liveBatchIds(df.sparkSession, name).size >= CompactEvery)
+          if (CompactEvery > 0 && manifest(df.sparkSession, name).live.size >= CompactEvery)
             compactAppends(df.sparkSession, name, batchId - 1)
       }
     }
@@ -180,8 +196,73 @@ class PlugRunner(
   private def appendStore(spark: SparkSession, name: String) =
     new ParquetStateStore(spark, s"${tableDir(name)}/_compact")
 
-  /** Batch-id partitions currently on disk for an append table. */
-  private def liveBatchIds(spark: SparkSession, name: String): Seq[Long] = {
+  /** The append table's one-file commit record: which segment watermarks
+    * and which live batch ids are committed. Readers and the compaction
+    * trigger consult THIS, not a directory listing — at object-store
+    * scale LIST is the slow (and on some stores eventually-consistent)
+    * operation, and a 500k-batch year of `_batch_id=` history would pay
+    * it on every plan. One `open` + `rename` pair per commit instead.
+    *
+    * Format: a single line `1|w1,w2|b1,b2,b3` (version | ascending
+    * segment watermarks | ascending live batch ids), swapped into place
+    * by write-tmp-then-rename — the same commit primitive Spark's own
+    * HDFSMetadataLog uses (atomic on HDFS/local; object-store
+    * deployments point checkpoints at a rename-capable store for the
+    * same reason).
+    */
+  private[streaming] case class AppendManifest(segments: Seq[Long], live: Seq[Long])
+
+  private def manifestPath(name: String) =
+    new org.apache.hadoop.fs.Path(tableDir(name), "_append_manifest")
+
+  /** Read the manifest; if absent (pre-manifest layout, or first write),
+    * derive it from a one-time directory listing — the migration path
+    * for tables written before the manifest existed.
+    */
+  private[streaming] def manifest(spark: SparkSession, name: String): AppendManifest = {
+    val path = manifestPath(name)
+    val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val parsed =
+      if (!fs.exists(path)) None
+      else {
+        val in = fs.open(path)
+        val raw = try scala.io.Source.fromInputStream(in).mkString finally in.close()
+        // tolerate a torn write (crash mid-create should be impossible
+        // under rename, but a corrupt record must re-derive, not brick)
+        raw.trim.split("\\|", -1) match {
+          case Array("1", segs, live) =>
+            def ids(s: String): Option[Seq[Long]] =
+              if (s.isEmpty) Some(Nil)
+              else {
+                val parts = s.split(",").toSeq.map(_.toLongOption)
+                if (parts.forall(_.isDefined)) Some(parts.flatten) else None
+              }
+            for (s <- ids(segs); l <- ids(live)) yield AppendManifest(s, l)
+          case _ => None
+        }
+      }
+    parsed.getOrElse(AppendManifest(
+      appendStore(spark, name).allVersions, listBatchIds(spark, name)))
+  }
+
+  private[streaming] def writeManifest(spark: SparkSession, name: String,
+                                       m: AppendManifest): Unit = {
+    val path = manifestPath(name)
+    val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val tmp = new org.apache.hadoop.fs.Path(tableDir(name), "._append_manifest.tmp")
+    val out = fs.create(tmp, true)
+    try out.write(
+      s"1|${m.segments.mkString(",")}|${m.live.mkString(",")}".getBytes("UTF-8"))
+    finally out.close()
+    fs.delete(path, false)
+    fs.rename(tmp, path)
+  }
+
+  /** Batch-id partitions currently on disk for an append table — the
+    * manifest-derivation fallback only; committed membership is the
+    * manifest's.
+    */
+  private def listBatchIds(spark: SparkSession, name: String): Seq[Long] = {
     val root = new org.apache.hadoop.fs.Path(tableDir(name))
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(root)) Seq.empty
@@ -214,9 +295,15 @@ class PlugRunner(
     require(!mergeFns.contains(name),
       s"$name is a merge table; its state store already compacts via prune")
     val store = appendStore(spark, name)
-    val prevW = store.allVersions.lastOption.getOrElse(-1L)
+    val m = manifest(spark, name)
+    // the MANIFEST decides progress, not the segment listing: a crash
+    // between segment commit and manifest swap leaves a committed-but-
+    // unreferenced segment, and the re-trigger must re-fold (idempotent
+    // overwrite of the same version) rather than skip and strand the
+    // manifest behind the segment store forever
+    val prevW = m.segments.lastOption.getOrElse(-1L)
     if (upToBatch <= prevW) return
-    val foldable = liveBatchIds(spark, name).filter(n => n > prevW && n <= upToBatch)
+    val foldable = m.live.filter(n => n > prevW && n <= upToBatch)
     if (foldable.isEmpty) return
     val dir = tableDir(name)
     val seg = spark.read.option("basePath", dir)
@@ -224,16 +311,33 @@ class PlugRunner(
       .withColumn("_batch_id", col("_batch_id").cast("long"))
     val partCols = if (seg.columns.contains("_block_bucket")) Seq("_block_bucket") else Nil
     store.commit(upToBatch, seg, partCols)
+    // everything <= the new watermark leaves the live set: the foldable
+    // ids just landed in the segment, and any OTHER live id below the
+    // watermark is a replayed-folded stray whose data a segment already
+    // holds (readers were excluding it by the watermark rule; now its
+    // dir gets GC'd too)
+    val newLive = m.live.filter(_ > upToBatch)
+    writeManifest(spark, name,
+      AppendManifest((m.segments :+ upToBatch).distinct.sorted, newLive))
+    // GC last — everything below runs after the new manifest is visible,
+    // so a crash anywhere here leaves only dirs every reader already
+    // excludes. The listing (one per compaction, not per read) also
+    // sweeps strays a previous crash-between-swap-and-GC left behind.
     val root = new org.apache.hadoop.fs.Path(dir)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    foldable.foreach(n =>
-      fs.delete(new org.apache.hadoop.fs.Path(root, s"_batch_id=$n"), true))
+    listBatchIds(spark, name)
+      .filter(n => n <= upToBatch && !newLive.contains(n))
+      .foreach(n =>
+        fs.delete(new org.apache.hadoop.fs.Path(root, s"_batch_id=$n"), true))
   }
 
   /** Read the current contents of a derived table. Append tables are the
-    * union of compact segments and not-yet-folded batch partitions
-    * strictly above the fold watermark (see [[compactAppends]] for why
-    * the watermark rule, not directory presence, decides membership).
+    * union of the manifest's compact segments and its live batch
+    * partitions above the fold watermark (see [[compactAppends]] for why
+    * manifest membership, not directory presence, decides — a replayed
+    * backfill chunk can re-materialize a folded id's directory, and a
+    * crashed compaction can leave folded dirs behind; both are excluded
+    * here without any listing).
     */
   def table(spark: SparkSession, name: String): DataFrame =
     if (mergeFns.contains(name))
@@ -241,15 +345,17 @@ class PlugRunner(
         .getOrElse(spark.emptyDataFrame)
     else {
       val dir = tableDir(name)
-      val segs = appendStore(spark, name).allVersions
-      if (segs.isEmpty)
+      val m = manifest(spark, name)
+      if (m.segments.isEmpty && m.live.isEmpty)
+        // nothing committed (or a pre-manifest dir with nothing listable):
+        // let the plain read surface its own empty-path semantics
         spark.read.parquet(dir).drop("_batch_id", "_block_bucket")
       else {
-        val maxW = segs.last
-        val segFrames = segs.map(w =>
+        val maxW = m.segments.lastOption.getOrElse(-1L)
+        val segFrames = m.segments.map(w =>
           spark.read.parquet(s"$dir/_compact/v=$w")
             .drop("_batch_id", "_block_bucket"))
-        val live = liveBatchIds(spark, name).filter(_ > maxW)
+        val live = m.live.filter(_ > maxW)
         val liveFrames =
           if (live.isEmpty) Nil
           else Seq(spark.read.option("basePath", dir)
@@ -279,7 +385,7 @@ class PlugRunner(
       if (mergeFns.contains(name))
         new ParquetStateStore(spark, tableDir(name)).read()
           .foreach(_.createOrReplaceTempView(s"${plug.name}_$name"))
-      else if (appendStore(spark, name).allVersions.nonEmpty)
+      else if (manifest(spark, name).segments.nonEmpty)
         // compacted: data lives in `_compact` segments the external-table
         // path can't see (hidden dir) — register the watermark-aware
         // union as a view, same refresh contract as the merge tables

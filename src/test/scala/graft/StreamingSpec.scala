@@ -85,6 +85,47 @@ class StreamingSpec extends SparkSpec {
     assert(spark.sql("SELECT count(*) FROM podping_updates").collect().head.getLong(0) === 6L)
   }
 
+  test("manifest commit: 120 batches keep dirs bounded; crashed compaction replays clean") {
+    val out = tmp()
+    val runner = new PlugRunner(Podping, out) { override val CompactEvery = 8 }
+    def batch(i: Int) = opLog(spark, Seq(
+      op(i.toLong, 100 + i, 0, "2024-01-01 00:00:00", "podping", podpingV03(Seq(s"u$i")))))
+    def entries() = Option(new java.io.File(s"$out/podping/updates").list())
+      .toSeq.flatten
+    (0 until 120).foreach(i => runner.processBatch(batch(i), i.toLong))
+    // VERDICT r9 item 3 "done" bar: bounded directory count across 100+
+    // batches — live batch dirs under CompactEvery, segments ~n/CompactEvery
+    val live = entries().count(_.startsWith("_batch_id="))
+    val segs = Option(new java.io.File(s"$out/podping/updates/_compact").list())
+      .toSeq.flatten.count(_.startsWith("v="))
+    assert(live < 8, s"live=$live")
+    // trigger fires at live >= CompactEvery and folds to batchId-1
+    // (leaves 1 live), so a fold lands every CompactEvery-1 batches
+    assert(segs <= 120 / 7 + 1, s"segs=$segs")
+    assert(entries().count(_ == "_append_manifest") === 1)
+    assert(runner.table(spark, "updates").count() === 120)
+
+    // crash window 1: segment committed but manifest swap never ran —
+    // emulate by deleting the manifest (state strictly older than the
+    // segment store, which is what the crash leaves). The re-derived
+    // manifest + re-triggered compaction must converge, not double-count.
+    new java.io.File(s"$out/podping/updates/_append_manifest").delete()
+    runner.processBatch(batch(120), 120L)
+    assert(runner.table(spark, "updates").count() === 121)
+
+    // crash window 2: manifest swapped but GC never ran — re-materialize
+    // a folded id's directory (also the replayed-backfill-chunk shape);
+    // readers exclude it via manifest membership, and the next
+    // compaction sweeps the stray dir
+    runner.processBatch(batch(3), 3L)
+    assert(runner.table(spark, "updates").count() === 121,
+      "stale folded dir must not double-count")
+    (121 to 132).foreach(i => runner.processBatch(batch(i), i.toLong))
+    assert(!entries().contains("_batch_id=3"), "stray dir swept by compaction GC")
+    assert(runner.table(spark, "updates").count() === 133)
+    assert(runner.table(spark, "updates").filter(col("url") === "u3").count() === 1)
+  }
+
   test("append compaction auto-triggers once enough batch partitions accumulate") {
     val out = tmp()
     val runner = new PlugRunner(Podping, out) { override val CompactEvery = 3 }
