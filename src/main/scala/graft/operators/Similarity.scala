@@ -123,27 +123,145 @@ object Similarity {
     new IvfIndex(if (cache) assigned.persist() else assigned, centers, idCol, vecCol)
   }
 
+  /** Current generation of a saved IVF index, if the directory uses the
+    * generation layout (`_ivf_gen` pointer file + `gen=N/` data dirs).
+    * Pre-generation saves (data directly under `dir/`) read as None and
+    * keep working; [[retrainIvf]] migrates them to `gen=1` on its first
+    * swap.
+    */
+  def ivfGeneration(spark: org.apache.spark.sql.SparkSession,
+                    dir: String): Option[Long] = {
+    val p = new org.apache.hadoop.fs.Path(dir, "_ivf_gen")
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    if (!fs.exists(p)) None
+    else {
+      val in = fs.open(p)
+      val raw = try scala.io.Source.fromInputStream(in).mkString finally in.close()
+      raw.trim.toLongOption
+    }
+  }
+
+  /** Directory holding the CURRENT generation's cells/centroids/appends. */
+  private def ivfDataDir(spark: org.apache.spark.sql.SparkSession,
+                         dir: String): String =
+    ivfGeneration(spark, dir).map(n => s"$dir/gen=$n").getOrElse(dir)
+
+  private def writeIvfGeneration(spark: org.apache.spark.sql.SparkSession,
+                                 dir: String, gen: Long): Unit = {
+    val p = new org.apache.hadoop.fs.Path(dir, "_ivf_gen")
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    val tmp = new org.apache.hadoop.fs.Path(dir, "._ivf_gen.tmp")
+    val out = fs.create(tmp, true)
+    try out.write(gen.toString.getBytes("UTF-8")) finally out.close()
+    fs.delete(p, false)
+    fs.rename(tmp, p)
+  }
+
   /** Re-open a saved IVF index ([[IvfIndex.save]]): the inverted file is
     * read lazily (cell-partition pruning applies at query time), only the
     * small centroid matrix is collected. Idempotent batch appends
-    * ([[IvfIndex.appendBatchTo]]) live under `dir/appends` and are
-    * unioned in transparently.
+    * ([[IvfIndex.appendBatchTo]]) live under the generation's `appends`
+    * and are unioned in transparently.
     */
   def loadIvf(spark: org.apache.spark.sql.SparkSession, dir: String,
               idCol: String = "vec_id", vecCol: String = "embedding",
               cache: Boolean = true): IvfIndex = {
-    val centers = spark.read.parquet(s"$dir/centroids").orderBy("cell").collect()
+    val d = ivfDataDir(spark, dir)
+    val centers = spark.read.parquet(s"$d/centroids").orderBy("cell").collect()
       .map(_.getAs[scala.collection.Seq[Double]]("centroid").toArray)
-    val base = spark.read.parquet(s"$dir/cells")
-    val appendsPath = new org.apache.hadoop.fs.Path(s"$dir/appends")
+    val base = spark.read.parquet(s"$d/cells")
+    val appendsPath = new org.apache.hadoop.fs.Path(s"$d/appends")
     val fs = appendsPath.getFileSystem(spark.sessionState.newHadoopConf())
     val cells =
       if (fs.exists(appendsPath))
         base.unionByName(
-          spark.read.parquet(s"$dir/appends").drop("_batch_id")
+          spark.read.parquet(s"$d/appends").drop("_batch_id")
             .select(base.columns.map(col): _*))
       else base
     new IvfIndex(if (cache) cells.persist() else cells, centers, idCol, vecCol)
+  }
+
+  /** Staleness signals of a saved IVF index — the drift contract's
+    * measurable side. `appendFraction` is appended rows over base rows
+    * (how much of the index never saw centroid training); `maxCellShare`
+    * is the hottest cell's share of all rows (appends assigned to frozen
+    * centroids pile into the cells nearest the drifted mixture, and a hot
+    * cell degrades both recall-per-probe and probe cost). One aggregation
+    * job over the index's parquet (counts only, no vectors).
+    */
+  case class IvfStaleness(baseRows: Long, appendRows: Long, maxCellShare: Double,
+                          nCells: Int) {
+    def appendFraction: Double =
+      if (baseRows == 0) Double.PositiveInfinity else appendRows.toDouble / baseRows
+    /** Hot-cell skew relative to the uniform share 1/nCells. */
+    def imbalance: Double = maxCellShare * nCells
+    def isStale(maxAppendFraction: Double = 0.25, maxImbalance: Double = 4.0): Boolean =
+      appendFraction > maxAppendFraction || imbalance > maxImbalance
+  }
+
+  def ivfStaleness(spark: org.apache.spark.sql.SparkSession, dir: String): IvfStaleness = {
+    val d = ivfDataDir(spark, dir)
+    val base = spark.read.parquet(s"$d/cells")
+    val appendsPath = new org.apache.hadoop.fs.Path(s"$d/appends")
+    val fs = appendsPath.getFileSystem(spark.sessionState.newHadoopConf())
+    val appends =
+      if (fs.exists(appendsPath))
+        spark.read.parquet(s"$d/appends").select(col("cell"), lit(true).as("_app"))
+      else spark.emptyDataFrame.select(lit(0).as("cell"), lit(true).as("_app")).limit(0)
+    val all = base.select(col("cell"), lit(false).as("_app")).unionByName(appends)
+    val perCell = all.groupBy("cell")
+      .agg(count(lit(1)).as("n"), sum(when(col("_app"), 1L).otherwise(0L)).as("na"))
+      .agg(sum(col("n")).as("total"), sum(col("na")).as("appended"),
+        max(col("n")).as("hottest"), count(lit(1)).as("cells"))
+      .collect().head
+    val total = perCell.getAs[Long]("total")
+    val appended = perCell.getAs[Long]("appended")
+    val nCells = spark.read.parquet(s"$d/centroids").count().toInt
+    IvfStaleness(total - appended, appended,
+      if (total == 0) 0.0 else perCell.getAs[Long]("hottest").toDouble / total,
+      nCells)
+  }
+
+  /** Re-train a saved IVF index over everything it currently holds (base
+    * cells + appends) and ATOMICALLY swap the result in: the new
+    * generation's cells/centroids land under `dir/gen=N+1` first, then
+    * the `_ivf_gen` pointer swings by write-tmp-then-rename, then the
+    * old generation is GC'd. Readers resolve the pointer at load time,
+    * so they see the old index until the swing and the new one after —
+    * never a half-written mix; a crash before the swing leaves the old
+    * index intact (re-trigger re-trains), a crash after leaves a stray
+    * old-gen dir the next retrain sweeps.
+    *
+    * The appended rows join the training set, so the new centroids see
+    * the drifted mixture — this is the re-train trigger closing the
+    * [[IvfIndex.appendBatchTo]] drift contract: call when
+    * [[ivfStaleness]] crosses the deployment's thresholds (every K
+    * appends, or on imbalance alerts).
+    */
+  def retrainIvf(spark: org.apache.spark.sql.SparkSession, dir: String,
+                 idCol: String = "vec_id", vecCol: String = "embedding"): IvfIndex = {
+    val cur = ivfDataDir(spark, dir)
+    val curGen = ivfGeneration(spark, dir).getOrElse(0L)
+    val union = loadIvf(spark, dir, idCol, vecCol, cache = false).cells
+      .select(col("neighbor_id").as(idCol), col("_cv").as(vecCol))
+    val nCells = spark.read.parquet(s"$cur/centroids").count().toInt
+    val fresh = buildIvf(union, nCells, idCol, vecCol, cache = false)
+    val nextGen = curGen + 1
+    fresh.save(s"$dir/gen=$nextGen")
+    writeIvfGeneration(spark, dir, nextGen)
+    // GC after the pointer swing: delete the previous generation (or the
+    // pre-generation layout's root-level data dirs), plus any stray
+    // older gens a crashed retrain left behind
+    val root = new org.apache.hadoop.fs.Path(dir)
+    val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
+    fs.listStatus(root).toSeq.filter(_.isDirectory).map(_.getPath).foreach { p =>
+      val n = p.getName
+      val staleGen = n.startsWith("gen=") &&
+        n.stripPrefix("gen=").toLongOption.exists(_ < nextGen)
+      val legacyData = Seq("cells", "centroids", "appends").contains(n)
+      if (staleGen || legacyData) fs.delete(p, true)
+    }
+    loadIvf(spark, dir, idCol, vecCol)
   }
 
   /** Per-cell scores monotone in negative squared distance:
@@ -202,24 +320,36 @@ object Similarity {
       * or dedup on id at query time.
       */
     def appendTo(dir: String, batch: DataFrame): Unit =
-      assign(batch).write.mode("append").partitionBy("cell").parquet(s"$dir/cells")
+      assign(batch).write.mode("append").partitionBy("cell")
+        .parquet(s"${ivfDataDir(cells.sparkSession, dir)}/cells")
 
     /** Replay-idempotent append — the same batch-id partition-overwrite
       * sink as [[graft.streaming.PlugRunner]]: the assigned batch lands
-      * under `dir/appends/_batch_id=<id>/cell=<c>/` with dynamic partition
-      * overwrite, so replaying a (batchId, batch) pair is a pure overwrite
-      * of its own directories, never a duplicate (cell assignment is a
-      * deterministic argmax over the frozen centroids, so a replay touches
-      * exactly the same partitions). [[Similarity.loadIvf]] unions the
-      * appends in and drops `_batch_id`; query results after a replay are
-      * identical to a single append (spec: "IVF idempotent append").
+      * under the generation's `appends/_batch_id=<id>/cell=<c>/` with
+      * dynamic partition overwrite, so replaying a (batchId, batch) pair
+      * is a pure overwrite of its own directories, never a duplicate
+      * (cell assignment is a deterministic argmax over the frozen
+      * centroids, so a replay touches exactly the same partitions).
+      * [[Similarity.loadIvf]] unions the appends in and drops
+      * `_batch_id`; query results after a replay are identical to a
+      * single append (spec: "IVF idempotent append").
+      *
+      * DRIFT CONTRACT: appends assign to the generation's FROZEN
+      * centroids forever — if the appended distribution drifts from the
+      * training mixture, rows pile into the nearest existing cells and
+      * recall-per-probe degrades with no error. Monitor
+      * [[Similarity.ivfStaleness]] (append fraction, cell imbalance) and
+      * call [[Similarity.retrainIvf]] when it crosses the deployment's
+      * thresholds; the retrain folds every appended row into the new
+      * training set and swaps generations atomically (spec: "IVF
+      * retrain").
       */
     def appendBatchTo(dir: String, batchId: Long, batch: DataFrame): Unit =
       assign(batch).withColumn("_batch_id", lit(batchId))
         .write.mode("overwrite")
         .option("partitionOverwriteMode", "dynamic")
         .partitionBy("_batch_id", "cell")
-        .parquet(s"$dir/appends")
+        .parquet(s"${ivfDataDir(cells.sparkSession, dir)}/appends")
 
     def topK(probes: DataFrame, k: Int, nProbe: Int = 4): DataFrame = {
       val p = probes.select(col(idCol).as("probe_id"), asDouble(col(vecCol)).as("_pv"))

@@ -741,6 +741,52 @@ class OperatorsSpec extends SparkSpec {
       .cells.count() === old.count() + 2 * b1.count())
   }
 
+  test("IVF retrain: staleness triggers, atomic generation swap, recall parity with built-fresh") {
+    val emb = graft.core.Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val old = emb.filter(col("vec_id") < 300)
+    val fresh = emb.filter(col("vec_id") >= 300)
+    val idx = Similarity.buildIvf(old, nCells = 8, cache = false)
+    val dir = java.nio.file.Files.createTempDirectory("graft-ivf-rt").toString
+    idx.save(dir)
+    // fresh index: nothing appended, nothing stale
+    val s0 = Similarity.ivfStaleness(spark, dir)
+    assert(s0.appendRows === 0L && !s0.isStale())
+    idx.appendBatchTo(dir, 1L, fresh)
+    // ~200/300 appended — the append-fraction trigger fires
+    val s1 = Similarity.ivfStaleness(spark, dir)
+    assert(s1.appendRows === fresh.count())
+    assert(s1.appendFraction > 0.25 && s1.isStale())
+    // retrain: swaps to gen=1, folds appends into the training set, GCs
+    // the pre-generation layout
+    val retrained = Similarity.retrainIvf(spark, dir)
+    assert(Similarity.ivfGeneration(spark, dir) === Some(1L))
+    val s2 = Similarity.ivfStaleness(spark, dir)
+    assert(s2.appendRows === 0L && s2.baseRows === emb.count() && !s2.isStale())
+    assert(!new java.io.File(s"$dir/cells").exists(), "old layout GC'd")
+    // the done-bar comparison (VERDICT r9 item 4): appended-then-retrained
+    // vs built-fresh over the same corpus — recall parity vs brute force
+    // at the same partial probe budget, and full probe stays exact
+    val freshBuilt = Similarity.buildIvf(emb, nCells = 8, cache = false)
+    val probes = emb.filter(col("vec_id") < 20)
+    val exact = Similarity.bruteForceTopK(emb, probes, 5).collect()
+      .map(r => (r.getAs[Long]("probe_id"), r.getAs[Long]("neighbor_id"))).toSet
+    def recall(i: Similarity.IvfIndex, nProbe: Int) = {
+      val got = i.topK(probes, 5, nProbe).collect()
+        .map(r => (r.getAs[Long]("probe_id"), r.getAs[Long]("neighbor_id"))).toSet
+      got.intersect(exact).size.toDouble / exact.size
+    }
+    assert(recall(retrained, 8) === 1.0, "full probe exact after retrain")
+    val (rRe, rFresh) = (recall(retrained, 3), recall(freshBuilt, 3))
+    info(f"partial-probe recall: retrained $rRe%.3f vs built-fresh $rFresh%.3f")
+    assert(math.abs(rRe - rFresh) <= 0.15,
+      s"retrained recall $rRe diverged from built-fresh $rFresh")
+    retrained.cells.unpersist()
+    // a second retrain keeps advancing generations and GCs gen=1
+    Similarity.retrainIvf(spark, dir).cells.unpersist()
+    assert(Similarity.ivfGeneration(spark, dir) === Some(2L))
+    assert(!new java.io.File(s"$dir/gen=1").exists(), "stale generation GC'd")
+  }
+
   test("native dot product expression matches the builtin HOF formulation bitwise") {
     val emb = graft.core.Tables.embeddings(spark, "/root/testdata/sf0.001")
       .select(col("vec_id"), transform(col("embedding"), x => x.cast("double")).as("e"))
