@@ -1723,7 +1723,57 @@ object SparkEntry {
              |    || substr(lpad(to_hex(dlen),8,'0'),7,2) || substr(lpad(to_hex(dlen),8,'0'),5,2)
              |    || substr(lpad(to_hex(dlen),8,'0'),3,2) || substr(lpad(to_hex(dlen),8,'0'),1,2)
              |    AS payload_hex
-             |FROM q""".stripMargin))
+             |FROM q""".stripMargin)),
+
+    // the REAL MP4 box walk under the oracle — the wav gate's video twin:
+    // payloads are valid ISO BMFF ftyp+moov(mvhd+trak(tkhd)) files
+    // synthesized from doc_id (Multimodal.mp4Hex), parsed by the default
+    // HeaderCodec (duration from mvhd, dimensions from tkhd 16.16);
+    // DuckDB rebuilds bytes + expected metadata independently. Big-endian
+    // boxes make the oracle's hex simpler than WAV's little-endian RIFF.
+    Q("multimodal_mp4_meta",
+      (s, d) => {
+        import s.implicits._
+        val media = Tables.documents(s, d).select(col("doc_id"),
+            lit("video").as("media_type"),
+            Multimodal.syntheticMp4(col("doc_id")).as("payload"))
+          .as[Multimodal.MediaRow]
+        Multimodal.extractMeta(media).toDF()
+          .select(col("doc_id"), col("media_type"), col("byte_len"),
+            col("width"), col("height"), col("n_frames"),
+            col("sample_rate"), col("duration_ms"),
+            Multimodal.mp4Hex(col("doc_id")).as("payload_hex"))
+      },
+      Some("""WITH p AS (
+             |  SELECT doc_id,
+             |         600 + (doc_id % 5) * 200 AS ts,
+             |         (600 + (doc_id % 5) * 200) * (1 + doc_id % 30) + doc_id % 7 AS dur,
+             |         320 * (1 + doc_id % 4) AS w,
+             |         240 * (1 + doc_id % 3) AS h
+             |  FROM documents)
+             |SELECT doc_id, 'video' AS media_type,
+             |  CAST(232 AS BIGINT) AS byte_len,
+             |  CAST(w AS INT) AS width, CAST(h AS INT) AS height,
+             |  CAST(1 AS INT) AS n_frames,
+             |  CAST(0 AS INT) AS sample_rate,
+             |  CAST(dur * 1000 // ts AS BIGINT) AS duration_ms,
+             |  '0000001066747970' || '69736f6d' || '00000000'
+             |    || '000000d8' || '6d6f6f76'
+             |    || '0000006c' || '6d766864' || '00000000' || '00000000' || '00000000'
+             |    || lpad(to_hex(ts), 8, '0') || lpad(to_hex(dur), 8, '0')
+             |    || '00010000' || '01000000' || '0000000000000000'
+             |    || '000100000000000000000000000000000001000000000000000000000000000040000000'
+             |    || '000000000000000000000000000000000000000000000000' || '00000002'
+             |    || '00000064' || '7472616b'
+             |    || '0000005c' || '746b6864' || '00000007' || '00000000' || '00000000'
+             |    || '00000001' || '00000000'
+             |    || lpad(to_hex(dur), 8, '0')
+             |    || '0000000000000000' || '00000000' || '00000000'
+             |    || '000100000000000000000000000000000001000000000000000000000000000040000000'
+             |    || lpad(to_hex(w), 4, '0') || '0000'
+             |    || lpad(to_hex(h), 4, '0') || '0000'
+             |    AS payload_hex
+             |FROM p""".stripMargin))
   )
 
   /** Shared oracle fragments for the polls delete semantics: `d` = the

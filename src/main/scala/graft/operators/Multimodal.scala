@@ -158,6 +158,94 @@ object Multimodal {
       else None
     }
 
+    private def u64be(b: Array[Byte], i: Int): Long = {
+      var v = 0L
+      var k = 0
+      while (k < 8) { v = (v << 8) | (b(i + k) & 0xFFL); k += 1 }
+      v
+    }
+    private def box4(b: Array[Byte], i: Int, t: String): Boolean =
+      b(i) == t(0).toByte && b(i + 1) == t(1).toByte &&
+        b(i + 2) == t(2).toByte && b(i + 3) == t(3).toByte
+
+    /** (width, height, durationMs) if the payload is an ISO BMFF (MP4/MOV)
+      * file with a `moov`/`mvhd` — the same pure-JVM byte walk as
+      * [[wavMeta]], over big-endian boxes instead of little-endian RIFF
+      * chunks. Duration comes from mvhd (duration / timescale, version 0
+      * and 1 layouts both handled); width/height from the first `trak`'s
+      * `tkhd` 16.16 fixed-point fields when present, else 0. Box sizes
+      * are attacker-controlled: the walk carries them in Long arithmetic,
+      * bails on any size that escapes the buffer or regresses (size < 8;
+      * 64-bit largesize boxes are out of scope and bail), and — as with
+      * WAV — nothing length-declared ever becomes a row fanout: n_frames
+      * stays 1.
+      */
+    private[operators] def mp4Meta(b: Array[Byte]): Option[(Int, Int, Long)] = {
+      // ISO BMFF files start with a box; require the conventional ftyp
+      // leader so arbitrary text bytes can't alias (box sizes are
+      // unconstrained ints, so the structure alone is weak evidence)
+      if (b.length < 16 || !box4(b, 4, "ftyp")) return None
+      var durationMs = -1L
+      var w = 0; var h = 0
+      var i = 0L
+      while (i + 8 <= b.length && durationMs < 0) {
+        val p = i.toInt
+        val size = (((b(p) & 0xFFL) << 24) | ((b(p + 1) & 0xFFL) << 16) |
+          ((b(p + 2) & 0xFFL) << 8) | (b(p + 3) & 0xFFL))
+        // strict: a declared size that escapes the buffer (or regresses)
+        // is malformed — bail to the stub rather than trusting any field
+        // of a structure that already lied about its extent
+        if (size < 8 || i + size > b.length) return None
+        if (box4(b, p + 4, "moov")) {
+          val end = i + size
+          var j = i + 8
+          while (j + 8 <= end) {
+            val q = j.toInt
+            val csz = (((b(q) & 0xFFL) << 24) | ((b(q + 1) & 0xFFL) << 16) |
+              ((b(q + 2) & 0xFFL) << 8) | (b(q + 3) & 0xFFL))
+            if (csz < 8) return None
+            if (box4(b, q + 4, "mvhd") && j + csz <= end) {
+              val v = b(q + 8) & 0xFF
+              if (v == 0 && q + 32 <= b.length) {
+                val ts = u32be(b, q + 20) & 0xFFFFFFFFL
+                val dur = u32be(b, q + 24) & 0xFFFFFFFFL
+                if (ts > 0) durationMs = dur * 1000L / ts
+              } else if (v == 1 && q + 44 <= b.length) {
+                val ts = u32be(b, q + 28) & 0xFFFFFFFFL
+                val dur = u64be(b, q + 32)
+                if (ts > 0 && dur >= 0) durationMs = dur * 1000L / ts
+              }
+              if (durationMs < 0) return None
+            } else if (box4(b, q + 4, "trak") && w == 0) {
+              // first trak's tkhd carries presentation w/h as 16.16 fixed
+              val tend = math.min(j + csz, end)
+              var t = j + 8
+              while (t + 8 <= tend && w == 0) {
+                val r = t.toInt
+                val tsz = (((b(r) & 0xFFL) << 24) | ((b(r + 1) & 0xFFL) << 16) |
+                  ((b(r + 2) & 0xFFL) << 8) | (b(r + 3) & 0xFFL))
+                if (tsz < 8) return None
+                if (box4(b, r + 4, "tkhd") && t + tsz <= tend) {
+                  val tv = b(r + 8) & 0xFF
+                  val wOff = if (tv == 1) r + 96 else r + 84
+                  if (wOff + 8 <= b.length) {
+                    val pw = u16be(b, wOff)      // integer part of 16.16
+                    val ph = u16be(b, wOff + 4)
+                    if (pw > 0 && ph > 0) { w = pw; h = ph }
+                  }
+                }
+                t += tsz
+              }
+            }
+            j += csz
+          }
+          if (durationMs < 0) return None // moov without a readable mvhd
+        }
+        i += size
+      }
+      if (durationMs >= 0) Some((w, h, durationMs)) else None
+    }
+
     def decode(payload: Array[Byte], mediaType: String): Decoded =
       if (mediaType == "image")
         imageDims(payload).map { case (w, h) => Decoded(w, h, 1) }
@@ -170,6 +258,13 @@ object Multimodal {
         // into a 2-billion-element frame explode downstream
         wavMeta(payload).map { case (rate, frames) =>
           Decoded(0, 0, 1, sampleRate = rate, durationMs = frames * 1000L / rate)
+        }.getOrElse(StubCodec.decode(payload, mediaType))
+      else if (mediaType == "video")
+        // same fanout discipline as audio: a parsed MP4 keeps n_frames=1
+        // (mvhd carries duration, not a frame count — and a declared
+        // count would be attacker-controlled anyway)
+        mp4Meta(payload).map { case (w, h, ms) =>
+          Decoded(w, h, 1, durationMs = ms)
         }.getOrElse(StubCodec.decode(payload, mediaType))
       else StubCodec.decode(payload, mediaType)
   }
@@ -256,6 +351,44 @@ object Multimodal {
 
   /** The binary payload for [[wavHex]] — what the codec actually parses. */
   def syntheticWav(docId: Column): Column = unhex(wavHex(docId))
+
+  private def be32(c: Column): Column = lpad(hex(c), 8, "0")
+  // 16.16 fixed-point with a zero fractional part (tkhd width/height)
+  private def fixed1616(c: Column): Column = concat(lpad(hex(c), 4, "0"), lit("0000"))
+
+  /** Hex of a VALID 232-byte ISO BMFF file (`ftyp` + `moov`(`mvhd` +
+    * `trak`(`tkhd`))) whose parameters derive deterministically from
+    * `docId`: timescale = 600 + 200*(id%5), duration ticks =
+    * timescale*(1 + id%30) + id%7 (so the ms conversion exercises
+    * truncation), width = 320*(1 + id%4), height = 240*(1 + id%3).
+    * Same purpose as [[wavHex]]: the REAL MP4 box walk sits under an
+    * arithmetic DuckDB oracle that rebuilds the bytes and the expected
+    * metadata independently, so a parse defect (box offsets, version
+    * layout, fixed-point split) or a synthesis divergence both fail.
+    */
+  def mp4Hex(docId: Column): Column = {
+    val ts = lit(600) + (docId % 5) * 200
+    val dur = ts * (lit(1) + docId % 30) + docId % 7
+    val w = lit(320) * (lit(1) + docId % 4)
+    val h = lit(240) * (lit(1) + docId % 3)
+    val matrix = "000100000000000000000000000000000001000000000000000000000000000040000000"
+    concat(
+      lit("0000001066747970" + "69736f6d" + "00000000"), // ftyp isom
+      lit("000000d8" + "6d6f6f76"), // moov, size 216
+      lit("0000006c" + "6d766864" + "00000000" + "00000000" + "00000000"), // mvhd v0
+      be32(ts), be32(dur),
+      lit("00010000" + "01000000" + "0000000000000000" + matrix +
+        "000000000000000000000000000000000000000000000000" + "00000002"),
+      lit("00000064" + "7472616b"), // trak, size 100
+      lit("0000005c" + "746b6864" + "00000007" + "00000000" + "00000000" +
+        "00000001" + "00000000"), // tkhd v0, track 1
+      be32(dur),
+      lit("0000000000000000" + "00000000" + "00000000" + matrix),
+      fixed1616(w), fixed1616(h))
+  }
+
+  /** The binary payload for [[mp4Hex]] — what the codec actually parses. */
+  def syntheticMp4(docId: Column): Column = unhex(mp4Hex(docId))
 
   /** Build a synthetic media table from the documents table (text bytes as
     * payload) — exercises the plumbing on driver test data.

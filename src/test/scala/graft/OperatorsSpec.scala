@@ -996,6 +996,62 @@ class OperatorsSpec extends SparkSpec {
       Multimodal.StubCodec.decode(trunc, "audio"))
   }
 
+  test("multimodal: HeaderCodec reads MP4 duration and track dimensions from the box walk") {
+    def be32(b: java.nio.ByteBuffer, v: Long): java.nio.ByteBuffer = b.putInt(v.toInt)
+    // minimal ftyp + moov(mvhd v0 + trak(tkhd v0)) — the synthetic-gate
+    // layout, built independently of Multimodal.mp4Hex
+    def mp4(timescale: Long, duration: Long, w: Int, h: Int): Array[Byte] = {
+      val b = java.nio.ByteBuffer.allocate(232) // big-endian by default
+      be32(b, 16); b.put("ftyp".getBytes).put("isom".getBytes); be32(b, 0)
+      be32(b, 216); b.put("moov".getBytes)
+      be32(b, 108); b.put("mvhd".getBytes); be32(b, 0) // v0 + flags
+      be32(b, 0); be32(b, 0) // creation, modification
+      be32(b, timescale); be32(b, duration)
+      be32(b, 0x00010000L); b.putShort(0x0100.toShort).putShort(0)
+      (0 until 2).foreach(_ => be32(b, 0)) // reserved 8
+      Seq(0x00010000L, 0, 0, 0, 0x00010000L, 0, 0, 0, 0x40000000L).foreach(be32(b, _))
+      (0 until 6).foreach(_ => be32(b, 0)) // predefined 24
+      be32(b, 2) // next track id
+      be32(b, 100); b.put("trak".getBytes)
+      be32(b, 92); b.put("tkhd".getBytes); be32(b, 7)
+      be32(b, 0); be32(b, 0); be32(b, 1); be32(b, 0) // times, track 1, reserved
+      be32(b, duration)
+      (0 until 2).foreach(_ => be32(b, 0)) // reserved 8
+      be32(b, 0); be32(b, 0) // layer/alt-group, volume/reserved
+      Seq(0x00010000L, 0, 0, 0, 0x00010000L, 0, 0, 0, 0x40000000L).foreach(be32(b, _))
+      be32(b, w.toLong << 16); be32(b, h.toLong << 16)
+      b.array()
+    }
+    // 90000-tick timescale, 3.5 s -> truncating ms conversion; n_frames
+    // stays 1 (nothing length-declared becomes a fanout factor)
+    val d = Multimodal.HeaderCodec.decode(mp4(90000, 315000, 1280, 720), "video")
+    assert(d === Multimodal.Decoded(1280, 720, 1, durationMs = 3500L))
+    val d2 = Multimodal.HeaderCodec.decode(mp4(600, 601, 320, 240), "video")
+    assert(d2.durationMs === 1001L && d2.width === 320 && d2.height === 240)
+    // zero timescale is malformed per spec -> stub, never a divide
+    val z = mp4(0, 100, 320, 240)
+    assert(Multimodal.HeaderCodec.decode(z, "video") ===
+      Multimodal.StubCodec.decode(z, "video"))
+    // non-MP4 video payload falls back to the stub unchanged
+    val junk = "definitely not a movie".getBytes
+    assert(Multimodal.HeaderCodec.decode(junk, "video") ===
+      Multimodal.StubCodec.decode(junk, "video"))
+    // truncated mid-moov -> stub, never a partial read
+    val trunc = mp4(90000, 315000, 1280, 720).take(40)
+    assert(Multimodal.HeaderCodec.decode(trunc, "video") ===
+      Multimodal.StubCodec.decode(trunc, "video"))
+    // a box size that walks past the buffer bails to the stub
+    val oversize = mp4(90000, 315000, 1280, 720)
+    oversize(16) = 0x7F.toByte // moov size -> huge
+    assert(Multimodal.HeaderCodec.decode(oversize, "video") ===
+      Multimodal.StubCodec.decode(oversize, "video"))
+    // and the synthetic generator agrees with an independent in-JVM build:
+    // doc_id=7 -> ts=1000, dur=1000*8+0=8000, w=320*4=1280, h=240*2=480
+    val viaSql = spark.range(7, 8).select(
+      Multimodal.syntheticMp4(col("id")).as("p")).collect().head.getAs[Array[Byte]]("p")
+    assert(viaSql.toSeq === mp4(1000, 8000, 1280, 480).toSeq)
+  }
+
   test("multimodal: a second codec swaps in through the MediaCodec trait, not an operator edit") {
     // a "real" decoder stand-in with per-partition init — the deployment
     // shape for a JNI/external-process codec
