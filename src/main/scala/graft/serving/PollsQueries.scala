@@ -47,8 +47,14 @@ object PollsQueries {
       .filter(col("v_created") <=
         coalesce(col("expires"), col("c_created") + expr("INTERVAL 7 DAYS")))
       // 1-based like Postgres `answers[answer]`; out-of-range yields null
-      // (filtered below), matching Postgres array-index semantics
-      .withColumn("parsed_answer", try_element_at(col("answers"), col("answer").cast("int")))
+      // (filtered below), matching Postgres array-index semantics. The
+      // zero guard is load-bearing: Postgres/DuckDB answers[0] is NULL,
+      // but Spark's try_element_at THROWS on index 0 (only out-of-bounds
+      // is nullified) — a single answer=0 vote anywhere in the log would
+      // fail the whole query instead of dropping that vote.
+      .withColumn("parsed_answer",
+        when(col("answer") >= 1,
+          try_element_at(col("answers"), col("answer").cast("int"))))
       .filter(col("parsed_answer").isNotNull)
       .groupBy(col("author"), col("permlink"), col("parsed_answer"))
       .agg(countDistinct(col("account")).as("votes"))

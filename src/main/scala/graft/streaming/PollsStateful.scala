@@ -103,18 +103,22 @@ object PollsStateful {
         case _ => ()
       }
     }
-    val tallies = s match {
-      case Some(st) if !st.deleted =>
-        st.votes.toSeq
-          .flatMap { case (account, idxs) => idxs.map(_ -> account) }
-          .groupBy(_._1).toSeq.map { case (idx, m) =>
-            (st.answers(idx - 1), m.map(_._2).distinct.size.toLong)
-          }.sortBy(_._1).map { case (ans, n) =>
-            Tally(ops.head.author, ops.head.permlink, ans, n)
-          }
-      case _ => Seq.empty
-    }
-    (s, tallies)
+    (s, talliesOf(ops.head.author, ops.head.permlink, s))
+  }
+
+  /** The tallies a poll state currently implies — empty for deleted or
+    * never-created polls. Shared by the live-tally stream and the
+    * summary-table maintenance path.
+    */
+  def talliesOf(author: String, permlink: String,
+                state: Option[PollState]): Seq[Tally] = state match {
+    case Some(st) if !st.deleted =>
+      st.votes.toSeq
+        .flatMap { case (account, idxs) => idxs.map(_ -> account) }
+        .groupBy(_._1).toSeq.map { case (idx, m) =>
+          (st.answers(idx - 1), m.map(_._2).distinct.size.toLong)
+        }.sortBy(_._1).map { case (ans, n) => Tally(author, permlink, ans, n) }
+    case _ => Seq.empty
   }
 
   /** Streaming (or batch) tallies via flatMapGroupsWithState. */
@@ -128,5 +132,65 @@ object PollsStateful {
           next.foreach(gs.update)
           out.iterator
         })
+  }
+
+  /** One update per TOUCHED poll per trigger carrying its full refreshed
+    * tally set — `tallies` empty means the poll has no live tallies
+    * (deleted, or votes all invalid), i.e. a whole-poll TOMBSTONE. This
+    * is the retraction signal the live [[tallies]] stream cannot express
+    * in Update mode (a deleted poll simply emits nothing, so an append
+    * sink keeps serving its stale rows forever) and the reason the batch
+    * serving path re-filters deleted polls per query. A sink that
+    * replaces each updated poll's rows wholesale ([[PollsSummaryTable]])
+    * materializes exactly the batch `pollSummary` incrementally.
+    */
+  case class SummaryUpdate(author: String, permlink: String,
+                           tallies: Seq[TallyEntry])
+  case class TallyEntry(parsed_answer: String, votes: Long)
+
+  def summaryUpdates(ops: Dataset[PollOp]): Dataset[SummaryUpdate] = {
+    val spark = ops.sparkSession
+    import spark.implicits._
+    ops.groupByKey(o => (o.author, o.permlink))
+      .flatMapGroupsWithState(OutputMode.Update, GroupStateTimeout.NoTimeout)(
+        (key: (String, String), it: Iterator[PollOp], gs: GroupState[PollState]) => {
+          val (next, _) = applyOps(gs.getOption, it.toSeq)
+          next.foreach(gs.update)
+          Iterator(SummaryUpdate(key._1, key._2,
+            talliesOf(key._1, key._2, next.orElse(gs.getOption))
+              .map(t => TallyEntry(t.parsed_answer, t.votes))))
+        })
+  }
+}
+
+/** Incrementally-materialized poll summary — the versioned-table sink for
+  * [[PollsStateful.summaryUpdates]]: each batch replaces the updated
+  * polls' rows wholesale (empty tally set = the poll's rows disappear)
+  * and keeps everyone else's, committed through
+  * [[graft.streaming.ParquetStateStore]] so a replayed batch is a pure
+  * overwrite of its own version. The serving read is then a plain scan of
+  * the latest version — no deleted-poll filter, no votes join at query
+  * time: the summary IS the table the reference recomputes per request.
+  */
+object PollsSummaryTable {
+
+  /** Fold one batch of updates into the prior summary. Pure frame
+    * function (exposed for the equivalence spec); drive it per batch via
+    * `store.commit(batchId, merge(store.readBefore(batchId), updates))`.
+    */
+  def merge(prior: Option[DataFrame],
+            updates: Dataset[PollsStateful.SummaryUpdate]): DataFrame = {
+    // tombstones (empty tally sets) contribute to `touched` — evicting
+    // the poll's prior rows — and nothing to `fresh`: the poll is gone
+    val fresh = updates.toDF()
+      .select(col("author"), col("permlink"), explode(col("tallies")).as("t"))
+      .select(col("author"), col("permlink"),
+        col("t.parsed_answer").as("parsed_answer"), col("t.votes").as("votes"))
+    val touched = updates.toDF().select("author", "permlink").distinct()
+    val kept = prior match {
+      case Some(p) => p.join(touched, Seq("author", "permlink"), "left_anti")
+      case None => fresh.limit(0)
+    }
+    kept.unionByName(fresh)
   }
 }

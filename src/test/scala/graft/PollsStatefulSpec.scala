@@ -90,6 +90,78 @@ class PollsStatefulSpec extends SparkSpec {
     assert(stateful === batch)
   }
 
+  test("incremental summary table equals batch pollSummary on randomized multi-batch streams") {
+    // VERDICT r9 item 6: the materialized-summary path must match the
+    // batch join+filter formulation on arbitrary create/vote/delete
+    // interleavings split across micro-batches — INCLUDING deletes that
+    // land batches after the votes they retract (the case query-time
+    // filtering handled and an append sink cannot)
+    val rnd = new scala.util.Random(2024)
+    val accounts = (0 until 8).map(i => s"acct$i")
+    val polls = (0 until 6).map(i => (s"author${i % 3}", s"poll$i"))
+    var nextId = 0L
+    def chainOp(created: String, opId: String, payload: String, auth: String) = {
+      nextId += 1
+      // id IS the chain order here: block = id, trx 0 — batches are
+      // ordered chunks of the chain, the real stream shape
+      op(nextId, 1000 + nextId.toInt, 0, created, opId, payload, postingAuth = auth)
+    }
+    def t(h: Int) = f"2024-01-01 ${h % 24}%02d:00:00"
+    val ops = scala.collection.mutable.ArrayBuffer[org.apache.spark.sql.Row]()
+    polls.zipWithIndex.foreach { case ((author, permlink), i) =>
+      ops += chainOp(t(i), "polls",
+        pollCreate(permlink, s"Q$i?", Seq("red", "blue", "green"),
+          "2024-06-01 00:00:00", "t"), author)
+      // a hijack attempt after the real create (first-create-wins)
+      if (i % 2 == 0)
+        ops += chainOp(t(i + 1), "polls",
+          pollCreate(permlink, "HIJACK?", Seq("zzz"), "2024-06-01 00:00:00", "t"),
+          author)
+      (0 until 5 + rnd.nextInt(10)).foreach { _ =>
+        // answers 0..4: 0 and 4 are out of range and must drop
+        ops += chainOp(t(2 + rnd.nextInt(20)), "polls",
+          pollVote(author, permlink, rnd.nextInt(5)), accounts(rnd.nextInt(accounts.size)))
+      }
+      // polls 0 and 3 get deleted AFTER their votes
+      if (i == 0 || i == 3)
+        ops += chainOp(t(23), "polls", pollDelete(permlink), author)
+    }
+    val rows = ops.toSeq
+    val src = tmp(); val ckpt = tmp(); val summaryDir = tmp()
+    val store = new graft.streaming.ParquetStateStore(spark, summaryDir)
+    // ordered chunks of the chain arrive one run at a time (a fresh
+    // AvailableNow pass per chunk over the same checkpoint) — one
+    // micro-batch per chunk with state carried across, and chain order
+    // preserved regardless of file-source mtime tie-breaking
+    val k = 5
+    rows.grouped((rows.size + k - 1) / k).zipWithIndex.foreach { case (chunk, i) =>
+      opLog(spark, chunk).write.mode("append").parquet(f"$src/b$i%02d")
+      val stream = spark.readStream.schema(OpLog.schema).parquet(s"$src/b*")
+      PollsStateful.summaryUpdates(PollsStateful.toPollOps(stream))
+        .writeStream
+        .foreachBatch {
+          (updates: org.apache.spark.sql.Dataset[PollsStateful.SummaryUpdate], id: Long) =>
+            store.commit(id, graft.streaming.PollsSummaryTable
+              .merge(store.readBefore(id), updates))
+            store.prune(2)
+        }
+        .outputMode(OutputMode.Update())
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow()).start().awaitTermination()
+    }
+
+    def rowSet(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getAs[String]("author"), r.getAs[String]("permlink"),
+        r.getAs[String]("parsed_answer"), r.getAs[Long]("votes"))).toSet
+    val incremental = rowSet(store.read().get)
+    val tables = graft.plugs.Polls.transform(opLog(spark, rows))
+    val batch = rowSet(graft.serving.PollsQueries
+      .pollSummary(tables("content"), tables("votes")))
+    assert(batch.nonEmpty && incremental === batch)
+    // the deleted polls' tallies were RETRACTED, not merely filtered
+    assert(!incremental.exists(r => r._2 == "poll0" || r._2 == "poll3"))
+  }
+
   test("applyOps unit semantics: first create wins, delete guard honored") {
     import PollsStateful._
     val create = PollOp("a", "p", "create", ts("2024-01-01 00:00:00"), "a",
