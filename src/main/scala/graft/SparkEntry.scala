@@ -44,6 +44,13 @@ object SparkEntry {
   private val plugCache =
     scala.collection.concurrent.TrieMap[(String, String), Map[String, DataFrame]]()
 
+  /** The plug-derived serving tables for `d` — what an HttpApi instance
+    * serves over (tools/ServeBench, deployment boot). Memoized/persisted
+    * per (session, dir) like every long-lived derived structure here.
+    */
+  def servingTables(s: SparkSession, d: String): Map[String, DataFrame] =
+    plugTables(s, d) - "_oplog"
+
   private def plugTables(s: SparkSession, d: String): Map[String, DataFrame] =
     plugCache.getOrElseUpdate((s.sparkContext.applicationId, d), {
       val oplog = EventOpLog.fromEvents(ev(s, d)).persist()

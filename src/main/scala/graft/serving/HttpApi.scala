@@ -97,15 +97,44 @@ class HttpApi(
     */
   def start(cfg: graft.core.GraftConfig): Int = start(cfg.serverHost, cfg.serverPort)
 
-  def start(host: String, port: Int): Int = {
+  /** Serve on a fixed pool of `nThreads` handler threads — the
+    * counterpart of the reference's 50 uvicorn workers (serve.py), but
+    * in-process: every route is a read-only plan over shared immutable
+    * frames and the prepared-plan cache is a concurrent map, so handlers
+    * need no isolation beyond their own collect. Each handler tags its
+    * Spark jobs with the `serving` scheduler pool; under a FAIR-mode
+    * session (`spark.scheduler.mode=FAIR`, a static conf) that keeps one
+    * heavy request from convoying every light one behind it — under the
+    * default FIFO the property is inert. Measured envelope: see
+    * tools/ServeBench and the README serving section.
+    */
+  def start(host: String, port: Int): Int = start(host, port, 32)
+
+  def start(host: String, port: Int, nThreads: Int): Int = {
     server = HttpServer.create(new InetSocketAddress(host, port), 0)
-    server.createContext("/api", (ex: HttpExchange) => handle(ex))
-    server.setExecutor(null)
+    server.createContext("/api", (ex: HttpExchange) => {
+      // one pool PER HANDLER THREAD (bounded by nThreads): FAIR mode
+      // shares fairly ACROSS pools but runs FIFO within one, so a single
+      // shared pool would still convoy requests behind each other
+      sparkContextOf.foreach(_.setLocalProperty("spark.scheduler.pool",
+        s"serving-${Thread.currentThread().getId}"))
+      handle(ex)
+    })
+    pool = java.util.concurrent.Executors.newFixedThreadPool(nThreads)
+    server.setExecutor(pool)
     server.start()
     server.getAddress.getPort
   }
 
-  def stop(): Unit = if (server != null) server.stop(0)
+  private var pool: java.util.concurrent.ExecutorService = _
+
+  private def sparkContextOf: Option[org.apache.spark.SparkContext] =
+    tables.values.headOption.map(_.sparkSession.sparkContext)
+
+  def stop(): Unit = {
+    if (server != null) server.stop(0)
+    if (pool != null) pool.shutdown()
+  }
 
   // ------------------------------------------------------------------ routes
 

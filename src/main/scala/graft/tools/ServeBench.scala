@@ -1,0 +1,85 @@
+package graft.tools
+
+import java.net.URI
+import java.net.http.{HttpClient, HttpRequest, HttpResponse}
+
+/** Serving concurrency envelope: start the real HttpApi over plug-derived
+  * tables and hammer it with N parallel clients — the measurement the
+  * reference implicitly makes by running 50 uvicorn workers
+  * (BASELINE.md (a)). Reports per-request p50/p90/p99/max latency and
+  * aggregate throughput; README's serving section carries the recorded
+  * numbers.
+  *
+  * The session is built with `spark.scheduler.mode=FAIR` (a static conf,
+  * so it is set HERE at session build; production boots do the same) and
+  * every handler tags its jobs into the `serving` pool — one heavy
+  * request must not convoy every light one behind it in the FIFO queue.
+  *
+  * Usage: runMain graft.tools.ServeBench [sfDir] [clients] [reqsPerClient]
+  */
+object ServeBench {
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")
+    val clients = args.lift(1).map(_.toInt).getOrElse(50)
+    val perClient = args.lift(2).map(_.toInt).getOrElse(20)
+
+    val spark = org.apache.spark.sql.SparkSession.builder()
+      .master("local[32]")
+      .appName("graft-serve-bench")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.ui.enabled", "false")
+      .config("spark.scheduler.mode", "FAIR")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    graft.core.GraftSession.configure(spark)
+
+    val tables = graft.SparkEntry.servingTables(spark, sfDir)
+    tables.values.foreach(_.count()) // materialize the persisted tables
+    val api = new graft.serving.HttpApi(tables)
+    val port = api.start("127.0.0.1", 0, nThreads = clients)
+
+    // the reference's own endpoint mix: status + counts + latest-feed +
+    // poll reads (path + param forms)
+    val routes = Seq(
+      "/api",
+      "/api/podping/history/counts",
+      "/api/podping/feeds/latest?url=url_9",
+      "/api/polls/active",
+      "/api/polls/alice",
+      "/api/polls/ops?block_range=%5B0,2000000%5D&op_type=create")
+
+    val client = HttpClient.newHttpClient()
+    def get(path: String): Int = client.send(
+      HttpRequest.newBuilder(URI.create(s"http://127.0.0.1:$port$path")).GET().build(),
+      HttpResponse.BodyHandlers.ofString()).statusCode()
+    routes.foreach(get) // warm: plans built + codegen'd once
+
+    val lat = new java.util.concurrent.ConcurrentLinkedQueue[Long]()
+    val errors = new java.util.concurrent.atomic.AtomicLong
+    val t0 = System.nanoTime()
+    val threads = (0 until clients).map { c =>
+      new Thread(() => {
+        val cl = HttpClient.newHttpClient()
+        (0 until perClient).foreach { i =>
+          val path = routes((c + i) % routes.size)
+          val s = System.nanoTime()
+          val code = cl.send(
+            HttpRequest.newBuilder(URI.create(s"http://127.0.0.1:$port$path")).GET().build(),
+            HttpResponse.BodyHandlers.ofString()).statusCode()
+          lat.add(System.nanoTime() - s)
+          if (code != 200) errors.incrementAndGet(): Unit
+        }
+      })
+    }
+    threads.foreach(_.start()); threads.foreach(_.join())
+    val wallS = (System.nanoTime() - t0) / 1e9
+    api.stop()
+
+    val sorted = lat.toArray(Array.empty[java.lang.Long]).map(_.toLong).sorted
+    def pct(p: Double) = sorted(((sorted.length - 1) * p).toInt) / 1e6
+    println(f"[serve] clients=$clients reqs=${sorted.length} errors=${errors.get} " +
+      f"wall=${wallS}%.2f s throughput=${sorted.length / wallS}%.0f req/s")
+    println(f"[serve] latency ms: p50=${pct(0.50)}%.1f p90=${pct(0.90)}%.1f " +
+      f"p99=${pct(0.99)}%.1f max=${sorted.last / 1e6}%.1f")
+  }
+}

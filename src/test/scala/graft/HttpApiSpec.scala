@@ -252,5 +252,32 @@ class HttpApiSpec extends SparkSpec {
     assert(api.planCacheHits.get() === h)
   }
 
+  test("concurrent requests: 50 parallel clients, every response matches its sequential body") {
+    // the handler pool serves requests in parallel (reference: 50 uvicorn
+    // workers); shared state is read-only frames + a concurrent plan
+    // cache, so concurrency must change neither status nor bytes
+    val paths = Seq(
+      "/api",
+      "/api/podping/history/counts?block_range=%5B0,2000000%5D",
+      "/api/polls/alice",
+      "/api/polls/summary?author=alice&permlink=color",
+      "/api/polls/alice/color/votes")
+    val expected = paths.map(p => p -> get(p)).toMap
+    expected.values.foreach { case (code, _) => assert(code === 200) }
+    val results = new java.util.concurrent.ConcurrentLinkedQueue[(String, Int, String)]()
+    val threads = (0 until 50).map { i =>
+      new Thread(() => {
+        val p = paths(i % paths.size)
+        val (c, b) = get(p)
+        results.add((p, c, b)): Unit
+      })
+    }
+    threads.foreach(_.start()); threads.foreach(_.join())
+    assert(results.size === 50)
+    results.forEach { case (p, c, b) =>
+      assert((c, b) === expected(p), s"diverged under concurrency: $p")
+    }
+  }
+
   override def afterAll(): Unit = { api.stop(); super.afterAll() }
 }
