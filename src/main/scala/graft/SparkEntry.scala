@@ -400,6 +400,60 @@ object SparkEntry {
       Some("""SELECT c_custkey, c_name FROM customer
              |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey AND o_totalprice > 400000)""".stripMargin)),
 
+    // ---- J7: as-of join — each click joined to the user's most recent
+    //      prior-or-simultaneous purchase. Union + running window (ONE
+    //      shuffle on user_id); the oracle spells the same semantics as a
+    //      correlated LATERAL argmax, which is exactly the per-key row
+    //      explosion the operator avoids.
+    Q("j7_asof_join",
+      (s, d) => {
+        val e = ev(s, d)
+        operators.TemporalJoins.asOfJoin(
+          e.filter(col("event_type") === "click"),
+          e.filter(col("event_type") === "purchase"),
+          Seq("user_id"), "ts", "event_id", Seq("value"))
+          .select(col("event_id"), col("user_id"),
+            col("r_event_id"), col("r_value"))
+          .orderBy(col("event_id"))
+      },
+      Some("""SELECT c.event_id, c.user_id, p.r_event_id, p.r_value
+             |FROM events c LEFT JOIN LATERAL (
+             |  SELECT p.event_id AS r_event_id, p.value AS r_value
+             |  FROM events p
+             |  WHERE p.user_id = c.user_id AND p.event_type = 'purchase' AND p.ts <= c.ts
+             |  ORDER BY p.ts DESC, p.event_id DESC LIMIT 1
+             |) p ON true
+             |WHERE c.event_type = 'click' ORDER BY c.event_id""".stripMargin)),
+
+    // ---- J8: bounded-range join — clicks within the trailing hour of
+    //      each purchase, counted per purchase. Time-binned equi join
+    //      (bin + previous-bin probe, residual trim) instead of the
+    //      BroadcastNestedLoop a raw inequality join degenerates to; the
+    //      zero-match purchases come back via a left join against the
+    //      purchase table itself, not an outer binned join.
+    Q("j8_range_join",
+      (s, d) => {
+        val e = ev(s, d)
+        val purchases = e.filter(col("event_type") === "purchase")
+        val pairs = operators.TemporalJoins.rangeJoinBinned(
+          purchases, e.filter(col("event_type") === "click"),
+          Seq("user_id"), "ts", "ts", 3600L)
+        val counts = pairs.groupBy(col("user_id"),
+            col("l_event_id").as("event_id"))
+          .agg(count(lit(1)).as("_n"))
+        purchases.select(col("event_id"), col("user_id"))
+          .join(counts, Seq("user_id", "event_id"), "left")
+          .select(col("event_id"), col("user_id"),
+            coalesce(col("_n"), lit(0L)).as("n_clicks"))
+          .orderBy(col("event_id"))
+      },
+      Some("""SELECT p.event_id, p.user_id, CAST(count(c.event_id) AS BIGINT) AS n_clicks
+             |FROM events p LEFT JOIN events c
+             |  ON c.user_id = p.user_id AND c.event_type = 'click'
+             | AND c.ts > p.ts - INTERVAL 1 HOUR AND c.ts <= p.ts
+             |WHERE p.event_type = 'purchase'
+             |GROUP BY p.event_id, p.user_id ORDER BY p.event_id""".stripMargin)),
+
     // ---- 3-way join + agg + top-k revenue
     Q("q3_top_revenue",
       // customer (true dimension) broadcasts; the orders-side ⋈ lineitem
@@ -1099,6 +1153,26 @@ object SparkEntry {
              |  CAST(sum(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
              |  coalesce(string_agg(CASE WHEN rn = 1 THEN para END, chr(10) ORDER BY seg_id), '') AS text_dedup
              |FROM r GROUP BY doc_id""".stripMargin)),
+
+    // ---- span-level repeated-substring dedup (Lee et al. fixed-width
+    //      form): 8-token grams recurring across >= 2 distinct docs, top
+    //      50 by spread. One map-side span explode -> one span-keyed
+    //      shuffle; the oracle rebuilds the grams positionally.
+    Q("dedup_repeated_spans",
+      (s, d) => Dedup.repeatedSpans(Tables.documents(s, d), "text", "doc_id",
+          width = 8, minDocs = 2)
+        .orderBy(col("n_docs").desc, col("n_total").desc, col("span"))
+        .limit(50),
+      Some("""WITH t AS (
+             |  SELECT doc_id, list_filter(string_split(lower(text), ' '), x -> x <> '') AS toks
+             |  FROM documents),
+             |g AS (SELECT doc_id, array_to_string(toks[i:i+7], ' ') AS span
+             |      FROM (SELECT doc_id, toks, unnest(range(1, len(toks) - 6)) AS i
+             |            FROM t WHERE len(toks) >= 8))
+             |SELECT span, CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+             |       CAST(count(*) AS BIGINT) AS n_total
+             |FROM g GROUP BY span HAVING n_docs >= 2
+             |ORDER BY n_docs DESC, n_total DESC, span LIMIT 50""".stripMargin)),
 
     // incremental ingest dedup: corpus = doc_id < 250, batch = the rest
     // plus synthesized duplicates (a re-ingest of every 50th corpus doc

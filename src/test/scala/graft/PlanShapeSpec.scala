@@ -115,6 +115,34 @@ class PlanShapeSpec extends SparkSpec {
       "an unpartitioned window would funnel the whole corpus through one task")
   }
 
+  test("j7: as-of join is union + ONE keyed window shuffle, never a join node") {
+    val p = plan("j7_asof_join")
+    assert(p.contains("Window") && p.contains("Union"))
+    // one data exchange (the user_id hash for the window); the only other
+    // exchange is the gate's presentation rangepartitioning sort
+    assert("Exchange hashpartitioning".r.findAllIn(p).size === 1,
+      "as-of must shuffle each input exactly once, on the key")
+    assert(!p.contains("Join"), "as-of must not plan a join (row explosion)")
+    // side-table filters reach both parquet scans
+    assert("EqualTo\\(event_type,(click|purchase)\\)".r.findAllIn(p).size === 2)
+  }
+
+  test("j8: bounded-range join is equi (binned), never a nested loop") {
+    val p = plan("j8_range_join")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      "a raw inequality join would degenerate to a nested loop")
+    assert(p.contains("HashJoin") || p.contains("SortMergeJoin"))
+  }
+
+  test("spans: distinct-doc count collapses map-side; top-k avoids a global sort") {
+    val p = plan("dedup_repeated_spans")
+    assert(p.contains("TakeOrderedAndProject"))
+    assert(!p.contains("Join"))
+    // partial (span, doc) collapse before the span shuffle: the exchange
+    // carries span-level partials, not every occurrence
+    assert(p.contains("partial_count"))
+  }
+
   test("decontamination: candidate generation is an equi join, never a cross") {
     val p = plan("dedup_decontamination")
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))
