@@ -1174,6 +1174,63 @@ object SparkEntry {
              |FROM g GROUP BY span HAVING n_docs >= 2
              |ORDER BY n_docs DESC, n_total DESC, span LIMIT 50""".stripMargin)),
 
+    // ---- same report through the 100 TB shuffle shape: 8-byte xxhash
+    //      span keys, representative text as a min partial aggregate.
+    //      Same oracle as the text-keyed gate — the operators are equal
+    //      modulo a ~p^2/2^65 hash collision, so the gate doubles as an
+    //      empirical no-collision check at every tier it runs.
+    Q("dedup_repeated_spans_hashed",
+      (s, d) => Dedup.repeatedSpansHashed(Tables.documents(s, d), "text",
+          "doc_id", width = 8, minDocs = 2)
+        .orderBy(col("n_docs").desc, col("n_total").desc, col("span"))
+        .limit(50),
+      Some("""WITH t AS (
+             |  SELECT doc_id, list_filter(string_split(lower(text), ' '), x -> x <> '') AS toks
+             |  FROM documents),
+             |g AS (SELECT doc_id, array_to_string(toks[i:i+7], ' ') AS span
+             |      FROM (SELECT doc_id, toks, unnest(range(1, len(toks) - 6)) AS i
+             |            FROM t WHERE len(toks) >= 8))
+             |SELECT span, CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+             |       CAST(count(*) AS BIGINT) AS n_total
+             |FROM g GROUP BY span HAVING n_docs >= 2
+             |ORDER BY n_docs DESC, n_total DESC, span LIMIT 50""".stripMargin)),
+
+    // ---- the removal step behind the span report: excise every token
+    //      covered by a non-first occurrence of a repeated 8-token span
+    //      (global first by (doc_id, position) survives; overlaps union).
+    //      Raw-case tokens here — removal rewrites the document, so it
+    //      must not silently lowercase; the detection report above
+    //      normalizes case instead.
+    Q("dedup_span_removal",
+      (s, d) => Dedup.removeRepeatedSpans(Tables.documents(s, d), "text",
+          "doc_id", width = 8)
+        .orderBy(col("doc_id")),
+      Some("""WITH t AS (
+             |  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS toks
+             |  FROM documents),
+             |tok AS (SELECT doc_id, i AS tpos, toks[i] AS tok
+             |        FROM (SELECT doc_id, toks, unnest(range(1, len(toks) + 1)) AS i
+             |              FROM t WHERE len(toks) > 0)),
+             |g AS (SELECT doc_id, i AS spos, array_to_string(toks[i:i+7], ' ') AS span
+             |      FROM (SELECT doc_id, toks, unnest(range(1, len(toks) - 6)) AS i
+             |            FROM t WHERE len(toks) >= 8)),
+             |r AS (SELECT doc_id, spos,
+             |             row_number() OVER (PARTITION BY span ORDER BY doc_id, spos) AS rn
+             |      FROM g),
+             |cov AS (SELECT DISTINCT doc_id, spos + j AS tpos
+             |        FROM (SELECT doc_id, spos, unnest(range(0, 8)) AS j FROM r WHERE rn > 1)),
+             |kept AS (SELECT tok.doc_id, tok.tpos, tok.tok
+             |         FROM tok LEFT JOIN cov ON tok.doc_id = cov.doc_id AND tok.tpos = cov.tpos
+             |         WHERE cov.tpos IS NULL),
+             |reb AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_kept,
+             |               string_agg(tok, ' ' ORDER BY tpos) AS text_dedup
+             |        FROM kept GROUP BY doc_id)
+             |SELECT t.doc_id, CAST(len(t.toks) AS BIGINT) AS n_tokens,
+             |       CAST(len(t.toks) - coalesce(reb.n_kept, 0) AS BIGINT) AS n_removed,
+             |       coalesce(reb.text_dedup, '') AS text_dedup
+             |FROM t LEFT JOIN reb ON t.doc_id = reb.doc_id
+             |ORDER BY t.doc_id""".stripMargin)),
+
     // incremental ingest dedup: corpus = doc_id < 250, batch = the rest
     // plus synthesized duplicates (a re-ingest of every 50th corpus doc
     // and an in-batch copy of every 60th fresh doc — the corpus has no

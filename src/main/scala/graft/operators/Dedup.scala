@@ -672,6 +672,103 @@ object Dedup {
       .filter(col("n_docs") >= minDocs)
   }
 
+  /** The 100 TB shape of [[repeatedSpans]]: aggregation keyed by the
+    * 64-bit xxhash of the span, with a representative span text carried as
+    * a `min` partial aggregate. The shuffle key shrinks from a
+    * `width`-token string to 8 bytes and every compare is a long equality;
+    * the map-side partial collapse means each map task ships at most one
+    * representative string per span hash, not one per occurrence.
+    * Contract: a 64-bit collision between distinct spans (~p^2/2^65 for p
+    * corpus spans) merges their counts under one representative — same
+    * tolerance as the ShingleHashes join keys. A spec pins the two
+    * variants equal on real testdata, and both run under the same oracle
+    * gate (the hashed gate doubles as an empirical no-collision check).
+    *
+    * Measured honestly (Quick A/B at sf1, local[32], rep3): parity with
+    * the text-keyed form (2.38 vs 2.35 s) — the map-side (span, doc)
+    * collapse already bounds local shuffle volume, so the 8-byte key buys
+    * nothing on a single box at width 8. It pays when the shuffle crosses
+    * a network and key bytes dominate (wider spans, larger tiers, real
+    * clusters) — which is why both shapes exist instead of one.
+    */
+  def repeatedSpansHashed(docs: DataFrame, textCol: String = "text",
+                          idCol: String = "doc_id", width: Int = 8,
+                          minDocs: Int = 2): DataFrame = {
+    require(width >= 2, "span width must be >= 2")
+    val spans = spread(docs)
+      .select(col(idCol).as("doc"),
+        org.apache.spark.sql.GraftBridge
+          .tokenChunks(lower(col(textCol)), width, 1).as("_c"))
+      .select(col("doc"), explode(when(size(col("_c")) >= width,
+        slice(col("_c"), lit(1), size(col("_c")) - (width - 1)))).as("span"))
+    spans.groupBy(xxhash64(col("span")).as("_h"))
+      .agg(countDistinct(col("doc")).as("n_docs"),
+        count(lit(1)).as("n_total"), min(col("span")).as("span"))
+      .filter(col("n_docs") >= minDocs)
+      .select(col("span"), col("n_docs"), col("n_total"))
+  }
+
+  /** The removal step behind [[repeatedSpans]]: rewrite each document
+    * dropping every token covered by a NON-FIRST occurrence of a repeated
+    * `width`-token span (global first occurrence = smallest
+    * (doc id, position); overlapping covered ranges union). This is the
+    * ExactSubstr-removal semantics of Lee et al. at fixed width: the
+    * earliest copy of a duplicated region survives, later copies — in
+    * other documents or later in the same document — are excised.
+    * Removal is NOT idempotent by nature (excision creates new token
+    * adjacencies, which can form new spans — Lee et al. note the same);
+    * callers iterate if they need a fixpoint.
+    *
+    * Scale shape, mirroring [[segmentDedup]]: one map-side stride-1 span
+    * explode -> one span-keyed window (the occurrence ranking — same
+    * shuffle key the detection pass uses) -> covered positions exploded
+    * (`width` rows per DUPLICATE occurrence only, not per span) ->
+    * anti join against the token stream on (doc, position) -> one
+    * doc-keyed rebuild. No driver state; reassembly sorts within a single
+    * document's kept tokens only.
+    *
+    * Output: (doc_id, n_tokens, n_removed, text_dedup) for every input
+    * document — tokenization is the canonical space-split (empties
+    * dropped), so `text_dedup` is whitespace-normalized like
+    * [[segmentDedup]]'s.
+    */
+  def removeRepeatedSpans(docs: DataFrame, textCol: String = "text",
+                          idCol: String = "doc_id",
+                          width: Int = 8): DataFrame = {
+    require(width >= 2, "span width must be >= 2")
+    val bridge = org.apache.spark.sql.GraftBridge
+    val base = spread(docs).select(col(idCol).as("doc"),
+      bridge.tokenChunks(col(textCol), 1, 1).as("_toks"),
+      bridge.tokenChunks(col(textCol), width, 1).as("_c"))
+    val toks = base.select(col("doc"),
+      posexplode(when(size(col("_toks")) > 0, col("_toks"))))
+      .select(col("doc"), col("pos").as("tpos"), col("col").as("tok"))
+    val spans = base.select(col("doc"),
+      posexplode(when(size(col("_c")) >= width,
+        slice(col("_c"), lit(1), size(col("_c")) - (width - 1)))))
+      .select(col("doc"), col("pos").as("spos"), col("col").as("span"))
+    val w = Window.partitionBy(col("span")).orderBy(col("doc"), col("spos"))
+    val covered = spans
+      .withColumn("_rn", row_number().over(w))
+      .filter(col("_rn") > 1)
+      .select(col("doc"),
+        explode(sequence(col("spos"), col("spos") + (width - 1))).as("tpos"))
+      .distinct()
+    val kept = toks.join(covered, Seq("doc", "tpos"), "left_anti")
+    val rebuilt = kept.groupBy(col("doc"))
+      .agg(count(lit(1)).as("_n_kept"),
+        array_join(transform(
+          array_sort(collect_list(struct(col("tpos"), col("tok")))),
+          x => x.getField("tok")), " ").as("text_dedup"))
+    base.select(col("doc"), // null text -> 0 tokens, not a null row
+        coalesce(size(col("_toks")).cast("long"), lit(0L)).as("n_tokens"))
+      .join(rebuilt, Seq("doc"), "left")
+      .select(col("doc").as(idCol),
+        col("n_tokens"),
+        (col("n_tokens") - coalesce(col("_n_kept"), lit(0L))).as("n_removed"),
+        coalesce(col("text_dedup"), lit("")).as("text_dedup"))
+  }
+
   // ------------------------------------------------- near-dup clustering
 
   /** Connected components over a near-dup pair graph -> (doc, cluster)

@@ -819,6 +819,65 @@ class OperatorsSpec extends SparkSpec {
     assert(r(12L) === ((2L, 1L, "red green blue white")))
   }
 
+  test("span removal excises non-first occurrences, first doc intact") {
+    val s = spark
+    import s.implicits._
+    val shared = "one two three four" // width 4 below
+    val d = Seq(
+      (0L, s"head $shared tail words"),
+      (1L, s"lead-in stuff $shared closing remark"), // later doc loses it
+      (2L, s"$shared $shared"), // both copies lose to doc 0's occurrence
+      (3L, "five six seven eight five six seven eight")) // in-doc repeat
+      .toDF("doc_id", "text")
+    val r = Dedup.removeRepeatedSpans(d, "text", "doc_id", width = 4).collect()
+      .map(x => x.getAs[Long]("doc_id") ->
+        (x.getAs[Long]("n_tokens"), x.getAs[Long]("n_removed"),
+          x.getAs[String]("text_dedup"))).toMap
+    assert(r(0L) === ((7L, 0L, s"head $shared tail words")))
+    assert(r(1L) === ((8L, 4L, "lead-in stuff closing remark")))
+    // doc 0 is the global first owner of the shared span, so BOTH of
+    // doc 2's copies are non-first occurrences — the doc empties out
+    assert(r(2L) === ((8L, 8L, "")))
+    // in-doc repeat where the doc itself owns the first occurrence:
+    // only the second copy is excised
+    assert(r(3L) === ((8L, 4L, "five six seven eight")))
+  }
+
+  test("span removal matches a straight-line reference on a colliding corpus") {
+    val s = spark
+    import s.implicits._
+    val width = 4
+    val rnd = new scala.util.Random(7)
+    val vocab = Vector("a", "b", "c", "d", "e", "f")
+    val docs = (0L until 40L).map(i =>
+      i -> Seq.fill(12 + rnd.nextInt(20))(vocab(rnd.nextInt(vocab.size))))
+    // reference: global first occurrence by (doc, pos); later-occurrence
+    // spans mark their token range; union; rebuild
+    val firstSeen = scala.collection.mutable.Map[String, (Long, Int)]()
+    for ((id, toks) <- docs; p <- 0 to toks.length - width) {
+      val span = toks.slice(p, p + width).mkString(" ")
+      if (!firstSeen.contains(span)) firstSeen(span) = (id, p)
+    }
+    val expected = docs.map { case (id, toks) =>
+      val covered = (for {
+        p <- 0 to toks.length - width
+        if firstSeen(toks.slice(p, p + width).mkString(" ")) != ((id, p))
+        q <- p until p + width
+      } yield q).toSet
+      val kept = toks.zipWithIndex.collect { case (t, i) if !covered(i) => t }
+      id -> ((toks.length.toLong, covered.size.toLong, kept.mkString(" ")))
+    }.toMap
+    val got = Dedup.removeRepeatedSpans(
+      docs.map { case (id, t) => (id, t.mkString(" ")) }.toDF("doc_id", "text"),
+      "text", "doc_id", width).collect()
+      .map(x => x.getAs[Long]("doc_id") ->
+        (x.getAs[Long]("n_tokens"), x.getAs[Long]("n_removed"),
+          x.getAs[String]("text_dedup"))).toMap
+    assert(got === expected)
+    // fixture sanity: the corpus must actually contain removals
+    assert(expected.values.exists(_._2 > 0))
+  }
+
   test("segment dedup keeps a partial trailing segment as its own unit") {
     val s = spark
     import s.implicits._

@@ -162,4 +162,15 @@ class TemporalJoinsSpec extends SparkSpec {
     // every reported span must really span >= 2 docs
     assert(r.values.forall(_._1 >= 2L))
   }
+
+  test("repeatedSpansHashed equals the text-keyed form on real testdata") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(x => (x.getAs[String]("span"), x.getAs[Long]("n_docs"),
+        x.getAs[Long]("n_total"))).toSet
+    val exact = rows(Dedup.repeatedSpans(docs, "text", "doc_id", 8, 2))
+    val hashed = rows(Dedup.repeatedSpansHashed(docs, "text", "doc_id", 8, 2))
+    assert(exact === hashed)
+    assert(exact.nonEmpty)
+  }
 }
