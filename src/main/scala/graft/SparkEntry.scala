@@ -1413,6 +1413,56 @@ object SparkEntry {
              |  FROM v a JOIN v b ON a.label = b.label AND a.vec_id < b.vec_id)
              |WHERE cosine >= 0.35""".stripMargin)),
 
+    // SemDeDup: the blocking key comes from the geometry (nearest of k
+    // fixed seed vectors) instead of an external label, then min-id keep
+    // within each cluster. The seed-assignment overload is exactly
+    // replicable by the oracle (no k-means iteration); the trained-
+    // centroid production path is spec-covered in OperatorsSpec.
+    Q("dedup_semantic",
+      (s, d) => Dedup.semanticDedup(Tables.embeddings(s, d),
+        "vec_id", "embedding", 8, 0.35),
+      Some("""WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+             |s AS (SELECT vec_id AS sid, e AS se FROM v ORDER BY vec_id LIMIT 8),
+             |sc AS (SELECT v.vec_id, v.e, s.sid,
+             |         round(list_dot_product(v.e, s.se) /
+             |           (sqrt(list_dot_product(v.e, v.e)) * sqrt(list_dot_product(s.se, s.se))), 6) AS cos
+             |       FROM v CROSS JOIN s),
+             |a AS (SELECT vec_id, e, sid AS cluster FROM (
+             |        SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, sid) AS rn
+             |        FROM sc)
+             |      WHERE rn = 1),
+             |d AS (SELECT DISTINCT y.vec_id FROM a x JOIN a y
+             |        ON x.cluster = y.cluster AND x.vec_id < y.vec_id
+             |       WHERE round(list_dot_product(x.e, y.e) /
+             |           (sqrt(list_dot_product(x.e, x.e)) * sqrt(list_dot_product(y.e, y.e))), 6) >= 0.35)
+             |SELECT a.vec_id, a.cluster,
+             |       CAST(CASE WHEN d.vec_id IS NULL THEN 1 ELSE 0 END AS BIGINT) AS keep
+             |FROM a LEFT JOIN d ON a.vec_id = d.vec_id""".stripMargin)),
+
+    // SSL-prototypes pruning (the D4 pruning half): same seed clustering,
+    // then per-cluster rank by center-cosine — drop the most prototypical
+    // quarter. Window-rank shape (one shuffle), never a pair join.
+    Q("sample_prototype_prune",
+      (s, d) => operators.Sampling.prototypePrune(Tables.embeddings(s, d),
+        "vec_id", "embedding", 8, 0.25),
+      Some("""WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+             |s AS (SELECT vec_id AS sid, e AS se FROM v ORDER BY vec_id LIMIT 8),
+             |sc AS (SELECT v.vec_id, s.sid,
+             |         round(list_dot_product(v.e, s.se) /
+             |           (sqrt(list_dot_product(v.e, v.e)) * sqrt(list_dot_product(s.se, s.se))), 6) AS cos
+             |       FROM v CROSS JOIN s),
+             |a AS (SELECT vec_id, sid AS cluster, cos AS ccos FROM (
+             |        SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, sid) AS rn
+             |        FROM sc)
+             |      WHERE rn = 1),
+             |r AS (SELECT vec_id, cluster, ccos,
+             |        row_number() OVER (PARTITION BY cluster ORDER BY ccos DESC, vec_id) AS rnk,
+             |        count(*) OVER (PARTITION BY cluster) AS n
+             |      FROM a)
+             |SELECT vec_id, cluster, ccos,
+             |       CAST(CASE WHEN rnk > floor(0.25 * n) THEN 1 ELSE 0 END AS BIGINT) AS keep
+             |FROM r""".stripMargin)),
+
     // connected components over the near-dup pair graph: (doc, cluster
     // representative) — oracle via recursive-CTE transitive closure
     Q("dedup_clusters",

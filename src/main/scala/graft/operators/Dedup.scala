@@ -1092,4 +1092,141 @@ object Dedup {
         bit_count(lit(0L)).as("hamming"))
     cross.unionByName(intra).select("doc_a", "doc_b", "hamming")
   }
+
+  // --------------------------------------------------------- semantic dedup
+
+  /** SemDeDup (Abbas et al., "SemDeDup: Data-efficient learning at web-scale
+    * through semantic deduplication", arXiv:2303.09540): partition the
+    * embedding space into clusters, then look for near-duplicates ONLY
+    * within a cluster. The cluster id plays the role the blocking label
+    * plays in [[embeddingCosinePairs]], but it comes from the geometry
+    * itself (nearest seed/centroid) instead of an external label column —
+    * so the operator works on unlabeled corpora, which is the common case.
+    *
+    * Output: one row per vector — (id, cluster, keep) where keep = 0 iff
+    * some LOWER-RANKED member of the same cluster has rounded cosine >=
+    * `threshold`. The survivor rank on this overload is the id itself
+    * (min-id keeper — the same deterministic rule the exact-dedup family
+    * uses); the paper's keep-the-centroid-farthest rule is available on
+    * the trained path via [[semanticDedupKMeans]]'s `keepFarthest`.
+    *
+    * This overload assigns each vector to the nearest of k FIXED seed
+    * vectors (the embeddings of the k smallest ids) by rounded cosine,
+    * ties to the smaller seed id. Assignment is a single map-side argmax
+    * with no training iteration, so an external engine can replicate the
+    * whole operator exactly (the DuckDB oracle gate does). Production
+    * entry point: [[semanticDedupKMeans]], which trains real centroids.
+    *
+    * Scale shape: seeds are k rows (collect + broadcast — the IVF centroid
+    * pattern; dimension-sized, never corpus-sized); assignment is one
+    * map-side pass over the corpus; the only shuffle is the within-cluster
+    * self equi join, whose cost is QUADRATIC IN CLUSTER SIZE — k is the
+    * scale knob (the paper runs ~100k clusters at web scale precisely so
+    * blocks stay tiny). Same merge-hint rationale as
+    * [[embeddingCosinePairs]]: both join sides are corpus-proportional
+    * with heavy array payloads — broadcasting one is a driver OOM class.
+    */
+  def semanticDedup(emb: DataFrame, idCol: String, vecCol: String,
+                    k: Int = 8, threshold: Double = 0.35): DataFrame =
+    intraClusterDedup(seedAssign(emb, idCol, vecCol, k)
+      .withColumn("rank", col("vid")), threshold, idCol)
+
+  /** Fixed-seed cluster assignment: each vector goes to the nearest of the
+    * k seed vectors (the embeddings of the k smallest ids) by ROUNDED
+    * cosine, ties to the smaller seed id — argmax over struct(cos, -sid):
+    * max cosine wins; on a rounded-cosine tie the LARGER -sid (= smaller
+    * seed id) wins, the deterministic order an external engine reproduces
+    * with ORDER BY cos DESC, sid. Returns (vid, vec, cluster, ccos) where
+    * ccos is the winning cosine (prototypicality to the cluster center).
+    *
+    * One map-side argmax over collected+broadcast seeds (k rows,
+    * dimension-sized — the IVF centroid pattern). The geometry-derived
+    * blocking both [[semanticDedup]] and [[Sampling.prototypePrune]]
+    * build on.
+    */
+  private[operators] def seedAssign(emb: DataFrame, idCol: String,
+                                    vecCol: String, k: Int): DataFrame = {
+    val v = spread(emb).select(col(idCol).as("vid"),
+      transform(col(vecCol), x => x.cast("double")).as("vec"))
+    val seeds = v.orderBy("vid").limit(k).collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
+    val scored = array(seeds.map { case (sid, ctr) =>
+      struct(
+        round(Similarity.cosine(col("vec"), array(ctr.map(lit(_)): _*)), 6).as("cos"),
+        lit(-sid).as("negSid"))
+    }: _*)
+    v.withColumn("_best", array_max(scored))
+      .select(col("vid"), col("vec"),
+        (-col("_best.negSid")).as("cluster"), col("_best.cos").as("ccos"))
+  }
+
+  /** [[semanticDedup]] with trained centroids — the production SemDeDup:
+    * an MLlib k-means (fixed seed, so reruns agree) quantizes the corpus,
+    * assignment is the map-side nearest-centroid argmax (score
+    * 2*c·x − ||c||², monotone in negative squared distance — the IVF
+    * scoring), and the within-cluster pass is shared with the seed
+    * variant.
+    *
+    * `keepFarthest = true` switches the survivor rule to the paper's:
+    * within a duplicate neighborhood keep the member with the LOWEST
+    * cosine to its centroid (the cluster-typical examples are the
+    * redundant ones; the outlier carries the information), ties broken by
+    * id. `false` keeps the min-id member — the rule an exact oracle can
+    * express cheaply.
+    *
+    * Centroid training cost is one k-means job (sampled/few iterations);
+    * at 100 TB train on a sample and assign the full corpus map-side —
+    * assignment never shuffles.
+    */
+  def semanticDedupKMeans(emb: DataFrame, idCol: String, vecCol: String,
+                          nClusters: Int = 16, threshold: Double = 0.35,
+                          keepFarthest: Boolean = false,
+                          seed: Long = 42): DataFrame = {
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.functions.array_to_vector
+    val v = spread(emb).select(col(idCol).as("vid"),
+      transform(col(vecCol), x => x.cast("double")).as("vec")).cache()
+    val model = new KMeans().setK(nClusters).setMaxIter(5).setSeed(seed)
+      .setFeaturesCol("features")
+      .fit(v.withColumn("features", array_to_vector(col("vec"))))
+    val centers = model.clusterCenters.map(_.toArray)
+    val scored = array(centers.zipWithIndex.map { case (ctr, i) =>
+      val cNorm2 = ctr.map(x => x * x).sum
+      struct(
+        (Similarity.dot(col("vec"), array(ctr.map(lit(_)): _*)) * 2 - cNorm2).as("score"),
+        lit(-i).as("negCell"))
+    }: _*)
+    val assigned = v.withColumn("cluster", -array_max(scored).getField("negCell"))
+    val ranked =
+      if (!keepFarthest) assigned.withColumn("rank", struct(col("vid")))
+      else {
+        // rank = (cosine to own centroid, id): the EXISTS join keeps the
+        // lexicographic minimum, i.e. the centroid-farthest member.
+        val centCos = array(centers.map(ctr =>
+          round(Similarity.cosine(col("vec"), array(ctr.map(lit(_)): _*)), 9)): _*)
+        assigned.withColumn("rank",
+          struct(element_at(centCos, col("cluster") + 1).as("ccos"),
+            col("vid").as("vid")))
+      }
+    val out = intraClusterDedup(ranked, threshold, idCol)
+    v.unpersist()
+    out
+  }
+
+  /** Shared within-cluster pass: a member is a duplicate iff some
+    * lower-`rank` member of its cluster has rounded cosine >= threshold.
+    * One equi-join shuffle on the cluster key; quadratic in cluster size
+    * (the caller's clustering granularity bounds it).
+    */
+  private def intraClusterDedup(assigned: DataFrame, threshold: Double,
+                                idCol: String): DataFrame = {
+    val a = assigned.select(col("cluster"), col("vid"), col("vec"), col("rank"))
+    val dups = a.as("x").hint("merge").join(a.as("y"),
+        col("x.cluster") === col("y.cluster") && col("x.rank") < col("y.rank"))
+      .filter(round(Similarity.cosine(col("x.vec"), col("y.vec")), 6) >= threshold)
+      .select(col("y.vid").as("vid")).distinct()
+    assigned.join(dups.withColumn("_dup", lit(true)), Seq("vid"), "left")
+      .select(col("vid").as(idCol), col("cluster"),
+        when(col("_dup").isNull, lit(1L)).otherwise(lit(0L)).as("keep"))
+  }
 }

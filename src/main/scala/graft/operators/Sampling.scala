@@ -153,4 +153,41 @@ object Sampling {
       .withColumn("pos", row_number().over(w))
       .drop("skey")
   }
+
+  /** Cluster-prototypicality pruning (SSL-prototypes, Sorscher et al.
+    * "Beyond neural scaling laws", 2022 — the pruning half of D4,
+    * Tirumala et al. 2023): cluster the embedding space, rank each
+    * cluster's members by cosine to their cluster center, and DROP the
+    * top `dropFraction` most prototypical — the examples nearest the
+    * center are the redundant ones; the ones far from it carry the
+    * marginal information (on large corpora keeping HARD examples beats
+    * random pruning).
+    *
+    * Output: (id, cluster, ccos, keep) — keep = 0 for the
+    * floor(dropFraction * clusterSize) members with the highest rounded
+    * center-cosine (ties broken by id, so the cut is deterministic).
+    *
+    * Uses [[Dedup.seedAssign]]'s fixed-seed clustering (k smallest ids'
+    * embeddings as centers) so an external engine can replicate the whole
+    * operator — swap in trained k-means centers for production exactly as
+    * [[Dedup.semanticDedupKMeans]] does.
+    *
+    * Scale shape: map-side assignment (broadcast seeds), then ONE shuffle
+    * on the cluster key for the per-cluster rank window — O(n log n) per
+    * cluster, never a pair join. Cluster count k bounds the window
+    * partition size.
+    */
+  def prototypePrune(emb: DataFrame, idCol: String, vecCol: String,
+                     k: Int = 8, dropFraction: Double = 0.25): DataFrame = {
+    require(dropFraction >= 0.0 && dropFraction < 1.0)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("cluster")).orderBy(col("ccos").desc, col("vid"))
+    val wc = org.apache.spark.sql.expressions.Window.partitionBy(col("cluster"))
+    Dedup.seedAssign(emb, idCol, vecCol, k)
+      .withColumn("rank", row_number().over(w))
+      .withColumn("n", count(lit(1)).over(wc))
+      .select(col("vid").as(idCol), col("cluster"), col("ccos"),
+        when(col("rank") > floor(lit(dropFraction) * col("n")), lit(1L))
+          .otherwise(lit(0L)).as("keep"))
+  }
 }

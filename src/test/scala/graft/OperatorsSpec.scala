@@ -1126,4 +1126,125 @@ class OperatorsSpec extends SparkSpec {
     val stub = Multimodal.extractMeta(media).collect().map(m => m.doc_id -> m.sha).toMap
     assert(meta.map(m => m.doc_id -> m.sha).toMap === stub)
   }
+
+  // ------------------------------------------------------- semantic dedup
+
+  /** Spark `round` semantics (HALF_UP via BigDecimal) for the local
+    * reference implementations below.
+    */
+  private def r6(x: Double): Double =
+    BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+
+  private def cosLocal(a: Array[Double], b: Array[Double]): Double = {
+    var d = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+    while (i < a.length) { d += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1 }
+    d / (math.sqrt(na) * math.sqrt(nb))
+  }
+
+  test("semantic dedup (seed assignment) matches a full local reference") {
+    val emb = graft.core.Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val out = Dedup.semanticDedup(emb, "vec_id", "embedding", 8, 0.35).collect()
+      .map(r => r.getAs[Long]("vec_id") ->
+        (r.getAs[Long]("cluster"), r.getAs[Long]("keep"))).toMap
+    // local straight-line reference: same seeds, same rounded-cosine
+    // argmax with ties to the smaller seed id, same min-id EXISTS rule
+    val vecs = emb.select(col("vec_id"),
+        transform(col("embedding"), x => x.cast("double")).as("e")).collect()
+      .map(r => r.getAs[Long]("vec_id") -> r.getAs[Seq[Double]]("e").toArray)
+      .sortBy(_._1)
+    val seeds = vecs.take(8)
+    val assign = vecs.map { case (id, v) =>
+      val best = seeds.map { case (sid, sv) => (r6(cosLocal(v, sv)), sid) }
+        .maxBy { case (c, sid) => (c, -sid) }._2
+      id -> best
+    }.toMap
+    val dup = vecs.map { case (id, v) =>
+      id -> vecs.exists { case (oid, ov) =>
+        oid < id && assign(oid) == assign(id) && r6(cosLocal(ov, v)) >= 0.35 }
+    }.toMap
+    assert(out.size === vecs.length)
+    vecs.foreach { case (id, _) =>
+      assert(out(id)._1 === assign(id), s"cluster mismatch for $id")
+      assert(out(id)._2 === (if (dup(id)) 0L else 1L), s"keep mismatch for $id")
+    }
+    // the operator actually dedups something on this corpus
+    assert(out.values.exists(_._2 == 0L))
+  }
+
+  test("semantic dedup with trained centroids applies the min-id rule within its clusters") {
+    val emb = graft.core.Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val out = Dedup.semanticDedupKMeans(emb, "vec_id", "embedding", 8, 0.35).collect()
+      .map(r => r.getAs[Long]("vec_id") ->
+        (r.getAs[Int]("cluster"), r.getAs[Long]("keep"))).toMap
+    val vecs = emb.select(col("vec_id"),
+        transform(col("embedding"), x => x.cast("double")).as("e")).collect()
+      .map(r => r.getAs[Long]("vec_id") -> r.getAs[Seq[Double]]("e").toArray)
+      .sortBy(_._1)
+    // given the operator's own assignment, keep flags must equal the local
+    // min-id EXISTS rule (validates the within-cluster join, rank order,
+    // and the rounded-threshold compare independent of k-means internals)
+    vecs.foreach { case (id, v) =>
+      val dup = vecs.exists { case (oid, ov) =>
+        oid < id && out(oid)._1 == out(id)._1 && r6(cosLocal(ov, v)) >= 0.35 }
+      assert(out(id)._2 === (if (dup) 0L else 1L), s"keep mismatch for $id")
+    }
+    // clusters partition the corpus; fixed seed => deterministic rerun
+    val rerun = Dedup.semanticDedupKMeans(emb, "vec_id", "embedding", 8, 0.35).collect()
+      .map(r => r.getAs[Long]("vec_id") ->
+        (r.getAs[Int]("cluster"), r.getAs[Long]("keep"))).toMap
+    assert(rerun === out)
+  }
+
+  test("semantic dedup keepFarthest keeps the centroid-farthest member (paper rule)") {
+    val s = spark
+    import s.implicits._
+    // ids 1+2 are spatially tight (every 2-means init converges to
+    // {1,2} | {3}) and directionally near-dup (cos = 0.9119 >= 0.9);
+    // their centroid is (1, 0.225), so id 1 is centroid-CLOSER
+    // (ccos 0.9798 vs 0.9756). min-id keeps {1, 3}; the paper rule keeps
+    // the farther member: {2, 3}.
+    val d = Seq(
+      (1L, Seq(1.0, 0.45)),
+      (2L, Seq(1.0, 0.0)),
+      (3L, Seq(-1.0, 1.0))
+    ).toDF("vec_id", "embedding")
+    def kept(keepFarthest: Boolean): Set[Long] =
+      Dedup.semanticDedupKMeans(d, "vec_id", "embedding", 2, 0.9, keepFarthest)
+        .collect().filter(_.getAs[Long]("keep") == 1L)
+        .map(_.getAs[Long]("vec_id")).toSet
+    assert(kept(keepFarthest = false) === Set(1L, 3L))
+    assert(kept(keepFarthest = true) === Set(2L, 3L))
+  }
+
+  test("prototype pruning drops the centroid-nearest quarter of each cluster") {
+    val emb = graft.core.Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val out = Sampling.prototypePrune(emb, "vec_id", "embedding", 8, 0.25).collect()
+      .map(r => r.getAs[Long]("vec_id") ->
+        (r.getAs[Long]("cluster"), r.getAs[Double]("ccos"), r.getAs[Long]("keep"))).toMap
+    val vecs = emb.select(col("vec_id"),
+        transform(col("embedding"), x => x.cast("double")).as("e")).collect()
+      .map(r => r.getAs[Long]("vec_id") -> r.getAs[Seq[Double]]("e").toArray)
+      .sortBy(_._1)
+    val seeds = vecs.take(8)
+    val assign = vecs.map { case (id, v) =>
+      val (c, sid) = seeds.map { case (sid, sv) => (r6(cosLocal(v, sv)), sid) }
+        .maxBy { case (c, sid) => (c, -sid) }
+      id -> ((sid, c))
+    }.toMap
+    assert(out.size === vecs.length)
+    // per cluster: exactly floor(n/4) dropped, and every dropped member's
+    // (ccos, id) ranks strictly before every kept member's
+    assign.groupBy(_._2._1).foreach { case (cluster, members) =>
+      val ranked = members.toSeq
+        .map { case (id, (_, c)) => (id, c) }
+        .sortBy { case (id, c) => (-c, id) }
+      val drops = (0.25 * ranked.size).toInt
+      ranked.zipWithIndex.foreach { case ((id, c), i) =>
+        assert(out(id)._1 === cluster)
+        assert(out(id)._2 === c, s"ccos mismatch for $id")
+        assert(out(id)._3 === (if (i < drops) 0L else 1L),
+          s"keep mismatch for $id (rank ${i + 1} of ${ranked.size} in $cluster)")
+      }
+    }
+  }
 }
