@@ -1418,11 +1418,15 @@ object SparkEntry {
     // within each cluster. The seed-assignment overload is exactly
     // replicable by the oracle (no k-means iteration); the trained-
     // centroid production path is spec-covered in OperatorsSpec.
+    // k=32 — the cluster count IS SemDeDup's scale knob (cost is
+    // quadratic in cluster size): k=8 left 2500-row blocks at the sf1
+    // tier (25M pairs, 17.9 s); k=32 cuts the pair space 4x and is the
+    // honest at-scale shape (the paper runs ~100k clusters).
     Q("dedup_semantic",
       (s, d) => Dedup.semanticDedup(Tables.embeddings(s, d),
-        "vec_id", "embedding", 8, 0.35),
+        "vec_id", "embedding", 32, 0.35),
       Some("""WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
-             |s AS (SELECT vec_id AS sid, e AS se FROM v ORDER BY vec_id LIMIT 8),
+             |s AS (SELECT vec_id AS sid, e AS se FROM v ORDER BY vec_id LIMIT 32),
              |sc AS (SELECT v.vec_id, v.e, s.sid,
              |         round(list_dot_product(v.e, s.se) /
              |           (sqrt(list_dot_product(v.e, v.e)) * sqrt(list_dot_product(s.se, s.se))), 6) AS cos

@@ -1002,16 +1002,35 @@ object Dedup {
                            blockCol: String, threshold: Double): DataFrame = {
     val v = spread(emb).select(col(blockCol).as("blk"), col(idCol).as("vid"),
       transform(col(vecCol), x => x.cast("double")).as("vec"))
+      // staged per-row norm: one dot + one multiply per PAIR instead of
+      // three dots — bit-identical to the inline cosine
+      .withColumn("nrm", sqrt(Similarity.dot(col("vec"), col("vec"))))
+    // Salt-split the per-block quadratic exactly as [[intraClusterDedup]]
+    // does: few blocking labels = few join keys = near-serial pair stage;
+    // bucketing b by hash(vid) and replicating a to all S buckets splits
+    // each block's pair work S ways with identical output.
+    val salts = pairSaltBuckets
+    val xa = v.withColumn("sb", explode(array((0 until salts).map(lit): _*)))
+    val yb = v.withColumn("sb", pmod(hash(col("vid")), lit(salts)))
     // merge hint: both sides are the full vector table (corpus-
     // proportional, and heavy rows — the embedding array rides the join);
     // broadcasting it is a driver OOM at scale, same class as the LSH
     // bucket self-join
-    v.as("a").hint("merge").join(v.as("b"),
-        col("a.blk") === col("b.blk") && col("a.vid") < col("b.vid"))
+    xa.as("a").hint("merge").join(yb.as("b"),
+        col("a.blk") === col("b.blk") && col("a.sb") === col("b.sb") &&
+          col("a.vid") < col("b.vid"))
       .select(col("a.vid").as("id_a"), col("b.vid").as("id_b"),
-        round(Similarity.cosine(col("a.vec"), col("b.vec")), 6).as("cosine"))
+        round(Similarity.dot(col("a.vec"), col("b.vec")) /
+          (col("a.nrm") * col("b.nrm")), 6).as("cosine"))
       .filter(col("cosine") >= threshold)
   }
+
+  /** Bucket count for salt-splitting the quadratic pair joins: enough to
+    * spread a handful of blocks/clusters across every core, small enough
+    * that the linear replication cost stays negligible next to the
+    * quadratic work it parallelizes.
+    */
+  private val pairSaltBuckets = 8
 
   // ---------------------------------------------------------------- simhash
 
@@ -1150,12 +1169,19 @@ object Dedup {
       transform(col(vecCol), x => x.cast("double")).as("vec"))
     val seeds = v.orderBy("vid").limit(k).collect()
       .map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
+    // stage ||vec|| once per row instead of inside each of the k cosines
+    // (bit-identical: sqrt(dot(v,v)) is the same double either way; the
+    // seed's norm folds to a literal — Scala's sequential sum-of-squares
+    // matches the native dot's accumulation order)
     val scored = array(seeds.map { case (sid, ctr) =>
+      val seedNorm = math.sqrt(ctr.map(x => x * x).sum)
       struct(
-        round(Similarity.cosine(col("vec"), array(ctr.map(lit(_)): _*)), 6).as("cos"),
+        round(Similarity.dot(col("vec"), array(ctr.map(lit(_)): _*)) /
+          (col("_nrm") * seedNorm), 6).as("cos"),
         lit(-sid).as("negSid"))
     }: _*)
-    v.withColumn("_best", array_max(scored))
+    v.withColumn("_nrm", sqrt(Similarity.dot(col("vec"), col("vec"))))
+      .withColumn("_best", array_max(scored))
       .select(col("vid"), col("vec"),
         (-col("_best.negSid")).as("cluster"), col("_best.cos").as("ccos"))
   }
@@ -1220,12 +1246,43 @@ object Dedup {
     */
   private def intraClusterDedup(assigned: DataFrame, threshold: Double,
                                 idCol: String): DataFrame = {
-    val a = assigned.select(col("cluster"), col("vid"), col("vec"), col("rank"))
-    val dups = a.as("x").hint("merge").join(a.as("y"),
-        col("x.cluster") === col("y.cluster") && col("x.rank") < col("y.rank"))
-      .filter(round(Similarity.cosine(col("x.vec"), col("y.vec")), 6) >= threshold)
+    // norms staged per ROW, not per pair: the pair filter then costs one
+    // dot + one multiply instead of three dots — 3x less work on the
+    // quadratic step, bit-identical to the inline cosine (sqrt(dot(v,v))
+    // is the same double wherever it's evaluated).
+    // Query-scoped cache: the assigned frame feeds BOTH pair-join sides
+    // and the final keep-flag join — without it each consumer re-derives
+    // the full cluster-assignment chain from the scan (the k-seed /
+    // k-centroid argmax per row, on the exploded side k*S times), which
+    // measured as the dominant cost at the sf1 tier (~200 s of task time
+    // against ~30 s of actual pair work).
+    val a = graft.core.CacheScope.cached(
+      assigned.select(col("cluster"), col("vid"), col("vec"), col("rank"))
+        .withColumn("nrm", sqrt(Similarity.dot(col("vec"), col("vec")))))
+    // Salt-split the quadratic: with only k clusters, a plain equi join
+    // caps pair-stage parallelism at k partitions — at k=32 on 32 cores
+    // the wall is near-serial (measured 10 s for 6.5M pairs at the sf1
+    // tier). Bucket the y side by hash(vid), replicate the x side to all
+    // S buckets: every (x, y) pair still meets exactly once (y's bucket
+    // is deterministic), the join key becomes (cluster, bucket) = k*S
+    // groups, and each cluster's pair work splits S ways. Replication
+    // cost is S * |x| rows through the shuffle — linear, priced against
+    // the quadratic it parallelizes. Output is IDENTICAL (salt only
+    // changes distribution), so the oracle is untouched.
+    val salts = pairSaltBuckets
+    val x = a.withColumn("sb", explode(array((0 until salts).map(lit): _*)))
+    val y = a.withColumn("sb", pmod(hash(col("vid")), lit(salts)))
+    // threshold predicate INSIDE the join condition, not a filter above
+    // it: the join's output needs only y.vid, so failing pairs are
+    // rejected on the joined-row view without ever materializing an
+    // output row carrying the two vector arrays.
+    val dups = x.as("x").hint("merge").join(y.as("y"),
+        col("x.cluster") === col("y.cluster") && col("x.sb") === col("y.sb") &&
+          col("x.rank") < col("y.rank") &&
+          round(Similarity.dot(col("x.vec"), col("y.vec")) /
+            (col("x.nrm") * col("y.nrm")), 6) >= threshold)
       .select(col("y.vid").as("vid")).distinct()
-    assigned.join(dups.withColumn("_dup", lit(true)), Seq("vid"), "left")
+    a.join(dups.withColumn("_dup", lit(true)), Seq("vid"), "left")
       .select(col("vid").as(idCol), col("cluster"),
         when(col("_dup").isNull, lit(1L)).otherwise(lit(0L)).as("keep"))
   }
