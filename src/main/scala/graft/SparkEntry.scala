@@ -1467,6 +1467,44 @@ object SparkEntry {
              |       CAST(CASE WHEN rnk > floor(0.25 * n) THEN 1 ELSE 0 END AS BIGINT) AS keep
              |FROM r""".stripMargin)),
 
+    // Incremental SemDeDup: the arriving batch (vec_id % 5 == 0) judged
+    // against the curated corpus (the rest) — corpus seeds, batch dropped
+    // on a same-cluster corpus neighbor OR a lower-id batch sibling.
+    // Corpus is bucketed, the small batch side replicated (the corpus is
+    // never replicated at scale).
+    Q("dedup_semantic_incremental",
+      (s, d) => {
+        val emb = Tables.embeddings(s, d)
+        Dedup.semanticDedupIncremental(
+          emb.filter(col("vec_id") % 5 === 0),
+          emb.filter(col("vec_id") % 5 =!= 0),
+          "vec_id", "embedding", 32, 0.35)
+      },
+      Some("""WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+             |s AS (SELECT vec_id AS sid, e AS se FROM v WHERE vec_id % 5 <> 0
+             |      ORDER BY vec_id LIMIT 32),
+             |sc AS (SELECT v.vec_id, v.e, s.sid,
+             |         round(list_dot_product(v.e, s.se) /
+             |           (sqrt(list_dot_product(v.e, v.e)) * sqrt(list_dot_product(s.se, s.se))), 6) AS cos
+             |       FROM v CROSS JOIN s),
+             |a AS (SELECT vec_id, e, sid AS cluster FROM (
+             |        SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, sid) AS rn
+             |        FROM sc)
+             |      WHERE rn = 1),
+             |ac AS (SELECT * FROM a WHERE vec_id % 5 <> 0),
+             |ab AS (SELECT * FROM a WHERE vec_id % 5 = 0),
+             |d AS (SELECT DISTINCT y.vec_id FROM ab y JOIN ac x ON x.cluster = y.cluster
+             |       WHERE round(list_dot_product(x.e, y.e) /
+             |           (sqrt(list_dot_product(x.e, x.e)) * sqrt(list_dot_product(y.e, y.e))), 6) >= 0.35
+             |      UNION
+             |      SELECT DISTINCT y.vec_id FROM ab y JOIN ab x
+             |        ON x.cluster = y.cluster AND x.vec_id < y.vec_id
+             |       WHERE round(list_dot_product(x.e, y.e) /
+             |           (sqrt(list_dot_product(x.e, x.e)) * sqrt(list_dot_product(y.e, y.e))), 6) >= 0.35)
+             |SELECT ab.vec_id, ab.cluster,
+             |       CAST(CASE WHEN d.vec_id IS NULL THEN 1 ELSE 0 END AS BIGINT) AS keep
+             |FROM ab LEFT JOIN d ON ab.vec_id = d.vec_id""".stripMargin)),
+
     // connected components over the near-dup pair graph: (doc, cluster
     // representative) — oracle via recursive-CTE transitive closure
     Q("dedup_clusters",

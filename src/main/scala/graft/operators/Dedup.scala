@@ -1165,10 +1165,20 @@ object Dedup {
     */
   private[operators] def seedAssign(emb: DataFrame, idCol: String,
                                     vecCol: String, k: Int): DataFrame = {
-    val v = spread(emb).select(col(idCol).as("vid"),
+    val v = prepVecs(emb, idCol, vecCol)
+    assignToSeeds(v, collectSeeds(v, k))
+  }
+
+  private def prepVecs(emb: DataFrame, idCol: String, vecCol: String): DataFrame =
+    spread(emb).select(col(idCol).as("vid"),
       transform(col(vecCol), x => x.cast("double")).as("vec"))
-    val seeds = v.orderBy("vid").limit(k).collect()
+
+  private def collectSeeds(v: DataFrame, k: Int): Array[(Long, Array[Double])] =
+    v.orderBy("vid").limit(k).collect()
       .map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
+
+  private def assignToSeeds(v: DataFrame,
+                            seeds: Array[(Long, Array[Double])]): DataFrame = {
     // stage ||vec|| once per row instead of inside each of the k cosines
     // (bit-identical: sqrt(dot(v,v)) is the same double either way; the
     // seed's norm folds to a literal — Scala's sequential sum-of-squares
@@ -1259,30 +1269,86 @@ object Dedup {
     val a = graft.core.CacheScope.cached(
       assigned.select(col("cluster"), col("vid"), col("vec"), col("rank"))
         .withColumn("nrm", sqrt(Similarity.dot(col("vec"), col("vec")))))
-    // Salt-split the quadratic: with only k clusters, a plain equi join
-    // caps pair-stage parallelism at k partitions — at k=32 on 32 cores
-    // the wall is near-serial (measured 10 s for 6.5M pairs at the sf1
-    // tier). Bucket the y side by hash(vid), replicate the x side to all
-    // S buckets: every (x, y) pair still meets exactly once (y's bucket
-    // is deterministic), the join key becomes (cluster, bucket) = k*S
-    // groups, and each cluster's pair work splits S ways. Replication
-    // cost is S * |x| rows through the shuffle — linear, priced against
-    // the quadratic it parallelizes. Output is IDENTICAL (salt only
-    // changes distribution), so the oracle is untouched.
-    val salts = pairSaltBuckets
-    val x = a.withColumn("sb", explode(array((0 until salts).map(lit): _*)))
-    val y = a.withColumn("sb", pmod(hash(col("vid")), lit(salts)))
-    // threshold predicate INSIDE the join condition, not a filter above
-    // it: the join's output needs only y.vid, so failing pairs are
-    // rejected on the joined-row view without ever materializing an
-    // output row carrying the two vector arrays.
-    val dups = x.as("x").hint("merge").join(y.as("y"),
-        col("x.cluster") === col("y.cluster") && col("x.sb") === col("y.sb") &&
-          col("x.rank") < col("y.rank") &&
-          round(Similarity.dot(col("x.vec"), col("y.vec")) /
-            (col("x.nrm") * col("y.nrm")), 6) >= threshold)
-      .select(col("y.vid").as("vid")).distinct()
+    val dups = pairDups(a, a, threshold, useRank = true, replicateX = true)
     a.join(dups.withColumn("_dup", lit(true)), Seq("vid"), "left")
+      .select(col("vid").as(idCol), col("cluster"),
+        when(col("_dup").isNull, lit(1L)).otherwise(lit(0L)).as("keep"))
+  }
+
+  /** y-side vids with a qualifying x-side neighbor: same cluster, rounded
+    * cosine >= threshold, and (when `useRank`) x.rank < y.rank. Both
+    * inputs need (cluster, vid, vec, nrm) (+ rank when used).
+    *
+    * Salt-split: with only k clusters, a plain equi join caps pair-stage
+    * parallelism at k partitions — at k=32 on 32 cores the wall was
+    * near-serial (10 s for 6.5M pairs at the sf1 tier). Bucket one side
+    * by hash(vid), replicate the other to all S buckets: every (x, y)
+    * pair still meets exactly once (the bucketed side's bucket is
+    * deterministic), the join key becomes (cluster, bucket) = k*S groups,
+    * and each cluster's pair work splits S ways. `replicateX` picks which
+    * side pays the linear S-times replication — the SMALLER side (the
+    * batch in the incremental pass; either for a self join) — priced
+    * against the quadratic it parallelizes. Output is IDENTICAL (salt
+    * only changes distribution), so oracles are untouched.
+    *
+    * The threshold predicate sits INSIDE the join condition, not a filter
+    * above it: the join's output needs only y.vid, so failing pairs are
+    * rejected on the joined-row view without ever materializing an output
+    * row carrying the two vector arrays.
+    */
+  private def pairDups(x0: DataFrame, y0: DataFrame, threshold: Double,
+                       useRank: Boolean, replicateX: Boolean): DataFrame = {
+    val salts = pairSaltBuckets
+    val rep = explode(array((0 until salts).map(lit): _*))
+    val x = if (replicateX) x0.withColumn("sb", rep)
+            else x0.withColumn("sb", pmod(hash(col("vid")), lit(salts)))
+    val y = if (replicateX) y0.withColumn("sb", pmod(hash(col("vid")), lit(salts)))
+            else y0.withColumn("sb", rep)
+    val base = col("x.cluster") === col("y.cluster") && col("x.sb") === col("y.sb") &&
+      round(Similarity.dot(col("x.vec"), col("y.vec")) /
+        (col("x.nrm") * col("y.nrm")), 6) >= threshold
+    val cond = if (useRank) base && col("x.rank") < col("y.rank") else base
+    x.as("x").hint("merge").join(y.as("y"), cond)
+      .select(col("y.vid").as("vid")).distinct()
+  }
+
+  /** Incremental SemDeDup — dedup an arriving batch against an already-
+    * curated corpus, the ingest-epoch lifecycle of
+    * [[incrementalNearDups]]: a batch vector is dropped when a
+    * same-cluster CORPUS vector is within `threshold` cosine (it adds
+    * nothing the corpus doesn't have), or when a same-cluster
+    * LOWER-ID batch sibling is (in-batch dedup, min-id keeper). Corpus
+    * rows are never re-judged — output is one (id, cluster, keep) row
+    * per BATCH vector.
+    *
+    * Cluster centers come from the CORPUS (the embeddings of its k
+    * smallest ids), so assignment is stable across batches — the
+    * saved-centroid epoch lifecycle: at scale the corpus-side
+    * assignment is computed once per epoch and reused by every batch,
+    * exactly as [[buildNearDupIndex]] amortizes its signature pass
+    * (swap in trained k-means centers as [[semanticDedupKMeans]] does).
+    *
+    * Scale shape: both assignments are map-side (broadcast seeds); the
+    * batch↔corpus pass buckets the CORPUS side and replicates the small
+    * batch side (the corpus — TBs — is never replicated); the batch↔batch
+    * pass is the standard salted self join. Batch-side frames are
+    * query-scoped cached.
+    */
+  def semanticDedupIncremental(batch: DataFrame, corpus: DataFrame,
+                               idCol: String, vecCol: String,
+                               k: Int = 32, threshold: Double = 0.35): DataFrame = {
+    val vC = prepVecs(corpus, idCol, vecCol)
+    val seeds = collectSeeds(vC, k)
+    val aC = assignToSeeds(vC, seeds)
+      .withColumn("nrm", sqrt(Similarity.dot(col("vec"), col("vec"))))
+    val aB = graft.core.CacheScope.cached(
+      assignToSeeds(prepVecs(batch, idCol, vecCol), seeds)
+        .withColumn("nrm", sqrt(Similarity.dot(col("vec"), col("vec"))))
+        .withColumn("rank", col("vid")))
+    val vsCorpus = pairDups(aC, aB, threshold, useRank = false, replicateX = false)
+    val inBatch = pairDups(aB, aB, threshold, useRank = true, replicateX = true)
+    val dups = vsCorpus.unionByName(inBatch).distinct()
+    aB.join(dups.withColumn("_dup", lit(true)), Seq("vid"), "left")
       .select(col("vid").as(idCol), col("cluster"),
         when(col("_dup").isNull, lit(1L)).otherwise(lit(0L)).as("keep"))
   }

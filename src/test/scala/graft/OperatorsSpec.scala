@@ -1216,6 +1216,40 @@ class OperatorsSpec extends SparkSpec {
     assert(kept(keepFarthest = true) === Set(2L, 3L))
   }
 
+  test("incremental semantic dedup judges only the batch, against corpus then siblings") {
+    val emb = graft.core.Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val batch = emb.filter(col("vec_id") % 5 === 0)
+    val corpus = emb.filter(col("vec_id") % 5 =!= 0)
+    val out = Dedup.semanticDedupIncremental(batch, corpus, "vec_id", "embedding", 8, 0.35)
+      .collect()
+      .map(r => r.getAs[Long]("vec_id") ->
+        (r.getAs[Long]("cluster"), r.getAs[Long]("keep"))).toMap
+    val vecs = emb.select(col("vec_id"),
+        transform(col("embedding"), x => x.cast("double")).as("e")).collect()
+      .map(r => r.getAs[Long]("vec_id") -> r.getAs[Seq[Double]]("e").toArray)
+      .sortBy(_._1)
+    val corpusVecs = vecs.filter(_._1 % 5 != 0)
+    val batchVecs = vecs.filter(_._1 % 5 == 0)
+    val seeds = corpusVecs.take(8)
+    def assign(v: Array[Double]): Long =
+      seeds.map { case (sid, sv) => (r6(cosLocal(v, sv)), sid) }
+        .maxBy { case (c, sid) => (c, -sid) }._2
+    val cAssign = corpusVecs.map { case (id, v) => (id, assign(v), v) }
+    val bAssign = batchVecs.map { case (id, v) => (id, assign(v), v) }
+    assert(out.size === batchVecs.length)
+    // corpus rows never appear in the output
+    assert(out.keySet.forall(_ % 5 == 0))
+    bAssign.foreach { case (id, cl, v) =>
+      val dupVsCorpus = cAssign.exists { case (_, ocl, ov) =>
+        ocl == cl && r6(cosLocal(ov, v)) >= 0.35 }
+      val dupInBatch = bAssign.exists { case (oid, ocl, ov) =>
+        oid < id && ocl == cl && r6(cosLocal(ov, v)) >= 0.35 }
+      assert(out(id)._1 === cl, s"cluster mismatch for $id")
+      assert(out(id)._2 === (if (dupVsCorpus || dupInBatch) 0L else 1L),
+        s"keep mismatch for $id")
+    }
+  }
+
   test("prototype pruning drops the centroid-nearest quarter of each cluster") {
     val emb = graft.core.Tables.embeddings(spark, "/root/testdata/sf0.001")
     val out = Sampling.prototypePrune(emb, "vec_id", "embedding", 8, 0.25).collect()
