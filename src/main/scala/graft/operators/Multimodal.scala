@@ -401,4 +401,57 @@ object Multimodal {
         encode(col("text"), "UTF-8").as("payload"))
       .as[MediaRow]
   }
+
+  // ------------------------------------------------------------ media store
+
+  /** Write a media table in the split storage layout: typed metadata and
+    * the opaque payload bytes land in SEPARATE parquet datasets.
+    *
+    * Why split, at 100 TB: payload bytes dominate the footprint by 2-4
+    * orders of magnitude. Stored as one table, every metadata-only scan
+    * plans over files whose row groups are megabytes of binary per row —
+    * column pruning skips the payload CHUNKS, but file sizing, row-group
+    * geometry, footer stats, and scan split planning are all dictated by
+    * the binary column, and any row-shaped consumer (shuffle of the full
+    * row, cache, UDF batch) drags the bytes along. Split, the meta
+    * dataset is a normal thin analytic table (hot: filters, joins,
+    * aggregations), and the payload dataset is touched only by the
+    * decode/fetch paths that actually need bytes.
+    *
+    * Payload layout: range-partitioned and sorted by id, written with
+    * small row groups (`payloadRowGroupBytes`) so a point fetch prunes by
+    * parquet min/max id stats to a handful of row groups instead of
+    * decompressing monster groups for one row. The meta side carries
+    * (byte_len, sha) so integrity checks and size accounting never read
+    * payloads.
+    */
+  def writeMediaStore(media: Dataset[MediaRow], dir: String,
+                      payloadRowGroupBytes: Long = 8L << 20): Unit = {
+    val df = media.toDF().cache()
+    df.select(col("doc_id"), col("media_type"),
+        length(col("payload")).cast("long").as("byte_len"),
+        sha2(col("payload"), 256).as("sha"))
+      .write.mode("overwrite").parquet(s"$dir/meta")
+    df.select(col("doc_id"), col("payload"))
+      .repartitionByRange(col("doc_id"))
+      .sortWithinPartitions(col("doc_id"))
+      .write.mode("overwrite")
+      .option("parquet.block.size", payloadRowGroupBytes)
+      .parquet(s"$dir/payload")
+    df.unpersist()
+  }
+
+  /** The hot analytic side of a media store: metadata only — scanning it
+    * never opens a payload file.
+    */
+  def mediaMeta(spark: SparkSession, dir: String): DataFrame =
+    spark.read.parquet(s"$dir/meta")
+
+  /** Point-fetch payload bytes for a set of ids. The id predicate reaches
+    * the parquet scan (PushedFilters) and, with the sorted small-row-group
+    * layout [[writeMediaStore]] produces, prunes to the few row groups
+    * whose min/max id range covers the request.
+    */
+  def fetchPayloads(spark: SparkSession, dir: String, ids: Seq[Long]): DataFrame =
+    spark.read.parquet(s"$dir/payload").filter(col("doc_id").isin(ids: _*))
 }

@@ -1127,6 +1127,48 @@ class OperatorsSpec extends SparkSpec {
     assert(meta.map(m => m.doc_id -> m.sha).toMap === stub)
   }
 
+  test("media store: split layout — thin meta, sorted payload with pushed point fetch") {
+    val s = spark
+    import s.implicits._
+    val media = Multimodal.fromDocuments(spark,
+      graft.core.Tables.documents(spark, "/root/testdata/sf0.001"))
+    val dir = java.nio.file.Files.createTempDirectory("mediastore").toString
+    Multimodal.writeMediaStore(media, dir)
+    // meta is the hot analytic side: correct per-row typed metadata,
+    // no payload column anywhere in the dataset
+    val meta = Multimodal.mediaMeta(spark, dir)
+    assert(!meta.columns.contains("payload"))
+    val expected = media.collect().map(m => m.doc_id ->
+      (m.media_type, m.payload.length.toLong,
+        java.security.MessageDigest.getInstance("SHA-256").digest(m.payload)
+          .map("%02x".format(_)).mkString)).toMap
+    val got = meta.collect().map(r => r.getAs[Long]("doc_id") ->
+      (r.getAs[String]("media_type"), r.getAs[Long]("byte_len"), r.getAs[String]("sha"))).toMap
+    assert(got === expected)
+    // the split is physical: the payload dataset carries ONLY the id and
+    // the bytes (no metadata duplicated alongside megabyte rows), and the
+    // meta dataset never references a payload file. (A size-ratio check
+    // would be fixture-dependent — these payloads are document text, not
+    // real media bytes.)
+    val payloadDs = spark.read.parquet(s"$dir/payload")
+    assert(payloadDs.columns.toSet === Set("doc_id", "payload"))
+    // point fetch: ids reach the parquet scan as pushed filters, and the
+    // fetched bytes hash back to the recorded sha
+    val ids = Seq(3L, 77L, 411L)
+    val fetch = Multimodal.fetchPayloads(spark, dir, ids)
+    val plan = fetch.queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters") && plan.contains("In(doc_id"),
+      s"id predicate not pushed to the payload scan:\n$plan")
+    val fetched = fetch.collect().map(r => r.getAs[Long]("doc_id") ->
+      r.getAs[Array[Byte]]("payload")).toMap
+    assert(fetched.keySet === ids.toSet)
+    fetched.foreach { case (id, bytes) =>
+      val sha = java.security.MessageDigest.getInstance("SHA-256").digest(bytes)
+        .map("%02x".format(_)).mkString
+      assert(sha === expected(id)._3, s"payload round-trip mismatch for $id")
+    }
+  }
+
   // ------------------------------------------------------- semantic dedup
 
   /** Spark `round` semantics (HALF_UP via BigDecimal) for the local
