@@ -1292,6 +1292,36 @@ class OperatorsSpec extends SparkSpec {
     }
   }
 
+  test("incremental semantic dedup over id-ordered batches equals the one-shot dedup") {
+    // the epoch-lifecycle equivalence: when batches arrive in id order
+    // (so the first batch contains the k seed ids and every later row is
+    // larger), folding semanticDedupIncremental over the batches must
+    // reproduce semanticDedup on the union exactly — same seeds, and the
+    // corpus side is ALL prior rows (kept or dropped), matching one-shot
+    // min-id which judges y against every lower id regardless of that
+    // id's own dup status
+    val emb = graft.core.Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val k = 8
+    val oneShot = Dedup.semanticDedup(emb, "vec_id", "embedding", k, 0.35).collect()
+      .map(r => r.getAs[Long]("vec_id") ->
+        (r.getAs[Long]("cluster"), r.getAs[Long]("keep"))).toMap
+    val ids = emb.select("vec_id").collect().map(_.getLong(0)).sorted
+    val cuts = Seq(ids(ids.length / 4), ids(ids.length / 2), ids(3 * ids.length / 4))
+    val ranges = (Long.MinValue +: cuts :+ Long.MaxValue).sliding(2).toSeq
+    val sequential = scala.collection.mutable.Map[Long, (Long, Long)]()
+    ranges.zipWithIndex.foreach { case (Seq(lo, hi), i) =>
+      val batch = emb.filter(col("vec_id") >= lo && col("vec_id") < hi)
+      val out =
+        if (i == 0) Dedup.semanticDedup(batch, "vec_id", "embedding", k, 0.35)
+        else Dedup.semanticDedupIncremental(batch,
+          emb.filter(col("vec_id") < lo), "vec_id", "embedding", k, 0.35)
+      out.collect().foreach(r => sequential(r.getAs[Long]("vec_id")) =
+        (r.getAs[Long]("cluster"), r.getAs[Long]("keep")))
+      graft.core.CacheScope.release()
+    }
+    assert(sequential.toMap === oneShot)
+  }
+
   test("prototype pruning drops the centroid-nearest quarter of each cluster") {
     val emb = graft.core.Tables.embeddings(spark, "/root/testdata/sf0.001")
     val out = Sampling.prototypePrune(emb, "vec_id", "embedding", 8, 0.25).collect()
