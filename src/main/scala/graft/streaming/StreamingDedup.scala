@@ -34,4 +34,52 @@ object StreamingDedup {
       .withWatermark(tsCol, delay)
       .dropDuplicatesWithinWatermark("_fp")
       .drop("_fp")
+
+  /** SemDeDup on the ingest path — a `foreachBatch` sink: each arriving
+    * micro-batch is judged against the accumulated corpus with
+    * [[graft.operators.Dedup.semanticDedupIncremental]] (the first batch
+    * with [[graft.operators.Dedup.semanticDedup]]), keep flags land in
+    * `resultDir`, and the batch's vectors (kept AND dropped — the
+    * contract judges against all prior arrivals) append to the corpus
+    * store.
+    *
+    * Similarity has no equality key, so
+    * `dropDuplicatesWithinWatermark` cannot express this; the corpus
+    * store IS the state, unbounded by design (it's the curated dataset
+    * itself, not an eviction cache).
+    *
+    * Exactly-once: both writes are per-batch-directory overwrites
+    * (`batch_id=N`), and the corpus read excludes partitions >= the
+    * current batch id — a crash-replayed batch re-judges against exactly
+    * the pre-crash corpus and overwrites its own partitions. Idempotent.
+    *
+    * With ids that grow over time (blockchain/ingest order), the seed set
+    * (the corpus's k smallest ids) freezes after the first batch, so
+    * assignment is stable across the stream and the folded result equals
+    * the one-shot batch dedup — the OperatorsSpec sequential-equivalence
+    * property.
+    */
+  def semanticBatchSink(corpusDir: String, resultDir: String,
+                        idCol: String, vecCol: String,
+                        k: Int = 32, threshold: Double = 0.35)
+      : (DataFrame, Long) => Unit = (batchDf, batchId) => {
+    val spark = batchDf.sparkSession
+    import org.apache.hadoop.fs.Path
+    val fs = new Path(corpusDir).getFileSystem(spark.sessionState.newHadoopConf())
+    val prior =
+      if (fs.exists(new Path(corpusDir)))
+        Some(spark.read.parquet(corpusDir).filter(col("batch_id") < batchId)
+          .select(col(idCol), col(vecCol)))
+      else None
+    val judged = prior.filter(_.take(1).nonEmpty) match {
+      case Some(corpus) => graft.operators.Dedup
+        .semanticDedupIncremental(batchDf, corpus, idCol, vecCol, k, threshold)
+      case None => graft.operators.Dedup
+        .semanticDedup(batchDf, idCol, vecCol, k, threshold)
+    }
+    judged.write.mode("overwrite").parquet(s"$resultDir/batch_id=$batchId")
+    batchDf.select(col(idCol), col(vecCol))
+      .write.mode("overwrite").parquet(s"$corpusDir/batch_id=$batchId")
+    graft.core.CacheScope.release()
+  }
 }

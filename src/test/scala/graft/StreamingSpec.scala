@@ -584,4 +584,46 @@ class StreamingSpec extends SparkSpec {
     assert(graft.streaming.PlugState.maxBatchId(spark, out, "polls") ===
       Some(nBatches - 1L))
   }
+
+  test("streaming semantic dedup: batches fold to the one-shot result; replay idempotent") {
+    import org.apache.spark.sql.functions._
+    val emb = graft.core.Tables.embeddings(spark, "/root/testdata/sf0.001")
+      .select("vec_id", "embedding").cache()
+    val ids = emb.select("vec_id").collect().map(_.getLong(0)).sorted
+    val cut1 = ids(ids.length / 3); val cut2 = ids(2 * ids.length / 3)
+    val base = java.nio.file.Files.createTempDirectory("semstream").toString
+    val (src, corpus, results, ckpt) =
+      (s"$base/src", s"$base/corpus", s"$base/results", s"$base/ckpt")
+    // three id-ordered source files -> with maxFilesPerTrigger=1, three
+    // micro-batches in id order (the equivalence precondition: batch 1
+    // holds the seed ids, later rows are larger)
+    emb.filter(col("vec_id") < cut1).coalesce(1).write.parquet(s"$src/b1")
+    emb.filter(col("vec_id") >= cut1 && col("vec_id") < cut2)
+      .coalesce(1).write.parquet(s"$src/b2")
+    emb.filter(col("vec_id") >= cut2).coalesce(1).write.parquet(s"$src/b3")
+    val sink = graft.streaming.StreamingDedup
+      .semanticBatchSink(corpus, results, "vec_id", "embedding", 8, 0.35)
+    spark.readStream.schema(emb.schema).option("maxFilesPerTrigger", 1)
+      .parquet(s"$src/b*")
+      .writeStream.foreachBatch(sink)
+      .option("checkpointLocation", ckpt)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start().awaitTermination()
+    def resultMap() = spark.read.parquet(results).collect()
+      .map(r => r.getAs[Long]("vec_id") ->
+        (r.getAs[Long]("cluster"), r.getAs[Long]("keep"))).toMap
+    val streamed = resultMap()
+    val oneShot = graft.operators.Dedup
+      .semanticDedup(emb, "vec_id", "embedding", 8, 0.35).collect()
+      .map(r => r.getAs[Long]("vec_id") ->
+        (r.getAs[Long]("cluster"), r.getAs[Long]("keep"))).toMap
+    graft.core.CacheScope.release()
+    assert(streamed === oneShot)
+    // crash-replay of the middle batch: the corpus read excludes its own
+    // and later partitions, so re-running it changes nothing
+    val batch2 = spark.read.parquet(s"$src/b2")
+    sink(batch2, 1L)
+    assert(resultMap() === oneShot)
+    emb.unpersist()
+  }
 }
