@@ -1179,21 +1179,16 @@ object Dedup {
 
   private def assignToSeeds(v: DataFrame,
                             seeds: Array[(Long, Array[Double])]): DataFrame = {
-    // stage ||vec|| once per row instead of inside each of the k cosines
-    // (bit-identical: sqrt(dot(v,v)) is the same double either way; the
-    // seed's norm folds to a literal — Scala's sequential sum-of-squares
-    // matches the native dot's accumulation order)
-    val scored = array(seeds.map { case (sid, ctr) =>
-      val seedNorm = math.sqrt(ctr.map(x => x * x).sum)
-      struct(
-        round(Similarity.dot(col("vec"), array(ctr.map(lit(_)): _*)) /
-          (col("_nrm") * seedNorm), 6).as("cos"),
-        lit(-sid).as("negSid"))
-    }: _*)
-    v.withColumn("_nrm", sqrt(Similarity.dot(col("vec"), col("vec"))))
-      .withColumn("_best", array_max(scored))
+    // fused native argmax (NearestSeed): the composable array-of-structs
+    // + array_max formulation paid ~0.9 ms/row of literal-array and
+    // struct-ordering overhead — ~100x the k·d multiply-adds. Identical
+    // semantics (rounded cosine, staged norms, smaller-seed-id ties),
+    // pinned by the OperatorsSpec local-reference test and the oracle
+    // gates at three tiers.
+    v.withColumn("_best", org.apache.spark.sql.GraftBridge.nearestSeed(
+        col("vec"), seeds.map(_._1), seeds.map(_._2)))
       .select(col("vid"), col("vec"),
-        (-col("_best.negSid")).as("cluster"), col("_best.cos").as("ccos"))
+        col("_best.cluster").as("cluster"), col("_best.ccos").as("ccos"))
   }
 
   /** [[semanticDedup]] with trained centroids — the production SemDeDup:

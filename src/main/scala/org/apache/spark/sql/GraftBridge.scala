@@ -17,6 +17,12 @@ object GraftBridge {
     ExpressionUtils.column(DoubleDotProduct(
       ExpressionUtils.expression(a), ExpressionUtils.expression(b)))
 
+  /** Column over the fused nearest-seed assignment (struct(cluster, ccos)). */
+  def nearestSeed(vec: Column, sids: Array[Long],
+                  seeds: Array[Array[Double]]): Column =
+    ExpressionUtils.column(graft.functions.NearestSeed(
+      ExpressionUtils.expression(vec), sids, seeds))
+
   /** Register graft's SQL functions on an already-constructed session —
     * the `spark.sql.extensions` conf is only consulted at session build
     * time, so driver-provided sessions register here instead (same
