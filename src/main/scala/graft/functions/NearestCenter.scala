@@ -1,0 +1,92 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types._
+
+/** Fused nearest-centroid assignment for trained (k-means) centers:
+  * argmax over cells of the squared-distance-monotone score
+  * 2·c·x − ||c||² (ties to the smaller cell index), returning
+  * struct(cell, ccos) where ccos = round(cos(vec, winner), 9) — the
+  * centroid-cosine [[graft.operators.Dedup.semanticDedupKMeans]]'s
+  * keepFarthest survivor rank uses.
+  *
+  * Same motivation and structure as [[NearestSeed]] (the composable
+  * array-of-structs + array_max chain pays ~100x the k·d multiply-adds
+  * in literal-array and struct-ordering overhead); the difference is the
+  * metric — k-means assignment is Euclidean, which only coincides with
+  * cosine on normalized vectors — and that the old formulation computed
+  * ALL k centroid cosines per row to index one; here only the winner's
+  * is computed. Accumulation order matches [[DoubleDotProduct]] (null
+  * elements contribute 0, shorter-prefix length); ||c||² folds at
+  * construction with the same sequential sum.
+  */
+case class NearestCenter(child: Expression, centers: Array[Array[Double]])
+    extends UnaryExpression {
+
+  require(centers.nonEmpty, "at least one center")
+
+  @transient private lazy val cNorm2: Array[Double] =
+    centers.map(_.map(x => x * x).sum)
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(DoubleType, _) => TypeCheckResult.TypeCheckSuccess
+    case dt => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires array<double>, got ${dt.sql}")
+  }
+
+  override def dataType: DataType = StructType(Seq(
+    StructField("cell", IntegerType, nullable = false),
+    StructField("ccos", DoubleType, nullable = false)))
+
+  override def prettyName: String = "graft_nearest_center"
+
+  private def round9(x: Double): Double =
+    if (x.isNaN || x.isInfinite) x
+    else java.math.BigDecimal.valueOf(x)
+      .setScale(9, java.math.RoundingMode.HALF_UP).doubleValue()
+
+  def compute(a: Any): InternalRow = {
+    val v = a.asInstanceOf[ArrayData]
+    val n = v.numElements()
+    var bestScore = Double.NegativeInfinity
+    var bestCell = 0
+    var bestDot = 0.0
+    var c = 0
+    while (c < centers.length) {
+      val ctr = centers(c)
+      val m = math.min(n, ctr.length)
+      var d = 0.0
+      var j = 0
+      while (j < m) {
+        if (!v.isNullAt(j)) d += v.getDouble(j) * ctr(j)
+        j += 1
+      }
+      val score = d * 2 - cNorm2(c)
+      if (score > bestScore) { bestScore = score; bestCell = c; bestDot = d }
+      c += 1
+    }
+    var ss = 0.0
+    var i = 0
+    while (i < n) {
+      if (!v.isNullAt(i)) { val x = v.getDouble(i); ss += x * x }
+      i += 1
+    }
+    val ccos = round9(bestDot / (math.sqrt(ss) * math.sqrt(cNorm2(bestCell))))
+    InternalRow(bestCell, ccos)
+  }
+
+  override protected def nullSafeEval(a: Any): Any = compute(a)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a => {
+      val ref = ctx.addReferenceObj("nearestCenter", this, classOf[NearestCenter].getName)
+      s"${ev.value} = $ref.compute($a);"
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): NearestCenter =
+    copy(child = newChild)
+}

@@ -1221,24 +1221,18 @@ object Dedup {
       .setFeaturesCol("features")
       .fit(v.withColumn("features", array_to_vector(col("vec"))))
     val centers = model.clusterCenters.map(_.toArray)
-    val scored = array(centers.zipWithIndex.map { case (ctr, i) =>
-      val cNorm2 = ctr.map(x => x * x).sum
-      struct(
-        (Similarity.dot(col("vec"), array(ctr.map(lit(_)): _*)) * 2 - cNorm2).as("score"),
-        lit(-i).as("negCell"))
-    }: _*)
-    val assigned = v.withColumn("cluster", -array_max(scored).getField("negCell"))
+    // fused native nearest-centroid (NearestCenter) — same ~100x
+    // literal-array/struct-ordering overhead class NearestSeed removes
+    val assigned = v.withColumn("_best",
+        org.apache.spark.sql.GraftBridge.nearestCenter(col("vec"), centers))
+      .withColumn("cluster", col("_best.cell"))
     val ranked =
       if (!keepFarthest) assigned.withColumn("rank", struct(col("vid")))
-      else {
+      else
         // rank = (cosine to own centroid, id): the EXISTS join keeps the
         // lexicographic minimum, i.e. the centroid-farthest member.
-        val centCos = array(centers.map(ctr =>
-          round(Similarity.cosine(col("vec"), array(ctr.map(lit(_)): _*)), 9)): _*)
         assigned.withColumn("rank",
-          struct(element_at(centCos, col("cluster") + 1).as("ccos"),
-            col("vid").as("vid")))
-      }
+          struct(col("_best.ccos").as("ccos"), col("vid").as("vid")))
     val out = intraClusterDedup(ranked, threshold, idCol)
     v.unpersist()
     out

@@ -23,6 +23,11 @@ object GraftBridge {
     ExpressionUtils.column(graft.functions.NearestSeed(
       ExpressionUtils.expression(vec), sids, seeds))
 
+  /** Column over the fused nearest-centroid assignment (struct(cell, ccos)). */
+  def nearestCenter(vec: Column, centers: Array[Array[Double]]): Column =
+    ExpressionUtils.column(graft.functions.NearestCenter(
+      ExpressionUtils.expression(vec), centers))
+
   /** Register graft's SQL functions on an already-constructed session —
     * the `spark.sql.extensions` conf is only consulted at session build
     * time, so driver-provided sessions register here instead (same
