@@ -1505,6 +1505,30 @@ object SparkEntry {
              |       CAST(CASE WHEN d.vec_id IS NULL THEN 1 ELSE 0 END AS BIGINT) AS keep
              |FROM ab LEFT JOIN d ON ab.vec_id = d.vec_id""".stripMargin)),
 
+    // Product quantization: codebook s = subspace-s slices of the 16
+    // smallest-id vectors (deterministic, oracle-replicable); one fused
+    // native map pass encodes each vector as 8 nearest-entry codes with
+    // the winner's rounded squared distance.
+    Q("emb_product_quantize",
+      (s, d) => operators.Embeddings.productQuantize(
+        Tables.embeddings(s, d), "vec_id", "embedding", 8, 16),
+      Some("""WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+             |s AS (SELECT se, CAST(row_number() OVER (ORDER BY sid) - 1 AS INT) AS code FROM
+             |      (SELECT vec_id AS sid, e AS se FROM v ORDER BY vec_id LIMIT 16)),
+             |sp AS (SELECT CAST(unnest(range(8)) AS INT) AS subspace),
+             |cs AS (SELECT s.code, sp.subspace, se[sp.subspace*8+1 : sp.subspace*8+8] AS c
+             |       FROM s CROSS JOIN sp),
+             |vs AS (SELECT v.vec_id, sp.subspace, e[sp.subspace*8+1 : sp.subspace*8+8] AS x
+             |       FROM v CROSS JOIN sp),
+             |d AS (SELECT vs.vec_id, vs.subspace, cs.code,
+             |        round(list_dot_product(vs.x, vs.x) - 2*list_dot_product(cs.c, vs.x)
+             |              + list_dot_product(cs.c, cs.c), 6) AS dist
+             |      FROM vs JOIN cs ON vs.subspace = cs.subspace),
+             |best AS (SELECT vec_id, subspace, code, dist,
+             |           row_number() OVER (PARTITION BY vec_id, subspace ORDER BY dist, code) AS rn
+             |         FROM d)
+             |SELECT vec_id, subspace, code, dist FROM best WHERE rn = 1""".stripMargin)),
+
     // connected components over the near-dup pair graph: (doc, cluster
     // representative) — oracle via recursive-CTE transitive closure
     Q("dedup_clusters",

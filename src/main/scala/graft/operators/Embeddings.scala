@@ -63,4 +63,114 @@ object Embeddings {
           x => round(x / col("scale"), 0).cast("int")))
         .as("quantized"))
   }
+
+  // --------------------------------------------------- product quantization
+
+  /** Product quantization (Jégou et al., "Product quantization for
+    * nearest neighbor search", TPAMI 2011) — THE storage compression for
+    * web-scale ANN: split each vector into m contiguous subspaces, code
+    * each subspace as its nearest codebook entry, store m small code ids
+    * instead of d floats (64 dims × f32 → 8 bytes of codes at m=8).
+    *
+    * This overload derives the per-subspace codebooks from the data
+    * deterministically — codebook s = the subspace-s slices of the k
+    * smallest-id vectors — so an external engine can replicate the whole
+    * operator (the DuckDB gate); production trains per-subspace k-means
+    * exactly as [[graft.operators.Dedup.semanticDedupKMeans]] trains its
+    * centers. Output is flat (id, subspace, code, dist): one row per
+    * (vector, subspace), dist = the winner's rounded squared distance
+    * (sums over subspaces = the reconstruction error).
+    *
+    * Scale shape: codebooks are k·m·subDim doubles (collect + broadcast,
+    * dimension-sized); encoding is ONE map pass through the fused native
+    * [[graft.functions.PqEncode]] — no shuffle; the explode is m rows per
+    * vector of three scalars (the compressed representation, tiny next
+    * to the input).
+    */
+  def productQuantize(emb: DataFrame, idCol: String = "vec_id",
+                      vecCol: String = "embedding",
+                      m: Int = 8, k: Int = 16): DataFrame =
+    buildPq(emb, idCol, vecCol, m, k).codes
+
+  /** Build a PQ index: deterministic codebooks + the coded corpus.
+    * `codes` is the flat (id, subspace, code, dist) frame — at scale it
+    * is what you PERSIST (8 bytes of codes per 64-dim vector instead of
+    * 256 of float32); [[PqIndex.topK]] answers queries from it without
+    * touching raw corpus vectors.
+    */
+  def buildPq(emb: DataFrame, idCol: String = "vec_id",
+              vecCol: String = "embedding",
+              m: Int = 8, k: Int = 16): PqIndex = {
+    val v = graft.core.Spread.ensureParallel(emb)
+      .select(col(idCol).as("vid"), asDouble(col(vecCol)).as("_v"))
+    val seeds = v.orderBy("vid").limit(k).collect()
+      .map(_.getSeq[Double](1).toArray)
+    val d = seeds.head.length
+    require(d % m == 0, s"dim $d not divisible into $m subspaces")
+    val subDim = d / m
+    val codebooks = Array.tabulate(m)(s =>
+      seeds.map(_.slice(s * subDim, (s + 1) * subDim)))
+    val codes = v.select(col("vid").as(idCol),
+        explode(org.apache.spark.sql.GraftBridge.pqEncode(
+          col("_v"), codebooks, subDim)).as("_e"))
+      .select(col(idCol), col("_e.subspace").as("subspace"),
+        col("_e.code").as("code"), col("_e.dist").as("dist"))
+    new PqIndex(codes, codebooks, subDim, idCol)
+  }
+
+  /** Asymmetric-distance (ADC) search over PQ codes — the PQ trick: a
+    * probe pays d·k multiply-adds ONCE to build its (subspace, code) →
+    * exact-squared-distance table; every corpus vector then costs m table
+    * lookups + adds instead of d multiplies, and never needs its raw
+    * floats again.
+    */
+  class PqIndex private[operators] (
+      /** Coded corpus: (id, subspace, code, dist). */
+      val codes: DataFrame,
+      /** codebooks(s)(c) = the subspace-s vector of code c. */
+      val codebooks: Array[Array[Array[Double]]],
+      subDim: Int, idCol: String) {
+
+    /** Approximate top-k nearest corpus vectors per probe:
+      * (probe_id, neighbor_id, approx_dist, rank) — approx_dist =
+      * Σ_s exactDist(probe_s, codebook[s][code_s]), ties by neighbor id.
+      *
+      * Scale shape: the probe table is m·k rows PER PROBE (a query batch
+      * — broadcast); the join against codes is map-side, the only
+      * shuffle is the (probe, vector) sum — m rows in per vector.
+      */
+    def topK(probes: DataFrame, kNN: Int,
+             probeIdCol: String = "vec_id",
+             probeVecCol: String = "embedding"): DataFrame = {
+      val spark = codes.sparkSession
+      import spark.implicits._
+      val pv = probes.select(col(probeIdCol).cast("long").as("probe_id"),
+          transform(col(probeVecCol), x => x.cast("double")).as("_p"))
+        .collect().map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
+      val table = for {
+        (pid, p) <- pv.toSeq
+        s <- codebooks.indices
+        (ctr, c) <- codebooks(s).zipWithIndex
+      } yield {
+        var dist = 0.0
+        var j = 0
+        while (j < ctr.length) {
+          val off = s * subDim + j
+          val x = if (off < p.length) p(off) else 0.0
+          val diff = x - ctr(j)
+          dist += diff * diff
+          j += 1
+        }
+        (pid, s, c, dist)
+      }
+      val t = broadcast(table.toDF("probe_id", "subspace", "code", "pd"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("probe_id")).orderBy(col("approx_dist"), col("neighbor_id"))
+      codes.join(t, Seq("subspace", "code"))
+        .groupBy(col("probe_id"), col(idCol).as("neighbor_id"))
+        .agg(sum(col("pd")).as("approx_dist"))
+        .withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= kNN)
+    }
+  }
 }

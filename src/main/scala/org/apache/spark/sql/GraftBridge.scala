@@ -28,6 +28,14 @@ object GraftBridge {
     ExpressionUtils.column(graft.functions.NearestCenter(
       ExpressionUtils.expression(vec), centers))
 
+  /** Column over the fused product-quantization encoder
+    * (array of struct(subspace, code, dist)).
+    */
+  def pqEncode(vec: Column, codebooks: Array[Array[Array[Double]]],
+               subDim: Int): Column =
+    ExpressionUtils.column(graft.functions.PqEncode(
+      ExpressionUtils.expression(vec), codebooks, subDim))
+
   /** Register graft's SQL functions on an already-constructed session —
     * the `spark.sql.extensions` conf is only consulted at session build
     * time, so driver-provided sessions register here instead (same
