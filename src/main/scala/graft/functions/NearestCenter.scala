@@ -44,10 +44,6 @@ case class NearestCenter(child: Expression, centers: Array[Array[Double]])
 
   override def prettyName: String = "graft_nearest_center"
 
-  private def round9(x: Double): Double =
-    if (x.isNaN || x.isInfinite) x
-    else java.math.BigDecimal.valueOf(x)
-      .setScale(9, java.math.RoundingMode.HALF_UP).doubleValue()
 
   def compute(a: Any): InternalRow = {
     val v = a.asInstanceOf[ArrayData]
@@ -75,7 +71,8 @@ case class NearestCenter(child: Expression, centers: Array[Array[Double]])
       if (!v.isNullAt(i)) { val x = v.getDouble(i); ss += x * x }
       i += 1
     }
-    val ccos = round9(bestDot / (math.sqrt(ss) * math.sqrt(cNorm2(bestCell))))
+    val ccos = NativeMath.roundHalfUp(
+      bestDot / (math.sqrt(ss) * math.sqrt(cNorm2(bestCell))), 9)
     InternalRow(bestCell, ccos)
   }
 

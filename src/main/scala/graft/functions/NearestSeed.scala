@@ -49,10 +49,6 @@ case class NearestSeed(child: Expression, sids: Array[Long],
 
   override def prettyName: String = "graft_nearest_seed"
 
-  private def round6(x: Double): Double =
-    if (x.isNaN || x.isInfinite) x
-    else java.math.BigDecimal.valueOf(x)
-      .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
 
   def compute(a: Any): InternalRow = {
     val v = a.asInstanceOf[ArrayData]
@@ -76,7 +72,7 @@ case class NearestSeed(child: Expression, sids: Array[Long],
         if (!v.isNullAt(j)) d += v.getDouble(j) * sv(j)
         j += 1
       }
-      val cos = round6(d / (nrm * seedNorms(s)))
+      val cos = NativeMath.roundHalfUp(d / (nrm * seedNorms(s)), 6)
       if (cos > bestCos) { bestCos = cos; bestSid = sids(s) }
       s += 1
     }

@@ -47,10 +47,6 @@ case class PqEncode(child: Expression,
 
   override def prettyName: String = "graft_pq_encode"
 
-  private def round6(x: Double): Double =
-    if (x.isNaN || x.isInfinite) x
-    else java.math.BigDecimal.valueOf(x)
-      .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
 
   def compute(a: Any): ArrayData = {
     val v = a.asInstanceOf[ArrayData]
@@ -74,11 +70,14 @@ case class PqEncode(child: Expression,
         val ctr = book(c)
         var d = 0.0
         var k = off
-        while (k < end) {
+        // bound by the ENTRY's length too: a ragged codebook entry's
+        // missing dims contribute 0, the same convention as the input side
+        val endC = math.min(end, off + ctr.length)
+        while (k < endC) {
           if (!v.isNullAt(k)) d += v.getDouble(k) * ctr(k - off)
           k += 1
         }
-        val dist = round6(lx2 - 2 * d + cNorm2(s)(c))
+        val dist = NativeMath.roundHalfUp(lx2 - 2 * d + cNorm2(s)(c), 6)
         if (dist < bestDist) { bestDist = dist; bestCode = c }
         c += 1
       }

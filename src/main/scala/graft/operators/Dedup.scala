@@ -1009,9 +1009,7 @@ object Dedup {
     // does: few blocking labels = few join keys = near-serial pair stage;
     // bucketing b by hash(vid) and replicating a to all S buckets splits
     // each block's pair work S ways with identical output.
-    val salts = pairSaltBuckets
-    val xa = v.withColumn("sb", explode(array((0 until salts).map(lit): _*)))
-    val yb = v.withColumn("sb", pmod(hash(col("vid")), lit(salts)))
+    val (xa, yb) = saltedSides(v, v, "vid", replicateX = true)
     // merge hint: both sides are the full vector table (corpus-
     // proportional, and heavy rows — the embedding array rides the join);
     // broadcasting it is a driver OOM at scale, same class as the LSH
@@ -1169,11 +1167,11 @@ object Dedup {
     assignToSeeds(v, collectSeeds(v, k))
   }
 
-  private def prepVecs(emb: DataFrame, idCol: String, vecCol: String): DataFrame =
+  private[operators] def prepVecs(emb: DataFrame, idCol: String, vecCol: String): DataFrame =
     spread(emb).select(col(idCol).as("vid"),
       transform(col(vecCol), x => x.cast("double")).as("vec"))
 
-  private def collectSeeds(v: DataFrame, k: Int): Array[(Long, Array[Double])] =
+  private[operators] def collectSeeds(v: DataFrame, k: Int): Array[(Long, Array[Double])] =
     v.orderBy("vid").limit(k).collect()
       .map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
 
@@ -1285,14 +1283,25 @@ object Dedup {
     * rejected on the joined-row view without ever materializing an output
     * row carrying the two vector arrays.
     */
-  private def pairDups(x0: DataFrame, y0: DataFrame, threshold: Double,
-                       useRank: Boolean, replicateX: Boolean): DataFrame = {
+  /** The two sides of a salt-split pair join, each with its `sb` bucket
+    * column: the NON-replicated side buckets deterministically by
+    * hash(id) so every pair meets in exactly one bucket; the replicated
+    * side fans out to all S buckets. Shared by [[pairDups]] and
+    * [[embeddingCosinePairs]] — the exactly-once-pair argument lives here
+    * only.
+    */
+  private def saltedSides(x0: DataFrame, y0: DataFrame, idColName: String,
+                          replicateX: Boolean): (DataFrame, DataFrame) = {
     val salts = pairSaltBuckets
     val rep = explode(array((0 until salts).map(lit): _*))
-    val x = if (replicateX) x0.withColumn("sb", rep)
-            else x0.withColumn("sb", pmod(hash(col("vid")), lit(salts)))
-    val y = if (replicateX) y0.withColumn("sb", pmod(hash(col("vid")), lit(salts)))
-            else y0.withColumn("sb", rep)
+    val bucket = pmod(hash(col(idColName)), lit(salts))
+    if (replicateX) (x0.withColumn("sb", rep), y0.withColumn("sb", bucket))
+    else (x0.withColumn("sb", bucket), y0.withColumn("sb", rep))
+  }
+
+  private def pairDups(x0: DataFrame, y0: DataFrame, threshold: Double,
+                       useRank: Boolean, replicateX: Boolean): DataFrame = {
+    val (x, y) = saltedSides(x0, y0, "vid", replicateX)
     val base = col("x.cluster") === col("y.cluster") && col("x.sb") === col("y.sb") &&
       round(Similarity.dot(col("x.vec"), col("y.vec")) /
         (col("x.nrm") * col("y.nrm")), 6) >= threshold

@@ -101,10 +101,10 @@ object Embeddings {
   def buildPq(emb: DataFrame, idCol: String = "vec_id",
               vecCol: String = "embedding",
               m: Int = 8, k: Int = 16): PqIndex = {
-    val v = graft.core.Spread.ensureParallel(emb)
-      .select(col(idCol).as("vid"), asDouble(col(vecCol)).as("_v"))
-    val seeds = v.orderBy("vid").limit(k).collect()
-      .map(_.getSeq[Double](1).toArray)
+    // same prep + deterministic k-smallest-ids seed harvest as the
+    // semantic-dedup family — the seed rule is single-sourced in Dedup
+    val v = Dedup.prepVecs(emb, idCol, vecCol)
+    val seeds = Dedup.collectSeeds(v, k).map(_._2)
     val d = seeds.head.length
     require(d % m == 0, s"dim $d not divisible into $m subspaces")
     val subDim = d / m
@@ -112,7 +112,7 @@ object Embeddings {
       seeds.map(_.slice(s * subDim, (s + 1) * subDim)))
     val codes = v.select(col("vid").as(idCol),
         explode(org.apache.spark.sql.GraftBridge.pqEncode(
-          col("_v"), codebooks, subDim)).as("_e"))
+          col("vec"), codebooks, subDim)).as("_e"))
       .select(col(idCol), col("_e.subspace").as("subspace"),
         col("_e.code").as("code"), col("_e.dist").as("dist"))
     new PqIndex(codes, codebooks, subDim, idCol)
@@ -166,9 +166,12 @@ object Embeddings {
       val t = broadcast(table.toDF("probe_id", "subspace", "code", "pd"))
       val w = org.apache.spark.sql.expressions.Window
         .partitionBy(col("probe_id")).orderBy(col("approx_dist"), col("neighbor_id"))
+      // round BEFORE ranking: the m-term shuffle sum merges partials in
+      // arrival order, so last-ulp values can differ across runs — every
+      // ranking in this operator family pins determinism by rounding first
       codes.join(t, Seq("subspace", "code"))
         .groupBy(col("probe_id"), col(idCol).as("neighbor_id"))
-        .agg(sum(col("pd")).as("approx_dist"))
+        .agg(round(sum(col("pd")), 6).as("approx_dist"))
         .withColumn("rank", row_number().over(w))
         .filter(col("rank") <= kNN)
     }

@@ -427,7 +427,11 @@ object Multimodal {
     */
   def writeMediaStore(media: Dataset[MediaRow], dir: String,
                       payloadRowGroupBytes: Long = 8L << 20): Unit = {
-    val df = media.toDF().cache()
+    // two independent map-only passes over the source, deliberately NOT
+    // cached: caching would persist exactly the payload bytes this layout
+    // exists to keep out of hot storage — at the stated scale re-reading
+    // the source is cheaper than materializing it twice
+    val df = media.toDF()
     df.select(col("doc_id"), col("media_type"),
         length(col("payload")).cast("long").as("byte_len"),
         sha2(col("payload"), 256).as("sha"))
@@ -438,7 +442,6 @@ object Multimodal {
       .write.mode("overwrite")
       .option("parquet.block.size", payloadRowGroupBytes)
       .parquet(s"$dir/payload")
-    df.unpersist()
   }
 
   /** The hot analytic side of a media store: metadata only — scanning it

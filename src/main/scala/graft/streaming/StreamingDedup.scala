@@ -65,21 +65,32 @@ object StreamingDedup {
       : (DataFrame, Long) => Unit = (batchDf, batchId) => {
     val spark = batchDf.sparkSession
     import org.apache.hadoop.fs.Path
-    val fs = new Path(corpusDir).getFileSystem(spark.sessionState.newHadoopConf())
-    val prior =
-      if (fs.exists(new Path(corpusDir)))
-        Some(spark.read.parquet(corpusDir).filter(col("batch_id") < batchId)
-          .select(col(idCol), col(vecCol)))
-      else None
-    val judged = prior.filter(_.take(1).nonEmpty) match {
-      case Some(corpus) => graft.operators.Dedup
-        .semanticDedupIncremental(batchDf, corpus, idCol, vecCol, k, threshold)
-      case None => graft.operators.Dedup
-        .semanticDedup(batchDf, idCol, vecCol, k, threshold)
-    }
-    judged.write.mode("overwrite").parquet(s"$resultDir/batch_id=$batchId")
-    batchDf.select(col(idCol), col(vecCol))
-      .write.mode("overwrite").parquet(s"$corpusDir/batch_id=$batchId")
-    graft.core.CacheScope.release()
+    val root = new Path(corpusDir)
+    val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
+    // COMMITTED prior batches only, by explicit directory list: a crash
+    // mid corpus write can leave corpusDir existing with zero committed
+    // files (just a _temporary dir), where a bare read of the root would
+    // throw "unable to infer schema" on every replay — wedging the
+    // stream. The _SUCCESS check is the commit marker; listing also makes
+    // the < batchId exclusion structural instead of a partition filter.
+    val committed =
+      if (!fs.exists(root)) Seq.empty
+      else fs.listStatus(root).toSeq
+        .filter(s => s.isDirectory && s.getPath.getName.startsWith("batch_id="))
+        .filter(_.getPath.getName.stripPrefix("batch_id=")
+          .toLongOption.exists(_ < batchId))
+        .filter(s => fs.exists(new Path(s.getPath, "_SUCCESS")))
+        .map(_.getPath.toString)
+    try {
+      val judged =
+        if (committed.nonEmpty) graft.operators.Dedup.semanticDedupIncremental(
+          batchDf, spark.read.parquet(committed: _*).select(col(idCol), col(vecCol)),
+          idCol, vecCol, k, threshold)
+        else graft.operators.Dedup
+          .semanticDedup(batchDf, idCol, vecCol, k, threshold)
+      judged.write.mode("overwrite").parquet(s"$resultDir/batch_id=$batchId")
+      batchDf.select(col(idCol), col(vecCol))
+        .write.mode("overwrite").parquet(s"$corpusDir/batch_id=$batchId")
+    } finally graft.core.CacheScope.release()
   }
 }
