@@ -369,6 +369,128 @@ object Similarity {
     }
   }
 
+  // ------------------------------------------------------------------ ivf-pq
+
+  /** IVF-PQ — the at-scale ANN composition (the FAISS IVFPQ structure):
+    * the IVF coarse quantizer prunes a query to nProbe cells, and within
+    * a cell each vector is stored as the PQ codes of its RESIDUAL
+    * (vec − cellCenter). Residuals concentrate near zero, so the same
+    * codebook budget quantizes them far more precisely than raw vectors;
+    * a query runs asymmetric-distance (ADC) per probed cell — the
+    * probe's per-cell residual builds an m×k exact-distance table, and
+    * each corpus vector costs m lookups. Raw corpus floats are never
+    * read at query time.
+    *
+    * Determinism: fixed-seed k-means centers (assignment via the fused
+    * [[graft.functions.NearestCenter]]); PQ codebooks = the residual
+    * subspaces of the `kCodes` smallest-id vectors — the seed-codebook
+    * rule shared with [[Embeddings.buildPq]] (production swaps in
+    * per-subspace trained codebooks).
+    *
+    * Scale shape: `codes` is the only corpus-sized artifact (cell id +
+    * m small code ids per vector — persisted partitioned BY CELL, a
+    * probe's join touches nProbe partitions); centers and codebooks are
+    * dimension-sized driver state; the query distance table is
+    * probes × nProbe × m × k rows, broadcast. The residual pass is one
+    * broadcast join + map (no shuffle of the corpus).
+    */
+  def buildIvfPq(corpus: DataFrame, nCells: Int = 8, m: Int = 8,
+                 kCodes: Int = 16, idCol: String = "vec_id",
+                 vecCol: String = "embedding",
+                 cache: Boolean = true): IvfPqIndex = {
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.functions.array_to_vector
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val c = spread(corpus).select(col(idCol).as("neighbor_id"),
+      asDouble(col(vecCol)).as("_cv"))
+    val model = new KMeans().setK(nCells).setMaxIter(5).setSeed(42)
+      .setFeaturesCol("features")
+      .fit(c.withColumn("features", array_to_vector(col("_cv"))))
+    val centers = model.clusterCenters.map(_.toArray)
+    val centersDf = broadcast(centers.zipWithIndex
+      .map { case (ctr, i) => (i, ctr.toSeq) }.toSeq.toDF("cell", "_ctr"))
+    val resid = c.withColumn("cell",
+        org.apache.spark.sql.GraftBridge.nearestCenter(col("_cv"), centers)
+          .getField("cell"))
+      .join(centersDf, "cell")
+      .withColumn("_rv", zip_with(col("_cv"), col("_ctr"), (a, b) => a - b))
+    val seedRes = resid.select(col("neighbor_id"), col("_rv"))
+      .orderBy("neighbor_id").limit(kCodes).collect()
+      .map(_.getSeq[Double](1).toArray)
+    val d = seedRes.head.length
+    require(d % m == 0, s"dim $d not divisible into $m subspaces")
+    val subDim = d / m
+    val codebooks = Array.tabulate(m)(s =>
+      seedRes.map(_.slice(s * subDim, (s + 1) * subDim)))
+    val codes = resid.select(col("neighbor_id"), col("cell"),
+        explode(org.apache.spark.sql.GraftBridge.pqEncode(
+          col("_rv"), codebooks, subDim)).as("_e"))
+      .select(col("neighbor_id"), col("cell"),
+        col("_e.subspace").as("subspace"), col("_e.code").as("code"))
+    val kept = if (cache) codes.persist()
+               else graft.core.CacheScope.cached(codes)
+    new IvfPqIndex(kept, centers, codebooks, subDim)
+  }
+
+  class IvfPqIndex private[operators] (
+      /** Coded corpus: (neighbor_id, cell, subspace, code). */
+      val codes: DataFrame,
+      val centers: Array[Array[Double]],
+      val codebooks: Array[Array[Array[Double]]],
+      subDim: Int) {
+
+    /** Approximate top-k per probe over the nProbe nearest cells:
+      * (probe_id, neighbor_id, approx_dist, rank). approx_dist is the
+      * rounded ADC residual distance (comparable within a probe; smaller
+      * is nearer); ties break by neighbor id.
+      */
+    def topK(probes: DataFrame, kNN: Int, nProbe: Int = 2,
+             probeIdCol: String = "vec_id",
+             probeVecCol: String = "embedding"): DataFrame = {
+      val spark = codes.sparkSession
+      import spark.implicits._
+      val pv = probes.select(col(probeIdCol).cast("long").as("probe_id"),
+          transform(col(probeVecCol), x => x.cast("double")).as("_p"))
+        .collect().map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
+      val table = for {
+        (pid, p) <- pv.toSeq
+        // cell ranking mirrors assignment: max 2·c·p − ||c||², ties to
+        // the smaller index
+        cell <- centers.indices
+          .map(i => (centers(i).zipWithIndex.map { case (x, j) =>
+            2 * x * (if (j < p.length) p(j) else 0.0) }.sum
+            - centers(i).map(x => x * x).sum, i))
+          .sortBy { case (score, i) => (-score, i) }
+          .take(nProbe).map(_._2)
+        s <- codebooks.indices
+        (ctr, code) <- codebooks(s).zipWithIndex
+      } yield {
+        val center = centers(cell)
+        var dist = 0.0
+        var j = 0
+        while (j < ctr.length) {
+          val off = s * subDim + j
+          val r = (if (off < p.length) p(off) else 0.0) -
+            (if (off < center.length) center(off) else 0.0)
+          val diff = r - ctr(j)
+          dist += diff * diff
+          j += 1
+        }
+        (pid, cell, s, code, dist)
+      }
+      val t = broadcast(table.toDF("probe_id", "cell", "subspace", "code", "pd"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("probe_id")).orderBy(col("approx_dist"), col("neighbor_id"))
+      // rounded before ranking — the shuffle-sum tie-determinism rule
+      codes.join(t, Seq("cell", "subspace", "code"))
+        .groupBy(col("probe_id"), col("neighbor_id"))
+        .agg(round(sum(col("pd")), 6).as("approx_dist"))
+        .withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= kNN)
+    }
+  }
+
   /** Multi-table sign-LSH ANN: L independent hash tables of b hyperplane
     * bits each; a corpus vector is a candidate for a probe when they share
     * a bucket in ANY table (classic OR-amplification), then exact cosine +

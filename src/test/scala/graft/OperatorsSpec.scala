@@ -1219,6 +1219,56 @@ class OperatorsSpec extends SparkSpec {
     codes.unpersist()
   }
 
+  test("IVF-PQ: self-retrieval through the residual codes; partial probe prunes; recall holds") {
+    val emb = graft.core.Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val idx = Similarity.buildIvfPq(emb, 8, 8, 16)
+    // full probe: a codebook-seed probe comes back to itself at rank 1
+    // with distance 0 (its residual IS a codebook entry in each subspace)
+    val seedIds = emb.select("vec_id").orderBy("vec_id").limit(16)
+      .collect().map(_.getLong(0))
+    val full = idx.topK(emb.filter(col("vec_id").isin(seedIds.take(3): _*)),
+      5, nProbe = 8).collect()
+    seedIds.take(3).foreach { pid =>
+      val r1 = full.filter(r => r.getAs[Long]("probe_id") == pid &&
+        r.getAs[Int]("rank") == 1).head
+      assert(r1.getAs[Long]("neighbor_id") === pid)
+      assert(r1.getAs[Double]("approx_dist") === 0.0)
+    }
+    // recall@10 vs exact L2, full probe vs nProbe=2: partial probing can
+    // only lose candidates whose cells weren't probed
+    val vecs = emb.select(col("vec_id"),
+        transform(col("embedding"), x => x.cast("double")).as("e")).collect()
+      .map(r => r.getAs[Long]("vec_id") -> r.getAs[Seq[Double]]("e").toArray).toMap
+    def l2(a: Array[Double], b: Array[Double]): Double = {
+      var s = 0.0; var i = 0
+      while (i < a.length) { val d = a(i) - b(i); s += d * d; i += 1 }; s
+    }
+    val probeIds = vecs.keys.toSeq.sorted.filterNot(seedIds.contains).take(20)
+    val probeDf = emb.filter(col("vec_id").isin(probeIds: _*))
+    def recall(nProbe: Int): Double = {
+      val adc = idx.topK(probeDf, 10, nProbe).collect()
+        .groupBy(_.getAs[Long]("probe_id"))
+        .map { case (p, rs) => p -> rs.map(_.getAs[Long]("neighbor_id")).toSet }
+      probeIds.map { p =>
+        val exact = vecs.toSeq.sortBy { case (id, v) => (l2(vecs(p), v), id) }
+          .take(10).map(_._1).toSet
+        (adc(p) & exact).size / 10.0
+      }.sum / probeIds.length
+    }
+    val rFull = recall(8); val rPartial = recall(2)
+    info(f"IVF-PQ recall@10: full-probe $rFull%.3f, nProbe=2 $rPartial%.3f")
+    assert(rFull >= 0.15, f"full-probe recall collapsed: $rFull%.3f")
+    assert(rPartial <= rFull + 1e-9, "partial probe cannot beat full probe")
+    // partial probe returns only vectors from probed cells
+    val cellsOf = idx.codes.select("neighbor_id", "cell").distinct().collect()
+      .map(r => r.getAs[Long]("neighbor_id") -> r.getAs[Int]("cell")).toMap
+    val p0 = probeIds.head
+    val probed2 = idx.topK(probeDf.filter(col("vec_id") === p0), 10, 2).collect()
+      .map(_.getAs[Long]("neighbor_id")).map(cellsOf).toSet
+    assert(probed2.size <= 2, s"nProbe=2 returned vectors from cells $probed2")
+    idx.codes.unpersist()
+  }
+
   // ------------------------------------------------------- semantic dedup
 
   /** Spark `round` semantics (HALF_UP via BigDecimal) for the local
