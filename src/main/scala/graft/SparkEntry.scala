@@ -81,6 +81,13 @@ object SparkEntry {
     annCache.getOrElseUpdate((s.sparkContext.applicationId, d),
       Similarity.buildIvf(Tables.embeddings(s, d)))
 
+  private val ivfPqCache =
+    scala.collection.concurrent.TrieMap[(String, String), Similarity.IvfPqIndex]()
+
+  private def ivfPqIndex(s: SparkSession, d: String): Similarity.IvfPqIndex =
+    ivfPqCache.getOrElseUpdate((s.sparkContext.applicationId, d),
+      Similarity.buildIvfPq(Tables.embeddings(s, d)))
+
   private val lshCache =
     scala.collection.concurrent.TrieMap[(String, String), Similarity.LshIndex]()
 
@@ -1590,6 +1597,15 @@ object SparkEntry {
       // at Verify time, from the same memoized index this query used
       None),
 
+    Q("sim_ivfpq_topk",
+      (s, d) => {
+        val emb = Tables.embeddings(s, d)
+        ivfPqIndex(s, d).topK(emb.filter(col("vec_id") < 10), 5, nProbe = 4)
+      },
+      // per-dataset oracle (trained centers + residual codebooks as
+      // literals) — generated by [[dynamicOracleSql]] at Verify time
+      None),
+
     // ---- embedding quantization (storage compression for ANN corpora)
     // Terminal projection is scalar-only: the driver's gate cannot sort
     // array columns, so the int8 vector rides as a canonical CSV string
@@ -2169,7 +2185,83 @@ object SparkEntry {
     * results were computed with.
     */
   def dynamicOracleSql(s: SparkSession, d: String): Map[String, String] =
-    Map("sim_ivf_topk" -> ivfOracleSql(s, d))
+    Map("sim_ivf_topk" -> ivfOracleSql(s, d),
+      "sim_ivfpq_topk" -> ivfPqOracleSql(s, d))
+
+  /** IVF-PQ oracle — [[ivfOracleSql]]'s pattern extended to the residual
+    * codes: trained centers AND residual codebooks ride as literals;
+    * the SQL replicates cell assignment (NearestCenter ties to the
+    * SMALLER cell: score DESC, cell ASC), per-row residuals (joined
+    * literal center, elementwise subtract), per-subspace code argmin on
+    * the rounded ||x||²−2c·x+||c||² expansion (ties smaller code), the
+    * probe's nProbe-cell expansion, the probe's per-cell residual
+    * distance table as Σ(r−c)² over the diff list (the Spark driver's
+    * accumulation order), and the rounded ADC sum + rank.
+    */
+  private def ivfPqOracleSql(s: SparkSession, d: String): String = {
+    val idx = ivfPqIndex(s, d)
+    val (centers, books, w) = (idx.centers, idx.codebooks, idx.subDim)
+    val dim = centers.head.length
+    val nProbe = 4
+    val arms = centers.zipWithIndex.map { case (c, i) =>
+      val vecLit = c.mkString("[", ", ", "]")
+      val cNorm2 = c.map(x => x * x).sum
+      s"SELECT vec_id, e, $i AS cell, 2 * list_dot_product(e, $vecLit) - $cNorm2 AS score FROM v"
+    }.mkString("\nUNION ALL\n")
+    val cenVals = centers.zipWithIndex
+      .map { case (c, i) => s"($i, ${c.mkString("[", ", ", "]")})" }
+      .mkString(",\n  ")
+    val cbVals = (for {
+      sp <- books.indices
+      (entry, code) <- books(sp).zipWithIndex
+    } yield s"($sp, $code, ${entry.mkString("[", ", ", "]")})").mkString(",\n  ")
+    s"""WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+       |cs AS ($arms),
+       |r AS (SELECT vec_id, e, cell,
+       |        row_number() OVER (PARTITION BY vec_id ORDER BY score DESC, cell ASC) AS rn
+       |      FROM cs),
+       |cen AS (SELECT * FROM (VALUES
+       |  $cenVals) AS t(cell, c)),
+       |cb AS (SELECT * FROM (VALUES
+       |  $cbVals) AS t(subspace, code, bc)),
+       |res AS (SELECT a.vec_id, a.cell,
+       |          list_transform(range(1, ${dim + 1}), i -> a.e[i] - cen.c[i]) AS rv
+       |        FROM (SELECT vec_id, e, cell FROM r WHERE rn = 1) a
+       |        JOIN cen ON a.cell = cen.cell),
+       |sp AS (SELECT CAST(unnest(range(${books.length})) AS INT) AS subspace),
+       |cd AS (SELECT res.vec_id, res.cell, cb.subspace, cb.code,
+       |         round(list_dot_product(x, x) - 2 * list_dot_product(cb.bc, x)
+       |               + list_dot_product(cb.bc, cb.bc), 6) AS dist
+       |       FROM (SELECT vec_id, cell, subspace,
+       |               rv[subspace*$w+1 : subspace*$w+$w] AS x
+       |             FROM res CROSS JOIN sp) res
+       |       JOIN cb ON cb.subspace = res.subspace),
+       |codes AS (SELECT vec_id, cell, subspace, code FROM (
+       |            SELECT *, row_number() OVER (PARTITION BY vec_id, subspace
+       |                        ORDER BY dist, code) AS crn FROM cd)
+       |          WHERE crn = 1),
+       |pres AS (SELECT p.vec_id AS probe_id, p.cell,
+       |           list_transform(range(1, ${dim + 1}), i -> p.e[i] - cen.c[i]) AS prv
+       |         FROM (SELECT vec_id, e, cell FROM r WHERE rn <= $nProbe AND vec_id < 10) p
+       |         JOIN cen ON p.cell = cen.cell),
+       |pd AS (SELECT probe_id, cell, subspace, code,
+       |         list_dot_product(ld, ld) AS pd FROM (
+       |         SELECT p.probe_id, p.cell, cb.subspace, cb.code,
+       |           list_transform(range(1, ${w + 1}),
+       |             j -> p.prv[cb.subspace*$w + j] - cb.bc[j]) AS ld
+       |         FROM pres p CROSS JOIN cb)),
+       |ap AS (SELECT pd.probe_id, codes.vec_id AS neighbor_id,
+       |         round(sum(pd.pd), 6) AS approx_dist
+       |       FROM codes JOIN pd ON codes.cell = pd.cell
+       |         AND codes.subspace = pd.subspace AND codes.code = pd.code
+       |       GROUP BY 1, 2),
+       |rk AS (SELECT probe_id, neighbor_id, approx_dist,
+       |         row_number() OVER (PARTITION BY probe_id
+       |                   ORDER BY approx_dist, neighbor_id) AS rank
+       |       FROM ap)
+       |SELECT probe_id, neighbor_id, approx_dist, CAST(rank AS INT) AS rank
+       |FROM rk WHERE rank <= 5 ORDER BY probe_id, rank""".stripMargin
+  }
 
   /** Recursive-CTE transitive closure over the exact-Jaccard near-dup
     * pair graph — the shared oracle for BOTH connected-components

@@ -438,7 +438,7 @@ object Similarity {
       val codes: DataFrame,
       val centers: Array[Array[Double]],
       val codebooks: Array[Array[Array[Double]]],
-      subDim: Int) {
+      val subDim: Int) {
 
     /** Approximate top-k per probe over the nProbe nearest cells:
       * (probe_id, neighbor_id, approx_dist, rank). approx_dist is the
