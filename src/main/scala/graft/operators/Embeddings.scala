@@ -118,6 +118,39 @@ object Embeddings {
     new PqIndex(codes, codebooks, subDim, idCol)
   }
 
+  /** [[buildPq]] with TRAINED codebooks — the production path: one
+    * fixed-seed MLlib k-means per subspace learns k entries from the
+    * actual subvector distribution (m small jobs over w-dim slices;
+    * at 100 TB train on a sample, exactly like the other trained
+    * quantizers here). Same encoder, same ADC search; measured recall
+    * improves substantially over the deterministic seed codebooks
+    * (OperatorsSpec pins the ordering).
+    */
+  def buildPqTrained(emb: DataFrame, idCol: String = "vec_id",
+                     vecCol: String = "embedding",
+                     m: Int = 8, k: Int = 16, seed: Long = 42): PqIndex = {
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.functions.array_to_vector
+    val v = Dedup.prepVecs(emb, idCol, vecCol).cache()
+    val d = v.select(size(col("vec"))).head().getInt(0)
+    require(d % m == 0, s"dim $d not divisible into $m subspaces")
+    val subDim = d / m
+    val codebooks = Array.tabulate(m) { s =>
+      val sub = v.withColumn("features",
+        array_to_vector(slice(col("vec"), s * subDim + 1, subDim)))
+      new KMeans().setK(k).setMaxIter(5).setSeed(seed)
+        .setFeaturesCol("features").fit(sub)
+        .clusterCenters.map(_.toArray)
+    }
+    val codes = v.select(col("vid").as(idCol),
+        explode(org.apache.spark.sql.GraftBridge.pqEncode(
+          col("vec"), codebooks, subDim)).as("_e"))
+      .select(col(idCol), col("_e.subspace").as("subspace"),
+        col("_e.code").as("code"), col("_e.dist").as("dist"))
+    v.unpersist()
+    new PqIndex(codes, codebooks, subDim, idCol)
+  }
+
   /** Asymmetric-distance (ADC) search over PQ codes — the PQ trick: a
     * probe pays d·k multiply-adds ONCE to build its (subspace, code) →
     * exact-squared-distance table; every corpus vector then costs m table

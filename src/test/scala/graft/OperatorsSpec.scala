@@ -1219,6 +1219,34 @@ class OperatorsSpec extends SparkSpec {
     codes.unpersist()
   }
 
+  test("trained PQ codebooks beat the deterministic seed codebooks on recall") {
+    val emb = graft.core.Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val vecs = emb.select(col("vec_id"),
+        transform(col("embedding"), x => x.cast("double")).as("e")).collect()
+      .map(r => r.getAs[Long]("vec_id") -> r.getAs[Seq[Double]]("e").toArray).toMap
+    def l2(a: Array[Double], b: Array[Double]): Double = {
+      var s = 0.0; var i = 0
+      while (i < a.length) { val d = a(i) - b(i); s += d * d; i += 1 }; s
+    }
+    val probeIds = vecs.keys.toSeq.sorted.slice(20, 40)
+    val probeDf = emb.filter(col("vec_id").isin(probeIds: _*))
+    def recall(idx: Embeddings.PqIndex): Double = {
+      val adc = idx.topK(probeDf, 10).collect()
+        .groupBy(_.getAs[Long]("probe_id"))
+        .map { case (p, rs) => p -> rs.map(_.getAs[Long]("neighbor_id")).toSet }
+      probeIds.map { p =>
+        val exact = vecs.toSeq.sortBy { case (id, v) => (l2(vecs(p), v), id) }
+          .take(10).map(_._1).toSet
+        (adc(p) & exact).size / 10.0
+      }.sum / probeIds.length
+    }
+    val rSeed = recall(Embeddings.buildPq(emb, "vec_id", "embedding", 8, 16))
+    val rTrained = recall(Embeddings.buildPqTrained(emb, "vec_id", "embedding", 8, 16))
+    info(f"PQ recall@10: seed codebooks $rSeed%.3f, trained $rTrained%.3f")
+    assert(rTrained >= rSeed,
+      f"trained codebooks ($rTrained%.3f) should not lose to seeds ($rSeed%.3f)")
+  }
+
   test("IVF-PQ: self-retrieval through the residual codes; partial probe prunes; recall holds") {
     val emb = graft.core.Tables.embeddings(spark, "/root/testdata/sf0.001")
     val idx = Similarity.buildIvfPq(emb, 8, 8, 16)
