@@ -1029,6 +1029,51 @@ object SparkEntry {
              |       ELSE round((len(tg) - len(list_filter(list_distinct(tg), x -> len(list_filter(tg, y -> y = x)) = 1))) * 1.0 / len(tg), 6) END AS dup_trigram_frac
              |FROM b""".stripMargin)),
 
+    // Gopher §A1.1 quality rules composed over the fused signals —
+    // every signal emitted alongside the composite keep flag
+    Q("text_gopher_filter",
+      (s, d) => TextAnalysis.gopherFilter(Tables.documents(s, d))
+        .select(col("doc_id"), col("n_tokens"), col("mean_word_len"),
+          col("symbol_ratio"), col("alpha_word_frac"), col("stop_hits"),
+          col("dup_token_frac"), col("top_bigram_frac"),
+          col("dup_trigram_frac"), col("keep")),
+      Some("""WITH t AS (
+             |  SELECT doc_id, text, list_filter(string_split(text, ' '), x -> x <> '') AS toks
+             |  FROM documents),
+             |b AS (SELECT doc_id, text, toks,
+             |        list_transform(range(1, len(toks)), i -> concat_ws(' ', toks[i], toks[i+1])) AS bg,
+             |        list_transform(range(1, len(toks) - 1), i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2])) AS tg
+             |      FROM t),
+             |s AS (SELECT doc_id,
+             |  CAST(len(toks) AS BIGINT) AS n_tokens,
+             |  list_sum(list_transform(toks, x -> length(x))) AS tok_chars,
+             |  CAST(len(list_filter(toks, x -> x IN ('the','a','and','of','to','in','is','it','on','for'))) AS BIGINT) AS stop_hits,
+             |  (length(text) - length(replace(text, '#', ''))) AS hashes,
+             |  (length(text) - length(replace(text, '...', ''))) AS echars,
+             |  CAST(len(list_filter(toks, x -> regexp_matches(x, '[A-Za-z]'))) AS BIGINT) AS alpha,
+             |  CASE WHEN len(toks) = 0 THEN 0.0
+             |       ELSE round(1.0 - len(list_distinct(toks)) * 1.0 / len(toks), 6) END AS dup_token_frac,
+             |  CASE WHEN len(bg) = 0 THEN 0.0
+             |       ELSE round(list_max(list_transform(list_distinct(bg), x -> len(list_filter(bg, y -> y = x)))) * 1.0 / len(bg), 6) END AS top_bigram_frac,
+             |  CASE WHEN len(tg) = 0 THEN 0.0
+             |       ELSE round((len(tg) - len(list_filter(list_distinct(tg), x -> len(list_filter(tg, y -> y = x)) = 1))) * 1.0 / len(tg), 6) END AS dup_trigram_frac
+             |  FROM b),
+             |m AS (SELECT doc_id, n_tokens,
+             |  CASE WHEN n_tokens = 0 THEN 0.0 ELSE round(tok_chars * 1.0 / n_tokens, 6) END AS mean_word_len,
+             |  CASE WHEN n_tokens = 0 THEN 0.0 ELSE round((hashes + echars / 3) * 1.0 / n_tokens, 6) END AS symbol_ratio,
+             |  CASE WHEN n_tokens = 0 THEN 0.0 ELSE round(alpha * 1.0 / n_tokens, 6) END AS alpha_word_frac,
+             |  stop_hits, dup_token_frac, top_bigram_frac, dup_trigram_frac
+             |  FROM s)
+             |SELECT *, CAST(CASE WHEN n_tokens BETWEEN 50 AND 100000
+             |  AND mean_word_len BETWEEN 3.0 AND 10.0
+             |  AND symbol_ratio <= 0.1
+             |  AND alpha_word_frac >= 0.8
+             |  AND stop_hits >= 2
+             |  AND dup_token_frac <= 0.4
+             |  AND top_bigram_frac <= 0.2
+             |  AND dup_trigram_frac <= 0.3 THEN 1 ELSE 0 END AS BIGINT) AS keep
+             |FROM m""".stripMargin)),
+
     // PII scrubbing over deterministically synthesized PII (the corpus
     // has none; both sides append the same email/IPv4/id-run derived
     // from doc_id, then redact) — counts per category plus the md5 of

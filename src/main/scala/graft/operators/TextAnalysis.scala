@@ -195,6 +195,54 @@ object TextAnalysis {
       .drop("_rs")
   }
 
+  /** Gopher quality-filter rules (Rae et al., "Scaling Language Models:
+    * Methods, Analysis & Insights from Training Gopher", 2021, §A1.1),
+    * composed from the fused native signals already in this family:
+    * word count in [50, 100000], mean word length in [3, 10],
+    * symbol-to-word ratio (# and ... occurrences / words) <= 0.1,
+    * >= 80% of words containing an alphabetic character, >= 2 hits from
+    * the stopword set, and the repetition rules mapped onto
+    * [[repetitionScores]]'s fractions (dup_token_frac <= 0.4,
+    * top_bigram_frac <= 0.2, dup_trigram_frac <= 0.3 — the paper states
+    * per-n-gram thresholds of the same family). Emits every signal plus
+    * the composite keep flag, so downstream can re-threshold without
+    * recomputing.
+    *
+    * One chained map pass (RepetitionStats + TokenSetHits + builtins) —
+    * no shuffle, linear at 100 TB.
+    */
+  def gopherFilter(docs: DataFrame, textCol: String = "text"): DataFrame = {
+    val withRep = repetitionScores(docs, textCol)
+    val t = col(textCol)
+    withRep
+      .withColumn("_ts",
+        org.apache.spark.sql.GraftBridge.tokenSetHits(t, Seq(stopwords)))
+      .withColumn("stop_hits", element_at(col("_ts"), 4))
+      .withColumn("mean_word_len",
+        when(col("n_tokens") === 0, lit(0.0)).otherwise(round(
+          element_at(col("_ts"), 2).cast("double") / col("n_tokens"), 6)))
+      .withColumn("symbol_ratio",
+        when(col("n_tokens") === 0, lit(0.0)).otherwise(round(
+          ((length(t) - length(replace(t, lit("#"), lit("")))).cast("double")
+            + (length(t) - length(replace(t, lit("..."), lit("")))).cast("double") / 3)
+            / col("n_tokens"), 6)))
+      .withColumn("alpha_word_frac",
+        when(col("n_tokens") === 0, lit(0.0)).otherwise(round(
+          size(filter(split(t, " "),
+            x => x =!= "" && x.rlike("[A-Za-z]"))).cast("double")
+            / col("n_tokens"), 6)))
+      .withColumn("keep",
+        when(col("n_tokens").between(50, 100000)
+          && col("mean_word_len").between(3.0, 10.0)
+          && col("symbol_ratio") <= 0.1
+          && col("alpha_word_frac") >= 0.8
+          && col("stop_hits") >= 2
+          && col("dup_token_frac") <= 0.4
+          && col("top_bigram_frac") <= 0.2
+          && col("dup_trigram_frac") <= 0.3, lit(1L)).otherwise(lit(0L)))
+      .drop("_ts")
+  }
+
   /** PII scrubbing: redact emails, IPv4 literals, and long (>= 7) digit
     * runs, reporting per-category match counts. Patterns are RE2-safe
     * (character classes, bounded repeats, \b — no backreferences or
