@@ -1495,6 +1495,48 @@ object SparkEntry {
              |       CAST(CASE WHEN d.vec_id IS NULL THEN 1 ELSE 0 END AS BIGINT) AS keep
              |FROM a LEFT JOIN d ON a.vec_id = d.vec_id""".stripMargin)),
 
+    // DSIR importance resampling: raw = doc_id % 10 != 0 scored against
+    // the target slice's hashed-ngram distribution; top quarter kept
+    Q("sample_importance_resample",
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        operators.Sampling.importanceResample(
+          docs.filter(col("doc_id") % 10 =!= 0),
+          docs.filter(col("doc_id") % 10 === 0),
+          "text", "doc_id", 1024, 0.25)
+      },
+      Some("""WITH tk AS (
+             |  SELECT doc_id, list_filter(string_split(lower(text), ' '), x -> x <> '') AS toks
+             |  FROM documents),
+             |feats AS (
+             |  SELECT doc_id, unnest(toks) AS f FROM tk
+             |  UNION ALL
+             |  SELECT doc_id, unnest(list_transform(range(1, len(toks)),
+             |    i -> concat_ws(' ', toks[i], toks[i+1]))) AS f FROM tk),
+             |fb AS (SELECT doc_id,
+             |         CAST(concat('0x', substring(md5(f), 1, 15)) AS BIGINT) % 1024 AS b
+             |       FROM feats),
+             |tc AS (SELECT b, count(*) AS tc FROM fb WHERE doc_id % 10 = 0 GROUP BY b),
+             |rc AS (SELECT b, count(*) AS rc FROM fb WHERE doc_id % 10 <> 0 GROUP BY b),
+             |tt AS (SELECT CAST(sum(tc) AS BIGINT) AS Tt FROM tc),
+             |tr AS (SELECT CAST(sum(rc) AS BIGINT) AS Tr FROM rc),
+             |lr AS (SELECT r.range AS b,
+             |         ln((coalesce(tc.tc, 0) + 1) / (Tt + 1024.0))
+             |           - ln((coalesce(rc.rc, 0) + 1) / (Tr + 1024.0)) AS lr
+             |       FROM range(1024) r LEFT JOIN tc ON r.range = tc.b
+             |       LEFT JOIN rc ON r.range = rc.b, tt, tr),
+             |sc AS (SELECT fb.doc_id, CAST(count(*) AS BIGINT) AS n_feats,
+             |         round(sum(lr.lr), 6) AS log_weight
+             |       FROM fb JOIN lr USING (b) WHERE fb.doc_id % 10 <> 0
+             |       GROUP BY 1),
+             |n AS (SELECT count(*) AS n FROM sc),
+             |rk AS (SELECT doc_id, n_feats, log_weight,
+             |         row_number() OVER (ORDER BY log_weight DESC, doc_id) AS r
+             |       FROM sc)
+             |SELECT doc_id, n_feats, log_weight,
+             |  CAST(CASE WHEN r <= floor(0.25 * n.n) THEN 1 ELSE 0 END AS BIGINT) AS keep
+             |FROM rk, n""".stripMargin)),
+
     // SSL-prototypes pruning (the D4 pruning half): same seed clustering,
     // then per-cluster rank by center-cosine — drop the most prototypical
     // quarter. Window-rank shape (one shuffle), never a pair join.

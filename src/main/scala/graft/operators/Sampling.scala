@@ -177,6 +177,78 @@ object Sampling {
     * cluster, never a pair join. Cluster count k bounds the window
     * partition size.
     */
+  /** DSIR-style importance resampling (Xie et al., "Data Selection for
+    * Language Models via Importance Resampling", 2023): score each RAW
+    * document by how much more likely its hashed n-gram features are
+    * under the TARGET corpus's feature distribution than under the raw
+    * corpus's own — log w(x) = Σ_f [ln p_target(b(f)) − ln p_raw(b(f))]
+    * over the doc's unigram+bigram features hashed into `buckets`
+    * (Laplace-smoothed bucket models) — and keep the top `keepFraction`
+    * by (weight, id). The hash is the same md5 bucket the deterministic
+    * samplers use, so an external engine replicates the whole operator.
+    *
+    * Output (one row per RAW doc): (id, n_feats, log_weight, keep).
+    *
+    * Scale shape: the two bucket models are B-sized aggregates; the
+    * per-bucket log-ratio table (B rows) broadcasts into the feature
+    * stream, so scoring is explode → broadcast join → one groupBy(doc)
+    * shuffle. The keep threshold is the K-th (weight, id) via
+    * orderBy+limit (TakeOrderedAndProject — no global window, no
+    * corpus-sized sort), then a map-side compare.
+    */
+  def importanceResample(raw: DataFrame, target: DataFrame,
+                         textCol: String, idCol: String,
+                         buckets: Int = 1024,
+                         keepFraction: Double = 0.25): DataFrame = {
+    require(buckets > 0 && keepFraction > 0 && keepFraction <= 1)
+    val spark = raw.sparkSession
+    def feats(df: DataFrame): DataFrame = {
+      val t = df.select(col(idCol).as("doc"),
+        filter(split(lower(col(textCol)), " "), x => x =!= "").as("_t"))
+      val uni = t.select(col("doc"), explode(col("_t")).as("f"))
+      val bi = t.select(col("doc"), explode(zip_with(col("_t"),
+          slice(col("_t"), lit(2), greatest(size(col("_t")) - 1, lit(0))),
+          (a, b) => concat(a, lit(" "), b))).as("f"))
+        .filter(col("f").isNotNull) // zip_with pads the tail with null
+      uni.unionByName(bi).withColumn("b", hashBucket(col("f"), buckets))
+    }
+    val tb = feats(graft.core.Spread.ensureParallel(target))
+    val rb = feats(graft.core.Spread.ensureParallel(raw))
+    val tc = tb.groupBy("b").agg(count(lit(1)).as("tc"))
+    val rc = rb.groupBy("b").agg(count(lit(1)).as("rc"))
+    val totals = tc.agg(sum(col("tc")).as("Tt"))
+      .crossJoin(rc.agg(sum(col("rc")).as("Tr")))
+    val lr = broadcast(spark.range(buckets).withColumnRenamed("id", "b")
+      .join(tc, Seq("b"), "left").join(rc, Seq("b"), "left").crossJoin(totals)
+      .select(col("b"),
+        (log((coalesce(col("tc"), lit(0L)) + 1).cast("double") /
+            (col("Tt") + buckets))
+          - log((coalesce(col("rc"), lit(0L)) + 1).cast("double") /
+            (col("Tr") + buckets))).as("lr")))
+    val scored = graft.core.CacheScope.cached(
+      rb.join(lr, "b").groupBy(col("doc"))
+        .agg(count(lit(1)).as("n_feats"),
+          round(sum(col("lr")), 6).as("log_weight")))
+    val n = scored.count()
+    val kKeep = math.floor(keepFraction * n).toLong
+    val keepCol =
+      if (kKeep <= 0) lit(0L)
+      else {
+        // boundary = the K-th (weight desc, id asc) pair — negated-weight
+        // struct makes that the MAX over the K smallest keys
+        val b = scored
+          .select(struct((-col("log_weight")).as("nw"), col("doc").as("d")).as("k"))
+          .orderBy(col("k")).limit(kKeep.toInt)
+          .agg(max(col("k"))).head().getStruct(0)
+        val (bw, bd) = (-b.getDouble(0), b.getLong(1))
+        when(col("log_weight") > bw
+          || (col("log_weight") === bw && col("doc") <= bd), lit(1L))
+          .otherwise(lit(0L))
+      }
+    scored.select(col("doc").as(idCol), col("n_feats"),
+      col("log_weight"), keepCol.as("keep"))
+  }
+
   def prototypePrune(emb: DataFrame, idCol: String, vecCol: String,
                      k: Int = 8, dropFraction: Double = 0.25): DataFrame = {
     require(dropFraction >= 0.0 && dropFraction < 1.0)
