@@ -1525,9 +1525,11 @@ object SparkEntry {
              |           - ln((coalesce(rc.rc, 0) + 1) / (Tr + 1024.0)) AS lr
              |       FROM range(1024) r LEFT JOIN tc ON r.range = tc.b
              |       LEFT JOIN rc ON r.range = rc.b, tt, tr),
-             |sc AS (SELECT fb.doc_id, CAST(count(*) AS BIGINT) AS n_feats,
-             |         round(sum(lr.lr), 6) AS log_weight
-             |       FROM fb JOIN lr USING (b) WHERE fb.doc_id % 10 <> 0
+             |g AS (SELECT doc_id, b, count(*) AS n FROM fb
+             |      WHERE doc_id % 10 <> 0 GROUP BY 1, 2),
+             |sc AS (SELECT g.doc_id, CAST(sum(g.n) AS BIGINT) AS n_feats,
+             |         round(sum(g.n * lr.lr), 6) AS log_weight
+             |       FROM g JOIN lr USING (b)
              |       GROUP BY 1),
              |n AS (SELECT count(*) AS n FROM sc),
              |rk AS (SELECT doc_id, n_feats, log_weight,
@@ -2272,8 +2274,21 @@ object SparkEntry {
     * results were computed with.
     */
   def dynamicOracleSql(s: SparkSession, d: String): Map[String, String] =
-    Map("sim_ivf_topk" -> ivfOracleSql(s, d),
-      "sim_ivfpq_topk" -> ivfPqOracleSql(s, d))
+    // each entry generated under its OWN failure domain: Verify's
+    // contract is that a dynamic-oracle failure degrades THAT query to
+    // rows-only — one eagerly-built Map would let a broken generator
+    // drop every other dynamic oracle with it
+    Seq[(String, () => String)](
+      "sim_ivf_topk" -> (() => ivfOracleSql(s, d)),
+      "sim_ivfpq_topk" -> (() => ivfPqOracleSql(s, d)))
+      .flatMap { case (name, gen) =>
+        scala.util.Try(gen()) match {
+          case scala.util.Success(sql) => Some(name -> sql)
+          case scala.util.Failure(e) =>
+            System.err.println(s"[verify] dynamic oracle $name failed: ${e.getMessage}")
+            None
+        }
+      }.toMap
 
   /** IVF-PQ oracle — [[ivfOracleSql]]'s pattern extended to the residual
     * codes: trained centers AND residual codebooks ride as literals;

@@ -114,14 +114,17 @@ private[functions] object Tok {
   * over the raw text.
   *
   * Returns `array<long>` of `[n_tokens, token_chars, punct_chars,
-  * hits(set_0), ..., hits(set_k)]` where `token_chars` is the summed
-  * CODE-POINT length of the tokens (matching
+  * hits(set_0), ..., hits(set_k), alpha_tokens]` where `token_chars` is
+  * the summed CODE-POINT length of the tokens (matching
   * `aggregate(transform(toks, length), ...)`), `punct_chars` counts code
   * points outside `[a-zA-Z0-9 ]` (matching `length(text) -
   * length(regexp_replace(text, "[^a-zA-Z0-9 ]", ""))` — non-ASCII code
   * points count as punctuation, exactly like the ASCII-only regex
-  * class), and `hits(set_i)` counts tokens contained in the i-th set
-  * (matching `size(filter(toks, _.isin(set_i)))`).
+  * class), `hits(set_i)` counts tokens contained in the i-th set
+  * (matching `size(filter(toks, _.isin(set_i)))`), and the trailing
+  * `alpha_tokens` counts tokens containing at least one ASCII letter
+  * (matching `size(filter(toks, _.rlike("[A-Za-z]")))` — the Gopher
+  * alphabetic-word rule).
   *
   * The composable formulation routes every row through interpreted
   * HigherOrderFunction plumbing once per set (quality + language-ID ran
@@ -165,7 +168,7 @@ object TokenSetHits {
               sets: Array[java.util.HashSet[UTF8String]]): ArrayData = {
     val b = text.getBytes
     val (starts, ends, t) = Tok.scan(b)
-    val out = new Array[Long](3 + sets.length)
+    val out = new Array[Long](4 + sets.length)
     out(0) = t
     var i = 0
     while (i < b.length) {
@@ -182,10 +185,14 @@ object TokenSetHits {
     var k = 0
     while (k < t) {
       i = starts(k)
+      var alpha = false
       while (i < ends(k)) {
-        if ((b(i) & 0xC0) != 0x80) out(1) += 1
+        val c = b(i)
+        if ((c & 0xC0) != 0x80) out(1) += 1
+        if ((c >= 'a' && c <= 'z') || (c >= 'A' && c <= 'Z')) alpha = true
         i += 1
       }
+      if (alpha) out(3 + sets.length) += 1
       val tok = UTF8String.fromBytes(b, starts(k), ends(k) - starts(k))
       var j = 0
       while (j < sets.length) {

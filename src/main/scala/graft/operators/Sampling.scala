@@ -190,11 +190,13 @@ object Sampling {
     * Output (one row per RAW doc): (id, n_feats, log_weight, keep).
     *
     * Scale shape: the two bucket models are B-sized aggregates; the
-    * per-bucket log-ratio table (B rows) broadcasts into the feature
-    * stream, so scoring is explode → broadcast join → one groupBy(doc)
-    * shuffle. The keep threshold is the K-th (weight, id) via
-    * orderBy+limit (TakeOrderedAndProject — no global window, no
-    * corpus-sized sort), then a map-side compare.
+    * per-bucket log-ratio table (B rows) broadcasts into the
+    * per-(doc, bucket) count stream (cached once — it feeds both the raw
+    * model and the scoring pass), so scoring is one groupBy(doc)
+    * shuffle. The top-fraction cut is an exact global rank computed the
+    * sharded-prefix-sum way (range partition on the key, one collected
+    * count per shard, shard-local window + offset) — no global window,
+    * no corpus-sized sort or driver-held top-K.
     */
   def importanceResample(raw: DataFrame, target: DataFrame,
                          textCol: String, idCol: String,
@@ -215,38 +217,60 @@ object Sampling {
     val tb = feats(graft.core.Spread.ensureParallel(target))
     val rb = feats(graft.core.Spread.ensureParallel(raw))
     val tc = tb.groupBy("b").agg(count(lit(1)).as("tc"))
-    val rc = rb.groupBy("b").agg(count(lit(1)).as("rc"))
-    val totals = tc.agg(sum(col("tc")).as("Tt"))
-      .crossJoin(rc.agg(sum(col("rc")).as("Tr")))
+    // per-(doc, bucket) counts cached ONCE: both the raw bucket model and
+    // the scoring pass derive from it, so the raw-corpus tokenize+explode
+    // runs a single time (it is the dominant cost of the operator)
+    val rbc = graft.core.CacheScope.cached(
+      rb.groupBy(col("doc"), col("b")).agg(count(lit(1)).as("n")))
+    val rc = rbc.groupBy("b").agg(sum(col("n")).as("rc"))
+    // totals are two scalars — collect them (bounded) so the log-ratio
+    // table folds them as literals, and fail LOUDLY on a featureless side
+    // (null totals would otherwise poison every weight with null)
+    val trow = tc.agg(sum(col("tc")).as("Tt"))
+      .crossJoin(rc.agg(sum(col("rc")).as("Tr"))).head()
+    require(!trow.isNullAt(0) && !trow.isNullAt(1),
+      "importanceResample: target and raw corpora must both produce features")
+    val (tTot, rTot) = (trow.getLong(0), trow.getLong(1))
     val lr = broadcast(spark.range(buckets).withColumnRenamed("id", "b")
-      .join(tc, Seq("b"), "left").join(rc, Seq("b"), "left").crossJoin(totals)
+      .join(tc, Seq("b"), "left").join(rc, Seq("b"), "left")
       .select(col("b"),
         (log((coalesce(col("tc"), lit(0L)) + 1).cast("double") /
-            (col("Tt") + buckets))
+            (lit(tTot) + buckets))
           - log((coalesce(col("rc"), lit(0L)) + 1).cast("double") /
-            (col("Tr") + buckets))).as("lr")))
+            (lit(rTot) + buckets))).as("lr")))
     val scored = graft.core.CacheScope.cached(
-      rb.join(lr, "b").groupBy(col("doc"))
-        .agg(count(lit(1)).as("n_feats"),
-          round(sum(col("lr")), 6).as("log_weight")))
+      rbc.join(lr, "b").groupBy(col("doc"))
+        .agg(sum(col("n")).as("n_feats"),
+          round(sum(col("n") * col("lr")), 6).as("log_weight")))
     val n = scored.count()
     val kKeep = math.floor(keepFraction * n).toLong
-    val keepCol =
-      if (kKeep <= 0) lit(0L)
-      else {
-        // boundary = the K-th (weight desc, id asc) pair — negated-weight
-        // struct makes that the MAX over the K smallest keys
-        val b = scored
-          .select(struct((-col("log_weight")).as("nw"), col("doc").as("d")).as("k"))
-          .orderBy(col("k")).limit(kKeep.toInt)
-          .agg(max(col("k"))).head().getStruct(0)
-        val (bw, bd) = (-b.getDouble(0), b.getLong(1))
-        when(col("log_weight") > bw
-          || (col("log_weight") === bw && col("doc") <= bd), lit(1L))
-          .otherwise(lit(0L))
-      }
-    scored.select(col("doc").as(idCol), col("n_feats"),
-      col("log_weight"), keepCol.as("keep"))
+    // exact global rank without a global window, corpus-sized sort, or a
+    // driver-held top-K: range-partition on the (weight desc, id) key,
+    // collect ONE COUNT PER SHARD for the prefix offsets (the
+    // packByTokenBudget pattern), then shard-local row_number + offset.
+    // The cache pins the sampled range boundaries so the counts job and
+    // the output job see identical partition ids; the global rank itself
+    // is boundary-independent (any range split of a total order ranks
+    // identically).
+    val keyed = graft.core.CacheScope.cached(
+      scored.withColumn("_k",
+          struct((-col("log_weight")).as("nw"), col("doc").as("d")))
+        .repartitionByRange(col("_k"))
+        .withColumn("_pid", spark_partition_id()))
+    val counts = keyed.groupBy(col("_pid")).agg(count(lit(1)).as("c"))
+      .collect().map(r => (r.getInt(0), r.getLong(1))).sortBy(_._1)
+    val offsets = {
+      var acc = 0L
+      counts.map { case (p, c) => val o = acc; acc += c; (p, o) }.toSeq
+    }
+    import spark.implicits._
+    val offsetsDf = offsets.toDF("_pid", "_off")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("_pid")).orderBy(col("_k"))
+    keyed.join(offsetsDf, Seq("_pid"))
+      .withColumn("_r", row_number().over(w).cast("long") + col("_off"))
+      .select(col("doc").as(idCol), col("n_feats"), col("log_weight"),
+        when(col("_r") <= kKeep, lit(1L)).otherwise(lit(0L)).as("keep"))
   }
 
   def prototypePrune(emb: DataFrame, idCol: String, vecCol: String,

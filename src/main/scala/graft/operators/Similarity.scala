@@ -402,8 +402,12 @@ object Similarity {
     import org.apache.spark.ml.functions.array_to_vector
     val spark = corpus.sparkSession
     import spark.implicits._
+    // cache the prepared vectors through the build: KMeans iterates them
+    // 5 times, the seed-residual collect reads them once more, and the
+    // codes frame derives from them — without the cache that is three-plus
+    // full scan+cast passes over the corpus
     val c = spread(corpus).select(col(idCol).as("neighbor_id"),
-      asDouble(col(vecCol)).as("_cv"))
+      asDouble(col(vecCol)).as("_cv")).cache()
     val model = new KMeans().setK(nCells).setMaxIter(5).setSeed(42)
       .setFeaturesCol("features")
       .fit(c.withColumn("features", array_to_vector(col("_cv"))))
@@ -428,8 +432,14 @@ object Similarity {
           col("_rv"), codebooks, subDim)).as("_e"))
       .select(col("neighbor_id"), col("cell"),
         col("_e.subspace").as("subspace"), col("_e.code").as("code"))
-    val kept = if (cache) codes.persist()
-               else graft.core.CacheScope.cached(codes)
+    // cache=false means NO caching (one-shot build-and-save), matching
+    // [[buildIvf]]'s contract — a scoped cache here would be yanked by
+    // the harness's release() under a caller that expects a live index
+    val kept = if (cache) codes.persist() else codes
+    // the vector cache only needs to outlive the build: once codes are
+    // (lazily) defined, their first materialization re-reads the source
+    // scan — one pass, the same cost class as any cold index build
+    c.unpersist()
     new IvfPqIndex(kept, centers, codebooks, subDim)
   }
 

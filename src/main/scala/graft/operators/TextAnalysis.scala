@@ -226,11 +226,12 @@ object TextAnalysis {
           ((length(t) - length(replace(t, lit("#"), lit("")))).cast("double")
             + (length(t) - length(replace(t, lit("..."), lit("")))).cast("double") / 3)
             / col("n_tokens"), 6)))
+      // alpha-token count is the native pass's trailing element — no
+      // interpreted re-tokenization / per-token regex (the cost this
+      // family's fused natives exist to remove)
       .withColumn("alpha_word_frac",
         when(col("n_tokens") === 0, lit(0.0)).otherwise(round(
-          size(filter(split(t, " "),
-            x => x =!= "" && x.rlike("[A-Za-z]"))).cast("double")
-            / col("n_tokens"), 6)))
+          element_at(col("_ts"), 5).cast("double") / col("n_tokens"), 6)))
       .withColumn("keep",
         when(col("n_tokens").between(50, 100000)
           && col("mean_word_len").between(3.0, 10.0)

@@ -338,11 +338,13 @@ class PropertySpec extends SparkSpec {
             .cast("long").as("tc"),
           (length(col("text")) - length(regexp_replace(col("text"), "[^a-zA-Z0-9 ]", "")))
             .cast("long").as("pc"),
-          size(filter(toks, t => t.isin(ws: _*))).cast("long").as("h0"))
-        .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+          size(filter(toks, t => t.isin(ws: _*))).cast("long").as("h0"),
+          size(filter(toks, t => t.rlike("[A-Za-z]"))).cast("long").as("alpha"))
+        .collect().map(r => r.getLong(0) ->
+          ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)))).toMap
       val natTs = df.select(col("id"), br.tokenSetHits(col("text"), Seq(ws)).as("a"))
         .collect().map { r =>
-          val a = r.getSeq[Long](1); r.getLong(0) -> ((a(0), a(1), a(2), a(3)))
+          val a = r.getSeq[Long](1); r.getLong(0) -> ((a(0), a(1), a(2), a(3), a(4)))
         }.toMap
       assert(natTs === refTs, s"seed=$seed")
 

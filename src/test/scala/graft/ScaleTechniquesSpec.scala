@@ -173,12 +173,14 @@ class ScaleTechniquesSpec extends SparkSpec {
         coalesce(aggregate(transform(toks, t => length(t)), lit(0), (a, x) => a + x), lit(0)).cast("long").as("tc"),
         (length(col("text")) - length(regexp_replace(col("text"), "[^a-zA-Z0-9 ]", ""))).cast("long").as("pc"),
         size(filter(toks, t => t.isin(sets.head: _*))).cast("long").as("h0"),
-        size(filter(toks, t => t.isin(sets(1): _*))).cast("long").as("h1"))
-      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))).toMap
+        size(filter(toks, t => t.isin(sets(1): _*))).cast("long").as("h1"),
+        size(filter(toks, t => t.rlike("[A-Za-z]"))).cast("long").as("alpha"))
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6))).toMap
     val natTs = df.select(col("doc_id"),
         org.apache.spark.sql.GraftBridge.tokenSetHits(col("text"), sets).as("a"))
       .collect().map { r =>
-        val a = r.getSeq[Long](1); r.getLong(0) -> ((a(0), a(1), a(2), a(3), a(4)))
+        val a = r.getSeq[Long](1); r.getLong(0) -> ((a(0), a(1), a(2), a(3), a(4), a(5)))
       }.toMap
     assert(natTs === refTs)
 
