@@ -103,6 +103,12 @@ object GraftExtensions {
           graft.functions.TokenChunks(c.head,
             intLit("graft_token_chunks window", c(1)),
             intLit("graft_token_chunks stride", c(2))))),
+      (FunctionIdentifier("graft_ngram_bucket_counts"),
+        new ExpressionInfo(classOf[graft.functions.NgramBucketCounts].getName,
+          "graft_ngram_bucket_counts"),
+        arity("graft_ngram_bucket_counts", 2)(c =>
+          graft.functions.NgramBucketCounts(c.head,
+            intLit("graft_ngram_bucket_counts buckets", c(1))))),
       (FunctionIdentifier("graft_token_tfs"),
         new ExpressionInfo(classOf[graft.functions.TokenTfs].getName,
           "graft_token_tfs"),

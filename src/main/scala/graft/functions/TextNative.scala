@@ -722,3 +722,178 @@ object RepetitionStats {
       t.toLong, distinct, nBg, if (nBg == 0) 0L else topBg, nTg, dupTg))
   }
 }
+
+/** Per-document hashed n-gram bucket counts in one fused pass — the
+  * DSIR featurizer ([[graft.operators.Sampling.importanceResample]]):
+  * tokenize on single spaces (`split(text, ' ')` minus empties), form
+  * every unigram and bigram, hash each with [[Md5Hash60]], reduce mod
+  * `buckets`, and return the per-bucket occurrence counts as an array
+  * of (b, n) structs sorted by bucket. Bit-identical counts to the
+  * explode(unigrams ∪ bigrams) → md5-bucket → groupBy(doc, b) chain it
+  * replaces, but as a pure map: no per-feature explode fanout, no
+  * interpreted zip_with/slice bigram plumbing, and the (doc, bucket)
+  * aggregate arrives already combined in-row — at 100 TB the per-doc
+  * array (≤ min(2·tokens−1, buckets) entries) replaces one shuffle row
+  * PER FEATURE OCCURRENCE.
+  *
+  * Bigram features are hashed over the canonical single-space join:
+  * single-spaced regions hash zero-copy over the original text bytes;
+  * multi-space gaps go through one reused scratch buffer (the
+  * [[Tok.windowHashes]] rule, with md5-60 instead of xxhash64).
+  *
+  * Token-less text yields an EMPTY array (the doc has no features —
+  * callers drop it, matching the chain where it produced no groups);
+  * null text yields null.
+  */
+case class NgramBucketCounts(child: Expression, buckets: Int)
+    extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType && buckets >= 1) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires a string argument and buckets >= 1, " +
+        s"got ${child.dataType.sql}, buckets=$buckets")
+
+  override def dataType: DataType = ArrayType(
+    org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("b", LongType, nullable = false),
+      org.apache.spark.sql.types.StructField("n", LongType, nullable = false))),
+    containsNull = false)
+  override def prettyName: String = "graft_ngram_bucket_counts"
+
+  override protected def nullSafeEval(s: Any): Any =
+    NgramBucketCounts.compute(s.asInstanceOf[UTF8String], buckets)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.NgramBucketCounts.compute($c, $buckets);")
+
+  override protected def withNewChildInternal(newChild: Expression): NgramBucketCounts =
+    copy(child = newChild)
+}
+
+object NgramBucketCounts {
+  def compute(text: UTF8String, buckets: Int): ArrayData = {
+    val b = text.getBytes
+    val (starts, ends, t) = Tok.scan(b)
+    if (t == 0)
+      return new org.apache.spark.sql.catalyst.util.GenericArrayData(Array.empty[Any])
+    val m = t + (if (t >= 2) t - 1 else 0)
+    val bs = new Array[Long](m)
+    var k = 0
+    var i = 0
+    while (i < t) { // unigrams hash in place over the token's bytes
+      bs(k) = Md5Hash60.hashBytes(b, starts(i), ends(i) - starts(i)) % buckets
+      k += 1
+      i += 1
+    }
+    var scratch: Array[Byte] = null
+    i = 0
+    while (i < t - 1) { // bigrams: canonical "tok_i tok_{i+1}" join
+      val h =
+        if (starts(i + 1) == ends(i) + 1) // already single-spaced: zero copy
+          Md5Hash60.hashBytes(b, starts(i), ends(i + 1) - starts(i))
+        else {
+          val l0 = ends(i) - starts(i)
+          val l1 = ends(i + 1) - starts(i + 1)
+          val len = l0 + 1 + l1
+          if (scratch == null || scratch.length < len) scratch = new Array[Byte](len)
+          System.arraycopy(b, starts(i), scratch, 0, l0)
+          scratch(l0) = ' '
+          System.arraycopy(b, starts(i + 1), scratch, l0 + 1, l1)
+          Md5Hash60.hashBytes(scratch, 0, len)
+        }
+      bs(k) = h % buckets // md5-60 is non-negative, so % == pmod
+      k += 1
+      i += 1
+    }
+    java.util.Arrays.sort(bs)
+    var u = 0
+    i = 0
+    while (i < bs.length) {
+      var j = i + 1
+      while (j < bs.length && bs(j) == bs(i)) j += 1
+      u += 1
+      i = j
+    }
+    val rows = new Array[Any](u)
+    var r = 0
+    i = 0
+    while (i < bs.length) {
+      var j = i + 1
+      while (j < bs.length && bs(j) == bs(i)) j += 1
+      rows(r) = org.apache.spark.sql.catalyst.InternalRow(bs(i), (j - i).toLong)
+      r += 1
+      i = j
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(rows)
+  }
+}
+
+/** DSIR per-doc score over a [[NgramBucketCounts]] array: one fused pass
+  * producing struct(n_feats = Σ n, raw_weight = Σ n · lr(b)) — the same
+  * left-to-right bucket-ascending fold as the composable
+  * `aggregate(bc, ...)` pair it replaces, which routes every element
+  * through interpreted ArrayAggregate (CodegenFallback) twice. The
+  * per-bucket log-ratio table rides as a JVM double array baked into the
+  * expression (B entries — dimension-sized driver state, the broadcast
+  * pattern of NearestSeed/PqEncode). Callers apply round(..., 6)
+  * downstream so the rounding contract stays in one visible place.
+  */
+case class DsirScore(child: Expression, lr: Array[Double])
+    extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(s: org.apache.spark.sql.types.StructType, _)
+      if s.length == 2 && s(0).dataType == LongType && s(1).dataType == LongType =>
+      TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires array<struct<b:bigint,n:bigint>>, got ${other.sql}")
+  }
+
+  override def dataType: DataType = org.apache.spark.sql.types.StructType(Seq(
+    org.apache.spark.sql.types.StructField("n_feats", LongType, nullable = false),
+    org.apache.spark.sql.types.StructField("raw_weight",
+      org.apache.spark.sql.types.DoubleType, nullable = false)))
+  override def prettyName: String = "graft_dsir_score"
+
+  // the lr table must participate in expression equality/semanticHash
+  // (two scores with different tables are different expressions), but
+  // Array[Double] equals by reference — compare contents
+  override def equals(o: Any): Boolean = o match {
+    case d: DsirScore => child == d.child && java.util.Arrays.equals(lr, d.lr)
+    case _ => false
+  }
+  override def hashCode(): Int =
+    31 * child.hashCode() + java.util.Arrays.hashCode(lr)
+
+  override protected def nullSafeEval(a: Any): Any =
+    DsirScore.compute(a.asInstanceOf[ArrayData], lr)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val lrRef = ctx.addReferenceObj("lr", lr, "double[]")
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.DsirScore.compute($c, $lrRef);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): DsirScore =
+    copy(child = newChild)
+}
+
+object DsirScore {
+  def compute(bc: ArrayData, lr: Array[Double]): org.apache.spark.sql.catalyst.InternalRow = {
+    val m = bc.numElements()
+    var nFeats = 0L
+    var w = 0.0
+    var i = 0
+    while (i < m) {
+      val row = bc.getStruct(i, 2)
+      val b = row.getLong(0)
+      val n = row.getLong(1)
+      nFeats += n
+      w += n * lr(b.toInt)
+      i += 1
+    }
+    org.apache.spark.sql.catalyst.InternalRow(nFeats, w)
+  }
+}

@@ -15,9 +15,15 @@ import org.apache.spark.sql.functions._
   */
 object Sampling {
 
-  /** Stable bucket in [0, buckets) for a key column. */
+  /** Stable bucket in [0, buckets) for a key column — the first 60 md5
+    * bits mod `buckets`, via the fused native hash (bit-identical to
+    * `pmod(conv(substring(md5(key), 1, 15), 16, 10)::long, buckets)`,
+    * which is what every oracle recomputes, without the 32-char hex
+    * string + decimal radix parse per row — see
+    * [[graft.functions.Md5Hash60]]).
+    */
   def hashBucket(key: Column, buckets: Int): Column =
-    pmod(conv(substring(md5(key.cast("string")), 1, 15), 16, 10).cast("long"),
+    pmod(org.apache.spark.sql.GraftBridge.md5Hash60(key.cast("string")),
       lit(buckets))
 
   /** Keep rows whose key hashes into [0, keep) of [0, buckets): a
@@ -154,6 +160,115 @@ object Sampling {
       .drop("skey")
   }
 
+  /** DSIR-style importance resampling (Xie et al., "Data Selection for
+    * Language Models via Importance Resampling", 2023): score each RAW
+    * document by how much more likely its hashed n-gram features are
+    * under the TARGET corpus's feature distribution than under the raw
+    * corpus's own — log w(x) = Σ_f [ln p_target(b(f)) − ln p_raw(b(f))]
+    * over the doc's unigram+bigram features hashed into `buckets`
+    * (Laplace-smoothed bucket models) — and keep the top `keepFraction`
+    * by (weight, id). The hash is the same md5 bucket the deterministic
+    * samplers use, so an external engine replicates the whole operator.
+    *
+    * Output (one row per RAW doc that yields at least one feature):
+    * (id, n_feats, log_weight, keep). A raw doc whose text tokenizes to
+    * nothing (empty/whitespace-only) has no features to weigh and is
+    * absent from the output — the oracle SQL drops it identically.
+    *
+    * Scale shape: BOTH corpora ride one tagged-union featurize pass
+    * through the fused [[graft.functions.NgramBucketCounts]] native
+    * expression — tokenize, unigrams + bigrams, md5-60 bucket, and the
+    * per-(doc, bucket) counts all land in-row as one small array per
+    * doc, so the dominant cost (featurizing) is a pure codegen'd map
+    * with NO per-feature explode and NO (doc, bucket) shuffle at all.
+    * That per-doc frame is cached once; the two B-sized bucket models
+    * and their totals come back in ONE collected action (≤ 2B rows
+    * after a bucket-keyed partial aggregate), the log-ratio table is
+    * computed driver-side and folded back in as ONE array literal, and
+    * scoring is then a second pure map over the cached arrays — zero
+    * shuffles between the corpus scan and the ranking step. The
+    * top-fraction cut is an exact global rank computed the
+    * sharded-prefix-sum way (range partition on the key, one collected
+    * count per shard, shard-local window + offset) — no global window,
+    * no corpus-sized sort or driver-held top-K; the scored-row total n
+    * is Σ of the same shard counts, not a separate count() action.
+    */
+  def importanceResample(raw: DataFrame, target: DataFrame,
+                         textCol: String, idCol: String,
+                         buckets: Int = 1024,
+                         keepFraction: Double = 0.25): DataFrame = {
+    require(buckets > 0 && keepFraction > 0 && keepFraction <= 1)
+    val spark = raw.sparkSession
+    import spark.implicits._
+    // one fused featurize pass per corpus row: (side, doc, [(b, n)...]),
+    // featureless docs dropped (they have no weight and no output row —
+    // the oracle drops them identically)
+    def tagged(df: DataFrame, side: String): DataFrame =
+      graft.core.Spread.ensureParallel(df)
+        .select(lit(side).as("_side"), col(idCol).as("doc"),
+          org.apache.spark.sql.GraftBridge
+            .ngramBucketCounts(lower(col(textCol)), buckets).as("_bc"))
+        .filter(size(col("_bc")) > 0)
+    val bc = graft.core.CacheScope.cached(
+      tagged(raw, "r").unionByName(tagged(target, "t")))
+    // both bucket models + totals in one bounded collect (≤ 2B rows of
+    // (side, bucket, count) — map-side partial aggregation shrinks the
+    // shuffle to B rows per task); fail LOUDLY on a featureless side (a
+    // zero total would otherwise silently skew every weight)
+    val models = bc
+      .select(col("_side"), explode(col("_bc")).as("_e"))
+      .groupBy(col("_side"), col("_e.b").as("b")).agg(sum(col("_e.n")).as("c"))
+      .collect().map(r => ((r.getString(0), r.getLong(1)), r.getLong(2))).toMap
+    val tTot = models.collect { case (("t", _), c) => c }.sum
+    val rTot = models.collect { case (("r", _), c) => c }.sum
+    require(tTot > 0 && rTot > 0,
+      "importanceResample: target and raw corpora must both produce features")
+    // per-bucket log ratios as ONE array literal (same IEEE arithmetic
+    // as the in-plan formulation: Math.log, long+int promotion, double
+    // divide — weights are bit-identical); scoring is then a pure map
+    // over the cached per-doc arrays, no join, no groupBy
+    val lrArr = Array.tabulate(buckets) { b =>
+      val tc = models.getOrElse(("t", b.toLong), 0L)
+      val rc = models.getOrElse(("r", b.toLong), 0L)
+      math.log((tc + 1).toDouble / (tTot + buckets)) -
+        math.log((rc + 1).toDouble / (rTot + buckets))
+    }
+    val scored = bc.filter(col("_side") === "r")
+      .select(col("doc"),
+        org.apache.spark.sql.GraftBridge.dsirScore(col("_bc"), lrArr).as("_s"))
+      .select(col("doc"), col("_s.n_feats").as("n_feats"),
+        round(col("_s.raw_weight"), 6).as("log_weight"))
+    // exact global rank without a global window, corpus-sized sort, or a
+    // driver-held top-K: range-partition on the (weight desc, id) key,
+    // collect ONE COUNT PER SHARD for the prefix offsets (the
+    // packByTokenBudget pattern), then shard-local row_number + offset.
+    // The cache pins the sampled range boundaries so the counts job and
+    // the output job see identical partition ids; the global rank itself
+    // is boundary-independent (any range split of a total order ranks
+    // identically).
+    val keyed = graft.core.CacheScope.cached(
+      scored.withColumn("_k",
+          struct((-col("log_weight")).as("nw"), col("doc").as("d")))
+        .repartitionByRange(col("_k"))
+        .withColumn("_pid", spark_partition_id()))
+    val counts = keyed.groupBy(col("_pid")).agg(count(lit(1)).as("c"))
+      .collect().map(r => (r.getInt(0), r.getLong(1))).sortBy(_._1)
+    // total scored docs = Σ shard counts — the keep threshold needs no
+    // separate count() action
+    val kKeep = math.floor(keepFraction * counts.map(_._2).sum).toLong
+    val offsets = {
+      var acc = 0L
+      counts.map { case (p, c) => val o = acc; acc += c; (p, o) }.toSeq
+    }
+    val offsetsDf = offsets.toDF("_pid", "_off")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("_pid")).orderBy(col("_k"))
+    keyed.join(offsetsDf, Seq("_pid"))
+      .withColumn("_r", row_number().over(w).cast("long") + col("_off"))
+      .select(col("doc").as(idCol), col("n_feats"), col("log_weight"),
+        when(col("_r") <= kKeep, lit(1L)).otherwise(lit(0L)).as("keep"))
+  }
+
   /** Cluster-prototypicality pruning (SSL-prototypes, Sorscher et al.
     * "Beyond neural scaling laws", 2022 — the pruning half of D4,
     * Tirumala et al. 2023): cluster the embedding space, rank each
@@ -177,102 +292,6 @@ object Sampling {
     * cluster, never a pair join. Cluster count k bounds the window
     * partition size.
     */
-  /** DSIR-style importance resampling (Xie et al., "Data Selection for
-    * Language Models via Importance Resampling", 2023): score each RAW
-    * document by how much more likely its hashed n-gram features are
-    * under the TARGET corpus's feature distribution than under the raw
-    * corpus's own — log w(x) = Σ_f [ln p_target(b(f)) − ln p_raw(b(f))]
-    * over the doc's unigram+bigram features hashed into `buckets`
-    * (Laplace-smoothed bucket models) — and keep the top `keepFraction`
-    * by (weight, id). The hash is the same md5 bucket the deterministic
-    * samplers use, so an external engine replicates the whole operator.
-    *
-    * Output (one row per RAW doc): (id, n_feats, log_weight, keep).
-    *
-    * Scale shape: the two bucket models are B-sized aggregates; the
-    * per-bucket log-ratio table (B rows) broadcasts into the
-    * per-(doc, bucket) count stream (cached once — it feeds both the raw
-    * model and the scoring pass), so scoring is one groupBy(doc)
-    * shuffle. The top-fraction cut is an exact global rank computed the
-    * sharded-prefix-sum way (range partition on the key, one collected
-    * count per shard, shard-local window + offset) — no global window,
-    * no corpus-sized sort or driver-held top-K.
-    */
-  def importanceResample(raw: DataFrame, target: DataFrame,
-                         textCol: String, idCol: String,
-                         buckets: Int = 1024,
-                         keepFraction: Double = 0.25): DataFrame = {
-    require(buckets > 0 && keepFraction > 0 && keepFraction <= 1)
-    val spark = raw.sparkSession
-    def feats(df: DataFrame): DataFrame = {
-      val t = df.select(col(idCol).as("doc"),
-        filter(split(lower(col(textCol)), " "), x => x =!= "").as("_t"))
-      val uni = t.select(col("doc"), explode(col("_t")).as("f"))
-      val bi = t.select(col("doc"), explode(zip_with(col("_t"),
-          slice(col("_t"), lit(2), greatest(size(col("_t")) - 1, lit(0))),
-          (a, b) => concat(a, lit(" "), b))).as("f"))
-        .filter(col("f").isNotNull) // zip_with pads the tail with null
-      uni.unionByName(bi).withColumn("b", hashBucket(col("f"), buckets))
-    }
-    val tb = feats(graft.core.Spread.ensureParallel(target))
-    val rb = feats(graft.core.Spread.ensureParallel(raw))
-    val tc = tb.groupBy("b").agg(count(lit(1)).as("tc"))
-    // per-(doc, bucket) counts cached ONCE: both the raw bucket model and
-    // the scoring pass derive from it, so the raw-corpus tokenize+explode
-    // runs a single time (it is the dominant cost of the operator)
-    val rbc = graft.core.CacheScope.cached(
-      rb.groupBy(col("doc"), col("b")).agg(count(lit(1)).as("n")))
-    val rc = rbc.groupBy("b").agg(sum(col("n")).as("rc"))
-    // totals are two scalars — collect them (bounded) so the log-ratio
-    // table folds them as literals, and fail LOUDLY on a featureless side
-    // (null totals would otherwise poison every weight with null)
-    val trow = tc.agg(sum(col("tc")).as("Tt"))
-      .crossJoin(rc.agg(sum(col("rc")).as("Tr"))).head()
-    require(!trow.isNullAt(0) && !trow.isNullAt(1),
-      "importanceResample: target and raw corpora must both produce features")
-    val (tTot, rTot) = (trow.getLong(0), trow.getLong(1))
-    val lr = broadcast(spark.range(buckets).withColumnRenamed("id", "b")
-      .join(tc, Seq("b"), "left").join(rc, Seq("b"), "left")
-      .select(col("b"),
-        (log((coalesce(col("tc"), lit(0L)) + 1).cast("double") /
-            (lit(tTot) + buckets))
-          - log((coalesce(col("rc"), lit(0L)) + 1).cast("double") /
-            (lit(rTot) + buckets))).as("lr")))
-    val scored = graft.core.CacheScope.cached(
-      rbc.join(lr, "b").groupBy(col("doc"))
-        .agg(sum(col("n")).as("n_feats"),
-          round(sum(col("n") * col("lr")), 6).as("log_weight")))
-    val n = scored.count()
-    val kKeep = math.floor(keepFraction * n).toLong
-    // exact global rank without a global window, corpus-sized sort, or a
-    // driver-held top-K: range-partition on the (weight desc, id) key,
-    // collect ONE COUNT PER SHARD for the prefix offsets (the
-    // packByTokenBudget pattern), then shard-local row_number + offset.
-    // The cache pins the sampled range boundaries so the counts job and
-    // the output job see identical partition ids; the global rank itself
-    // is boundary-independent (any range split of a total order ranks
-    // identically).
-    val keyed = graft.core.CacheScope.cached(
-      scored.withColumn("_k",
-          struct((-col("log_weight")).as("nw"), col("doc").as("d")))
-        .repartitionByRange(col("_k"))
-        .withColumn("_pid", spark_partition_id()))
-    val counts = keyed.groupBy(col("_pid")).agg(count(lit(1)).as("c"))
-      .collect().map(r => (r.getInt(0), r.getLong(1))).sortBy(_._1)
-    val offsets = {
-      var acc = 0L
-      counts.map { case (p, c) => val o = acc; acc += c; (p, o) }.toSeq
-    }
-    import spark.implicits._
-    val offsetsDf = offsets.toDF("_pid", "_off")
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("_pid")).orderBy(col("_k"))
-    keyed.join(offsetsDf, Seq("_pid"))
-      .withColumn("_r", row_number().over(w).cast("long") + col("_off"))
-      .select(col("doc").as(idCol), col("n_feats"), col("log_weight"),
-        when(col("_r") <= kKeep, lit(1L)).otherwise(lit(0L)).as("keep"))
-  }
-
   def prototypePrune(emb: DataFrame, idCol: String, vecCol: String,
                      k: Int = 8, dropFraction: Double = 0.25): DataFrame = {
     require(dropFraction >= 0.0 && dropFraction < 1.0)

@@ -81,7 +81,15 @@ object StreamingDedup {
           .toLongOption.exists(_ < batchId))
         .filter(s => fs.exists(new Path(s.getPath, "_SUCCESS")))
         .map(_.getPath.toString)
-    try {
+    // Empty micro-batch guard: Spark can hand foreachBatch an empty
+    // DataFrame (replay of a fully-committed offset range, no-new-data
+    // triggers with availableNow). An empty batch has no rows to judge
+    // and would otherwise crash the stream on the seed-selection
+    // require(seeds.nonEmpty) inside semanticDedup — writing nothing is
+    // the correct (and idempotent) outcome: no result partition, no
+    // corpus partition, and the _SUCCESS-committed listing already
+    // tolerates the gap in batch ids.
+    try if (!batchDf.isEmpty) {
       val judged =
         if (committed.nonEmpty) graft.operators.Dedup.semanticDedupIncremental(
           batchDf, spark.read.parquet(committed: _*).select(col(idCol), col(vecCol)),

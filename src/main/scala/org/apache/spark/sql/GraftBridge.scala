@@ -109,6 +109,20 @@ object GraftBridge {
   /** Column of in-row (token-hash, tf) pairs (see
     * graft.functions.TokenTfs).
     */
+  /** Column of the fused DSIR per-doc score over an ngramBucketCounts
+    * array (see graft.functions.DsirScore).
+    */
+  def dsirScore(bc: Column, lr: Array[Double]): Column =
+    ExpressionUtils.column(graft.functions.DsirScore(
+      ExpressionUtils.expression(bc), lr))
+
+  /** Column of fused per-doc hashed n-gram bucket counts (see
+    * graft.functions.NgramBucketCounts).
+    */
+  def ngramBucketCounts(text: Column, buckets: Int): Column =
+    ExpressionUtils.column(graft.functions.NgramBucketCounts(
+      ExpressionUtils.expression(text), buckets))
+
   def tokenTfs(text: Column): Column =
     ExpressionUtils.column(graft.functions.TokenTfs(
       ExpressionUtils.expression(text)))

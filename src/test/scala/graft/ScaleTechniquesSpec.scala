@@ -286,6 +286,70 @@ class ScaleTechniquesSpec extends SparkSpec {
     assert(natRep === refRep)
   }
 
+  test("NgramBucketCounts + DsirScore are bit-identical to the composable DSIR chain") {
+    import spark.implicits._
+    val texts = Seq(
+      "The quick brown fox. Jumps over the lazy dog!",
+      "a  b   c a  b   c a b", "  leading, and trailing!  ", "one",
+      "", "   ", "the the the and of is it on", "á é í ó ú ñ ü 中 文 词",
+      "x x x x x x x x", "digits 123 and PUNCT!!! mixed-case Text."
+    ).zipWithIndex.map { case (t, i) => (i.toLong, t) }
+    val df = texts.toDF("doc_id", "text")
+    val B = 64
+    val bridge = org.apache.spark.sql.GraftBridge
+
+    // reference: the pre-native DSIR featurize — explode unigrams ∪
+    // bigrams, md5-60 bucket, groupBy(doc, b) occurrence counts
+    val t = df.select(col("doc_id"),
+      filter(split(lower(col("text")), " "), x => x =!= "").as("_t"))
+    val uni = t.select(col("doc_id"), explode(col("_t")).as("f"))
+    val bi = t.select(col("doc_id"), explode(zip_with(col("_t"),
+        slice(col("_t"), lit(2), greatest(size(col("_t")) - 1, lit(0))),
+        (a, b) => concat(a, lit(" "), b))).as("f"))
+      .filter(col("f").isNotNull)
+    val refCounts = uni.unionByName(bi)
+      .withColumn("b",
+        pmod(conv(substring(md5(col("f")), 1, 15), 16, 10).cast("long"), lit(B)))
+      .groupBy(col("doc_id"), col("b")).agg(count(lit(1)).as("n"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val natCounts = df.select(col("doc_id"),
+        explode(bridge.ngramBucketCounts(lower(col("text")), B)).as("e"))
+      .select(col("doc_id"), col("e.b"), col("e.n"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(natCounts === refCounts)
+
+    // the per-doc array is sorted by bucket ascending (the deterministic
+    // fold order DsirScore's scaladoc promises)
+    val arrs = df.select(bridge.ngramBucketCounts(lower(col("text")), B).as("bc"))
+      .collect().map(_.getSeq[org.apache.spark.sql.Row](0).map(_.getLong(0)))
+    arrs.foreach(a => assert(a == a.sorted, s"unsorted buckets: $a"))
+
+    // DsirScore vs the aggregate-HOF fold — EXACT double equality (same
+    // left-to-right bucket-ascending accumulation)
+    val lr = Array.tabulate(B)(i => math.log(i + 2.0) - 1.3)
+    val lrCol = typedlit(lr)
+    val bc = df.select(col("doc_id"),
+        bridge.ngramBucketCounts(lower(col("text")), B).as("bc"))
+      .filter(size(col("bc")) > 0)
+    val refScore = bc.select(col("doc_id"),
+        aggregate(col("bc"), lit(0L), (a, e) => a + e.getField("n")).as("nf"),
+        aggregate(col("bc"), lit(0.0), (a, e) => a + e.getField("n") *
+          element_at(lrCol, (e.getField("b") + 1).cast("int"))).as("w"))
+      .collect().map(r => (r.getLong(0), (r.getLong(1), r.getDouble(2)))).toMap
+    val natScore = bc.select(col("doc_id"), bridge.dsirScore(col("bc"), lr).as("s"))
+      .select(col("doc_id"), col("s.n_feats"), col("s.raw_weight"))
+      .collect().map(r => (r.getLong(0), (r.getLong(1), r.getDouble(2)))).toMap
+    assert(natScore === refScore)
+
+    // the SQL registration resolves to the same expression
+    df.createOrReplaceTempView("nbc_texts")
+    val viaSql = spark.sql(
+      s"SELECT doc_id, explode(graft_ngram_bucket_counts(lower(text), $B)) AS e FROM nbc_texts")
+      .select(col("doc_id"), col("e.b"), col("e.n"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(viaSql === refCounts)
+  }
+
   test("every registered graft function resolves and evaluates via SQL") {
     val rows = spark.sql(
       """SELECT
@@ -298,7 +362,8 @@ class ScaleTechniquesSpec extends SparkSpec {
         |  size(graft_minhash_sig(array(1L, 2L), 16)) AS nsig,
         |  size(graft_token_chunks('a b c d e', 2, 2)) AS nch,
         |  size(graft_token_tfs('a b a')) AS ntf,
-        |  size(graft_token_term_tfs('a b a')) AS nttf
+        |  size(graft_token_term_tfs('a b a')) AS nttf,
+        |  size(graft_ngram_bucket_counts('a b a', 64)) AS nbc
         |""".stripMargin).collect().head
     assert(rows.getDouble(0) === 11.0)
     assert(rows.getInt(1) === 3)

@@ -624,6 +624,14 @@ class StreamingSpec extends SparkSpec {
     val batch2 = spark.read.parquet(s"$src/b2")
     sink(batch2, 1L)
     assert(resultMap() === oneShot)
+    // an EMPTY micro-batch (replayed committed range / availableNow
+    // no-data trigger) must be a no-op, not a seed-selection crash that
+    // wedges the stream (ADVICE r10): no throw, no result partition, no
+    // corpus partition, results unchanged
+    sink(emb.filter(lit(false)), 3L)
+    assert(resultMap() === oneShot)
+    assert(!new java.io.File(s"$results/batch_id=3").exists())
+    assert(!new java.io.File(s"$corpus/batch_id=3").exists())
     emb.unpersist()
   }
 }
