@@ -149,11 +149,12 @@ object SparkEntry {
   def resetDerivedCaches(): Unit = {
     plugCache.values.flatMap(_.values).foreach(_.unpersist(false))
     annCache.values.foreach(_.cells.unpersist(false))
+    ivfPqCache.values.foreach(_.codes.unpersist(false))
     lshCache.values.foreach(_.buckets.unpersist(false))
     nearDupCache.values.foreach(_.unpersist())
     pairsCache.values.foreach(_.unpersist(false))
-    plugCache.clear(); annCache.clear(); lshCache.clear(); bloomCache.clear()
-    nearDupCache.clear(); pairsCache.clear()
+    plugCache.clear(); annCache.clear(); ivfPqCache.clear(); bloomCache.clear()
+    lshCache.clear(); nearDupCache.clear(); pairsCache.clear()
   }
 
   /** The verified near-dup pair set over the documents corpus — the
@@ -1695,6 +1696,15 @@ object SparkEntry {
       // literals) — generated by [[dynamicOracleSql]] at Verify time
       None),
 
+    // distributed corpus×corpus ADC: the probe set is the FULL
+    // embeddings table and stays a DataFrame end to end — no driver
+    // collect, executor-side ADC tables (PqAdcTable), salted cell join,
+    // bounded top-k aggregate instead of a window. Per-dataset oracle
+    // (trained literals) from [[dynamicOracleSql]], like sim_ivfpq_topk.
+    Q("sim_ivfpq_join",
+      (s, d) => ivfPqIndex(s, d).topKJoin(Tables.embeddings(s, d), 5, nProbe = 2),
+      None),
+
     // ---- embedding quantization (storage compression for ANN corpora)
     // Terminal projection is scalar-only: the driver's gate cannot sort
     // array columns, so the int8 vector rides as a canonical CSV string
@@ -2280,7 +2290,8 @@ object SparkEntry {
     // drop every other dynamic oracle with it
     Seq[(String, () => String)](
       "sim_ivf_topk" -> (() => ivfOracleSql(s, d)),
-      "sim_ivfpq_topk" -> (() => ivfPqOracleSql(s, d)))
+      "sim_ivfpq_topk" -> (() => ivfPqOracleSql(s, d)),
+      "sim_ivfpq_join" -> (() => ivfPqJoinOracleSql(s, d)))
       .flatMap { case (name, gen) =>
         scala.util.Try(gen()) match {
           case scala.util.Success(sql) => Some(name -> sql)
@@ -2300,11 +2311,26 @@ object SparkEntry {
     * distance table as Σ(r−c)² over the diff list (the Spark driver's
     * accumulation order), and the rounded ADC sum + rank.
     */
-  private def ivfPqOracleSql(s: SparkSession, d: String): String = {
+  private def ivfPqOracleSql(s: SparkSession, d: String): String =
+    ivfPqOracleBody(s, d, nProbe = 4, probePred = "AND vec_id < 10",
+      selfPred = "")
+
+  /** Oracle for the DISTRIBUTED corpus×corpus form ([[Similarity
+    * .IvfPqIndex.topKJoin]]): same trained-literal replication, probe
+    * set = the WHOLE embeddings table, self-pairs excluded. The engine
+    * side ranks with the bounded top-k aggregate instead of a window,
+    * but the (approx_dist, neighbor_id) order is a total order, so the
+    * SQL row_number formulation is value-identical.
+    */
+  private def ivfPqJoinOracleSql(s: SparkSession, d: String): String =
+    ivfPqOracleBody(s, d, nProbe = 2, probePred = "",
+      selfPred = "AND codes.vec_id <> pd.probe_id")
+
+  private def ivfPqOracleBody(s: SparkSession, d: String, nProbe: Int,
+                              probePred: String, selfPred: String): String = {
     val idx = ivfPqIndex(s, d)
     val (centers, books, w) = (idx.centers, idx.codebooks, idx.subDim)
     val dim = centers.head.length
-    val nProbe = 4
     val arms = centers.zipWithIndex.map { case (c, i) =>
       val vecLit = c.mkString("[", ", ", "]")
       val cNorm2 = c.map(x => x * x).sum
@@ -2344,7 +2370,7 @@ object SparkEntry {
        |          WHERE crn = 1),
        |pres AS (SELECT p.vec_id AS probe_id, p.cell,
        |           list_transform(range(1, ${dim + 1}), i -> p.e[i] - cen.c[i]) AS prv
-       |         FROM (SELECT vec_id, e, cell FROM r WHERE rn <= $nProbe AND vec_id < 10) p
+       |         FROM (SELECT vec_id, e, cell FROM r WHERE rn <= $nProbe $probePred) p
        |         JOIN cen ON p.cell = cen.cell),
        |pd AS (SELECT probe_id, cell, subspace, code,
        |         list_dot_product(ld, ld) AS pd FROM (
@@ -2356,6 +2382,7 @@ object SparkEntry {
        |         round(sum(pd.pd), 6) AS approx_dist
        |       FROM codes JOIN pd ON codes.cell = pd.cell
        |         AND codes.subspace = pd.subspace AND codes.code = pd.code
+       |         $selfPred
        |       GROUP BY 1, 2),
        |rk AS (SELECT probe_id, neighbor_id, approx_dist,
        |         row_number() OVER (PARTITION BY probe_id

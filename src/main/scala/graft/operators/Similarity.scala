@@ -499,6 +499,87 @@ object Similarity {
         .withColumn("rank", row_number().over(w))
         .filter(col("rank") <= kNN)
     }
+
+    /** Corpus packed one row per vector: (neighbor_id, cell,
+      * _codes = [code_0..code_{m-1}] by subspace) — the join-side layout
+      * of [[topKJoin]], where the per-pair ADC cost is m array lookups
+      * over a single row instead of an m-way (cell, subspace, code) join
+      * + re-aggregation. One corpus shuffle at index-prep time; at scale
+      * this is the form persisted partitioned by cell.
+      */
+    lazy val packedCodes: DataFrame = codes
+      .groupBy(col("neighbor_id"), col("cell"))
+      .agg(transform(array_sort(collect_list(struct(col("subspace"), col("code")))),
+        e => e.getField("code")).as("_codes"))
+
+    /** Distributed corpus×corpus ADC top-k: probes STAY a DataFrame at
+      * any cardinality — no driver collect, no broadcast cap. This is
+      * the batch-analytics complement of [[topK]] (whose driver-side
+      * table build is the right shape only for serving-style point
+      * lookups): per probe, the nProbe nearest cells expand map-side
+      * (the [[Similarity.ivfCellScores]] score 2·c·p − ||c||², ties to
+      * the smaller cell — the oracle's ORDER BY score DESC, cell ASC),
+      * the per-(probe, cell) m×k distance table is built EXECUTOR-SIDE
+      * by the native [[graft.functions.PqAdcTable]] (centers/codebooks
+      * ride inside the expression as dimension-sized state), candidates
+      * arrive via an equi join on (cell, salt), and each pair costs m
+      * table lookups ([[graft.functions.PqAdcSum]]) — raw corpus floats
+      * are never read, exactly the FAISS ADC contract.
+      *
+      * Skew: `cell` alone has only nCells distinct values — far fewer
+      * than task slots — so the corpus side salts by
+      * pmod(xxhash64(id), salts) and the probe side replicates each
+      * (probe, cell) row into all salts (the Dedup salt-split pair-join
+      * pattern): join parallelism becomes nCells × salts, with the
+      * probe-side fanout bounded at nProbe × salts small rows per probe.
+      * Self-pairs are excluded (a corpus probed against itself is the
+      * dedup/recommendation shape; the serving [[topK]] keeps them).
+      */
+    def topKJoin(probes: DataFrame, kNN: Int, nProbe: Int = 2,
+                 probeIdCol: String = "vec_id",
+                 probeVecCol: String = "embedding",
+                 salts: Int = 8): DataFrame = {
+      require(salts >= 1 && nProbe >= 1)
+      val kC = codebooks.head.length
+      val cellRank = {
+        val entries = centers.zipWithIndex.map { case (ctr, i) =>
+          val n2 = ctr.map(x => x * x).sum
+          struct((-(dot(col("_p"), array(ctr.map(lit(_)): _*)) * 2 - n2)).as("ns"),
+            lit(i).as("cell"))
+        }
+        transform(slice(array_sort(array(entries: _*)), 1, nProbe),
+          s => s.getField("cell"))
+      }
+      val p = spread(probes)
+        .select(col(probeIdCol).cast("long").as("probe_id"),
+          asDouble(col(probeVecCol)).as("_p"))
+        .withColumn("cell", explode(cellRank))
+        .withColumn("_tbl", org.apache.spark.sql.GraftBridge.pqAdcTable(
+          col("_p"), col("cell"), centers, codebooks, subDim))
+        .select(col("probe_id"), col("cell"), col("_tbl"))
+        .withColumn("_salt", explode(sequence(lit(0), lit(salts - 1))))
+      val c = packedCodes.withColumn("_salt",
+        pmod(xxhash64(col("neighbor_id")), lit(salts.toLong)).cast("int"))
+      // per-probe top-k via the BOUNDED aggregate, not a window: a
+      // window would shuffle every candidate pair (|probes| × nProbe ×
+      // cellSize rows — the quadratic-ish bulk of the operator) to sort
+      // it; BoundedTopK's map-side combine caps each task's contribution
+      // at k pairs per probe, so the exchange carries the answer size,
+      // not the candidate size (spec-pinned equal to the window form)
+      c.join(p, Seq("cell", "_salt"))
+        .filter(col("probe_id") =!= col("neighbor_id"))
+        .select(col("probe_id"),
+          round(org.apache.spark.sql.GraftBridge.pqAdcSum(
+            col("_tbl"), col("_codes"), kC), 6).as("approx_dist"),
+          col("neighbor_id"))
+        .groupBy(col("probe_id"))
+        .agg(org.apache.spark.sql.GraftBridge.boundedTopK(
+          col("approx_dist"), col("neighbor_id").cast("long"), kNN).as("_top"))
+        .select(col("probe_id"), posexplode(col("_top")))
+        .select(col("probe_id"), col("col.id").as("neighbor_id"),
+          col("col.score").as("approx_dist"),
+          (col("pos") + 1).cast("int").as("rank"))
+    }
   }
 
   /** Multi-table sign-LSH ANN: L independent hash tables of b hyperplane

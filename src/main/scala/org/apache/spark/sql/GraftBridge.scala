@@ -36,6 +36,28 @@ object GraftBridge {
     ExpressionUtils.column(graft.functions.PqEncode(
       ExpressionUtils.expression(vec), codebooks, subDim))
 
+  /** Column of the executor-side per-(probe, cell) ADC distance table
+    * (see graft.functions.PqAdcTable).
+    */
+  def pqAdcTable(vec: Column, cell: Column, centers: Array[Array[Double]],
+                 codebooks: Array[Array[Array[Double]]], subDim: Int): Column =
+    ExpressionUtils.column(graft.functions.PqAdcTable(
+      ExpressionUtils.expression(vec), ExpressionUtils.expression(cell),
+      centers, codebooks, subDim))
+
+  /** Column of the ADC lookup-sum over a packed code array (see
+    * graft.functions.PqAdcSum).
+    */
+  def pqAdcSum(table: Column, codes: Column, kCodes: Int): Column =
+    ExpressionUtils.column(graft.functions.PqAdcSum(
+      ExpressionUtils.expression(table), ExpressionUtils.expression(codes), kCodes))
+
+  /** Bounded per-group top-k aggregate (see graft.functions.BoundedTopK). */
+  def boundedTopK(score: Column, id: Column, k: Int): Column =
+    ExpressionUtils.column(graft.functions.BoundedTopK(
+      ExpressionUtils.expression(score), ExpressionUtils.expression(id), k)
+      .toAggregateExpression())
+
   /** Register graft's SQL functions on an already-constructed session —
     * the `spark.sql.extensions` conf is only consulted at session build
     * time, so driver-provided sessions register here instead (same

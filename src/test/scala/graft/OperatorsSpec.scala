@@ -1297,6 +1297,43 @@ class OperatorsSpec extends SparkSpec {
     idx.codes.unpersist()
   }
 
+  test("IVF-PQ distributed join matches driver-side topK; probes never collected") {
+    import org.apache.spark.sql.functions._
+    val emb = graft.core.Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val idx = Similarity.buildIvfPq(emb, 8, 8, 16)
+    // expected from the DRIVER-SIDE path: topK at k+1 keeps enough rows
+    // that dropping self-pairs and re-ranking reproduces the join form's
+    // exact contract (self in top-6 -> 5 non-self remain; self outside ->
+    // truncate 6 to 5)
+    val exp = idx.topK(emb, 6, nProbe = 2).collect()
+      .filter(r => r.getAs[Long]("probe_id") != r.getAs[Long]("neighbor_id"))
+      .groupBy(_.getAs[Long]("probe_id")).toSeq
+      .flatMap { case (p, rs) =>
+        rs.sortBy(r => (r.getAs[Double]("approx_dist"), r.getAs[Long]("neighbor_id")))
+          .take(5).zipWithIndex.map { case (r, i) =>
+            (p, r.getAs[Long]("neighbor_id"), r.getAs[Double]("approx_dist"), i + 1)
+          }
+      }.toSet
+    // plan-building the join form runs ZERO Spark jobs: the probe frame
+    // is never collected (the scale contract VS topK's driver-side table)
+    val jobs = new java.util.concurrent.atomic.AtomicLong
+    spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(j: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+        jobs.incrementAndGet()
+    })
+    org.apache.spark.sql.GraftBridge.drainListenerBus(spark)
+    val j0 = jobs.get
+    val joined = idx.topKJoin(emb, 5, nProbe = 2)
+    org.apache.spark.sql.GraftBridge.drainListenerBus(spark)
+    assert(jobs.get === j0,
+      "topKJoin ran Spark jobs during plan construction — a probe collect snuck in")
+    val got = joined.collect().map(r => (r.getAs[Long]("probe_id"),
+      r.getAs[Long]("neighbor_id"), r.getAs[Double]("approx_dist"),
+      r.getAs[Int]("rank"))).toSet
+    assert(got === exp)
+    idx.codes.unpersist()
+  }
+
   // ------------------------------------------------------- semantic dedup
 
   /** Spark `round` semantics (HALF_UP via BigDecimal) for the local

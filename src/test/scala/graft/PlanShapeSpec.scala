@@ -115,6 +115,18 @@ class PlanShapeSpec extends SparkSpec {
       "an unpartitioned window would funnel the whole corpus through one task")
   }
 
+  test("sim_ivfpq_join: executor-side ADC, salted equi join, bounded top-k — no cross, no window") {
+    val p = plan("sim_ivfpq_join")
+    // the ADC table is built by the native expression on executors, and
+    // the per-probe cut is the bounded aggregate — not a window over the
+    // candidate set, not a driver-built broadcast table
+    assert(p.contains("graft_pq_adc_table"), p.take(600))
+    assert(p.contains("graft_bounded_topk") && p.contains("ObjectHashAggregate"),
+      p.take(600))
+    assert(!p.contains("Window"), "candidate-sized window snuck back in")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))
+  }
+
   test("j7: as-of join is union + ONE keyed window shuffle, never a join node") {
     val p = plan("j7_asof_join")
     assert(p.contains("Window") && p.contains("Union"))

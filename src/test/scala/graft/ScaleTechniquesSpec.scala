@@ -286,6 +286,32 @@ class ScaleTechniquesSpec extends SparkSpec {
     assert(natRep === refRep)
   }
 
+  test("BoundedTopK equals the row_number window formulation; plans with map-side partials") {
+    import spark.implicits._
+    val rng = new scala.util.Random(7)
+    // quantized scores force real (score) ties across ids; two extra
+    // groups are smaller than k to pin the short-group path
+    val rows = (1 to 2000).map(i =>
+      (rng.nextInt(20).toLong, math.floor(rng.nextDouble() * 50) / 50.0, i.toLong)) ++
+      Seq((990L, 0.5, 9001L), (990L, 0.25, 9002L), (991L, 0.75, 9003L))
+    val df = rows.toDF("g", "score", "id").repartition(7)
+    val agg = df.groupBy(col("g"))
+      .agg(org.apache.spark.sql.GraftBridge.boundedTopK(col("score"), col("id"), 5).as("t"))
+    val viaAgg = agg.select(col("g"), posexplode(col("t")))
+      .select(col("g"), col("col.score"), col("col.id"), (col("pos") + 1).cast("int").as("rk"))
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getLong(2), r.getInt(3))).toSet
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("g")).orderBy(col("score"), col("id"))
+    val viaWin = df.withColumn("rk", row_number().over(w)).filter(col("rk") <= 5)
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getLong(2), r.getInt(3))).toSet
+    assert(viaAgg === viaWin)
+    // the scale property: ObjectHashAggregate with a partial phase —
+    // each map task ships at most k pairs per group into the exchange
+    val p = agg.queryExecution.executedPlan.toString
+    assert(p.contains("ObjectHashAggregate"), p.take(400))
+    assert(p.contains("partial_graft_bounded_topk"), p.take(400))
+  }
+
   test("NgramBucketCounts + DsirScore are bit-identical to the composable DSIR chain") {
     import spark.implicits._
     val texts = Seq(
