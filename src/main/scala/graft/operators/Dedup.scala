@@ -401,6 +401,16 @@ object Dedup {
     new NearDupIndex(arrs, bkt, w, numPerm, bands)
   }
 
+  /** Reassemble a [[NearDupIndex]] from already-materialized parts — the
+    * streaming sink's incremental corpus store, where each micro-batch
+    * appends its own (batch-pure) arrays/buckets partitions and the
+    * corpus index for batch N is the union of all committed prior parts
+    * (see [[graft.streaming.StreamingDedup.nearDupBatchSink]]).
+    */
+  def nearDupIndexFromParts(arrays: DataFrame, buckets: DataFrame,
+                            w: Int, numPerm: Int, bands: Int): NearDupIndex =
+    new NearDupIndex(arrays, buckets, w, numPerm, bands)
+
   /** On-disk format version written by [[NearDupIndex.save]] and required
     * by [[loadNearDupIndex]]. Bump whenever the saved schema changes
     * incompatibly (v3: the verify side is the per-doc sorted-distinct
@@ -474,6 +484,53 @@ object Dedup {
 
     def unpersist(): Unit = {
       arrays.unpersist(false); buckets.unpersist(false)
+    }
+
+    /** WITHIN-index near-dup pairs (doc_a < doc_b, exact Jaccard >=
+      * threshold) from the index's own arrays/buckets — the
+      * [[Dedup.minhashLshPairs]] formulation without re-shingling
+      * anything: the streaming sink uses it so a batch's one shingle
+      * pass feeds self-pairs, cross-pairs, AND the corpus-store append.
+      */
+    def selfPairs(threshold: Double = 0.8): DataFrame = {
+      val candidates = buckets.as("x").hint("merge")
+        .join(buckets.as("y"),
+          col("x.band") === col("y.band") && col("x.bucket") === col("y.bucket") &&
+            col("x.doc") < col("y.doc"))
+        .select(col("x.doc").as("doc_a"), col("y.doc").as("doc_b"))
+        .distinct()
+      verifyPairsExactArrays(candidates, arrays, threshold)
+    }
+
+    /** CROSS near-dup pairs between another (typically batch-sized)
+      * index and this corpus index: candidates from the band-bucket
+      * equi join of the two prebuilt bucket tables, each side's arrays
+      * fetched by its own doc id — neither side re-shingles. Output
+      * (doc_a = other's doc, doc_b = this index's doc, jaccard).
+      */
+    def pairsWith(other: NearDupIndex, threshold: Double = 0.8): DataFrame = {
+      require(other.shingleWidth == shingleWidth && other.numPerm == numPerm &&
+        other.bands == bands,
+        "cross-index pairing requires identical (w, numPerm, bands)")
+      val candidates = other.buckets.as("x")
+        .join(buckets.as("y"),
+          col("x.band") === col("y.band") && col("x.bucket") === col("y.bucket"))
+        .select(col("x.doc").as("doc_a"), col("y.doc").as("doc_b"))
+        .distinct()
+      candidates
+        .join(other.arrays.select(col("doc").as("doc_a"), col("_arr").as("_arr_a")),
+          Seq("doc_a"))
+        .join(arrays.select(col("doc").as("doc_b"), col("_arr").as("_arr_b")),
+          Seq("doc_b"))
+        .select(col("doc_a"), col("doc_b"),
+          org.apache.spark.sql.GraftBridge
+            .intersectCount(col("_arr_a"), col("_arr_b")).as("i"),
+          size(col("_arr_a")).cast("long").as("na"),
+          size(col("_arr_b")).cast("long").as("nb"))
+        .withColumn("jaccard",
+          round(col("i").cast("double") / (col("na") + col("nb") - col("i")), 6))
+        .filter(col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", "jaccard")
     }
 
     /** Near-dup pairs (batch doc, corpus doc) with exact Jaccard >=

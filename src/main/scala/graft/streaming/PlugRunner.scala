@@ -365,6 +365,54 @@ class PlugRunner(
       }
     }
 
+  /** Fork recovery — truncate-and-replay from the fork point (T7 hard
+    * path). The irreversibility watermark ([[graft.core.OpLog
+    * .finalizedOnly]]) keeps ordinary forks out of derived state
+    * entirely: blocks inside the horizon are never ingested, so a
+    * re-emission with a different trx set simply arrives later as the
+    * only version the engine ever sees. This method is the recovery for
+    * the PAST-HORIZON emergency the reference handles with HAF cascade
+    * deletes (plugs/podping/tables.sql:12-16): roll every sink back to
+    * the state as of batches `< fromBatch` (the first batch that
+    * ingested a forked block — the truncation unit is the batch), then
+    * restart the stream with a FRESH checkpoint over the corrected feed.
+    * The stream-origin pin re-derives base/cursor from the surviving
+    * check-ins, so replay resumes exactly at the fork point and a fresh
+    * build over the corrected chain is reproduced (pinned by spec).
+    *
+    * Bounds (enforced loudly, both by the depth the retention knobs
+    * allow): append tables must not have folded `>= fromBatch` batches
+    * into a compact segment (compaction lags by [[CompactEvery]], far
+    * deeper than any watermark-bounded fork), and merge tables must
+    * still retain a state version below the fork ([[StateKeepLast]]).
+    */
+  def truncateFromBatch(spark: SparkSession, tableNames: Seq[String],
+                        fromBatch: Long): Unit = {
+    tableNames.foreach { name =>
+      if (mergeFns.contains(name))
+        new ParquetStateStore(spark, tableDir(name)).truncateFrom(fromBatch)
+      else {
+        val m = manifest(spark, name)
+        require(m.segments.forall(_ < fromBatch),
+          s"append table $name folded batches >= $fromBatch into segments " +
+            s"(watermarks ${m.segments.mkString(",")}) — fork deeper than " +
+            "the compaction lag; rebuild the table from scratch")
+        val keep = m.live.filter(_ < fromBatch)
+        if (keep.size != m.live.size) {
+          // manifest first: readers exclude the doomed ids the instant it
+          // swaps; the dir deletes after are pure GC (crash-safe, same
+          // order as compactAppends)
+          writeManifest(spark, name, m.copy(live = keep))
+          val root = new org.apache.hadoop.fs.Path(tableDir(name))
+          val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+          m.live.filter(_ >= fromBatch).foreach(n =>
+            fs.delete(new org.apache.hadoop.fs.Path(root, s"_batch_id=$n"), true))
+        }
+      }
+    }
+    PlugState.truncateFrom(spark, outDir, plug.name, fromBatch)
+  }
+
   /** DDL-at-boot (S9; reference `database/haf.py:38-47,72-84` runs
     * idempotent CREATE SCHEMA/TABLE from per-plug .sql files): register
     * the plug's namespace and its sink directories as external tables in
@@ -528,6 +576,29 @@ object PlugState {
       (r.getAs[Long]("batch_id"), r.getAs[Int]("latest_block_num").toLong)
     }
   }
+
+  /** Fork rollback of the check-in history: drop every `v >= fromBatch`
+    * so [[latest]]/[[maxBatchId]] answer as of the pre-fork cursor (the
+    * stream-origin pin then resumes the feed from the fork point). Same
+    * retained-window rule as [[ParquetStateStore.truncateFrom]]: the
+    * roll-up ([[prune]]) may have folded history, so a rollback reaching
+    * past every surviving check-in fails loudly instead of erasing the
+    * cursor entirely.
+    */
+  def truncateFrom(spark: SparkSession, outDir: String, plugName: String,
+                   fromBatch: Long): Unit = {
+    val root = stateRoot(outDir, plugName)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val vs = versionIds(fs, root)
+    val doomed = vs.filter(_ >= fromBatch)
+    if (doomed.nonEmpty) {
+      require(vs.exists(_ < fromBatch),
+        s"plug-state rollback to batch $fromBatch reaches past every " +
+          s"retained check-in (${vs.mkString(",")}) — rebuild from scratch")
+      doomed.foreach(v =>
+        fs.delete(new org.apache.hadoop.fs.Path(root, s"v=$v"), true))
+    }
+  }
 }
 
 /** Versioned parquet state table: `v=<batchId>` directories, latest wins.
@@ -581,4 +652,24 @@ class ParquetStateStore(spark: SparkSession, dir: String) {
   def prune(keepLast: Int = 2): Unit =
     versions.dropRight(keepLast)
       .foreach(v => fs.delete(new Path(root, s"v=$v"), true))
+
+  /** Fork rollback: drop every version `>= fromBatch`, leaving the last
+    * version below the fork as the live snapshot. Versions are COMPLETE
+    * snapshots (version N is derived from version <N plus batch N), so
+    * surviving version M alone IS the state as of batch M — but [[prune]]
+    * bounds how far back one exists: a rollback deeper than the retained
+    * window must fail loudly (rebuilding from an empty store would
+    * silently drop all pre-fork state) rather than truncate to nothing.
+    */
+  def truncateFrom(fromBatch: Long): Unit = {
+    val vs = versions
+    val doomed = vs.filter(_ >= fromBatch)
+    if (doomed.nonEmpty) {
+      require(vs.exists(_ < fromBatch),
+        s"state rollback to batch $fromBatch reaches past every retained " +
+          s"version (${vs.mkString(",")}) — deepen StateKeepLast or rebuild " +
+          "this table from scratch")
+      doomed.foreach(v => fs.delete(new Path(root, s"v=$v"), true))
+    }
+  }
 }

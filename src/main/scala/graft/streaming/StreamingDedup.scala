@@ -59,6 +59,84 @@ object StreamingDedup {
     * the one-shot batch dedup — the OperatorsSpec sequential-equivalence
     * property.
     */
+  /** MinHash-LSH near-dup detection on the ingest path — a
+    * `foreachBatch` sink over [[graft.operators.Dedup.NearDupIndex]]:
+    * each arriving micro-batch is shingled/signed ONCE (one
+    * batch-proportional pass), judged for near-dup pairs WITHIN itself
+    * (`selfPairs`) and AGAINST the accumulated corpus (`pairsWith`), and
+    * its arrays/buckets — a pure function of the batch — append to the
+    * corpus store. Later batches therefore never re-shingle the corpus:
+    * the corpus side of every bucket join is a plain parquet read, the
+    * production incremental-LSH lifecycle (at 100 TB the store is
+    * partitioned by band like [[graft.operators.Dedup.NearDupIndex.save]]).
+    *
+    * Pair contract: (doc_a < doc_b, exact-verified jaccard) — cross
+    * pairs are normalized with least/greatest so the folded result is
+    * id-order-agnostic. With batches arriving in id order the folded
+    * results equal the one-shot [[graft.operators.Dedup.minhashLshPairs]]
+    * over the union EXACTLY (not just probabilistically: a doc's
+    * signature depends only on the doc, so one-shot and incremental see
+    * identical band-bucket candidates) — the StreamingSpec
+    * sequential-equivalence property.
+    *
+    * Exactly-once: all three writes (pairs result, arrays part, buckets
+    * part) are per-batch-directory overwrites, and the corpus read lists
+    * only _SUCCESS-committed parts with batch id < the current one — a
+    * crash-replayed batch re-judges against exactly the pre-crash corpus
+    * and overwrites its own directories. Empty batches are a no-op
+    * (same guard as [[semanticBatchSink]]).
+    */
+  def nearDupBatchSink(corpusDir: String, resultDir: String,
+                       textCol: String, idCol: String,
+                       w: Int = 3, numPerm: Int = 128, bands: Int = 32,
+                       threshold: Double = 0.8): (DataFrame, Long) => Unit =
+    (batchDf, batchId) => {
+      val spark = batchDf.sparkSession
+      import org.apache.hadoop.fs.Path
+      val fs = new Path(corpusDir).getFileSystem(spark.sessionState.newHadoopConf())
+      def committed(sub: String): Seq[String] = {
+        val p = new Path(corpusDir, sub)
+        if (!fs.exists(p)) Seq.empty
+        else fs.listStatus(p).toSeq
+          .filter(s => s.isDirectory && s.getPath.getName.startsWith("batch_id="))
+          .filter(_.getPath.getName.stripPrefix("batch_id=")
+            .toLongOption.exists(_ < batchId))
+          .filter(s => fs.exists(new Path(s.getPath, "_SUCCESS")))
+          .map(_.getPath.toString)
+      }
+      try if (!batchDf.isEmpty) {
+        val parts = graft.operators.Dedup.buildNearDupIndex(
+          batchDf.select(col(idCol), col(textCol)), textCol, idCol,
+          w, numPerm, bands, cache = false)
+        val within = parts.selfPairs(threshold)
+        // a batch part is committed only when BOTH its arrays and buckets
+        // dirs carry _SUCCESS (they are written back to back; the
+        // intersection guards the never-expected half-written stray)
+        val aParts = committed("arrays")
+        val bByBatch = committed("buckets")
+          .map(p => p.substring(p.lastIndexOf("batch_id=")) -> p).toMap
+        val pairedParts = aParts.flatMap(a =>
+          bByBatch.get(a.substring(a.lastIndexOf("batch_id="))).map(a -> _))
+        val pairs =
+          if (pairedParts.isEmpty) within
+          else {
+            val corpus = graft.operators.Dedup.nearDupIndexFromParts(
+              spark.read.parquet(pairedParts.map(_._1): _*),
+              spark.read.parquet(pairedParts.map(_._2): _*), w, numPerm, bands)
+            val cross = corpus.pairsWith(parts, threshold)
+              .filter(col("doc_a") =!= col("doc_b"))
+              .select(least(col("doc_a"), col("doc_b")).as("doc_a"),
+                greatest(col("doc_a"), col("doc_b")).as("doc_b"), col("jaccard"))
+            within.unionByName(cross)
+          }
+        pairs.write.mode("overwrite").parquet(s"$resultDir/batch_id=$batchId")
+        parts.arrays.write.mode("overwrite")
+          .parquet(s"$corpusDir/arrays/batch_id=$batchId")
+        parts.buckets.write.mode("overwrite")
+          .parquet(s"$corpusDir/buckets/batch_id=$batchId")
+      } finally graft.core.CacheScope.release()
+    }
+
   def semanticBatchSink(corpusDir: String, resultDir: String,
                         idCol: String, vecCol: String,
                         k: Int = 32, threshold: Double = 0.35)

@@ -380,6 +380,85 @@ class StreamingSpec extends SparkSpec {
     assert(graft.core.OpLog.finalizedOnly(ops, head, horizon = 3).count() === 7)
   }
 
+  test("T7 fork replay: horizon keeps forked trx out; past-horizon fork truncates and replays to fresh-build state") {
+    val src = tmp(); val out = tmp(); val ckpt = tmp()
+    def urlOp(id: Long, block: Int, tag: String) =
+      op(id, block, 0, "2024-01-01 00:00:00", "podping", podpingV03(Seq(s"$tag$block")))
+
+    // phase 1: head 108, horizon 3 — only blocks <= 105 are finalized.
+    // Blocks 106..108 carry a trx set ("preA") that the chain will roll
+    // back: the watermark must keep them out of derived state entirely.
+    writeBatch(src, 1,
+      (100 to 105).map(b => urlOp(b - 99L, b, "a")) ++
+        (106 to 108).map(b => urlOp(600L + b, b, "preA")))
+    val runner = new PlugRunner(Podping, out)
+    runner.start(OpLog.finalizedOnly(stream(src), 108, 3), ckpt).awaitTermination()
+    val upd1 = runner.table(spark, "updates")
+    assert(upd1.agg(max(col("block_num"))).head.getInt(0) === 105)
+    assert(upd1.filter(col("url").startsWith("preA")).count() === 0,
+      "non-finalized blocks entered derived state early")
+
+    // phase 2: fork WITHIN the horizon — 106..109 re-emitted with a
+    // DIFFERENT trx set ("b"); head 112 finalizes <= 109. The rolled-back
+    // "preA" trx must never appear: the corrected version is the only one
+    // the engine ever ingests (this is the watermark's fork guarantee).
+    writeBatch(src, 2,
+      (106 to 109).map(b => urlOp(800L + b, b, "b")) ++
+        (110 to 112).map(b => urlOp(900L + b, b, "preB")))
+    runner.start(OpLog.finalizedOnly(stream(src), 112, 3), ckpt).awaitTermination()
+    val upd2 = runner.table(spark, "updates").collect()
+    assert(!upd2.exists(_.getAs[String]("url").startsWith("preA")))
+    assert(upd2.count(_.getAs[String]("url").startsWith("b")) === 4)
+
+    // phase 3: the PAST-HORIZON emergency — already-finalized blocks
+    // 108..109 (ingested by batch 1) fork to a "c" trx set. Recovery:
+    // truncate every sink from the first batch holding forked blocks,
+    // then restart with a FRESH checkpoint over the feeder's corrected
+    // re-poll. The stream-origin pin re-derives (base, cursor) from the
+    // surviving check-ins, so replay resumes at the fork point.
+    runner.truncateFromBatch(spark, Seq("ops", "updates"), 1L)
+    assert(runner.table(spark, "updates")
+      .agg(max(col("block_num"))).head.getInt(0) === 105)
+    assert(graft.streaming.PlugState.latest(spark, out, "podping")
+      === Some((0L, 105L)))
+    val src2 = tmp(); val ckpt2 = tmp()
+    val corrected =
+      (106 to 107).map(b => urlOp(800L + b, b, "b")) ++ // unchanged survivors
+        (108 to 114).map(b => urlOp(1000L + b, b, "c")) // corrected chain
+    writeBatch(src2, 1, corrected)
+    runner.start(OpLog.finalizedOnly(stream(src2), 114, 3), ckpt2)
+      .awaitTermination()
+
+    // byte-for-byte: every derived table equals a FRESH build over the
+    // corrected finalized chain (same rows, batch lineage aside)
+    val freshOut = tmp()
+    val fresh = new PlugRunner(Podping, freshOut)
+    fresh.processBatch(opLog(spark,
+      (100 to 105).map(b => urlOp(b - 99L, b, "a")) ++
+        (106 to 107).map(b => urlOp(800L + b, b, "b")) ++
+        (108 to 111).map(b => urlOp(1000L + b, b, "c"))), 0L)
+    Seq("ops", "updates").foreach { t =>
+      val got = runner.table(spark, t)
+      val want = fresh.table(spark, t)
+      assert(got.schema.fieldNames.sorted.sameElements(want.schema.fieldNames.sorted), t)
+      // binary columns render by object identity — hex them for the compare
+      def canon(df: org.apache.spark.sql.DataFrame) = df.select(
+        df.schema.fields.sortBy(_.name).map(f => f.dataType match {
+          case org.apache.spark.sql.types.BinaryType => hex(col(f.name)).as(f.name)
+          case _ => col(f.name)
+        }): _*).collect().map(_.toString).sorted
+      val g = canon(got)
+      val w = canon(want)
+      assert(g.sameElements(w),
+        s"$t diverged from the fresh build after fork recovery:\n" +
+          s"  only in recovered: ${(g.toSet -- w.toSet).take(5).mkString("; ")}\n" +
+          s"  only in fresh:     ${(w.toSet -- g.toSet).take(5).mkString("; ")}")
+    }
+    // and the cursor advanced to the corrected finalized head
+    assert(graft.streaming.PlugState.latest(spark, out, "podping")
+      .map(_._2) === Some(111L))
+  }
+
   test("tumbling-window counts: streaming append emits finalized windows only") {
     import org.apache.spark.sql.types._
     val src = tmp(); val sink = tmp(); val ckpt = tmp()
@@ -583,6 +662,56 @@ class StreamingSpec extends SparkSpec {
     assert(runner.table(spark, "content").count() === nBatches.toLong)
     assert(graft.streaming.PlugState.maxBatchId(spark, out, "polls") ===
       Some(nBatches - 1L))
+  }
+
+  test("streaming near-dup (MinHash-LSH): batches fold to one-shot pairs; replay idempotent") {
+    import org.apache.spark.sql.functions._
+    val docs = graft.core.Tables.documents(spark, "/root/testdata/sf0.001")
+      .select("doc_id", "text").cache()
+    val ids = docs.select("doc_id").collect().map(_.getLong(0)).sorted
+    val cut1 = ids(ids.length / 3); val cut2 = ids(2 * ids.length / 3)
+    val base = java.nio.file.Files.createTempDirectory("ndstream").toString
+    val (src, corpus, results, ckpt) =
+      (s"$base/src", s"$base/corpus", s"$base/results", s"$base/ckpt")
+    docs.filter(col("doc_id") < cut1).coalesce(1).write.parquet(s"$src/b1")
+    docs.filter(col("doc_id") >= cut1 && col("doc_id") < cut2)
+      .coalesce(1).write.parquet(s"$src/b2")
+    docs.filter(col("doc_id") >= cut2).coalesce(1).write.parquet(s"$src/b3")
+    val sink = graft.streaming.StreamingDedup
+      .nearDupBatchSink(corpus, results, "text", "doc_id", 3, 128, 32, 0.8)
+    spark.readStream.schema(docs.schema).option("maxFilesPerTrigger", 1)
+      .parquet(s"$src/b*")
+      .writeStream.foreachBatch(sink)
+      .option("checkpointLocation", ckpt)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start().awaitTermination()
+    def resultSet() = spark.read.parquet(results).collect()
+      .map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"),
+        r.getAs[Double]("jaccard"))).toSet
+    val streamed = resultSet()
+    val oneShot = graft.operators.Dedup
+      .minhashLshPairs(docs, "text", "doc_id", 3, 128, 32, 0.8).collect()
+      .map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"),
+        r.getAs[Double]("jaccard"))).toSet
+    graft.core.CacheScope.release()
+    // EXACT fold, not probabilistic: signatures are per-doc, so one-shot
+    // and incremental see identical band-bucket candidates
+    assert(streamed === oneShot)
+    assert(streamed.nonEmpty, "fixture produced no near-dup pairs — vacuous")
+    // some pairs must actually cross batches for the test to mean anything
+    assert(streamed.exists { case (a, b, _) => a < cut1 && b >= cut1 },
+      "no cross-batch pairs in fixture — equivalence not exercised")
+    // crash-replay of the middle batch: corpus read excludes its own and
+    // later parts; all three writes overwrite their own directories
+    val batch2 = spark.read.parquet(s"$src/b2")
+    sink(batch2, 1L)
+    assert(resultSet() === oneShot)
+    // empty batch: no-op, no new partitions
+    sink(docs.filter(lit(false)), 9L)
+    assert(resultSet() === oneShot)
+    assert(!new java.io.File(s"$results/batch_id=9").exists())
+    assert(!new java.io.File(s"$corpus/arrays/batch_id=9").exists())
+    docs.unpersist()
   }
 
   test("streaming semantic dedup: batches fold to the one-shot result; replay idempotent") {
