@@ -90,6 +90,42 @@ class HttpApi(
     }
   }
 
+  /** The injected clock snapped to SECOND granularity — the plan-cache
+    * key (and embedded literal) of the clock-carrying routes (`active`
+    * filters, user?active=true). Without the snap those routes rebuild
+    * their plan on every request because each call's millisecond clock
+    * is a fresh literal; with it, every request inside the same second
+    * rides one prepared plan, and liveness answers move by at most one
+    * second — below the reference's own block-time resolution. Tests
+    * inject a FIXED clock, for which the snap is the identity.
+    */
+  private def snappedNow(): Timestamp = {
+    val t = now()
+    new Timestamp(t.getTime - java.lang.Math.floorMod(t.getTime, 1000L))
+  }
+
+  /** Head-of-log probe memoized per (table, second, data epoch): routes
+    * with a defaulted block range (counts, poll ops) probe max(block_num)
+    * to anchor the window — a per-request Spark job before this memo.
+    * Serving the same head for one second trades <= 1 s of range
+    * freshness for dropping the probe from every hot-path request; a
+    * data rewrite still invalidates instantly through the epoch key.
+    */
+  private val headCache =
+    scala.collection.concurrent.TrieMap.empty[(String, Long, Long), Long]
+  private def headOf(name: String, df: => DataFrame): Long = {
+    val sec = now().getTime / 1000
+    val k = (name, sec, graft.core.Tables.epoch)
+    headCache.get(k) match {
+      case Some(h) => h
+      case None =>
+        if (headCache.size > 64)
+          headCache.keys.filter(_._2 != sec).foreach(headCache.remove)
+        headCache.getOrElseUpdate(k,
+          graft.core.OpLog.headBlock(df).getOrElse(0L))
+    }
+  }
+
   def start(port: Int = 0): Int = start("127.0.0.1", port)
 
   /** Bind per boot config (reference serve.py:41-42 binds uvicorn to
@@ -110,7 +146,25 @@ class HttpApi(
     */
   def start(host: String, port: Int): Int = start(host, port, 32)
 
-  def start(host: String, port: Int, nThreads: Int): Int = {
+  def start(host: String, port: Int, nThreads: Int): Int =
+    start(host, port, nThreads,
+      maxConcurrent = math.max(4, Runtime.getRuntime.availableProcessors() / 2),
+      queueMillis = 30000L)
+
+  /** Bounded admission for the Spark-backed routes: at most
+    * `maxConcurrent` requests execute plans at once; the rest WAIT on the
+    * gate (a bounded, fair accept queue) and shed with 503 after
+    * `queueMillis`. Past ~cores/2 concurrent collects, extra concurrency
+    * only grows every request's latency (scheduler thrash + GC — the
+    * 50-client closed-loop p99 was pure convoy), so bounding execution
+    * width lowers the tail without costing throughput; the shed deadline
+    * turns a death spiral under true overload into fast, explicit
+    * backpressure. Metadata routes (`/api`, `/api/metadata`) bypass the
+    * gate — they run no Spark and must answer even under shed.
+    */
+  def start(host: String, port: Int, nThreads: Int, maxConcurrent: Int,
+            queueMillis: Long): Int = {
+    val gate = new java.util.concurrent.Semaphore(maxConcurrent, true)
     server = HttpServer.create(new InetSocketAddress(host, port), 0)
     server.createContext("/api", (ex: HttpExchange) => {
       // one pool PER HANDLER THREAD (bounded by nThreads): FAIR mode
@@ -118,13 +172,23 @@ class HttpApi(
       // shared pool would still convoy requests behind each other
       sparkContextOf.foreach(_.setLocalProperty("spark.scheduler.pool",
         s"serving-${Thread.currentThread().getId}"))
-      handle(ex)
+      val path = ex.getRequestURI.getPath
+      if (path == "/api" || path == "/api/metadata") handle(ex)
+      else if (gate.tryAcquire(queueMillis, java.util.concurrent.TimeUnit.MILLISECONDS))
+        try handle(ex) finally gate.release()
+      else {
+        shedCount.incrementAndGet()
+        respond(ex, 503, JsonOut.obj(Map(
+          "error" -> s"overloaded: admission queue exceeded ${queueMillis} ms")))
+      }
     })
     pool = java.util.concurrent.Executors.newFixedThreadPool(nThreads)
     server.setExecutor(pool)
     server.start()
     server.getAddress.getPort
   }
+
+  private[graft] val shedCount = new java.util.concurrent.atomic.AtomicLong
 
   private var pool: java.util.concurrent.ExecutorService = _
 
@@ -226,8 +290,8 @@ class HttpApi(
       (loOpt, hiOpt) = range
       limit <- intParam(q, "limit").map(_.getOrElse(DefaultLimit))
       body <- {
-        val last = hiOpt.getOrElse(graft.core.OpLog.headBlock(
-          updates.select(org.apache.spark.sql.functions.col("block_num"))).getOrElse(0L))
+        val last = hiOpt.getOrElse(headOf("podping_updates",
+          updates.select(org.apache.spark.sql.functions.col("block_num"))))
         val first = loOpt.getOrElse(math.max(0L, last - DefaultCountsWindow))
         ApiShaping.validateBlockRange(first, last).map { case (lo, hi) =>
           rowsJson(prepared(planKey("counts", lo.toString, hi.toString, limit.toString))(
@@ -248,10 +312,13 @@ class HttpApi(
       intParam(q, "limit").map(_.getOrElse(5)).map { limit =>
         import org.apache.spark.sql.functions.col
         val feedCols = Seq("trx_id", "block_num", "created", "reason", "medium")
-        val rows = PodpingQueries.feedUpdates(
-            tables("podping_updates"), tables("podping_ops"), url, limit)
-          .select(feedCols.map(col): _*)
-          .limit(MaxResponseRows).collect().toSeq
+        // the frame is pure in (url, limit): prepared-cache it; only the
+        // time_since arithmetic below touches the (driver-side) clock
+        val rows = prepared(planKey("latest", url, limit.toString))(
+            PodpingQueries.feedUpdates(
+              tables("podping_updates"), tables("podping_ops"), url, limit)
+              .select(feedCols.map(col): _*).limit(MaxResponseRows))
+          .collect().toSeq
         val newest = rows.headOption.map(_.getAs[Timestamp]("created"))
         val shaped = rows.map(r => JsonOut.obj(
           ApiShaping.populateBySchema(r.toSeq, feedCols), feedCols))
@@ -276,8 +343,11 @@ class HttpApi(
     }
 
   private def pollsActive(q: Map[String, String]): Either[String, String] =
-    tagParam(q).map(tag => rowsJson(
-      PollsQueries.activePolls(tables("polls_content"), now(), tag)))
+    tagParam(q).map { tag =>
+      val t = snappedNow()
+      rowsJson(prepared(planKey("active", tag.getOrElse(""), t.getTime.toString))(
+        PollsQueries.activePolls(tables("polls_content"), t, tag)))
+    }
 
   /** Raw poll ops over a block range (plug_endpoints/polls.py:77-104):
     * required op_type, optional range defaulting to the last 24 h of
@@ -292,8 +362,8 @@ class HttpApi(
         (loOpt, hiOpt) = range
         body <- {
           val ops = tables("polls_ops")
-          val last = hiOpt.getOrElse(graft.core.OpLog.headBlock(
-            ops.select(org.apache.spark.sql.functions.col("block_num"))).getOrElse(0L))
+          val last = hiOpt.getOrElse(headOf("polls_ops",
+            ops.select(org.apache.spark.sql.functions.col("block_num"))))
           val first = loOpt.getOrElse(math.max(0L, last - DefaultPollOpsWindow))
           ApiShaping.validateBlockRange(first, last).map { case (lo, hi) =>
             import org.apache.spark.sql.functions.col
@@ -390,13 +460,13 @@ class HttpApi(
         active <- boolParam(q, "active").map(_.getOrElse(false))
         tag <- tagParam(q)
       } yield {
-        def build = PollsQueries.userPolls(
-          tables("polls_content"), author,
-          activeAt = if (active) Some(now()) else None,
-          tag = tag)
-        // the active variant embeds the injected clock — never cached
-        rowsJson(if (active) build
-                 else prepared(planKey("user", author, tag.getOrElse("")))(build))
+        // the active variant embeds the (second-snapped) clock: cached
+        // per second, like pollsActive
+        val t = if (active) Some(snappedNow()) else None
+        rowsJson(prepared(planKey("user", author, tag.getOrElse(""),
+            t.map(_.getTime.toString).getOrElse("")))(
+          PollsQueries.userPolls(tables("polls_content"), author,
+            activeAt = t, tag = tag)))
       }
     }
 
@@ -408,10 +478,27 @@ class HttpApi(
           permlink <- ApiShaping.validatePermlink(p)
         } yield {
           import org.apache.spark.sql.functions.col
+          // Serve from the incrementally-materialized summary when the
+          // streaming pipeline registered one ("polls_summary", see
+          // PollsSummaryTable): the stream already paid the
+          // content-votes join per batch, so the read path is a plain
+          // filtered scan of the latest version. Fallback: the batch
+          // builder (recomputes the join per data epoch, like the
+          // reference recomputes per request). Both paths order by
+          // parsed_answer — identical bytes either way (HttpApiSpec
+          // pins route equivalence).
           rowsJson(prepared(planKey("summary", author, permlink))(
-            PollsQueries.pollSummary(
-              tables("polls_content"), tables("polls_votes"))
-              .filter(col("author") === author && col("permlink") === permlink)))
+            tables.get("polls_summary") match {
+              case Some(live) => live
+                .filter(col("author") === author && col("permlink") === permlink)
+                .select(col("author"), col("permlink"),
+                  col("parsed_answer"), col("votes"))
+                .orderBy(col("parsed_answer"))
+              case None => PollsQueries.pollSummary(
+                  tables("polls_content"), tables("polls_votes"))
+                .filter(col("author") === author && col("permlink") === permlink)
+                .orderBy(col("parsed_answer"))
+            }))
         }
       }
     }

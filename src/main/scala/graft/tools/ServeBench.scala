@@ -67,7 +67,10 @@ object ServeBench {
             HttpRequest.newBuilder(URI.create(s"http://127.0.0.1:$port$path")).GET().build(),
             HttpResponse.BodyHandlers.ofString()).statusCode()
           lat.add(System.nanoTime() - s)
-          if (code != 200) errors.incrementAndGet(): Unit
+          // 503 = explicit load-shed (bounded admission queue timed out),
+          // reported separately below via api.shedCount — only unexpected
+          // statuses count as errors
+          if (code != 200 && code != 503) errors.incrementAndGet(): Unit
         }
       })
     }
@@ -78,6 +81,7 @@ object ServeBench {
     val sorted = lat.toArray(Array.empty[java.lang.Long]).map(_.toLong).sorted
     def pct(p: Double) = sorted(((sorted.length - 1) * p).toInt) / 1e6
     println(f"[serve] clients=$clients reqs=${sorted.length} errors=${errors.get} " +
+      f"shed=${api.shedCount.get} " +
       f"wall=${wallS}%.2f s throughput=${sorted.length / wallS}%.0f req/s")
     println(f"[serve] latency ms: p50=${pct(0.50)}%.1f p90=${pct(0.90)}%.1f " +
       f"p99=${pct(0.99)}%.1f max=${sorted.last / 1e6}%.1f")

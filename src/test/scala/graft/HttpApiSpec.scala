@@ -174,6 +174,37 @@ class HttpApiSpec extends SparkSpec {
     assert(get("/api/polls/user?author=alice&active=banana")._1 === 400)
   }
 
+  test("summary route serves from the incrementally-materialized table when wired — bytes identical") {
+    // live summary via the REAL incremental path (stateful updates ->
+    // merge), wired under the "polls_summary" key; the route must then
+    // read the materialized table (no content-votes join at request
+    // time) and produce byte-identical responses to the batch builder
+    val live = graft.streaming.PollsSummaryTable.merge(None,
+      graft.streaming.PollsStateful.summaryUpdates(
+        graft.streaming.PollsStateful.toPollOps(fixture)))
+    val pod = Podping.transform(fixture)
+    val pol = Polls.transform(fixture)
+    val api2 = new HttpApi(
+      tables = Map(
+        "podping_updates" -> pod("updates"), "podping_ops" -> pod("ops"),
+        "polls_ops" -> pol("ops"), "polls_content" -> pol("content"),
+        "polls_votes" -> pol("votes"), "polls_summary" -> live),
+      now = () => ts("2024-01-15 00:00:00"))
+    val p2 = api2.start()
+    try {
+      val (c1, b1) = get("/api/polls/summary?author=alice&permlink=color")
+      val resp2 = client.send(
+        HttpRequest.newBuilder(
+          URI.create(s"http://127.0.0.1:$p2/api/polls/summary?author=alice&permlink=color"))
+          .GET().build(),
+        HttpResponse.BodyHandlers.ofString())
+      assert(c1 === 200 && resp2.statusCode() === 200)
+      assert(resp2.body() === b1,
+        "live-materialized summary diverged from the batch builder's bytes")
+      assert(resp2.body().contains("\"parsed_answer\": \"blue\""))
+    } finally api2.stop()
+  }
+
   test("combined poll route nests votes (summary and full list)") {
     val (c1, b1) = get("/api/polls/poll?author=alice&permlink=color")
     assert(c1 === 200)
