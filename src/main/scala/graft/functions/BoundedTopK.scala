@@ -22,9 +22,12 @@ import org.apache.spark.sql.types._
   * Determinism: (score, id) is a total order (callers pre-round score;
   * ids are distinct within a group), so the min-k SET and its sorted
   * order are exact — bit-identical to the window formulation, pinned by
-  * spec. Null scores/ids are skipped (window rows with null order keys
-  * sort last and are never in the top k of groups with >= k non-null
-  * candidates; callers here never produce nulls).
+  * spec. Null scores/ids are SKIPPED — which DIVERGES from the window
+  * formulation on null inputs (Spark's ascending ORDER BY is NULLS
+  * FIRST, so the window would rank null-score rows at the TOP of each
+  * group): the pinned equivalence holds for non-null inputs only, and
+  * every current caller builds score/id from non-nullable arithmetic.
+  * Do not point this at a nullable score column expecting window parity.
   */
 case class BoundedTopK(scoreExpr: Expression, idExpr: Expression, k: Int,
                        mutableAggBufferOffset: Int = 0,

@@ -517,20 +517,9 @@ object Dedup {
           col("x.band") === col("y.band") && col("x.bucket") === col("y.bucket"))
         .select(col("x.doc").as("doc_a"), col("y.doc").as("doc_b"))
         .distinct()
-      candidates
-        .join(other.arrays.select(col("doc").as("doc_a"), col("_arr").as("_arr_a")),
-          Seq("doc_a"))
-        .join(arrays.select(col("doc").as("doc_b"), col("_arr").as("_arr_b")),
-          Seq("doc_b"))
-        .select(col("doc_a"), col("doc_b"),
-          org.apache.spark.sql.GraftBridge
-            .intersectCount(col("_arr_a"), col("_arr_b")).as("i"),
-          size(col("_arr_a")).cast("long").as("na"),
-          size(col("_arr_b")).cast("long").as("nb"))
-        .withColumn("jaccard",
-          round(col("i").cast("double") / (col("na") + col("nb") - col("i")), 6))
-        .filter(col("jaccard") >= threshold)
-        .select("doc_a", "doc_b", "jaccard")
+      // batch arrays (a) stay broadcastable; corpus arrays (b) force SMJ
+      Dedup.verifyPairsExactArraysTwo(candidates, other.arrays, arrays,
+        threshold, mergeA = false, mergeB = true)
     }
 
     /** Near-dup pairs (batch doc, corpus doc) with exact Jaccard >=
@@ -552,20 +541,9 @@ object Dedup {
           col("x.band") === col("y.band") && col("x.bucket") === col("y.bucket"))
         .select(col("x.doc").as("doc_a"), col("y.doc").as("doc_b"))
         .distinct()
-      candidates
-        .join(arrsB.select(col("doc").as("doc_a"), col("_arr").as("_arr_a")),
-          Seq("doc_a"))
-        .join(arrays.select(col("doc").as("doc_b"), col("_arr").as("_arr_b")),
-          Seq("doc_b"))
-        .select(col("doc_a"), col("doc_b"),
-          org.apache.spark.sql.GraftBridge
-            .intersectCount(col("_arr_a"), col("_arr_b")).as("i"),
-          size(col("_arr_a")).cast("long").as("na"),
-          size(col("_arr_b")).cast("long").as("nb"))
-        .withColumn("jaccard",
-          round(col("i").cast("double") / (col("na") + col("nb") - col("i")), 6))
-        .filter(col("jaccard") >= threshold)
-        .select("doc_a", "doc_b", "jaccard")
+      // batch arrays (a) stay broadcastable; corpus arrays (b) force SMJ
+      Dedup.verifyPairsExactArraysTwo(candidates, arrsB, arrays,
+        threshold, mergeA = false, mergeB = true)
     }
   }
 
@@ -614,16 +592,33 @@ object Dedup {
     * two bounded arrays (document shingle counts, not corpus size).
     */
   def verifyPairsExactArrays(candidates: DataFrame, arrs: DataFrame,
-                             threshold: Double): DataFrame = {
-    // merge hints: candidates are RESULT-proportional and the arrays side
-    // is corpus-proportional — neither is a broadcastable dimension (the
-    // explode-derived estimates undersell these frames; see the bucket
-    // self-join rationale above)
-    candidates.hint("merge")
-      .join(arrs.select(col("doc").as("doc_a"), col("_arr").as("_arr_a")),
+                             threshold: Double): DataFrame =
+    // merge hints on BOTH fetch joins: candidates are RESULT-proportional
+    // and the arrays side is corpus-proportional — neither is a
+    // broadcastable dimension (the explode-derived estimates undersell
+    // these frames; see the bucket self-join rationale above)
+    verifyPairsExactArraysTwo(candidates, arrs, arrs, threshold,
+      mergeA = true, mergeB = true)
+
+  /** Two-corpus form of [[verifyPairsExactArrays]]: doc_a's arrays come
+    * from `arrsA`, doc_b's from `arrsB` (the one-corpus form passes the
+    * same frame twice) — the SINGLE definition of the exact-Jaccard
+    * verification formula, so the streamed-vs-one-shot fold equivalence
+    * the specs pin can never drift between copies. `mergeA`/`mergeB`
+    * force SMJ on the respective fetch join when that side is
+    * corpus-proportional (explode-derived size estimates undersell
+    * arrays frames, so estimate-driven strategy selection can broadcast
+    * a corpus); a batch-proportional side stays unhinted and the planner
+    * broadcasts it by size.
+    */
+  def verifyPairsExactArraysTwo(candidates: DataFrame, arrsA: DataFrame,
+                                arrsB: DataFrame, threshold: Double,
+                                mergeA: Boolean, mergeB: Boolean): DataFrame = {
+    val withA = (if (mergeA) candidates.hint("merge") else candidates)
+      .join(arrsA.select(col("doc").as("doc_a"), col("_arr").as("_arr_a")),
         Seq("doc_a"))
-      .hint("merge")
-      .join(arrs.select(col("doc").as("doc_b"), col("_arr").as("_arr_b")),
+    (if (mergeB) withA.hint("merge") else withA)
+      .join(arrsB.select(col("doc").as("doc_b"), col("_arr").as("_arr_b")),
         Seq("doc_b"))
       .select(col("doc_a"), col("doc_b"),
         org.apache.spark.sql.GraftBridge

@@ -52,17 +52,26 @@ class HttpApi(
     * Catalyst analysis, optimization, and codegen for a repeated request
     * are paid once per data epoch, which is what a prepared statement is.
     *
-    * Only routes whose query is a PURE function of its params use it:
-    * anything embedding the injected clock (`active` filters,
-    * `time_since`) or a head-of-log probe (default block ranges) rebuilds
-    * per request, because its literals legitimately change between
-    * requests. Size-capped (a scan of random params must not grow the
-    * serving process): overflow evicts dead-epoch entries first and
-    * clears wholesale only if live entries alone still overflow.
+    * Every cached entry's key embeds EVERYTHING its plan's literals
+    * derive from: route params, and — for clock-carrying routes — the
+    * SECOND-snapped injected clock ([[snappedNow]]) or the memoized
+    * head-of-log anchor ([[headOf]]); a key therefore never serves a
+    * plan whose literals differ from what the key states. Because the
+    * snapped-clock keys mint a new entry every second under steady
+    * traffic, the cache is LRU (access-ordered, size-capped): stale
+    * seconds age out one at a time and the hot pure-param entries stay
+    * resident — a wholesale clear would re-pay Catalyst for every route
+    * at once, the exact tail spike the cache exists to prevent. Dead
+    * data epochs age out the same way (their entries stop being
+    * touched after an invalidate).
     */
-  private val planCache =
-    scala.collection.concurrent.TrieMap.empty[(String, Long), DataFrame]
   private val PlanCacheMax = 256
+  private val planCache = java.util.Collections.synchronizedMap(
+    new java.util.LinkedHashMap[(String, Long), DataFrame](64, 0.75f, true) {
+      override def removeEldestEntry(
+          e: java.util.Map.Entry[(String, Long), DataFrame]): Boolean =
+        size() > PlanCacheMax
+    })
   private[graft] val planCacheHits = new java.util.concurrent.atomic.AtomicLong
   /** Unambiguous cache key: each param is URL-encoded before joining, so
     * a '/' INSIDE a param value (the validators only bound lengths) can
@@ -72,21 +81,15 @@ class HttpApi(
   private def planKey(parts: String*): String =
     parts.map(java.net.URLEncoder.encode(_, "UTF-8")).mkString("/")
   private def prepared(key: String)(build: => DataFrame): DataFrame = {
-    val epoch = graft.core.Tables.epoch
-    val k = (key, epoch)
-    planCache.get(k) match {
-      case Some(df) =>
-        planCacheHits.incrementAndGet(); df
-      case None =>
-        // dead epochs first (an invalidate strands every older entry);
-        // wholesale clear only if live entries alone still overflow
-        if (planCache.size >= PlanCacheMax) {
-          planCache.keys.filter(_._2 != epoch).foreach(planCache.remove)
-          if (planCache.size >= PlanCacheMax) planCache.clear()
-        }
-        val df = build
-        planCache.putIfAbsent(k, df)
-        df
+    val k = (key, graft.core.Tables.epoch)
+    val hit = planCache.get(k)
+    if (hit != null) { planCacheHits.incrementAndGet(); hit }
+    else {
+      // racing builders may each build once; last put wins — harmless
+      // (both frames are identical plans) and lock-free on the hot path
+      val df = build
+      planCache.put(k, df)
+      df
     }
   }
 
@@ -161,6 +164,17 @@ class HttpApi(
     * turns a death spiral under true overload into fast, explicit
     * backpressure. Metadata routes (`/api`, `/api/metadata`) bypass the
     * gate — they run no Spark and must answer even under shed.
+    *
+    * Thread model: the dispatch pool keeps `nThreads` core threads but
+    * GROWS (to 4x, floor 64) when all of them are busy — with a fixed
+    * pool, gate-WAITERS exhaust dispatch entirely and the metadata
+    * bypass is a dead letter (the health probe sits in the accept queue
+    * behind 30 s waiters and an orchestrator restarts a healthy-but-
+    * loaded server). Waiting threads are cheap (parked on the fair
+    * semaphore); EXECUTION width is what the gate bounds. Past the hard
+    * thread cap the overflow request runs on the acceptor thread
+    * (CallerRuns), which must never park: it answers metadata inline
+    * and sheds Spark routes immediately.
     */
   def start(host: String, port: Int, nThreads: Int, maxConcurrent: Int,
             queueMillis: Long): Int = {
@@ -173,8 +187,12 @@ class HttpApi(
       sparkContextOf.foreach(_.setLocalProperty("spark.scheduler.pool",
         s"serving-${Thread.currentThread().getId}"))
       val path = ex.getRequestURI.getPath
+      // only dispatch-pool threads may park on the gate; the acceptor
+      // thread (CallerRuns overflow past the thread cap) must stay live
+      val canPark = Thread.currentThread().getName.startsWith(HttpThreadPrefix)
       if (path == "/api" || path == "/api/metadata") handle(ex)
-      else if (gate.tryAcquire(queueMillis, java.util.concurrent.TimeUnit.MILLISECONDS))
+      else if (canPark &&
+          gate.tryAcquire(queueMillis, java.util.concurrent.TimeUnit.MILLISECONDS))
         try handle(ex) finally gate.release()
       else {
         shedCount.incrementAndGet()
@@ -182,11 +200,24 @@ class HttpApi(
           "error" -> s"overloaded: admission queue exceeded ${queueMillis} ms")))
       }
     })
-    pool = java.util.concurrent.Executors.newFixedThreadPool(nThreads)
+    val tf = new java.util.concurrent.ThreadFactory {
+      private val n = new java.util.concurrent.atomic.AtomicLong
+      override def newThread(r: Runnable): Thread = {
+        val t = new Thread(r, HttpThreadPrefix + n.incrementAndGet())
+        t.setDaemon(true); t
+      }
+    }
+    pool = new java.util.concurrent.ThreadPoolExecutor(
+      nThreads, math.max(nThreads * 4, 64),
+      60L, java.util.concurrent.TimeUnit.SECONDS,
+      new java.util.concurrent.SynchronousQueue[Runnable](), tf,
+      new java.util.concurrent.ThreadPoolExecutor.CallerRunsPolicy())
     server.setExecutor(pool)
     server.start()
     server.getAddress.getPort
   }
+
+  private val HttpThreadPrefix = "graft-http-"
 
   private[graft] val shedCount = new java.util.concurrent.atomic.AtomicLong
 

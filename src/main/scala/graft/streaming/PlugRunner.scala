@@ -385,18 +385,43 @@ class PlugRunner(
     * into a compact segment (compaction lags by [[CompactEvery]], far
     * deeper than any watermark-bounded fork), and merge tables must
     * still retain a state version below the fork ([[StateKeepLast]]).
+    * EVERY bound is validated before ANYTHING is mutated, so a
+    * too-deep fork fails with all sinks and the cursor untouched —
+    * never a half-truncated mix. The mutation order is cursor FIRST,
+    * sinks after: once the check-ins report the pre-fork cursor, any
+    * restart replays from the fork point (overwriting leftover
+    * post-fork batch dirs idempotently), whereas the reverse order
+    * would open a crash window where the cursor is post-fork while
+    * sinks are pre-fork and a restart silently skips the truncated
+    * range. The method is idempotent — after a crash mid-truncation,
+    * re-run it to completion before restarting the stream (required
+    * for merge tables, whose fold reads the latest retained version).
     */
   def truncateFromBatch(spark: SparkSession, tableNames: Seq[String],
                         fromBatch: Long): Unit = {
-    tableNames.foreach { name =>
-      if (mergeFns.contains(name))
-        new ParquetStateStore(spark, tableDir(name)).truncateFrom(fromBatch)
-      else {
-        val m = manifest(spark, name)
-        require(m.segments.forall(_ < fromBatch),
-          s"append table $name folded batches >= $fromBatch into segments " +
-            s"(watermarks ${m.segments.mkString(",")}) — fork deeper than " +
-            "the compaction lag; rebuild the table from scratch")
+    // phase 1 — validate every retention bound up front; no mutation
+    // happens unless every table (and the cursor history) can roll back
+    val planned: Seq[(String, Either[ParquetStateStore, AppendManifest])] =
+      tableNames.map { name =>
+        if (mergeFns.contains(name)) {
+          val st = new ParquetStateStore(spark, tableDir(name))
+          st.validateTruncateFrom(fromBatch)
+          name -> Left(st)
+        } else {
+          val m = manifest(spark, name)
+          require(m.segments.forall(_ < fromBatch),
+            s"append table $name folded batches >= $fromBatch into segments " +
+              s"(watermarks ${m.segments.mkString(",")}) — fork deeper than " +
+              "the compaction lag; rebuild the table from scratch")
+          name -> Right(m)
+        }
+      }
+    PlugState.validateTruncateFrom(spark, outDir, plug.name, fromBatch)
+    // phase 2 — cursor first (see scaladoc), then the sinks
+    PlugState.truncateFrom(spark, outDir, plug.name, fromBatch)
+    planned.foreach {
+      case (_, Left(store)) => store.truncateFrom(fromBatch)
+      case (name, Right(m)) =>
         val keep = m.live.filter(_ < fromBatch)
         if (keep.size != m.live.size) {
           // manifest first: readers exclude the doomed ids the instant it
@@ -408,9 +433,7 @@ class PlugRunner(
           m.live.filter(_ >= fromBatch).foreach(n =>
             fs.delete(new org.apache.hadoop.fs.Path(root, s"_batch_id=$n"), true))
         }
-      }
     }
-    PlugState.truncateFrom(spark, outDir, plug.name, fromBatch)
   }
 
   /** DDL-at-boot (S9; reference `database/haf.py:38-47,72-84` runs
@@ -587,17 +610,26 @@ object PlugState {
     */
   def truncateFrom(spark: SparkSession, outDir: String, plugName: String,
                    fromBatch: Long): Unit = {
+    validateTruncateFrom(spark, outDir, plugName, fromBatch)
+    val root = stateRoot(outDir, plugName)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    versionIds(fs, root).filter(_ >= fromBatch).foreach(v =>
+      fs.delete(new org.apache.hadoop.fs.Path(root, s"v=$v"), true))
+  }
+
+  /** The retained-check-in bound of [[truncateFrom]] alone, mutation-free
+    * (same validate-all-before-mutating contract as
+    * [[ParquetStateStore.validateTruncateFrom]]).
+    */
+  def validateTruncateFrom(spark: SparkSession, outDir: String,
+                           plugName: String, fromBatch: Long): Unit = {
     val root = stateRoot(outDir, plugName)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val vs = versionIds(fs, root)
-    val doomed = vs.filter(_ >= fromBatch)
-    if (doomed.nonEmpty) {
+    if (vs.exists(_ >= fromBatch))
       require(vs.exists(_ < fromBatch),
         s"plug-state rollback to batch $fromBatch reaches past every " +
           s"retained check-in (${vs.mkString(",")}) — rebuild from scratch")
-      doomed.foreach(v =>
-        fs.delete(new org.apache.hadoop.fs.Path(root, s"v=$v"), true))
-    }
   }
 }
 
@@ -662,14 +694,21 @@ class ParquetStateStore(spark: SparkSession, dir: String) {
     * silently drop all pre-fork state) rather than truncate to nothing.
     */
   def truncateFrom(fromBatch: Long): Unit = {
+    validateTruncateFrom(fromBatch)
+    versions.filter(_ >= fromBatch)
+      .foreach(v => fs.delete(new Path(root, s"v=$v"), true))
+  }
+
+  /** The retained-window bound of [[truncateFrom]] alone, mutation-free —
+    * [[PlugRunner.truncateFromBatch]] validates every table before
+    * truncating any, so a too-deep fork leaves all state untouched.
+    */
+  def validateTruncateFrom(fromBatch: Long): Unit = {
     val vs = versions
-    val doomed = vs.filter(_ >= fromBatch)
-    if (doomed.nonEmpty) {
+    if (vs.exists(_ >= fromBatch))
       require(vs.exists(_ < fromBatch),
         s"state rollback to batch $fromBatch reaches past every retained " +
           s"version (${vs.mkString(",")}) — deepen StateKeepLast or rebuild " +
           "this table from scratch")
-      doomed.foreach(v => fs.delete(new Path(root, s"v=$v"), true))
-    }
   }
 }

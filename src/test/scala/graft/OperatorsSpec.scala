@@ -1317,20 +1317,23 @@ class OperatorsSpec extends SparkSpec {
     // plan-building the join form runs ZERO Spark jobs: the probe frame
     // is never collected (the scale contract VS topK's driver-side table)
     val jobs = new java.util.concurrent.atomic.AtomicLong
-    spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
+    val listener = new org.apache.spark.scheduler.SparkListener {
       override def onJobStart(j: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
         jobs.incrementAndGet()
-    })
-    org.apache.spark.sql.GraftBridge.drainListenerBus(spark)
-    val j0 = jobs.get
-    val joined = idx.topKJoin(emb, 5, nProbe = 2)
-    org.apache.spark.sql.GraftBridge.drainListenerBus(spark)
-    assert(jobs.get === j0,
-      "topKJoin ran Spark jobs during plan construction — a probe collect snuck in")
-    val got = joined.collect().map(r => (r.getAs[Long]("probe_id"),
-      r.getAs[Long]("neighbor_id"), r.getAs[Double]("approx_dist"),
-      r.getAs[Int]("rank"))).toSet
-    assert(got === exp)
+    }
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      org.apache.spark.sql.GraftBridge.drainListenerBus(spark)
+      val j0 = jobs.get
+      val joined = idx.topKJoin(emb, 5, nProbe = 2)
+      org.apache.spark.sql.GraftBridge.drainListenerBus(spark)
+      assert(jobs.get === j0,
+        "topKJoin ran Spark jobs during plan construction — a probe collect snuck in")
+      val got = joined.collect().map(r => (r.getAs[Long]("probe_id"),
+        r.getAs[Long]("neighbor_id"), r.getAs[Double]("approx_dist"),
+        r.getAs[Int]("rank"))).toSet
+      assert(got === exp)
+    } finally spark.sparkContext.removeSparkListener(listener)
     idx.codes.unpersist()
   }
 
