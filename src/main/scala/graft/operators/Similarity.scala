@@ -96,25 +96,43 @@ object Similarity {
     * fixed seed.
     */
   def ivfTopK(corpus: DataFrame, probes: DataFrame, k: Int,
-              nCells: Int = 16, nProbe: Int = 4,
+              nCells: Int = 0, nProbe: Int = 4,
               idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame =
     // one-shot path: a throwaway index must not persist (no release hook
     // exists for it — N calls would leak N corpus copies in storage)
     buildIvf(corpus, nCells, idCol, vecCol, cache = false).topK(probes, k, nProbe)
 
+  /** Corpus-sized cell count — the FAISS IVF sizing rule (cells ~ sqrt n,
+    * so per-cell size AND cell count both grow as sqrt n): a FIXED cell
+    * count is the classic 100x trap, because candidate volume for a
+    * corpus-x-corpus query is |probes| * nProbe * (n / cells) — with
+    * constant cells that is QUADRATIC in n (the sf10 stress tier caught
+    * exactly this: 8 fixed cells * 200k probes = 10^10 ADC pairs), while
+    * sqrt-scaled cells keep it n^1.5 of which the per-probe share stays
+    * flat. Floor 4 (below that "probing a cell" means scanning the
+    * corpus), cap 4096 (past a few thousand centers, flat O(cells * d)
+    * assignment itself needs ANN-assisted routing — NearestSeed scaladoc),
+    * and never more cells than vectors (KMeans k <= n).
+    */
+  private[graft] def autoCells(n: Long): Int =
+    math.max(1L, math.min(n,
+      math.min(4096L, math.max(4L, math.round(math.sqrt(n.toDouble)))))).toInt
+
   /** Build the IVF index once; `topK` queries it many times (the
     * production ANN lifecycle — index build is the expensive one-time
     * step; at scale `cells` is written out partitioned by cell id).
     * `cache = true` persists the inverted file for repeated queries;
-    * leave false for one-shot use.
+    * leave false for one-shot use. `nCells <= 0` (the default) sizes the
+    * cell count from the corpus via [[autoCells]].
     */
-  def buildIvf(corpus: DataFrame, nCells: Int = 16,
+  def buildIvf(corpus: DataFrame, nCells: Int = 0,
                idCol: String = "vec_id", vecCol: String = "embedding",
                cache: Boolean = true): IvfIndex = {
     import org.apache.spark.ml.clustering.KMeans
     import org.apache.spark.ml.functions.array_to_vector
     val c = spread(corpus).select(col(idCol).as("neighbor_id"), asDouble(col(vecCol)).as("_cv"))
-    val model = new KMeans().setK(nCells).setMaxIter(5).setSeed(42)
+    val k = if (nCells > 0) nCells else autoCells(c.count())
+    val model = new KMeans().setK(k).setMaxIter(5).setSeed(42)
       .setFeaturesCol("features")
       .fit(c.withColumn("features", array_to_vector(col("_cv"))))
     val centers = model.clusterCenters.map(_.toArray)
@@ -394,7 +412,7 @@ object Similarity {
     * probes × nProbe × m × k rows, broadcast. The residual pass is one
     * broadcast join + map (no shuffle of the corpus).
     */
-  def buildIvfPq(corpus: DataFrame, nCells: Int = 8, m: Int = 8,
+  def buildIvfPq(corpus: DataFrame, nCells: Int = 0, m: Int = 8,
                  kCodes: Int = 16, idCol: String = "vec_id",
                  vecCol: String = "embedding",
                  cache: Boolean = true): IvfPqIndex = {
@@ -408,7 +426,10 @@ object Similarity {
     // full scan+cast passes over the corpus
     val c = spread(corpus).select(col(idCol).as("neighbor_id"),
       asDouble(col(vecCol)).as("_cv")).cache()
-    val model = new KMeans().setK(nCells).setMaxIter(5).setSeed(42)
+    // nCells <= 0 (default): corpus-sized via autoCells — a fixed cell
+    // count makes corpus-x-corpus ADC quadratic in n (see autoCells)
+    val kc = if (nCells > 0) nCells else autoCells(c.count())
+    val model = new KMeans().setK(kc).setMaxIter(5).setSeed(42)
       .setFeaturesCol("features")
       .fit(c.withColumn("features", array_to_vector(col("_cv"))))
     val centers = model.clusterCenters.map(_.toArray)
