@@ -623,6 +623,18 @@ class OperatorsSpec extends SparkSpec {
     assert(recall >= 0.5, s"recall $recall") // hamming<=1 fanout on 8 planes
   }
 
+  test("autoCells follows the sqrt-n IVF sizing rule with floor, cap, and k<=n") {
+    // the 100x contract: fixed cells make corpus-x-corpus ADC quadratic
+    // in n; sqrt scaling keeps the per-probe candidate share flat
+    assert(Similarity.autoCells(1) === 1)          // k <= n beats the floor
+    assert(Similarity.autoCells(2) === 2)
+    assert(Similarity.autoCells(20) === 4)         // floor 4
+    assert(Similarity.autoCells(500) === 22)       // round(sqrt 500)
+    assert(Similarity.autoCells(2000) === 45)
+    assert(Similarity.autoCells(200000) === 447)
+    assert(Similarity.autoCells(100000000L) === 4096) // cap: assignment cost
+  }
+
   test("IVF top-k achieves high recall vs brute force on real embeddings") {
     val emb = graft.core.Tables.embeddings(spark, "/root/testdata/sf0.001")
     val probes = emb.filter(col("vec_id") < 5)
