@@ -27,8 +27,15 @@ object Verify {
     SparkEntry.queries
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .foreach { case (name, fn) =>
-      try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
-        .parquet(s"$outDir/$name")
+      // localCheckpoint BEFORE coalesce(1): coalesce is shuffle-free, so
+      // without the checkpoint the single-file write folds the WHOLE
+      // upstream pipeline into one task (invisible at the driver's
+      // sf0.01, a single-core grind at the sf10 stress tier). The eager
+      // checkpoint computes with full parallelism; coalesce then just
+      // concatenates the stored partitions in index order, preserving
+      // any ORDER BY exactly like the direct coalesce did.
+      try fn(spark, sfDir).localCheckpoint(true).coalesce(1).write
+        .mode("overwrite").parquet(s"$outDir/$name")
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
