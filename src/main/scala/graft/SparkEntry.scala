@@ -1471,30 +1471,17 @@ object SparkEntry {
     // within each cluster. The seed-assignment overload is exactly
     // replicable by the oracle (no k-means iteration); the trained-
     // centroid production path is spec-covered in OperatorsSpec.
-    // k=32 — the cluster count IS SemDeDup's scale knob (cost is
-    // quadratic in cluster size): k=8 left 2500-row blocks at the sf1
-    // tier (25M pairs, 17.9 s); k=32 cuts the pair space 4x and is the
-    // honest at-scale shape (the paper runs ~100k clusters).
+    // k auto-sized (sqrt n — Similarity.autoCells): the cluster count IS
+    // SemDeDup's scale knob (pair cost is quadratic in cluster size,
+    // n^2/k total — a fixed k is quadratic in corpus growth; the sf10
+    // stress tier measured fixed k=32 at 97 s vs ~7 s auto). The oracle
+    // is generated per dataset with the SAME k embedded as its seed
+    // LIMIT literal ([[semanticOracleSql]]), so the gate stays
+    // scale-honest at every tier.
     Q("dedup_semantic",
       (s, d) => Dedup.semanticDedup(Tables.embeddings(s, d),
-        "vec_id", "embedding", 32, 0.35),
-      Some("""WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
-             |s AS (SELECT vec_id AS sid, e AS se FROM v ORDER BY vec_id LIMIT 32),
-             |sc AS (SELECT v.vec_id, v.e, s.sid,
-             |         round(list_dot_product(v.e, s.se) /
-             |           (sqrt(list_dot_product(v.e, v.e)) * sqrt(list_dot_product(s.se, s.se))), 6) AS cos
-             |       FROM v CROSS JOIN s),
-             |a AS (SELECT vec_id, e, sid AS cluster FROM (
-             |        SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, sid) AS rn
-             |        FROM sc)
-             |      WHERE rn = 1),
-             |d AS (SELECT DISTINCT y.vec_id FROM a x JOIN a y
-             |        ON x.cluster = y.cluster AND x.vec_id < y.vec_id
-             |       WHERE round(list_dot_product(x.e, y.e) /
-             |           (sqrt(list_dot_product(x.e, x.e)) * sqrt(list_dot_product(y.e, y.e))), 6) >= 0.35)
-             |SELECT a.vec_id, a.cluster,
-             |       CAST(CASE WHEN d.vec_id IS NULL THEN 1 ELSE 0 END AS BIGINT) AS keep
-             |FROM a LEFT JOIN d ON a.vec_id = d.vec_id""".stripMargin)),
+        "vec_id", "embedding", 0, 0.35),
+      None),
 
     // DSIR importance resampling: raw = doc_id % 10 != 0 scored against
     // the target slice's hashed-ngram distribution; top quarter kept
@@ -2291,7 +2278,8 @@ object SparkEntry {
     Seq[(String, () => String)](
       "sim_ivf_topk" -> (() => ivfOracleSql(s, d)),
       "sim_ivfpq_topk" -> (() => ivfPqOracleSql(s, d)),
-      "sim_ivfpq_join" -> (() => ivfPqJoinOracleSql(s, d)))
+      "sim_ivfpq_join" -> (() => ivfPqJoinOracleSql(s, d)),
+      "dedup_semantic" -> (() => semanticOracleSql(s, d)))
       .flatMap { case (name, gen) =>
         scala.util.Try(gen()) match {
           case scala.util.Success(sql) => Some(name -> sql)
@@ -2325,6 +2313,34 @@ object SparkEntry {
   private def ivfPqJoinOracleSql(s: SparkSession, d: String): String =
     ivfPqOracleBody(s, d, nProbe = 2, probePred = "",
       selfPred = "AND codes.vec_id <> pd.probe_id")
+
+  /** dedup_semantic oracle — the SemDeDup seed-blocked dedup SQL,
+    * templated on the auto-sized cluster count: the k the operator
+    * derives (sqrt n via [[operators.Similarity.autoCells]] — a fixed k
+    * makes total pair cost n^2/k, quadratic in corpus growth) is
+    * embedded as the seed LIMIT literal, so the gate's pair-space
+    * stays bounded and zero-diff at every tier.
+    */
+  private def semanticOracleSql(s: SparkSession, d: String): String = {
+    val k = operators.Similarity.autoCells(Tables.embeddings(s, d).count())
+    s"""WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+       |s AS (SELECT vec_id AS sid, e AS se FROM v ORDER BY vec_id LIMIT $k),
+       |sc AS (SELECT v.vec_id, v.e, s.sid,
+       |         round(list_dot_product(v.e, s.se) /
+       |           (sqrt(list_dot_product(v.e, v.e)) * sqrt(list_dot_product(s.se, s.se))), 6) AS cos
+       |       FROM v CROSS JOIN s),
+       |a AS (SELECT vec_id, e, sid AS cluster FROM (
+       |        SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, sid) AS rn
+       |        FROM sc)
+       |      WHERE rn = 1),
+       |d AS (SELECT DISTINCT y.vec_id FROM a x JOIN a y
+       |        ON x.cluster = y.cluster AND x.vec_id < y.vec_id
+       |       WHERE round(list_dot_product(x.e, y.e) /
+       |           (sqrt(list_dot_product(x.e, x.e)) * sqrt(list_dot_product(y.e, y.e))), 6) >= 0.35)
+       |SELECT a.vec_id, a.cluster,
+       |       CAST(CASE WHEN d.vec_id IS NULL THEN 1 ELSE 0 END AS BIGINT) AS keep
+       |FROM a LEFT JOIN d ON a.vec_id = d.vec_id""".stripMargin
+  }
 
   private def ivfPqOracleBody(s: SparkSession, d: String, nProbe: Int,
                               probePred: String, selfPred: String): String = {

@@ -1191,14 +1191,22 @@ object Dedup {
     * map-side pass over the corpus; the only shuffle is the within-cluster
     * self equi join, whose cost is QUADRATIC IN CLUSTER SIZE — k is the
     * scale knob (the paper runs ~100k clusters at web scale precisely so
-    * blocks stay tiny). Same merge-hint rationale as
-    * [[embeddingCosinePairs]]: both join sides are corpus-proportional
-    * with heavy array payloads — broadcasting one is a driver OOM class.
+    * blocks stay tiny). `k <= 0` (the default) sizes it as sqrt(n) via
+    * [[Similarity.autoCells]]: a FIXED k makes total pair cost
+    * k * (n/k)^2 = n^2/k — quadratic in corpus growth (the sf10 stress
+    * tier measured the k=32 gate at 97 s vs ~7 s auto-sized), while
+    * sqrt-k balances assignment (n * k * d) against pair volume (n^1.5),
+    * the same trade [[Similarity.autoCells]] prices for IVF. Same
+    * merge-hint rationale as [[embeddingCosinePairs]]: both join sides
+    * are corpus-proportional with heavy array payloads — broadcasting
+    * one is a driver OOM class.
     */
   def semanticDedup(emb: DataFrame, idCol: String, vecCol: String,
-                    k: Int = 8, threshold: Double = 0.35): DataFrame =
-    intraClusterDedup(seedAssign(emb, idCol, vecCol, k)
+                    k: Int = 0, threshold: Double = 0.35): DataFrame = {
+    val kk = if (k > 0) k else Similarity.autoCells(emb.count())
+    intraClusterDedup(seedAssign(emb, idCol, vecCol, kk)
       .withColumn("rank", col("vid")), threshold, idCol)
+  }
 
   /** Fixed-seed cluster assignment: each vector goes to the nearest of the
     * k seed vectors (the embeddings of the k smallest ids) by ROUNDED
