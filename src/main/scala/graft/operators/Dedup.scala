@@ -1042,37 +1042,80 @@ object Dedup {
     * shuffle/partition key; without it this operator would be a cross
     * product.
     *
-    * Cost is QUADRATIC IN BLOCK SIZE by construction (pair enumeration):
-    * 10x bigger blocks = 100x the cosine evaluations — measured 17.5x
-    * wall on the 10x stress tier (SCALE_STRESS.md). The blocking
-    * granularity is therefore the scale knob: blocks must stay bounded
-    * (finer labels, LSH-bucket blocking) as the corpus grows; when they
-    * cannot be bounded, use the candidate-restricted ANN paths
+    * Cost is QUADRATIC IN BLOCK SIZE by construction (pair enumeration) —
+    * but in DISTINCT vectors only: exact-duplicate vectors are collapsed
+    * to one representative before pairing (one linear groupBy(blk, vec)
+    * shuffle) and representative pairs expand back to member id pairs
+    * exactly, so a corpus that is mostly copies (the case dedup exists
+    * for) pays the quadratic on its unique content, not its row count.
+    * 10x bigger DISTINCT blocks = 100x the cosine evaluations. The
+    * blocking granularity is therefore the scale knob: blocks must stay
+    * bounded (finer labels, LSH-bucket blocking) as the corpus grows;
+    * when they cannot be bounded, use the candidate-restricted ANN paths
     * ([[Similarity.lshTopK]] / IVF) instead of exhaustive pairs.
     */
   def embeddingCosinePairs(emb: DataFrame, idCol: String, vecCol: String,
                            blockCol: String, threshold: Double): DataFrame = {
-    val v = spread(emb).select(col(blockCol).as("blk"), col(idCol).as("vid"),
+    val v0 = spread(emb).select(col(blockCol).as("blk"), col(idCol).as("vid"),
       transform(col(vecCol), x => x.cast("double")).as("vec"))
+    // Collapse EXACT-duplicate vectors within a block before the
+    // quadratic stage: pair work becomes quadratic in DISTINCT vectors
+    // only, and the duplicate-heavy corpora this operator exists for are
+    // exactly where that matters (the sf10 stress tier, 100 copies of
+    // every vector, measured 399 s pairing raw rows — the collapse pays
+    // one linear groupBy shuffle to shrink the pair space 10^4x).
+    // Identical arrays give bit-identical cosines, so expanding a
+    // representative-level pair back to its member id pairs reproduces
+    // the raw pairing EXACTLY (spec-pinned equal to the direct join).
+    val reps = v0.groupBy(col("blk"), col("vec"))
+      .agg(min(col("vid")).as("rvid"), collect_list(col("vid")).as("members"))
       // staged per-row norm: one dot + one multiply per PAIR instead of
       // three dots — bit-identical to the inline cosine
       .withColumn("nrm", sqrt(Similarity.dot(col("vec"), col("vec"))))
     // Salt-split the per-block quadratic exactly as [[intraClusterDedup]]
     // does: few blocking labels = few join keys = near-serial pair stage;
-    // bucketing b by hash(vid) and replicating a to all S buckets splits
-    // each block's pair work S ways with identical output.
-    val (xa, yb) = saltedSides(v, v, "vid", replicateX = true)
-    // merge hint: both sides are the full vector table (corpus-
+    // bucketing b by hash(rvid) and replicating a to all S buckets splits
+    // each block's pair work S ways with identical output. S scales with
+    // the largest block ([[adaptiveSalts]]) — blocking keys the caller
+    // cannot refine (a coarse label column) must not serialize the stage.
+    val maxBlockRow = reps.groupBy("blk").count()
+      .agg(max("count")).collect()(0)
+    val maxBlock = if (maxBlockRow.isNullAt(0)) 0L else maxBlockRow.getLong(0)
+    val (xa, yb) = saltedSides(reps, reps, "rvid", replicateX = true,
+      salts = adaptiveSalts(maxBlock))
+    // merge hint: both sides are the distinct-vector table (corpus-
     // proportional, and heavy rows — the embedding array rides the join);
     // broadcasting it is a driver OOM at scale, same class as the LSH
     // bucket self-join
-    xa.as("a").hint("merge").join(yb.as("b"),
+    val crossRep = xa.as("a").hint("merge").join(yb.as("b"),
         col("a.blk") === col("b.blk") && col("a.sb") === col("b.sb") &&
-          col("a.vid") < col("b.vid"))
-      .select(col("a.vid").as("id_a"), col("b.vid").as("id_b"),
+          col("a.rvid") < col("b.rvid"))
+      .select(col("a.members").as("ma"), col("b.members").as("mb"),
         round(Similarity.dot(col("a.vec"), col("b.vec")) /
           (col("a.nrm") * col("b.nrm")), 6).as("cosine"))
       .filter(col("cosine") >= threshold)
+    // distinct-vector pairs expand to all member cross pairs (the cosine
+    // is the same double for every copy); ids are globally distinct, so
+    // least/greatest reproduces the vid_a < vid_b orientation
+    val cross = crossRep
+      .select(explode(col("ma")).as("ia"), col("mb"), col("cosine"))
+      .select(col("ia"), explode(col("mb")).as("ib"), col("cosine"))
+      .select(least(col("ia"), col("ib")).as("id_a"),
+        greatest(col("ia"), col("ib")).as("id_b"), col("cosine"))
+    // copies of ONE vector pair among themselves iff their self-cosine
+    // passes (the same 0/0 => NaN => drop edge the raw join has for
+    // zero vectors)
+    val self = reps.filter(size(col("members")) > 1)
+      .withColumn("cosine",
+        round(Similarity.dot(col("vec"), col("vec")) /
+          (col("nrm") * col("nrm")), 6))
+      .filter(col("cosine") >= threshold)
+      .select(col("members"), col("cosine"))
+      .select(explode(col("members")).as("ia"), col("members"), col("cosine"))
+      .select(col("ia"), explode(col("members")).as("ib"), col("cosine"))
+      .filter(col("ia") < col("ib"))
+      .select(col("ia").as("id_a"), col("ib").as("id_b"), col("cosine"))
+    cross.unionByName(self)
   }
 
   /** Bucket count for salt-splitting the quadratic pair joins: enough to
@@ -1351,12 +1394,27 @@ object Dedup {
     * only.
     */
   private def saltedSides(x0: DataFrame, y0: DataFrame, idColName: String,
-                          replicateX: Boolean): (DataFrame, DataFrame) = {
-    val salts = pairSaltBuckets
+                          replicateX: Boolean,
+                          salts: Int = pairSaltBuckets): (DataFrame, DataFrame) = {
     val rep = explode(array((0 until salts).map(lit): _*))
     val bucket = pmod(hash(col(idColName)), lit(salts))
     if (replicateX) (x0.withColumn("sb", rep), y0.withColumn("sb", bucket))
     else (x0.withColumn("sb", bucket), y0.withColumn("sb", rep))
+  }
+
+  /** Salt count sized to the LARGEST block: per-(block, salt) pair work
+    * is blockRows * (blockRows / S) / 2, so S = blockRows^2 / (2 * P)
+    * holds the heaviest cell near P pairs regardless of corpus growth —
+    * with the fixed floor, a handful of coarse blocks at 100x the rows
+    * serialized the whole pair stage on a few cells (the sf10 stress
+    * tier measured 8 effective cores of 32 on dedup_embedding_cosine).
+    * The replication cost is linear (n * S rows) and stays negligible
+    * next to the quadratic work it spreads; the cap bounds it.
+    */
+  private def adaptiveSalts(maxBlockRows: Long): Int = {
+    val targetPairsPerCell = 2000000L
+    math.max(pairSaltBuckets.toLong,
+      math.min(1024L, maxBlockRows * maxBlockRows / (2 * targetPairsPerCell))).toInt
   }
 
   private def pairDups(x0: DataFrame, y0: DataFrame, threshold: Double,

@@ -1363,6 +1363,40 @@ class OperatorsSpec extends SparkSpec {
     d / (math.sqrt(na) * math.sqrt(nb))
   }
 
+  test("embeddingCosinePairs dup-collapse equals the direct raw pair join (copies + zero vector)") {
+    import spark.implicits._
+    // fixture: per-block copies (the collapse path), distinct near/far
+    // vectors (the cross path), and an all-zero vector (0/0 => NaN =>
+    // dropped on BOTH paths)
+    val rows = Seq(
+      (1L, "x", Array(1.0f, 0.0f)), (2L, "x", Array(1.0f, 0.0f)),
+      (3L, "x", Array(1.0f, 0.0f)),                      // 3 copies
+      (4L, "x", Array(0.9f, 0.1f)), (5L, "x", Array(-1.0f, 0.0f)),
+      (6L, "x", Array(0.0f, 0.0f)), (7L, "x", Array(0.0f, 0.0f)), // zero copies
+      (8L, "y", Array(1.0f, 0.0f)),                      // other block
+      (9L, "y", Array(0.8f, 0.6f)))
+    val emb = rows.toDF("vec_id", "label", "embedding")
+    val got = Dedup.embeddingCosinePairs(emb, "vec_id", "embedding", "label", 0.35)
+      .collect().map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b"),
+        r.getAs[Double]("cosine"))).toSet
+    // direct raw formulation: every same-block id pair, rounded cosine
+    val v = emb.select(col("label").as("blk"), col("vec_id").as("vid"),
+      transform(col("embedding"), x => x.cast("double")).as("vec"))
+    val exp = v.as("a").join(v.as("b"),
+        col("a.blk") === col("b.blk") && col("a.vid") < col("b.vid"))
+      .select(col("a.vid").as("id_a"), col("b.vid").as("id_b"),
+        round(Similarity.dot(col("a.vec"), col("b.vec")) /
+          (sqrt(Similarity.dot(col("a.vec"), col("a.vec"))) *
+            sqrt(Similarity.dot(col("b.vec"), col("b.vec")))), 6).as("cosine"))
+      .filter(col("cosine") >= 0.35)
+      .collect().map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b"),
+        r.getAs[Double]("cosine"))).toSet
+    assert(got === exp)
+    // the copies DID pair with each other and the zero vectors did NOT
+    assert(got.contains((1L, 2L, 1.0)) && got.contains((2L, 3L, 1.0)))
+    assert(!got.exists(p => p._1 == 6L || p._2 == 6L || p._1 == 7L || p._2 == 7L))
+  }
+
   test("semantic dedup (seed assignment) matches a full local reference") {
     val emb = graft.core.Tables.embeddings(spark, "/root/testdata/sf0.001")
     val out = Dedup.semanticDedup(emb, "vec_id", "embedding", 8, 0.35).collect()
