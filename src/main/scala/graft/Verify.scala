@@ -34,8 +34,15 @@ object Verify {
       // checkpoint computes with full parallelism; coalesce then just
       // concatenates the stored partitions in index order, preserving
       // any ORDER BY exactly like the direct coalesce did.
-      try fn(spark, sfDir).localCheckpoint(true).coalesce(1).write
-        .mode("overwrite").parquet(s"$outDir/$name")
+      // Registered with CacheScope so the per-query release() below frees
+      // the checkpoint's MEMORY_AND_DISK blocks once the write commits —
+      // without that, ~100 fully-materialized results accumulate across
+      // the sweep and evict/OOM executor storage at the larger tiers.
+      try {
+        val ck = graft.core.CacheScope.register(
+          fn(spark, sfDir).localCheckpoint(true))
+        ck.coalesce(1).write.mode("overwrite").parquet(s"$outDir/$name")
+      }
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }

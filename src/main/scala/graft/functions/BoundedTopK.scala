@@ -22,12 +22,15 @@ import org.apache.spark.sql.types._
   * Determinism: (score, id) is a total order (callers pre-round score;
   * ids are distinct within a group), so the min-k SET and its sorted
   * order are exact — bit-identical to the window formulation, pinned by
-  * spec. Null scores/ids are SKIPPED — which DIVERGES from the window
-  * formulation on null inputs (Spark's ascending ORDER BY is NULLS
-  * FIRST, so the window would rank null-score rows at the TOP of each
-  * group): the pinned equivalence holds for non-null inputs only, and
-  * every current caller builds score/id from non-nullable arithmetic.
-  * Do not point this at a nullable score column expecting window parity.
+  * spec. Scores compare under Spark's SQL double ordering (NaN greater
+  * than every number, -0.0 == 0.0), so a NaN score ranks LAST exactly as
+  * the window's ascending sort ranks it. NULL inputs are rejected at
+  * type-check time: Spark's ascending ORDER BY is NULLS FIRST, so the
+  * window formulation would rank null-score rows at the TOP of each
+  * group — silently skipping them (the only sane aggregate behavior)
+  * would diverge. A caller with a nullable score/id column must decide
+  * (filter the nulls or coalesce them) before aggregating; the
+  * type-check failure makes that decision explicit instead of latent.
   */
 case class BoundedTopK(scoreExpr: Expression, idExpr: Expression, k: Int,
                        mutableAggBufferOffset: Int = 0,
@@ -44,11 +47,18 @@ case class BoundedTopK(scoreExpr: Expression, idExpr: Expression, k: Int,
   override def prettyName: String = "graft_bounded_topk"
 
   override def checkInputDataTypes(): TypeCheckResult =
-    if (scoreExpr.dataType == DoubleType && idExpr.dataType == LongType)
-      TypeCheckResult.TypeCheckSuccess
-    else TypeCheckResult.TypeCheckFailure(
-      s"$prettyName requires (double, bigint), got " +
-        s"(${scoreExpr.dataType.sql}, ${idExpr.dataType.sql})")
+    if (scoreExpr.dataType != DoubleType || idExpr.dataType != LongType)
+      TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires (double, bigint), got " +
+          s"(${scoreExpr.dataType.sql}, ${idExpr.dataType.sql})")
+    else if (scoreExpr.nullable || idExpr.nullable)
+      TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires non-nullable inputs (a null row has no " +
+          "defined rank here: the equivalent row_number window ranks " +
+          "null scores FIRST under NULLS FIRST while an aggregate can " +
+          "only skip them) — filter or coalesce nulls before aggregating; " +
+        s"got (nullable=${scoreExpr.nullable}, nullable=${idExpr.nullable})")
+    else TypeCheckResult.TypeCheckSuccess
 
   override def createAggregationBuffer(): BoundedTopK.Buf =
     new BoundedTopK.Buf(k)
@@ -68,7 +78,12 @@ case class BoundedTopK(scoreExpr: Expression, idExpr: Expression, k: Int,
   }
 
   override def eval(b: BoundedTopK.Buf): Any = {
-    val idx = Array.range(0, b.size).sortBy(i => (b.scores(i), b.ids(i)))
+    // same comparator as the keep/reject path (Spark SQL double order),
+    // so the emitted order can't disagree with the retained set on NaN
+    val idx = Array.range(0, b.size).sortWith { (i, j) =>
+      val c = BoundedTopK.cmpScore(b.scores(i), b.scores(j))
+      c < 0 || (c == 0 && b.ids(i) < b.ids(j))
+    }
     val rows = new Array[Any](b.size)
     var r = 0
     while (r < rows.length) {
@@ -106,6 +121,18 @@ case class BoundedTopK(scoreExpr: Expression, idExpr: Expression, k: Int,
 }
 
 object BoundedTopK {
+
+  /** Spark's SQL ordering for doubles: equal-by-== first (so -0.0 == 0.0,
+    * as Spark's float normalization guarantees at sort time), then IEEE
+    * total order for the rest — which places NaN above every number,
+    * exactly where an ascending window sort ranks it. Primitive `>` here
+    * would instead make NaN incomparable (every comparison false): a NaN
+    * score could neither be rejected once the buffer is full nor ever be
+    * replaced — a silent divergence from the pinned window equivalence.
+    */
+  private[functions] def cmpScore(s1: Double, s2: Double): Int =
+    if (s1 == s2) 0 else java.lang.Double.compare(s1, s2)
+
   /** k-bounded pair set: flat arrays plus the index of the current
     * WORST kept pair — O(1) reject for the common below-threshold row,
     * O(k) replace (k is small: a top-k query's k, not a corpus bound).
@@ -116,8 +143,10 @@ object BoundedTopK {
     var size = 0
     private var worst = -1 // index of max (score, id) among kept, -1 = unknown
 
-    private def gt(s1: Double, i1: Long, s2: Double, i2: Long): Boolean =
-      s1 > s2 || (s1 == s2 && i1 > i2)
+    private def gt(s1: Double, i1: Long, s2: Double, i2: Long): Boolean = {
+      val c = cmpScore(s1, s2)
+      c > 0 || (c == 0 && i1 > i2)
+    }
 
     private def findWorst(): Unit = {
       worst = 0

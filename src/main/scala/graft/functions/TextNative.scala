@@ -890,6 +890,14 @@ object DsirScore {
       val row = bc.getStruct(i, 2)
       val b = row.getLong(0)
       val n = row.getLong(1)
+      // the expression can't validate bucket-count-vs-table-size at
+      // analysis time (buckets arrive as data); a mismatch must fail
+      // with the cause named, not a bare AIOOBE from inside codegen
+      if (b < 0 || b >= lr.length)
+        throw new IllegalArgumentException(
+          s"graft_dsir_score: ngram bucket $b outside the log-ratio table " +
+            s"(size ${lr.length}) — the ngramBucketCounts bucket count and " +
+            "the table's bucket count must match")
       nFeats += n
       w += n * lr(b.toInt)
       i += 1

@@ -1043,11 +1043,12 @@ object Dedup {
     * product.
     *
     * Cost is QUADRATIC IN BLOCK SIZE by construction (pair enumeration) —
-    * but in DISTINCT vectors only: exact-duplicate vectors are collapsed
-    * to one representative before pairing (one linear groupBy(blk, vec)
-    * shuffle) and representative pairs expand back to member id pairs
-    * exactly, so a corpus that is mostly copies (the case dedup exists
-    * for) pays the quadratic on its unique content, not its row count.
+    * but in DISTINCT vectors only when duplicates are plentiful: a light
+    * sizing pass (per-block HLL distinct counts) picks between pairing
+    * raw rows directly (mostly-distinct corpora — no collapse overhead)
+    * and collapsing exact-duplicate vectors to one representative first
+    * (duplicate-heavy corpora pay the quadratic on unique content, not
+    * row count). Both shapes produce IDENTICAL output (spec-pinned).
     * 10x bigger DISTINCT blocks = 100x the cosine evaluations. The
     * blocking granularity is therefore the scale knob: blocks must stay
     * bounded (finer labels, LSH-bucket blocking) as the corpus grows;
@@ -1056,37 +1057,101 @@ object Dedup {
     */
   def embeddingCosinePairs(emb: DataFrame, idCol: String, vecCol: String,
                            blockCol: String, threshold: Double): DataFrame = {
-    val v0 = spread(emb).select(col(blockCol).as("blk"), col(idCol).as("vid"),
-      transform(col(vecCol), x => x.cast("double")).as("vec"))
+    // Small corpora skip ALL sizing actions: below the cutoff even the
+    // degenerate single-block worst case (cutoff^2/2 pair evals) is
+    // sub-second work, so plan-construction jobs — not pair evaluation —
+    // would dominate the wall. The bound is footer metadata (zero jobs).
+    // Collapse is skipped too: at worst it saves cutoff-bounded work
+    // while costing a corpus shuffle + cache; so are the merge-join
+    // hints (see [[isSmallCorpus]]). The widening Exchange STAYS even
+    // when small: measured, removing it serializes the scan-side chain
+    // into one task and costs more wall than the exchange does.
+    val small = isSmallCorpus(emb)
+    val v0 = spread(emb)
+      .select(col(blockCol).as("blk"), col(idCol).as("vid"),
+        transform(col(vecCol), x => x.cast("double")).as("vec"))
+    if (small)
+      return directCosinePairs(v0, threshold, pairSaltBuckets, broadcastOk = true)
+    // Past the cutoff, ONE light sizing pass decides the plan shape:
+    // per-block row and distinct-vector counts via map-side HLL sketches
+    // over 8-byte vector hashes (no vector shuffle — the exchange
+    // carries one sketch per block per task; xxhash64 collisions and
+    // HLL's ~2% error only perturb sizing, never results). From it: the
+    // duplicate rate (collapse or not) and the largest block (adaptive
+    // salt count).
+    val st = v0.groupBy(col("blk"))
+      .agg(count(lit(1)).as("nr"),
+        approx_count_distinct(xxhash64(col("vec")), 0.02).as("nd"))
+      .agg(coalesce(max("nr"), lit(0L)), coalesce(max("nd"), lit(0L)),
+        coalesce(sum("nr"), lit(0L)), coalesce(sum("nd"), lit(0L))).collect()(0)
+    val (maxRows, maxDistinct) = (st.getLong(0), st.getLong(1))
+    val (totRows, totDistinct) = (st.getLong(2), st.getLong(3))
     // Collapse EXACT-duplicate vectors within a block before the
     // quadratic stage: pair work becomes quadratic in DISTINCT vectors
-    // only, and the duplicate-heavy corpora this operator exists for are
+    // only — the duplicate-heavy corpora this operator exists for are
     // exactly where that matters (the sf10 stress tier, 100 copies of
-    // every vector, measured 399 s pairing raw rows — the collapse pays
+    // every vector, measured 399 s pairing raw rows; the collapse pays
     // one linear groupBy shuffle to shrink the pair space 10^4x).
     // Identical arrays give bit-identical cosines, so expanding a
     // representative-level pair back to its member id pairs reproduces
     // the raw pairing EXACTLY (spec-pinned equal to the direct join).
-    val reps = v0.groupBy(col("blk"), col("vec"))
+    // BUT when the corpus is mostly-distinct the collapse pass buys
+    // nothing and costs a full vector shuffle + cache — the r11 sf0.1
+    // regression — so it only runs past a >10% duplicate share (HLL
+    // margin included: at 2% error a mostly-distinct corpus can't cross
+    // it, and a 100x-copies one can't miss it).
+    if (totDistinct * 10L >= totRows * 9L)
+      directCosinePairs(v0, threshold, adaptiveSalts(maxRows))
+    else collapsedCosinePairs(v0, threshold, adaptiveSalts(maxDistinct))
+  }
+
+  /** Mostly-distinct path: pair raw rows directly — no collapse pass, no
+    * cache; one salted self equi join on (blk, salt).
+    */
+  private def directCosinePairs(v0: DataFrame, threshold: Double,
+                                salts: Int, broadcastOk: Boolean = false): DataFrame = {
+    // staged per-row norm: one dot + one multiply per PAIR instead of
+    // three dots — bit-identical to the inline cosine
+    val v = v0.withColumn("nrm", sqrt(Similarity.dot(col("vec"), col("vec"))))
+    val (xa, yb) = saltedSides(v, v, "vid", replicateX = true, salts = salts)
+    // merge hint unless the corpus is footer-proven small: both sides are
+    // otherwise the corpus (heavy rows — the embedding array rides the
+    // join) and broadcasting one is a driver OOM at scale
+    val xh = if (broadcastOk) xa.as("a") else xa.as("a").hint("merge")
+    xh.join(yb.as("b"),
+        col("a.blk") === col("b.blk") && col("a.sb") === col("b.sb") &&
+          col("a.vid") < col("b.vid"))
+      .select(col("a.vid").as("id_a"), col("b.vid").as("id_b"),
+        round(Similarity.dot(col("a.vec"), col("b.vec")) /
+          (col("a.nrm") * col("b.nrm")), 6).as("cosine"))
+      .filter(col("cosine") >= threshold)
+  }
+
+  /** Duplicate-heavy path: collapse exact-duplicate vectors to one
+    * representative, pair representatives, expand back to member pairs.
+    */
+  private def collapsedCosinePairs(v0: DataFrame, threshold: Double,
+                                   salts: Int): DataFrame = {
+    // Query-scoped cache + eager materialization: reps feeds THREE
+    // consumers (both salted self-join sides and the self-pair branch),
+    // and the join sides are separate stages that would otherwise race
+    // to compute the cache — each re-running the corpus-wide
+    // groupBy(blk, vec) collapse from the scan (measured: the whole r11
+    // sf0.1 regression on this gate). The count() action materializes
+    // the collapse ONCE; on this path it is priced against the
+    // quadratic-in-duplicates work it removes.
+    val reps = graft.core.CacheScope.cached(v0.groupBy(col("blk"), col("vec"))
       .agg(min(col("vid")).as("rvid"), collect_list(col("vid")).as("members"))
-      // staged per-row norm: one dot + one multiply per PAIR instead of
-      // three dots — bit-identical to the inline cosine
-      .withColumn("nrm", sqrt(Similarity.dot(col("vec"), col("vec"))))
+      .withColumn("nrm", sqrt(Similarity.dot(col("vec"), col("vec")))))
+    reps.count()
     // Salt-split the per-block quadratic exactly as [[intraClusterDedup]]
     // does: few blocking labels = few join keys = near-serial pair stage;
     // bucketing b by hash(rvid) and replicating a to all S buckets splits
     // each block's pair work S ways with identical output. S scales with
     // the largest block ([[adaptiveSalts]]) — blocking keys the caller
     // cannot refine (a coarse label column) must not serialize the stage.
-    val maxBlockRow = reps.groupBy("blk").count()
-      .agg(max("count")).collect()(0)
-    val maxBlock = if (maxBlockRow.isNullAt(0)) 0L else maxBlockRow.getLong(0)
     val (xa, yb) = saltedSides(reps, reps, "rvid", replicateX = true,
-      salts = adaptiveSalts(maxBlock))
-    // merge hint: both sides are the distinct-vector table (corpus-
-    // proportional, and heavy rows — the embedding array rides the join);
-    // broadcasting it is a driver OOM at scale, same class as the LSH
-    // bucket self-join
+      salts = salts)
     val crossRep = xa.as("a").hint("merge").join(yb.as("b"),
         col("a.blk") === col("b.blk") && col("a.sb") === col("b.sb") &&
           col("a.rvid") < col("b.rvid"))
@@ -1124,6 +1189,14 @@ object Dedup {
     * quadratic work it parallelizes.
     */
   private val pairSaltBuckets = 8
+
+  /** Corpus size below which [[embeddingCosinePairs]] runs the direct
+    * pair join with fixed salts and NO sizing pass: 16384^2/2 ~ 1.3e8
+    * pair evals bounds the degenerate single-block worst case at
+    * sub-second work, so any plan-construction job would cost more than
+    * the mis-sizing it prevents.
+    */
+  private val directPairCutoff = 16384L
 
   // ---------------------------------------------------------------- simhash
 
@@ -1246,9 +1319,42 @@ object Dedup {
     */
   def semanticDedup(emb: DataFrame, idCol: String, vecCol: String,
                     k: Int = 0, threshold: Double = 0.35): DataFrame = {
-    val kk = if (k > 0) k else Similarity.autoCells(emb.count())
-    intraClusterDedup(seedAssign(emb, idCol, vecCol, kk)
-      .withColumn("rank", col("vid")), threshold, idCol)
+    // footer-metadata count when the corpus is a bare parquet scan (the
+    // normal case) — sizing must not cost a scan job before the real work
+    val kk = if (k > 0) k else Similarity.autoCells(graft.core.RowCounts.of(emb))
+    semanticDedupWithSeeds(emb, idCol, vecCol,
+      collectSeeds(prepVecs(emb, idCol, vecCol), kk), threshold)
+  }
+
+  /** [[semanticDedup]] against a PRECOMPUTED seed set — the epoch
+    * lifecycle: seeds (the frozen cluster centers) are a pure function
+    * of the corpus, computed once per corpus epoch and reused by every
+    * consumer ([[semanticDedupIncremental]] already freezes them across
+    * batches; a serving layer holds them like any ANN centroid table).
+    * Small corpora additionally skip the assignment cache: recomputing a
+    * sub-[[directPairCutoff]] assignment for each pair-join side is
+    * cheaper than materializing it.
+    */
+  def semanticDedupWithSeeds(emb: DataFrame, idCol: String, vecCol: String,
+                             seeds: Array[(Long, Array[Double])],
+                             threshold: Double): DataFrame = {
+    val small = isSmallCorpus(emb)
+    intraClusterDedup(
+      assignToSeeds(prepVecs(emb, idCol, vecCol), seeds)
+        .withColumn("rank", col("vid")),
+      threshold, idCol, cache = !small)
+  }
+
+  /** Footer-proven-small input (zero jobs to decide; see
+    * [[graft.core.RowCounts.upperBound]]): below [[directPairCutoff]]
+    * rows the scale machinery — widening Exchange, scoped cache, forced
+    * merge joins — costs more stage floors than the work it organizes,
+    * so the small path drops all three. Unknown size = NOT small (the
+    * scale-safe default).
+    */
+  private def isSmallCorpus(dfs: DataFrame*): Boolean = {
+    val bounds = dfs.map(graft.core.RowCounts.upperBound)
+    bounds.forall(_.isDefined) && bounds.flatten.sum <= directPairCutoff
   }
 
   /** Fixed-seed cluster assignment: each vector goes to the nearest of the
@@ -1270,11 +1376,11 @@ object Dedup {
     assignToSeeds(v, collectSeeds(v, k))
   }
 
-  private[operators] def prepVecs(emb: DataFrame, idCol: String, vecCol: String): DataFrame =
+  private[graft] def prepVecs(emb: DataFrame, idCol: String, vecCol: String): DataFrame =
     spread(emb).select(col(idCol).as("vid"),
       transform(col(vecCol), x => x.cast("double")).as("vec"))
 
-  private[operators] def collectSeeds(v: DataFrame, k: Int): Array[(Long, Array[Double])] =
+  private[graft] def collectSeeds(v: DataFrame, k: Int): Array[(Long, Array[Double])] =
     v.orderBy("vid").limit(k).collect()
       .map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
 
@@ -1286,8 +1392,16 @@ object Dedup {
     // semantics (rounded cosine, staged norms, smaller-seed-id ties),
     // pinned by the OperatorsSpec local-reference test and the oracle
     // gates at three tiers.
-    v.withColumn("_best", org.apache.spark.sql.GraftBridge.nearestSeed(
-        col("vec"), seeds.map(_._1), seeds.map(_._2)))
+    // assertNotNull: the argmax is total for any non-null vector, and
+    // `cluster` becomes a JOIN KEY downstream — without the non-null
+    // mark, constraint inference pushes an isnotnull(cluster) filter
+    // BELOW this projection, re-evaluating the whole k*d argmax once
+    // more per row per join side. A NULL vector in a dedup corpus is
+    // malformed input and now fails loudly here instead of being
+    // silently dropped by those inferred filters.
+    v.withColumn("_best", org.apache.spark.sql.GraftBridge.assertNotNull(
+        org.apache.spark.sql.GraftBridge.nearestSeed(
+          col("vec"), seeds.map(_._1), seeds.map(_._2))))
       .select(col("vid"), col("vec"),
         col("_best.cluster").as("cluster"), col("_best.ccos").as("ccos"))
   }
@@ -1345,7 +1459,7 @@ object Dedup {
     * (the caller's clustering granularity bounds it).
     */
   private def intraClusterDedup(assigned: DataFrame, threshold: Double,
-                                idCol: String): DataFrame = {
+                                idCol: String, cache: Boolean = true): DataFrame = {
     // norms staged per ROW, not per pair: the pair filter then costs one
     // dot + one multiply instead of three dots — 3x less work on the
     // quadratic step, bit-identical to the inline cosine (sqrt(dot(v,v))
@@ -1355,12 +1469,17 @@ object Dedup {
     // the full cluster-assignment chain from the scan (the k-seed /
     // k-centroid argmax per row, on the exploded side k*S times), which
     // measured as the dominant cost at the sf1 tier (~200 s of task time
-    // against ~30 s of actual pair work).
-    val a = graft.core.CacheScope.cached(
-      assigned.select(col("cluster"), col("vid"), col("vec"), col("rank"))
-        .withColumn("nrm", sqrt(Similarity.dot(col("vec"), col("vec")))))
-    val dups = pairDups(a, a, threshold, useRank = true, replicateX = true)
-    a.join(dups.withColumn("_dup", lit(true)), Seq("vid"), "left")
+    // against ~30 s of actual pair work). `cache = false` for corpora
+    // small enough that re-deriving beats cache churn (the caller sizes).
+    val prepped = assigned.select(col("cluster"), col("vid"), col("vec"), col("rank"))
+      .withColumn("nrm", sqrt(Similarity.dot(col("vec"), col("vec"))))
+    val a = if (cache) graft.core.CacheScope.cached(prepped) else prepped
+    val dups = pairDups(a, a, threshold, useRank = true, replicateX = true,
+      broadcastOk = !cache)
+    // small path: the dup-id set is at most corpus-sized and the corpus
+    // is proven small — broadcast it instead of sort-merging both sides
+    val dupsH = if (cache) dups else dups.hint("broadcast")
+    a.join(dupsH.withColumn("_dup", lit(true)), Seq("vid"), "left")
       .select(col("vid").as(idCol), col("cluster"),
         when(col("_dup").isNull, lit(1L)).otherwise(lit(0L)).as("keep"))
   }
@@ -1418,13 +1537,21 @@ object Dedup {
   }
 
   private def pairDups(x0: DataFrame, y0: DataFrame, threshold: Double,
-                       useRank: Boolean, replicateX: Boolean): DataFrame = {
+                       useRank: Boolean, replicateX: Boolean,
+                       broadcastOk: Boolean = false): DataFrame = {
     val (x, y) = saltedSides(x0, y0, "vid", replicateX)
     val base = col("x.cluster") === col("y.cluster") && col("x.sb") === col("y.sb") &&
       round(Similarity.dot(col("x.vec"), col("y.vec")) /
         (col("x.nrm") * col("y.nrm")), 6) >= threshold
     val cond = if (useRank) base && col("x.rank") < col("y.rank") else base
-    x.as("x").hint("merge").join(y.as("y"), cond)
+    // merge hint unless the caller PROVED the sides are small
+    // (footer-counted corpus under the direct cutoff): both sides are
+    // otherwise corpus-proportional with heavy array payloads, and
+    // broadcasting one is a driver OOM class. When small, the planner's
+    // size-based broadcast turns the whole chain into hash joins — the
+    // stage-count floor, not pair work, dominates there.
+    val xh = if (broadcastOk) x.as("x") else x.as("x").hint("merge")
+    xh.join(y.as("y"), cond)
       .select(col("y.vid").as("vid")).distinct()
   }
 
@@ -1453,18 +1580,25 @@ object Dedup {
   def semanticDedupIncremental(batch: DataFrame, corpus: DataFrame,
                                idCol: String, vecCol: String,
                                k: Int = 32, threshold: Double = 0.35): DataFrame = {
+    // small path (footer-proven, zero jobs): skip the widening Exchange,
+    // the batch-side scoped cache, and the merge-join hints — at a few
+    // thousand vectors the stage floors they add exceed the work
+    val small = isSmallCorpus(batch, corpus)
     val vC = prepVecs(corpus, idCol, vecCol)
     val seeds = collectSeeds(vC, k)
     val aC = assignToSeeds(vC, seeds)
       .withColumn("nrm", sqrt(Similarity.dot(col("vec"), col("vec"))))
-    val aB = graft.core.CacheScope.cached(
-      assignToSeeds(prepVecs(batch, idCol, vecCol), seeds)
-        .withColumn("nrm", sqrt(Similarity.dot(col("vec"), col("vec"))))
-        .withColumn("rank", col("vid")))
-    val vsCorpus = pairDups(aC, aB, threshold, useRank = false, replicateX = false)
-    val inBatch = pairDups(aB, aB, threshold, useRank = true, replicateX = true)
+    val aB0 = assignToSeeds(prepVecs(batch, idCol, vecCol), seeds)
+      .withColumn("nrm", sqrt(Similarity.dot(col("vec"), col("vec"))))
+      .withColumn("rank", col("vid"))
+    val aB = if (small) aB0 else graft.core.CacheScope.cached(aB0)
+    val vsCorpus = pairDups(aC, aB, threshold, useRank = false, replicateX = false,
+      broadcastOk = small)
+    val inBatch = pairDups(aB, aB, threshold, useRank = true, replicateX = true,
+      broadcastOk = small)
     val dups = vsCorpus.unionByName(inBatch).distinct()
-    aB.join(dups.withColumn("_dup", lit(true)), Seq("vid"), "left")
+    val dupsH = if (small) dups.hint("broadcast") else dups
+    aB.join(dupsH.withColumn("_dup", lit(true)), Seq("vid"), "left")
       .select(col("vid").as(idCol), col("cluster"),
         when(col("_dup").isNull, lit(1L)).otherwise(lit(0L)).as("keep"))
   }

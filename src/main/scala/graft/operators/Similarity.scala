@@ -131,7 +131,9 @@ object Similarity {
     import org.apache.spark.ml.clustering.KMeans
     import org.apache.spark.ml.functions.array_to_vector
     val c = spread(corpus).select(col(idCol).as("neighbor_id"), asDouble(col(vecCol)).as("_cv"))
-    val k = if (nCells > 0) nCells else autoCells(c.count())
+    // sized from the RAW corpus (same row count as c): footer-metadata
+    // count when it's a bare parquet scan — no sizing scan job
+    val k = if (nCells > 0) nCells else autoCells(graft.core.RowCounts.of(corpus))
     val model = new KMeans().setK(k).setMaxIter(5).setSeed(42)
       .setFeaturesCol("features")
       .fit(c.withColumn("features", array_to_vector(col("_cv"))))
@@ -594,8 +596,14 @@ object Similarity {
             col("_tbl"), col("_codes"), kC), 6).as("approx_dist"),
           col("neighbor_id"))
         .groupBy(col("probe_id"))
+        // assertNotNull: both columns are value-non-null by construction
+        // (ADC sum over non-null codes; ids from the corpus key), but the
+        // parquet schema says nullable — BoundedTopK refuses nullable
+        // inputs (null rank is undefined there), so assert, don't skip
         .agg(org.apache.spark.sql.GraftBridge.boundedTopK(
-          col("approx_dist"), col("neighbor_id").cast("long"), kNN).as("_top"))
+          org.apache.spark.sql.GraftBridge.assertNotNull(col("approx_dist")),
+          org.apache.spark.sql.GraftBridge.assertNotNull(
+            col("neighbor_id").cast("long")), kNN).as("_top"))
         .select(col("probe_id"), posexplode(col("_top")))
         .select(col("probe_id"), col("col.id").as("neighbor_id"),
           col("col.score").as("approx_dist"),

@@ -190,9 +190,19 @@ class HttpApi(
       // only dispatch-pool threads may park on the gate; the acceptor
       // thread (CallerRuns overflow past the thread cap) must stay live
       val canPark = Thread.currentThread().getName.startsWith(HttpThreadPrefix)
+      // An interrupt while parked on the gate (pool shutdownNow at server
+      // stop) must not propagate out of the handler lambda: that leaves
+      // the exchange unanswered (client hangs to socket timeout) and
+      // kills the pool worker. Treat it as a shed: restore the interrupt
+      // flag and answer 503 through the normal path.
+      def acquire(): Boolean =
+        try canPark &&
+          gate.tryAcquire(queueMillis, java.util.concurrent.TimeUnit.MILLISECONDS)
+        catch { case _: InterruptedException =>
+          Thread.currentThread().interrupt(); false
+        }
       if (path == "/api" || path == "/api/metadata") handle(ex)
-      else if (canPark &&
-          gate.tryAcquire(queueMillis, java.util.concurrent.TimeUnit.MILLISECONDS))
+      else if (acquire())
         try handle(ex) finally gate.release()
       else {
         shedCount.incrementAndGet()

@@ -58,6 +58,17 @@ object GraftBridge {
       ExpressionUtils.expression(score), ExpressionUtils.expression(id), k)
       .toAggregateExpression())
 
+  /** Assert a column can never be null (Catalyst AssertNotNull: marks the
+    * expression non-nullable; a null at runtime is an error, not a skip).
+    * The explicit handshake BoundedTopK's nullable-input type-check
+    * demands from callers whose columns are schema-nullable (any parquet
+    * read) but value-non-null by construction.
+    */
+  def assertNotNull(c: Column): Column =
+    ExpressionUtils.column(
+      org.apache.spark.sql.catalyst.expressions.objects.AssertNotNull(
+        ExpressionUtils.expression(c)))
+
   /** Register graft's SQL functions on an already-constructed session —
     * the `spark.sql.extensions` conf is only consulted at session build
     * time, so driver-provided sessions register here instead (same

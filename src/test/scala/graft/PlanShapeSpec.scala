@@ -85,11 +85,31 @@ class PlanShapeSpec extends SparkSpec {
     // chunk tables and candidate pairs all grow with the corpus (or the
     // result), so every join must be a shuffle join at every tier.
     Seq("dedup_ngram_jaccard", "dedup_containment", "dedup_minhash_lsh",
-      "dedup_simhash_pairs", "dedup_embedding_cosine").foreach { q =>
+      "dedup_simhash_pairs").foreach { q =>
       val p = plan(q)
       assert(!p.contains("BroadcastHashJoin"),
         s"$q broadcasts a corpus-proportional side")
     }
+    // dedup_embedding_cosine is EXEMPT at this tier by design: its
+    // corpus is footer-proven under the direct cutoff, where the small
+    // path deliberately broadcasts (stage floors dominate there). The
+    // scale pin for the above-cutoff path is the next test.
+  }
+
+  test("embedding cosine above the size cutoff: merge joins, no corpus broadcast") {
+    import spark.implicits._
+    // 20k rows > directPairCutoff (16384) -> the sizing pass runs and the
+    // pair join must be a shuffle join: at scale both sides are the
+    // corpus, and broadcasting one is exactly the 100x-tier driver OOM
+    // the merge hints exist to forbid
+    val big = (1 to 20000).map(i =>
+      (i.toLong, i % 7, Array.fill(4)((i % 13).toFloat))).toDF("vec_id", "label", "embedding")
+    val p = graft.operators.Dedup.embeddingCosinePairs(
+      big, "vec_id", "embedding", "label", 0.99)
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("BroadcastHashJoin"), "corpus-proportional side broadcast")
+    assert(p.contains("SortMergeJoin"), "pair join lost its sort-merge shape")
+    graft.core.CacheScope.release()
   }
 
   test("poll_ops: the block-range predicate reaches the scan side") {

@@ -312,6 +312,50 @@ class ScaleTechniquesSpec extends SparkSpec {
     assert(p.contains("partial_graft_bounded_topk"), p.take(400))
   }
 
+  test("BoundedTopK ranks NaN scores last, exactly like the window's ascending sort") {
+    import spark.implicits._
+    // groups exercise: NaN inside a full buffer (must be evictable),
+    // NaN in a short group (must be kept and sorted last), all-NaN
+    val rows = Seq(
+      (1L, Double.NaN, 10L), (1L, 0.2, 11L), (1L, 0.1, 12L), (1L, 0.3, 13L),
+      (1L, Double.NaN, 14L), (1L, 0.15, 15L), (1L, 0.25, 16L),
+      (2L, Double.NaN, 20L), (2L, 0.9, 21L),
+      (3L, Double.NaN, 30L), (3L, Double.NaN, 31L))
+    val df = rows.toDF("g", "score", "id").repartition(3)
+    // compare scores by BIT PATTERN: a Double field in a tuple compares
+    // with primitive ==, under which NaN != NaN
+    val viaAgg = df.groupBy(col("g"))
+      .agg(org.apache.spark.sql.GraftBridge.boundedTopK(col("score"), col("id"), 4).as("t"))
+      .select(col("g"), posexplode(col("t")))
+      .select(col("g"), col("col.score"), col("col.id"), (col("pos") + 1).cast("int").as("rk"))
+      .collect().map(r => (r.getLong(0),
+        java.lang.Double.doubleToLongBits(r.getDouble(1)), r.getLong(2), r.getInt(3))).toSet
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("g")).orderBy(col("score"), col("id"))
+    val viaWin = df.withColumn("rk", row_number().over(w)).filter(col("rk") <= 4)
+      .collect().map(r => (r.getLong(0),
+        java.lang.Double.doubleToLongBits(r.getDouble(1)), r.getLong(2), r.getInt(3))).toSet
+    assert(viaAgg === viaWin)
+  }
+
+  test("BoundedTopK refuses nullable inputs at analysis time") {
+    import spark.implicits._
+    val df = Seq((1L, 0.5, 2L)).toDF("g", "score", "id")
+    val nullableScore = when(col("id") > 0, col("score")) // nullable by construction
+    val e = intercept[org.apache.spark.sql.AnalysisException] {
+      df.groupBy(col("g"))
+        .agg(org.apache.spark.sql.GraftBridge.boundedTopK(nullableScore, col("id"), 3))
+        .collect()
+    }
+    assert(e.getMessage.contains("non-nullable"), e.getMessage)
+    // and the documented escape hatch: assert, don't skip
+    val ok = df.groupBy(col("g"))
+      .agg(org.apache.spark.sql.GraftBridge.boundedTopK(
+        org.apache.spark.sql.GraftBridge.assertNotNull(nullableScore), col("id"), 3).as("t"))
+      .select(posexplode(col("t"))).count()
+    assert(ok === 1L)
+  }
+
   test("NgramBucketCounts + DsirScore are bit-identical to the composable DSIR chain") {
     import spark.implicits._
     val texts = Seq(

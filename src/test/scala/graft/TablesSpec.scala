@@ -65,4 +65,18 @@ class TablesSpec extends SparkSpec {
     assert(loaded.schema("ts").dataType == TimestampType)
     assert(loaded.limit(1).count() == 1)
   }
+
+  test("RowCounts: footer metadata agrees with a scan count, at every plan shape") {
+    val emb = Tables.embeddings(spark, "/root/testdata/sf0.001")
+    // bare scan: the footer fast path must equal the scan-job answer
+    assert(graft.core.RowCounts.of(emb) === emb.count())
+    // attribute-only projection is row-count-neutral (still fast path)
+    assert(graft.core.RowCounts.of(emb.select("vec_id")) === emb.count())
+    // a filter DISQUALIFIES the fast path; of() must fall back and stay exact
+    val filtered = emb.filter(org.apache.spark.sql.functions.col("vec_id") % 2 === 0)
+    assert(graft.core.RowCounts.of(filtered) === filtered.count())
+    // non-parquet plans (local relations) fall back too
+    import spark.implicits._
+    assert(graft.core.RowCounts.of(Seq(1, 2, 3).toDF("x")) === 3L)
+  }
 }
