@@ -179,4 +179,50 @@ object StreamingDedup {
         .write.mode("overwrite").parquet(s"$corpusDir/batch_id=$batchId")
     } finally graft.core.CacheScope.release()
   }
+
+  /** Roll a [[nearDupBatchSink]] store pair back to batches BELOW
+    * `fromBatch` — the corpus-store counterpart of
+    * [[PlugRunner.truncateFromBatch]] for a past-horizon fork. Replay
+    * alone is NOT enough after a fork that yields FEWER batches: stale
+    * `batch_id=N` dirs above the corrected feed's high-water mark stay
+    * _SUCCESS-committed and would pollute the corpus reads of every
+    * later batch. Call this alongside the plug-table truncation, then
+    * replay the corrected feed from `fromBatch` (with its checkpoint
+    * rewound or recreated — the sinks themselves are idempotent per
+    * batch id).
+    *
+    * Crash-safe and idempotent: each doomed dir loses its _SUCCESS
+    * marker FIRST — readers exclude it from that instant — and the
+    * recursive delete after is pure GC (same order as the append-table
+    * truncation in PlugRunner).
+    */
+  def truncateNearDupFrom(spark: org.apache.spark.sql.SparkSession,
+                          corpusDir: String, resultDir: String,
+                          fromBatch: Long): Unit =
+    truncateBatchDirsFrom(spark, fromBatch,
+      Seq(s"$corpusDir/arrays", s"$corpusDir/buckets", resultDir))
+
+  /** [[truncateNearDupFrom]] for a [[semanticBatchSink]] store pair. */
+  def truncateSemanticFrom(spark: org.apache.spark.sql.SparkSession,
+                           corpusDir: String, resultDir: String,
+                           fromBatch: Long): Unit =
+    truncateBatchDirsFrom(spark, fromBatch, Seq(corpusDir, resultDir))
+
+  private def truncateBatchDirsFrom(spark: org.apache.spark.sql.SparkSession,
+                                    fromBatch: Long, roots: Seq[String]): Unit = {
+    import org.apache.hadoop.fs.Path
+    roots.foreach { rootStr =>
+      val root = new Path(rootStr)
+      val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
+      if (fs.exists(root))
+        fs.listStatus(root).toSeq
+          .filter(s => s.isDirectory && s.getPath.getName.startsWith("batch_id="))
+          .filter(_.getPath.getName.stripPrefix("batch_id=")
+            .toLongOption.exists(_ >= fromBatch))
+          .foreach { s =>
+            fs.delete(new Path(s.getPath, "_SUCCESS"), false)
+            fs.delete(s.getPath, true)
+          }
+    }
+  }
 }

@@ -763,4 +763,73 @@ class StreamingSpec extends SparkSpec {
     assert(!new java.io.File(s"$corpus/batch_id=3").exists())
     emb.unpersist()
   }
+
+  test("dedup corpus stores: past-horizon fork truncates and replays to fresh-build state") {
+    import org.apache.spark.sql.functions._
+    val docs = graft.core.Tables.documents(spark, "/root/testdata/sf0.001")
+      .select("doc_id", "text").cache()
+    val ids = docs.select("doc_id").collect().map(_.getLong(0)).sorted
+    val cut1 = ids(ids.length / 3); val cut2 = ids(2 * ids.length / 3)
+    val b1 = docs.filter(col("doc_id") < cut1)
+    val b2 = docs.filter(col("doc_id") >= cut1 && col("doc_id") < cut2)
+    val b3 = docs.filter(col("doc_id") >= cut2)
+    // the corrected feed after the fork: batch 1 loses half its docs
+    // (a chain fork rewrote history) and there is NO batch 2 — the
+    // corrected chain is SHORTER, the exact case replay-idempotency
+    // alone cannot fix (stale committed batch_id=2 dirs would pollute
+    // every later corpus read)
+    val b2fork = b2.filter(col("doc_id") % 2 === 0)
+    def pairSet(dir: String) = spark.read.parquet(dir).collect()
+      .map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"),
+        r.getAs[Double]("jaccard"))).toSet
+    // forked timeline: all three batches land, then the fork invalidates
+    // batches >= 1
+    val base = java.nio.file.Files.createTempDirectory("ndfork").toString
+    val (corpus, results) = (s"$base/corpus", s"$base/results")
+    val sink = graft.streaming.StreamingDedup
+      .nearDupBatchSink(corpus, results, "text", "doc_id", 3, 128, 32, 0.8)
+    sink(b1, 0L); sink(b2, 1L); sink(b3, 2L)
+    graft.streaming.StreamingDedup.truncateNearDupFrom(spark, corpus, results, 1L)
+    // post-truncation invariant: only batch 0 remains, everywhere
+    Seq(s"$corpus/arrays", s"$corpus/buckets", results).foreach { d =>
+      val kept = new java.io.File(d).listFiles().filter(_.getName.startsWith("batch_id="))
+      assert(kept.map(_.getName).toSet === Set("batch_id=0"), d)
+    }
+    sink(b2fork, 1L) // corrected feed replays; the shorter chain ends here
+    // fresh rebuild from the corrected history on clean dirs
+    val base2 = java.nio.file.Files.createTempDirectory("ndfresh").toString
+    val sink2 = graft.streaming.StreamingDedup.nearDupBatchSink(
+      s"$base2/corpus", s"$base2/results", "text", "doc_id", 3, 128, 32, 0.8)
+    sink2(b1, 0L); sink2(b2fork, 1L)
+    assert(pairSet(results) === pairSet(s"$base2/results"))
+    // the corpus STORES converge too (same rows, not just same answers):
+    // later batches judge against corpus content, so a stale store would
+    // silently diverge on the NEXT batch even with equal results today
+    def arraysSet(dir: String) = spark.read.parquet(s"$dir/arrays")
+      .select("doc").collect().map(_.getLong(0)).toSet
+    assert(arraysSet(corpus) === arraysSet(s"$base2/corpus"))
+    // and the semantic store path shares the truncation contract
+    val emb = graft.core.Tables.embeddings(spark, "/root/testdata/sf0.001")
+      .select("vec_id", "embedding").cache()
+    val eids = emb.select("vec_id").collect().map(_.getLong(0)).sorted
+    val ecut = eids(eids.length / 2)
+    val (e1, e2) = (emb.filter(col("vec_id") < ecut), emb.filter(col("vec_id") >= ecut))
+    val e2fork = e2.filter(col("vec_id") % 2 === 0)
+    val sbase = java.nio.file.Files.createTempDirectory("semfork").toString
+    val ssink = graft.streaming.StreamingDedup
+      .semanticBatchSink(s"$sbase/corpus", s"$sbase/results", "vec_id", "embedding", 8, 0.35)
+    ssink(e1, 0L); ssink(e2, 1L)
+    graft.streaming.StreamingDedup.truncateSemanticFrom(
+      spark, s"$sbase/corpus", s"$sbase/results", 1L)
+    ssink(e2fork, 1L)
+    val sbase2 = java.nio.file.Files.createTempDirectory("semfresh").toString
+    val ssink2 = graft.streaming.StreamingDedup
+      .semanticBatchSink(s"$sbase2/corpus", s"$sbase2/results", "vec_id", "embedding", 8, 0.35)
+    ssink2(e1, 0L); ssink2(e2fork, 1L)
+    def keepMap(dir: String) = spark.read.parquet(dir).collect()
+      .map(r => r.getAs[Long]("vec_id") ->
+        (r.getAs[Long]("cluster"), r.getAs[Long]("keep"))).toMap
+    assert(keepMap(s"$sbase/results") === keepMap(s"$sbase2/results"))
+    docs.unpersist(); emb.unpersist()
+  }
 }
