@@ -1868,6 +1868,65 @@ object SparkEntry {
              |        / sum(n_tokens) OVER (), 6) AS cum_share
              |FROM a ORDER BY n_tokens DESC, lang, source""".stripMargin)),
 
+    // ---- sketch gates: the approximate operators held to their ERROR
+    //      BOUNDS against the exact answer. A sketch has no row-equal
+    //      external oracle (the estimate is algorithm-specific), but the
+    //      bound IS its contract: the engine emits the exact values plus
+    //      a computed within_bound boolean, the oracle emits the same
+    //      exact values plus literal TRUE — the driver's hash compare
+    //      then fails exactly when a bound is violated. Deterministic:
+    //      both sketches are fixed-seed, so a tier either passes always
+    //      or fails always.
+    Q("sketch_hll_distinct",
+      (s, d) => {
+        val li = Tables.lineitem(s, d)
+        // 3-sigma bound at rsd=0.05: |approx - exact| <= 15% of exact
+        val approx = TextAnalysis.approxDistinctPerGroup(
+          li.select(col("l_returnflag"), col("l_orderkey")),
+          "l_returnflag", "l_orderkey", 0.05)
+        val exact = li.groupBy(col("l_returnflag"))
+          .agg(countDistinct(col("l_orderkey")).as("exact_distinct"))
+        exact.join(approx, "l_returnflag")
+          .select(col("l_returnflag"), col("exact_distinct"),
+            (abs(col("approx_distinct") - col("exact_distinct")) <=
+              col("exact_distinct") * 0.15).as("within_bound"))
+          .orderBy("l_returnflag")
+      },
+      Some("""SELECT l_returnflag,
+             |       CAST(count(DISTINCT l_orderkey) AS BIGINT) AS exact_distinct,
+             |       TRUE AS within_bound
+             |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    Q("sketch_quantiles",
+      (s, d) => {
+        // rank-error bound: approx_percentile(accuracy=1000) returns an
+        // element within ~n/1000 ranks of the target; the check brackets
+        // it between the EXACT interpolated quantiles at p +/- 0.01 —
+        // a 10x margin over the sketch's guarantee plus the +/-1-rank
+        // interpolation slack, still a tight 1%-of-rank assertion
+        val probs = Seq(0.25, 0.5, 0.95)
+        val eps = 0.01
+        val li = Tables.lineitem(s, d).select(col("l_returnflag").as("g"),
+          col("l_extendedprice").cast("double").as("v"))
+        val approx = operators.Stats.approxQuantiles(li, "v", "g", probs, 1000)
+        val lo = probs.map(p => (p - eps).toString).mkString(",")
+        val hi = probs.map(p => math.min(1.0, p + eps).toString).mkString(",")
+        val brackets = li.groupBy(col("g")).agg(
+          expr(s"percentile(v, array($lo))").as("lo"),
+          expr(s"percentile(v, array($hi))").as("hi"),
+          count(lit(1)).as("n"))
+        approx.join(brackets, "g")
+          .select(col("g"), col("which"), col("n"),
+            (col("q") >= element_at(col("lo"), col("which").cast("int")) &&
+              col("q") <= element_at(col("hi"), col("which").cast("int")))
+              .as("within_bound"))
+          .orderBy("g", "which")
+      },
+      Some("""SELECT l_returnflag AS g, v.i AS which,
+             |       CAST(count(*) AS BIGINT) AS n, TRUE AS within_bound
+             |FROM lineitem CROSS JOIN (VALUES (1), (2), (3)) v(i)
+             |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
+
     // ---- tf-idf top terms per document
     Q("text_tfidf_top_terms",
       (s, d) => TextAnalysis.tfidfTopTerms(Tables.documents(s, d), 3),

@@ -163,45 +163,86 @@ object Dedup {
       .select(col("doc"), size(col("_arr")).as("n"),
         explode(when(size(col("_arr")) > 0, col("_arr"))).as("shingle"))
 
-  /** Exact n-gram Jaccard similarity for all pairs sharing >=1 shingle.
-    * Self-join on shingle (shuffle on shingle), pair-count, then
-    * `|A∩B| / (|A|+|B|-|A∩B|)`. Returns pairs with jaccard >= threshold.
+  /** Prefix rows for set-similarity joins (the AllPairs/PPJoin prefix
+    * filter, Bayardo et al., WWW'07): with every doc's shingle set
+    * sorted by one global order (the hash value — [[shingleArrays]]
+    * sorts), any pair whose intersection must reach `minOverlapOf(n)`
+    * elements HAS to collide inside each side's first
+    * `n - minOverlapOf(n) + 1` elements. Emitting only those prefix
+    * elements shrinks the candidate join's fan-out by ~the threshold
+    * factor while keeping EXACTNESS — the verify step computes the true
+    * score from the full arrays.
+    *
+    * The when() explode guard is load-bearing for the same
+    * InferFiltersFromGenerate reason as [[explodeShingleArrays]].
+    */
+  private def prefixRows(arrs: DataFrame, prefLen: Column): DataFrame =
+    arrs.select(col("doc"), size(col("_arr")).as("n"),
+      explode(when(size(col("_arr")) > 0,
+        slice(col("_arr"), lit(1), prefLen))).as("shingle"))
+
+  /** Exact n-gram Jaccard similarity for all pairs with
+    * `|A∩B| / (|A|+|B|-|A∩B|) >= threshold`.
+    *
+    * Shape: PPJoin-style prefix-filtered candidate join + in-row exact
+    * verify. J >= t forces i >= ceil(t*|A|) (the denominator is at least
+    * max(|A|,|B|)), so each side's prefix is its first
+    * `n - ceil(t*n) + 1` sorted shingles and candidates sharing a prefix
+    * shingle are a SUPERSET of all qualifying pairs — no misses, by
+    * construction. The length filter (`t*max <= min`) rejects
+    // impossible size ratios inside the join condition. Verification is
+    * the shared arrays path ([[verifyPairsExactArrays]]): two id-equi
+    * fetches + the native sorted-merge intersection, never a pair-count
+    * aggregation — the naive formulation aggregated 126M intersection
+    * rows into 113M pair counts at the sf10 tier to keep 25k, 21 s of
+    * pure hash-agg; the prefix join keeps the fan-out candidate-sized.
+    *
+    * merge hint + WIDE join-key repartition on the candidate join: both
+    * sides are corpus-proportional (no broadcastable dimension — the
+    * explode-derived size estimate undersold these frames badly enough
+    * to broadcast whole tiers, a driver OOM class at 100 TB), and a
+    * session tuned to few shuffle partitions for dimension-sized
+    * shuffles must not cap the one CPU-heavy stage (measured 12
+    * effective cores of 32 at sf10). Both sides are one ReusedExchange.
     */
   def ngramJaccardPairs(df: DataFrame, textCol: String, idCol: String,
                         w: Int = 3, threshold: Double = 0.8): DataFrame = {
-    val sh = graft.core.CacheScope.cached(shinglesN(df, textCol, idCol, w))
-    // both set sizes ride the joined rows (see shinglesN) — the group key
-    // gains two functionally-dependent longs instead of the pair count
-    // paying a sizes aggregation plus two broadcast joins afterwards.
-    // merge hint: BOTH sides are the corpus's shingle table — there is no
-    // dimension side, and the explode-derived size estimate undersells
-    // the frame badly enough that the size-based planner broadcast it on
-    // whole tiers (driver OOM class at 100 TB; measured on the LSH bucket
-    // twin at the 100x tier). SMJ is the no-memory-assumption default.
-    sh.as("a").hint("merge")
-      .join(sh.as("b"),
-        col("a.shingle") === col("b.shingle") && col("a.doc") < col("b.doc"))
-      .groupBy(col("a.doc").as("doc_a"), col("b.doc").as("doc_b"),
-        col("a.n").as("na"), col("b.n").as("nb"))
-      .agg(count(lit(1)).as("i"))
-      .withColumn("jaccard",
-        round(col("i").cast("double") / (col("na") + col("nb") - col("i")), 6))
-      .filter(col("jaccard") >= threshold)
-      .select("doc_a", "doc_b", "jaccard")
+    val arrs = graft.core.CacheScope.cached(shingleArrays(df, textCol, idCol, w))
+    val prefLen = (size(col("_arr")) -
+      ceil(size(col("_arr")) * lit(threshold)).cast("int") + 1)
+    val pref = prefixRows(arrs, prefLen)
+      .repartition(wideShufflePartitions(df), col("shingle"))
+    val candidates = pref.as("a").hint("merge")
+      .join(pref.as("b"),
+        col("a.shingle") === col("b.shingle") && col("a.doc") < col("b.doc") &&
+          least(col("a.n"), col("b.n")).cast("double") >=
+            lit(threshold) * greatest(col("a.n"), col("b.n")))
+      .select(col("a.doc").as("doc_a"), col("b.doc").as("doc_b"))
+      .distinct()
+    verifyPairsExactArrays(candidates, arrs, threshold)
   }
 
   /** Asymmetric containment pairs (Broder): |A∩B| / |A| >= threshold
     * flags A as a near-SUBSET of B — catches boilerplate wrappers and
     * quote-expansions that symmetric Jaccard misses (a small doc embedded
-    * in a big one has low Jaccard but high containment). Same
-    * shuffle-on-shingle candidate join as Jaccard; only the denominator
-    * differs, so both directions come from one intersection pass.
+    * in a big one has low Jaccard but high containment).
+    *
+    * Shape: shingle self-join + pair-count aggregation (NOT the prefix
+    * path [[ngramJaccardPairs]] takes). Containment is one-sided, so the
+    * prefix filter only bounds one side per direction and has no length
+    * filter — measured at the sf10 tier, the prefix-candidate set stays
+    * tens-of-millions large and the array-fetch verify then ships the
+    * full shingle arrays through two candidate-sized shuffles (2485
+    * core-s, 8x worse than the aggregation). The aggregation formulation
+    * keeps the per-row payload at four longs; both set sizes ride the
+    * joined rows so no sizes rollup follows. merge hint + WIDE join-key
+    * repartition: same no-dimension-side / parallelism-cap reasoning as
+    * [[ngramJaccardPairs]]'s candidate join.
     */
   def containmentPairs(df: DataFrame, textCol: String, idCol: String,
                        w: Int = 3, threshold: Double = 0.8): DataFrame = {
     val sh = graft.core.CacheScope.cached(shinglesN(df, textCol, idCol, w))
-    // set sizes ride the joined rows; merge hint — same shape and same
-    // no-dimension-side reasoning as [[ngramJaccardPairs]]
+      .repartition(wideShufflePartitions(df), col("shingle"))
     sh.as("a").hint("merge")
       .join(sh.as("b"),
         col("a.shingle") === col("b.shingle") && col("a.doc") < col("b.doc"))
@@ -360,9 +401,22 @@ object Dedup {
                           w: Int = 3, numPerm: Int = 128, bands: Int = 16,
                           threshold: Double = 0.8): DataFrame =
     // one-shot path: a throwaway index must not persist long-lived storage
-    // (see ivfTopK) — its frames register with the query-scoped CacheScope
+    // (see ivfTopK) — its frames register with the query-scoped CacheScope.
+    // Candidate-generation dispatch (small corpus -> direct shingle join)
+    // happens inside pairs(), sized at index-build time.
     buildNearDupIndex(corpus, textCol, idCol, w, numPerm, bands, cache = false)
       .pairs(batch, textCol, idCol, threshold)
+
+  /** Priced row count for plan-shape decisions: the zero-job footer
+    * UPPER bound when decisive, one column-pruned count when the bound
+    * says the input is merely scan-cheap, None (assume huge) otherwise.
+    */
+  private def pricedRowCount(df: DataFrame): Option[Long] =
+    graft.core.RowCounts.upperBound(df) match {
+      case Some(b) if b <= directPairCutoff => Some(b)
+      case Some(b) if b <= 4000000L => Some(graft.core.RowCounts.of(df))
+      case _ => None
+    }
 
   /** LSH band buckets (doc, band, bucket) from a shingle table — the
     * corpus-side hash tables of MinHash-LSH.
@@ -398,7 +452,9 @@ object Dedup {
     val arrs = keep(shingleArrays(corpus, textCol, idCol, w))
     val bkt = keep(bandBuckets(
       minhashSignaturesFromArrays(arrs, numPerm), numPerm, bands))
-    new NearDupIndex(arrs, bkt, w, numPerm, bands)
+    // corpus size (footer bound / priced count) rides the index so
+    // pairs() can dispatch small corpora to the direct shingle join
+    new NearDupIndex(arrs, bkt, w, numPerm, bands, pricedRowCount(corpus))
   }
 
   /** Reassemble a [[NearDupIndex]] from already-materialized parts — the
@@ -469,7 +525,12 @@ object Dedup {
       val arrays: DataFrame,
       /** Corpus LSH band buckets (doc, band, bucket) — the candidate side. */
       val buckets: DataFrame,
-      val shingleWidth: Int, val numPerm: Int, val bands: Int) {
+      val shingleWidth: Int, val numPerm: Int, val bands: Int,
+      /** Corpus row count when cheaply known at build time (None = assume
+        * huge). Lets [[pairs]] dispatch a SMALL corpus to the direct
+        * shingle join, skipping the batch-side MinHash pass entirely.
+        */
+      val corpusRows: Option[Long] = None) {
 
     /** Persist the index for reuse across batches/sessions. */
     def save(dir: String): Unit = {
@@ -531,19 +592,41 @@ object Dedup {
       * fetch shuffles.
       */
     def pairs(batch: DataFrame, textCol: String, idCol: String,
-              threshold: Double = 0.8): DataFrame = {
-      val arrsB = graft.core.CacheScope.cached(
-        shingleArrays(batch, textCol, idCol, shingleWidth))
-      val bktB = bandBuckets(
-        minhashSignaturesFromArrays(arrsB, numPerm), numPerm, bands)
-      val candidates = bktB.as("x")
-        .join(buckets.as("y"),
-          col("x.band") === col("y.band") && col("x.bucket") === col("y.bucket"))
-        .select(col("x.doc").as("doc_a"), col("y.doc").as("doc_b"))
-        .distinct()
-      // batch arrays (a) stay broadcastable; corpus arrays (b) force SMJ
-      Dedup.verifyPairsExactArraysTwo(candidates, arrsB, arrays,
-        threshold, mergeA = false, mergeB = true)
+              threshold: Double = 0.8): DataFrame = corpusRows match {
+      // SMALL corpus (known at build time): the contract is "pairs with
+      // exact Jaccard >= threshold", and LSH is only the candidate
+      // mechanism that keeps that sub-quadratic when BOTH sides are
+      // large. Against a small corpus the batch-side MinHash pass
+      // (numPerm hash-mins per shingle — measured ~25x the verify work
+      // at the sf10 tier's 250-doc corpus) buys nothing a direct
+      // shingle equi join doesn't give better: the corpus side
+      // broadcasts by size, the batch is scanned once, and there are
+      // ZERO probabilistic misses.
+      case Some(n) if n <= Dedup.directPairCutoff =>
+        val shB = Dedup.shinglesN(batch, textCol, idCol, shingleWidth)
+          .select(col("doc").as("doc_a"), col("n").as("na"), col("shingle"))
+        val shC = arrays.select(col("doc").as("doc_b"),
+          size(col("_arr")).as("nb"), explode(col("_arr")).as("shingle"))
+        shB.join(shC, "shingle")
+          .groupBy(col("doc_a"), col("doc_b"), col("na"), col("nb"))
+          .agg(count(lit(1)).as("i"))
+          .withColumn("jaccard",
+            round(col("i").cast("double") / (col("na") + col("nb") - col("i")), 6))
+          .filter(col("jaccard") >= threshold)
+          .select("doc_a", "doc_b", "jaccard")
+      case _ =>
+        val arrsB = graft.core.CacheScope.cached(
+          shingleArrays(batch, textCol, idCol, shingleWidth))
+        val bktB = bandBuckets(
+          minhashSignaturesFromArrays(arrsB, numPerm), numPerm, bands)
+        val candidates = bktB.as("x")
+          .join(buckets.as("y"),
+            col("x.band") === col("y.band") && col("x.bucket") === col("y.bucket"))
+          .select(col("x.doc").as("doc_a"), col("y.doc").as("doc_b"))
+          .distinct()
+        // batch arrays (a) stay broadcastable; corpus arrays (b) force SMJ
+        Dedup.verifyPairsExactArraysTwo(candidates, arrsB, arrays,
+          threshold, mergeA = false, mergeB = true)
     }
   }
 
@@ -1197,6 +1280,16 @@ object Dedup {
     * the mis-sizing it prevents.
     */
   private val directPairCutoff = 16384L
+
+  /** Partition count for corpus-scale shuffles: never below the cluster's
+    * total parallelism, whatever spark.sql.shuffle.partitions is tuned to
+    * for dimension-sized shuffles.
+    */
+  private def wideShufflePartitions(df: DataFrame): Int = {
+    val spark = df.sparkSession
+    math.max(spark.sessionState.conf.numShufflePartitions,
+      spark.sparkContext.defaultParallelism)
+  }
 
   // ---------------------------------------------------------------- simhash
 
