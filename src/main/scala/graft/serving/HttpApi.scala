@@ -93,6 +93,52 @@ class HttpApi(
     }
   }
 
+  /** Result micro-cache: the final JSON body per (full request URI, data
+    * epoch, injected-clock second). The prepared-plan cache above removes
+    * Catalyst from the hot path, but a repeated request still pays its
+    * collect + JSON shaping and — under load — a seat on the admission
+    * gate; measured at 50 closed-loop clients, that queueing (not
+    * planning) is the whole p99 tail. A hit serves bytes straight off the
+    * heap and SKIPS the gate entirely (it runs no Spark, so execution
+    * width doesn't apply). Correctness envelope is exactly the plan
+    * cache's: the epoch key drops every entry on a data rewrite, and the
+    * second-snapped clock key bounds liveness drift to <= 1 s — below
+    * block-time resolution, and the identity under the fixed clocks the
+    * specs inject (HttpApiSpec pins byte-identical responses through this
+    * path). Only 200 bodies of pure read routes are cached: `/api`
+    * (status is live), `/api/metadata` (static already) and the
+    * non-idempotent `new_permlink` generator stay uncached.
+    *
+    * Paired with the cache is REQUEST COALESCING ([[inflight]]): cache
+    * misses for an identical (URI, epoch) already being computed park on
+    * the owner's future instead of taking their own gate seat — without
+    * it, a closed-loop convoy turns one hot route into `maxConcurrent`
+    * copies of the same collect racing each other (measured: avgExec per
+    * admitted request grows ~20x at 50 clients, and entries keyed by
+    * arrival second are stale before they land, a write-only cache).
+    * Entries are therefore keyed by the COMPLETION-time second.
+    */
+  private val ResultCacheMax = 512
+  private val resultCache = java.util.Collections.synchronizedMap(
+    new java.util.LinkedHashMap[(String, Long, Long), String](64, 0.75f, true) {
+      override def removeEldestEntry(
+          e: java.util.Map.Entry[(String, Long, Long), String]): Boolean =
+        size() > ResultCacheMax
+    })
+  private[graft] val resultCacheHits = new java.util.concurrent.atomic.AtomicLong
+  private[graft] val coalescedHits = new java.util.concurrent.atomic.AtomicLong
+  /** In-flight computations by (request URI, data epoch) — the coalescing
+    * table. An entry lives exactly as long as its owner's computation; the
+    * value future carries (status, body) to every waiter.
+    */
+  private val inflight = new java.util.concurrent.ConcurrentHashMap[
+    (String, Long), java.util.concurrent.CompletableFuture[(Int, String)]]()
+  private def resultCacheable(path: String): Boolean =
+    path != "/api" && path != "/api/metadata" &&
+      path != "/api/polls/new_permlink"
+  private def resultKey(uri: String): (String, Long, Long) =
+    (uri, graft.core.Tables.epoch, now().getTime / 1000L)
+
   /** The injected clock snapped to SECOND granularity — the plan-cache
     * key (and embedded literal) of the clock-carrying routes (`active`
     * filters, user?active=true). Without the snap those routes rebuild
@@ -201,13 +247,85 @@ class HttpApi(
         catch { case _: InterruptedException =>
           Thread.currentThread().interrupt(); false
         }
-      if (path == "/api" || path == "/api/metadata") handle(ex)
-      else if (acquire())
-        try handle(ex) finally gate.release()
-      else {
+      def shed(): Unit = {
         shedCount.incrementAndGet()
         respond(ex, 503, JsonOut.obj(Map(
           "error" -> s"overloaded: admission queue exceeded ${queueMillis} ms")))
+      }
+      if (path == "/api" || path == "/api/metadata") handle(ex)
+      else if (!resultCacheable(path)) {
+        // non-idempotent / uncacheable: straight through the gate
+        val tQueue = System.nanoTime()
+        if (acquire()) {
+          queueNanos.addAndGet(System.nanoTime() - tQueue)
+          val tExec = System.nanoTime()
+          try handle(ex) finally {
+            gate.release()
+            execNanos.addAndGet(System.nanoTime() - tExec)
+            gatedCount.incrementAndGet()
+          }
+        } else shed()
+      } else {
+        // micro-cache check BEFORE the gate: a hit runs no Spark, so it
+        // must not wait behind requests that do
+        val uri = String.valueOf(ex.getRequestURI)
+        val hit = resultCache.get(resultKey(uri))
+        if (hit != null) {
+          resultCacheHits.incrementAndGet()
+          respond(ex, 200, hit)
+        } else {
+          // request coalescing: identical in-flight requests share ONE
+          // computation — under a closed-loop convoy the alternative is
+          // maxConcurrent copies of the same collect racing each other,
+          // which is the whole measured tail (avgExec grows ~20x under
+          // 50 clients). Only the owner takes a gate seat; waiters park
+          // on its future (no Spark, no seat) and respond with the same
+          // status/body the owner produced.
+          val ik = (uri, graft.core.Tables.epoch)
+          val mine = new java.util.concurrent.CompletableFuture[(Int, String)]()
+          val theirs = inflight.putIfAbsent(ik, mine)
+          if (theirs != null) {
+            coalescedHits.incrementAndGet()
+            try {
+              val (c, b) = theirs.get(queueMillis,
+                java.util.concurrent.TimeUnit.MILLISECONDS)
+              respond(ex, c, b)
+            } catch {
+              case _: InterruptedException =>
+                Thread.currentThread().interrupt(); shed()
+              case _: java.util.concurrent.TimeoutException => shed()
+              case _: java.util.concurrent.ExecutionException =>
+                respond(ex, 500, JsonOut.obj(Map("error" -> "upstream failed")))
+            }
+          } else try {
+            val tQueue = System.nanoTime()
+            if (acquire()) {
+              queueNanos.addAndGet(System.nanoTime() - tQueue)
+              val tExec = System.nanoTime()
+              val (code, body) =
+                try routeResult(ex) finally {
+                  gate.release()
+                  execNanos.addAndGet(System.nanoTime() - tExec)
+                  gatedCount.incrementAndGet()
+                }
+              // cache under the COMPLETION-time second: an entry keyed by
+              // the request's arrival second would already be stale by
+              // the time a loaded request finishes (measured: write-only
+              // cache under 50 clients)
+              if (code == 200) resultCache.put(resultKey(uri), body)
+              mine.complete((code, body))
+              respond(ex, code, body)
+            } else {
+              mine.complete((503, JsonOut.obj(Map(
+                "error" -> s"overloaded: admission queue exceeded ${queueMillis} ms"))))
+              shed()
+            }
+          } finally {
+            if (!mine.isDone)
+              mine.complete((500, JsonOut.obj(Map("error" -> "handler died"))))
+            inflight.remove(ik, mine)
+          }
+        }
       }
     })
     val tf = new java.util.concurrent.ThreadFactory {
@@ -231,6 +349,16 @@ class HttpApi(
 
   private[graft] val shedCount = new java.util.concurrent.atomic.AtomicLong
 
+  /** Gate instrumentation: total nanoseconds spent PARKED on the
+    * admission gate vs EXECUTING plans, over `gatedCount` admitted
+    * requests — the split that says whether a latency tail is queueing
+    * (add capacity / cache) or execution (make the plan faster).
+    * tools/ServeBench reports the averages.
+    */
+  private[graft] val queueNanos = new java.util.concurrent.atomic.AtomicLong
+  private[graft] val execNanos = new java.util.concurrent.atomic.AtomicLong
+  private[graft] val gatedCount = new java.util.concurrent.atomic.AtomicLong
+
   private var pool: java.util.concurrent.ExecutorService = _
 
   private def sparkContextOf: Option[org.apache.spark.SparkContext] =
@@ -243,7 +371,12 @@ class HttpApi(
 
   // ------------------------------------------------------------------ routes
 
-  private def handle(ex: HttpExchange): Unit =
+  private def handle(ex: HttpExchange): Unit = {
+    val (code, body) = routeResult(ex)
+    respond(ex, code, body)
+  }
+
+  private def routeResult(ex: HttpExchange): (Int, String) =
     try {
       val path = ex.getRequestURI.getPath
       val q = parseQuery(Option(ex.getRequestURI.getQuery).getOrElse(""))
@@ -288,12 +421,12 @@ class HttpApi(
         case _ => Left(s"unknown route: $path")
       }
       result match {
-        case Right(body) => respond(ex, 200, body)
-        case Left(err)   => respond(ex, 400, JsonOut.obj(Map("error" -> err)))
+        case Right(body) => (200, body)
+        case Left(err)   => (400, JsonOut.obj(Map("error" -> err)))
       }
     } catch {
       case e: Throwable =>
-        respond(ex, 500, JsonOut.obj(Map("error" -> String.valueOf(e.getMessage))))
+        (500, JsonOut.obj(Map("error" -> String.valueOf(e.getMessage))))
     }
 
   /** The reference's literal param shape (plug_endpoints/podping.py:14,

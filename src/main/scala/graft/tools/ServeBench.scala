@@ -15,13 +15,17 @@ import java.net.http.{HttpClient, HttpRequest, HttpResponse}
   * every handler tags its jobs into the `serving` pool — one heavy
   * request must not convoy every light one behind it in the FIFO queue.
   *
-  * Usage: runMain graft.tools.ServeBench [sfDir] [clients] [reqsPerClient]
+  * Usage: runMain graft.tools.ServeBench [sfDir] [clients] [reqsPerClient] [mix|uniq]
+  * `uniq` makes every latest-feed request carry a distinct url, so the
+  * result micro-cache and the per-params plan cache both miss — the
+  * execution-path envelope, vs the default repeated-request mix.
   */
 object ServeBench {
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")
     val clients = args.lift(1).map(_.toInt).getOrElse(50)
     val perClient = args.lift(2).map(_.toInt).getOrElse(20)
+    val uniq = args.lift(3).contains("uniq")
 
     val spark = org.apache.spark.sql.SparkSession.builder()
       .master("local[32]")
@@ -61,7 +65,11 @@ object ServeBench {
       new Thread(() => {
         val cl = HttpClient.newHttpClient()
         (0 until perClient).foreach { i =>
-          val path = routes((c + i) % routes.size)
+          val base = routes((c + i) % routes.size)
+          val path =
+            if (uniq && base.startsWith("/api/podping/feeds/latest"))
+              s"/api/podping/feeds/latest?url=url_${(c * perClient + i) % 1000}"
+            else base
           val s = System.nanoTime()
           val code = cl.send(
             HttpRequest.newBuilder(URI.create(s"http://127.0.0.1:$port$path")).GET().build(),
@@ -85,5 +93,12 @@ object ServeBench {
       f"wall=${wallS}%.2f s throughput=${sorted.length / wallS}%.0f req/s")
     println(f"[serve] latency ms: p50=${pct(0.50)}%.1f p90=${pct(0.90)}%.1f " +
       f"p99=${pct(0.99)}%.1f max=${sorted.last / 1e6}%.1f")
+    val gated = math.max(1L, api.gatedCount.get)
+    println(f"[serve] gate: admitted=${api.gatedCount.get} " +
+      f"avgQueue=${api.queueNanos.get / gated / 1e6}%.1f ms " +
+      f"avgExec=${api.execNanos.get / gated / 1e6}%.1f ms " +
+      f"resultCacheHits=${api.resultCacheHits.get} " +
+      f"coalesced=${api.coalescedHits.get} " +
+      f"planCacheHits=${api.planCacheHits.get}")
   }
 }

@@ -23,6 +23,13 @@ class HttpApiSpec extends SparkSpec {
     op(4, 103, 0, "2024-01-01 01:00:00", "polls",
       pollVote("alice", "color", 2), postingAuth = "bob")))
 
+  // var-backed injected clock: the cache-layering test advances it by one
+  // second to step past the result micro-cache (keyed on the clock
+  // second) while staying on the prepared plan (keyed on params only for
+  // clock-free routes), then restores it
+  private val clockDefault = "2024-01-15 00:00:00"
+  private var clock = clockDefault
+
   private lazy val (api, port) = {
     val pod = Podping.transform(fixture)
     val pol = Polls.transform(fixture)
@@ -31,7 +38,7 @@ class HttpApiSpec extends SparkSpec {
         "podping_updates" -> pod("updates"), "podping_ops" -> pod("ops"),
         "polls_ops" -> pol("ops"),
         "polls_content" -> pol("content"), "polls_votes" -> pol("votes")),
-      now = () => ts("2024-01-15 00:00:00"))
+      now = () => ts(clock))
     (api, api.start())
   }
 
@@ -248,39 +255,57 @@ class HttpApiSpec extends SparkSpec {
     assert(get("/api/nope")._1 === 400)
   }
 
-  test("prepared-plan cache: a repeated request reuses the analyzed plan, byte-identical body") {
-    val (c1, b1) = get("/api/polls/summary?author=alice&permlink=color")
-    assert(c1 === 200)
-    // first request for this (route, params, epoch) built the plan
-    val afterFirst = api.planCacheHits.get()
-    val (c2, b2) = get("/api/polls/summary?author=alice&permlink=color")
-    assert(c2 === 200)
-    // second identical request hit the cache — Catalyst analysis was
-    // skipped (the hit returns the same analyzed DataFrame object) —
-    // and the shaped body is byte-identical
-    assert(api.planCacheHits.get() === afterFirst + 1)
-    assert(b2 === b1)
-    // a different param is a different prepared plan, not a false hit
-    // (params no other test in the suite has requested)
-    val before = api.planCacheHits.get()
-    assert(get("/api/polls/votes?author=alice&permlink=neverseen")._1 === 200)
-    assert(api.planCacheHits.get() === before)
-    // a data-epoch bump (Tables.invalidate after a rewrite) drops every
-    // prepared plan: the same request misses, rebuilds, and re-caches
-    graft.core.Tables.invalidate(Some(spark))
-    val (c3, b3) = get("/api/polls/summary?author=alice&permlink=color")
-    assert(c3 === 200 && b3 === b1)
-    assert(api.planCacheHits.get() === before)
-    val (c4, b4) = get("/api/polls/summary?author=alice&permlink=color")
-    assert(c4 === 200 && b4 === b1)
-    assert(api.planCacheHits.get() === before + 1)
-    // key sanitization: a '/' inside one param must not alias another
-    // split of the same joined key (both requests 200 with DIFFERENT
-    // keys — the second is a miss, not a false hit on the first)
-    assert(get("/api/polls/summary?author=ali&permlink=b%2Fc")._1 === 200)
-    val h = api.planCacheHits.get()
-    assert(get("/api/polls/summary?author=ali%2Fb&permlink=c")._1 === 200)
-    assert(api.planCacheHits.get() === h)
+  test("cache layering: result micro-cache serves repeats, plan cache survives the second") {
+    try {
+      val (c1, b1) = get("/api/polls/summary?author=alice&permlink=color")
+      assert(c1 === 200)
+      // an IDENTICAL repeat within the same (epoch, clock second) is
+      // served straight from the result micro-cache: byte-identical body,
+      // no plan-cache touch, no Spark
+      val planAfterFirst = api.planCacheHits.get()
+      val resAfterFirst = api.resultCacheHits.get()
+      val (c2, b2) = get("/api/polls/summary?author=alice&permlink=color")
+      assert(c2 === 200 && b2 === b1)
+      assert(api.resultCacheHits.get() === resAfterFirst + 1)
+      assert(api.planCacheHits.get() === planAfterFirst)
+      // advancing the clock one second steps past the RESULT key but not
+      // the PLAN key (summary is clock-free): Catalyst analysis is
+      // skipped (the hit returns the same analyzed DataFrame object) and
+      // the shaped body is byte-identical
+      clock = "2024-01-15 00:00:01"
+      val (c2b, b2b) = get("/api/polls/summary?author=alice&permlink=color")
+      assert(c2b === 200 && b2b === b1)
+      assert(api.planCacheHits.get() === planAfterFirst + 1)
+      assert(api.resultCacheHits.get() === resAfterFirst + 1)
+      // a different param is a different prepared plan, not a false hit
+      // (params no other test in the suite has requested)
+      val before = api.planCacheHits.get()
+      assert(get("/api/polls/votes?author=alice&permlink=neverseen")._1 === 200)
+      assert(api.planCacheHits.get() === before)
+      // a data-epoch bump (Tables.invalidate after a rewrite) drops every
+      // prepared plan AND every cached result: the same request misses
+      // both, rebuilds, and re-caches
+      graft.core.Tables.invalidate(Some(spark))
+      val (c3, b3) = get("/api/polls/summary?author=alice&permlink=color")
+      assert(c3 === 200 && b3 === b1)
+      assert(api.planCacheHits.get() === before)
+      clock = "2024-01-15 00:00:02" // dodge the result entry c3 just wrote
+      val (c4, b4) = get("/api/polls/summary?author=alice&permlink=color")
+      assert(c4 === 200 && b4 === b1)
+      assert(api.planCacheHits.get() === before + 1)
+      // key sanitization: a '/' inside one param must not alias another
+      // split of the same joined key (both requests 200 with DIFFERENT
+      // keys — the second is a miss, not a false hit on the first)
+      assert(get("/api/polls/summary?author=ali&permlink=b%2Fc")._1 === 200)
+      val h = api.planCacheHits.get()
+      assert(get("/api/polls/summary?author=ali%2Fb&permlink=c")._1 === 200)
+      assert(api.planCacheHits.get() === h)
+      // the non-idempotent permlink generator is never result-cached
+      val res = api.resultCacheHits.get()
+      assert(get("/api/polls/new_permlink?author=alice&question=cachedq")._1 === 200)
+      assert(get("/api/polls/new_permlink?author=alice&question=cachedq")._1 === 200)
+      assert(api.resultCacheHits.get() === res)
+    } finally clock = clockDefault
   }
 
   test("concurrent requests: 50 parallel clients, every response matches its sequential body") {
