@@ -1900,26 +1900,32 @@ object SparkEntry {
     Q("sketch_quantiles",
       (s, d) => {
         // rank-error bound: approx_percentile(accuracy=1000) returns an
-        // element within ~n/1000 ranks of the target; the check brackets
-        // it between the EXACT interpolated quantiles at p +/- 0.01 —
-        // a 10x margin over the sketch's guarantee plus the +/-1-rank
-        // interpolation slack, still a tight 1%-of-rank assertion
+        // ELEMENT whose rank is within ~n/1000 of the target rank p*n.
+        // The check verifies rank membership directly: per (group, prob),
+        // count values <=/< the sketch's answer in ONE linear pass (li
+        // broadcast-joined to the 9-row sketch output) and assert the
+        // rank interval [r_lt+1, r_le] meets [(p-eps)n, (p+eps)n] with
+        // eps=0.01 — a 10x margin over the sketch guarantee (+/-1 rank
+        // slack for ties). An exact-percentile bracket was the first
+        // formulation and cost 3.3 s of the sf0.1 bench: `percentile`
+        // aggregates a per-group value->count map, which on ~200k
+        // DISTINCT doubles per group is exactly the cardinality
+        // Stats.exactQuantiles' scaladoc warns it is NOT for. Counting
+        // ranks needs no sort and no map: two codegen'd passes total.
         val probs = Seq(0.25, 0.5, 0.95)
         val eps = 0.01
         val li = Tables.lineitem(s, d).select(col("l_returnflag").as("g"),
           col("l_extendedprice").cast("double").as("v"))
         val approx = operators.Stats.approxQuantiles(li, "v", "g", probs, 1000)
-        val lo = probs.map(p => (p - eps).toString).mkString(",")
-        val hi = probs.map(p => math.min(1.0, p + eps).toString).mkString(",")
-        val brackets = li.groupBy(col("g")).agg(
-          expr(s"percentile(v, array($lo))").as("lo"),
-          expr(s"percentile(v, array($hi))").as("hi"),
-          count(lit(1)).as("n"))
-        approx.join(brackets, "g")
+        val p = element_at(array(probs.map(lit): _*), col("which").cast("int"))
+        li.join(broadcast(approx), "g")
+          .groupBy(col("g"), col("which"), col("q"))
+          .agg(count(lit(1)).as("n"),
+            sum(when(col("v") <= col("q"), 1L).otherwise(0L)).as("r_le"),
+            sum(when(col("v") < col("q"), 1L).otherwise(0L)).as("r_lt"))
           .select(col("g"), col("which"), col("n"),
-            (col("q") >= element_at(col("lo"), col("which").cast("int")) &&
-              col("q") <= element_at(col("hi"), col("which").cast("int")))
-              .as("within_bound"))
+            (col("r_lt") <= (p + eps) * col("n") + 1 &&
+              col("r_le") >= (p - eps) * col("n") - 1).as("within_bound"))
           .orderBy("g", "which")
       },
       Some("""SELECT l_returnflag AS g, v.i AS which,

@@ -6,24 +6,31 @@ import org.apache.spark.sql.functions._
   * shuffle-hash on the shingle equi join (the sf10 watch item: SMJ sorts
   * two candidate-sized sides; DuckDB's hash join doesn't). Dev harness.
   *
-  * Usage: runMain graft.tools.ContProbe [sfDir] [reps]
+  * Usage: runMain graft.tools.ContProbe [sfDir] [reps] [parts,parts,...]
   */
 object ContProbe {
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("target/sf10")
     val reps = args.lift(1).map(_.toInt).getOrElse(2)
+    val partList = args.lift(2).map(_.split(",").toSeq.map(_.toInt))
+      .getOrElse(Seq(12, 32))
     val spark = graft.Bench.session("32")
+    val taskMs = new java.util.concurrent.atomic.AtomicLong
+    spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
+      override def onTaskEnd(t: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit =
+        Option(t.taskMetrics).foreach(m => taskMs.addAndGet(m.executorRunTime))
+    })
     val docs = graft.core.Tables.documents(spark, sfDir)
     def time[T](tag: String)(f: => T): T = {
+      val m0 = taskMs.get
       val t0 = System.nanoTime(); val r = f
-      println(f"[cont] $tag%-26s ${(System.nanoTime() - t0) / 1e9}%.3f s"); r
+      println(f"[cont] $tag%-26s ${(System.nanoTime() - t0) / 1e9}%.3f s" +
+        f"  taskTime ${(taskMs.get - m0) / 1e3}%.1f s"); r
     }
-    def run(hintName: String): Unit = {
+    def run(hintName: String, wide: Int): Unit = {
       val sh = graft.operators.Dedup.shinglesN(docs, "text", "doc_id", 3)
         .cache()
       sh.count()
-      val wide = math.max(spark.sessionState.conf.numShufflePartitions,
-        spark.sparkContext.defaultParallelism)
       val shW = sh.repartition(wide, col("shingle"))
       val joined = shW.as("a").hint(hintName).join(shW.as("b"),
         col("a.shingle") === col("b.shingle") && col("a.doc") < col("b.doc"))
@@ -33,14 +40,16 @@ object ContProbe {
         .withColumn("c_ab", round(col("i").cast("double") / col("na"), 6))
         .withColumn("c_ba", round(col("i").cast("double") / col("nb"), 6))
         .filter(col("c_ab") >= 0.8 || col("c_ba") >= 0.8)
-      val n = time(s"$hintName join+agg")(agg.count())
-      println(s"[cont] $hintName pairs=$n")
+      val n = time(s"$hintName p=$wide join+agg")(agg.count())
+      println(s"[cont] $hintName p=$wide pairs=$n")
       sh.unpersist()
     }
     (1 to reps).foreach { rep =>
       println(s"--- rep $rep")
-      run("merge")
-      run("shuffle_hash")
+      partList.foreach { p =>
+        run("merge", p)
+        run("shuffle_hash", p)
+      }
     }
     spark.stop()
   }
