@@ -1880,13 +1880,22 @@ object SparkEntry {
     Q("sketch_hll_distinct",
       (s, d) => {
         val li = Tables.lineitem(s, d)
-        // 3-sigma bound at rsd=0.05: |approx - exact| <= 15% of exact
-        val approx = TextAnalysis.approxDistinctPerGroup(
-          li.select(col("l_returnflag"), col("l_orderkey")),
-          "l_returnflag", "l_orderkey", 0.05)
-        val exact = li.groupBy(col("l_returnflag"))
-          .agg(countDistinct(col("l_orderkey")).as("exact_distinct"))
-        exact.join(approx, "l_returnflag")
+        // 3-sigma bound at rsd=0.05: |approx - exact| <= 15% of exact.
+        // ONE scan: dedup (flag, orderkey) pairs first (the classic
+        // two-phase exact countDistinct, map-side partial), then count
+        // the pairs AND feed the SAME deduped set to the HLL —
+        // approx_count_distinct is duplicate-insensitive (per-register
+        // max), so the sketch over dedup(S) is bit-identical to the
+        // sketch over S at the same rsd, and the gate inlines
+        // TextAnalysis.approxDistinctPerGroup's one-liner exactly (the
+        // operator stays unit-tested in TextAnalysisSpec). The first
+        // formulation ran two scans joined back (2x wall); the
+        // single-agg mixed form was worse still (Expand doubles rows
+        // and keys the HLL partial on the 150k-group first phase).
+        li.select(col("l_returnflag"), col("l_orderkey")).distinct()
+          .groupBy(col("l_returnflag"))
+          .agg(count(lit(1)).as("exact_distinct"),
+            approx_count_distinct(col("l_orderkey"), 0.05).as("approx_distinct"))
           .select(col("l_returnflag"), col("exact_distinct"),
             (abs(col("approx_distinct") - col("exact_distinct")) <=
               col("exact_distinct") * 0.15).as("within_bound"))
