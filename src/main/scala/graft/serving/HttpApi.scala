@@ -29,7 +29,8 @@ import org.apache.spark.sql.{DataFrame, Row}
 class HttpApi(
     tables: Map[String, DataFrame],
     now: () => Timestamp = () => new Timestamp(System.currentTimeMillis()),
-    statusFn: () => Map[String, Any] = () => Map("status" -> "GOOD")) {
+    statusFn: () => Map[String, Any] = () => Map("status" -> "GOOD"),
+    pointIndexMaxRows: Int = 500000) {
 
   /** Default query window constants (reference: podping.py:14-37,
     * polls.py "24 hours; 28,800 blocks").
@@ -173,6 +174,107 @@ class HttpApi(
         headCache.getOrElseUpdate(k,
           graft.core.OpLog.headBlock(df).getOrElse(0L))
     }
+  }
+
+  // ------------------------------------------------------- point indexes
+  //
+  // Per-epoch in-heap point-lookup indexes (see PointIndex's scaladoc for
+  // the correctness/scale contract): each is the route's own query with
+  // the key filter dropped and the route's ORDER BY applied per key by
+  // Spark (row_number window + global (key, rn) sort — the driver only
+  // groups in collect order). A fresh-params request then costs O(1)
+  // heap reads instead of Catalyst + a distributed job — the measured
+  // unique-params tail (tools/ServeBench `uniq`) is job-launch bound,
+  // not plan-cost bound. Routes WITHOUT a deterministic response order
+  // (the standalone /api/polls/votes returns collect order) are NOT
+  // indexed: an index would reorder their bytes.
+
+  /** Widest `limit` the latest-feed index covers: any request with
+    * limit <= this serves a prefix of the indexed top-K (top-L of a
+    * per-key ordered set == first L of its top-K for L <= K); larger
+    * limits fall back to the per-request plan.
+    */
+  private val IndexLatestK = 20
+
+  private lazy val latestIdx = new PointIndex("podping_latest", () => {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.expressions.Window
+    // feedUpdates' exact pipeline (filter-on-url dropped): join to ops
+    // for the hex trx id FIRST, then the route's ORDER BY as a per-url
+    // window — identical rows AND order to the fallback for every url
+    val w = Window.partitionBy(col("url"))
+      .orderBy(col("block_num").desc, col("podping_id").desc)
+    tables("podping_updates")
+      .join(tables("podping_ops").select(col("id").as("podping_id"),
+        lower(hex(col("trx_id"))).as("trx_id")), Seq("podping_id"))
+      .withColumn("_rn", row_number().over(w))
+      .filter(col("_rn") <= IndexLatestK)
+      .orderBy(col("url"), col("_rn"))
+      .select("block_num", "created", "trx_id", "url", "reason", "medium")
+  }, _.getAs[String]("url"), pointIndexMaxRows)
+
+  private lazy val summaryIdx = new PointIndex("polls_summary", () => {
+    import org.apache.spark.sql.functions._
+    // same source dispatch as the route: the incrementally-materialized
+    // summary when the stream registered one, else the batch join
+    val full = tables.get("polls_summary") match {
+      case Some(live) => live.select(
+        col("author"), col("permlink"), col("parsed_answer"), col("votes"))
+      case None => PollsQueries.pollSummary(
+        tables("polls_content"), tables("polls_votes"))
+    }
+    full.orderBy(col("author"), col("permlink"), col("parsed_answer"))
+  }, r => PointIndex.key(r.getAs[String]("author"), r.getAs[String]("permlink")),
+    pointIndexMaxRows)
+
+  private lazy val userIdx = new PointIndex("polls_user", () => {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("author"))
+      .orderBy(col("created").desc, col("permlink"))
+    tables("polls_content").filter(!col("deleted"))
+      .withColumn("_rn", row_number().over(w))
+      .orderBy(col("author"), col("_rn"))
+      .select("author", "permlink", "question", "answers", "expires", "tag", "created")
+  }, _.getAs[String]("author"), pointIndexMaxRows)
+
+  private lazy val pollIdx = new PointIndex("polls_poll", () => {
+    import org.apache.spark.sql.functions._
+    tables("polls_content").filter(!col("deleted"))
+      .select("author", "permlink", "question", "answers", "expires", "tag", "created")
+  }, r => PointIndex.key(r.getAs[String]("author"), r.getAs[String]("permlink")),
+    pointIndexMaxRows)
+
+  private lazy val votesByPollIdx = new PointIndex("polls_votes_by_poll", () => {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.expressions.Window
+    // the nested-votes variant of /api/polls/poll ORDERS (created,
+    // account, answer) — deterministic, so indexable (unlike the
+    // standalone votes route)
+    val w = Window.partitionBy(col("author"), col("permlink"))
+      .orderBy(col("created"), col("account"), col("answer"))
+    tables("polls_content").filter(!col("deleted"))
+      .select(col("author"), col("permlink"))
+      .join(tables("polls_votes"), Seq("author", "permlink"))
+      .withColumn("_rn", row_number().over(w))
+      .orderBy(col("author"), col("permlink"), col("_rn"))
+      .select("author", "permlink", "account", "answer", "created")
+  }, r => PointIndex.key(r.getAs[String]("author"), r.getAs[String]("permlink")),
+    pointIndexMaxRows)
+
+  /** Existence keyset for the unique-permlink generator: ALL
+    * (author, permlink) pairs (the probe deliberately counts deleted
+    * rows too — a reused permlink would collide on insert).
+    */
+  private lazy val contentKeyIdx = new PointIndex("polls_content_keys", () => {
+    import org.apache.spark.sql.functions._
+    tables("polls_content").select(col("author"), col("permlink"))
+  }, r => PointIndex.key(r.getAs[String]("author"), r.getAs[String]("permlink")),
+    pointIndexMaxRows)
+
+  private[graft] def pointIndexStats: (Long, Long) = {
+    val all = Seq(latestIdx, summaryIdx, userIdx, pollIdx, votesByPollIdx, contentKeyIdx)
+    (all.map(_.hits.get).sum, all.map(_.builds.get).sum)
   }
 
   def start(port: Int = 0): Int = start("127.0.0.1", port)
@@ -486,16 +588,24 @@ class HttpApi(
       intParam(q, "limit").map(_.getOrElse(5)).map { limit =>
         import org.apache.spark.sql.functions.col
         val feedCols = Seq("trx_id", "block_num", "created", "reason", "medium")
-        // the frame is pure in (url, limit): prepared-cache it; only the
-        // time_since arithmetic below touches the (driver-side) clock
-        val rows = prepared(planKey("latest", url, limit.toString))(
-            PodpingQueries.feedUpdates(
-              tables("podping_updates"), tables("podping_ops"), url, limit)
-              .select(feedCols.map(col): _*).limit(MaxResponseRows))
-          .collect().toSeq
+        // point index first (covers limit <= IndexLatestK, i.e. every
+        // real request — the route default is 5): O(1), no Spark job.
+        // Fallback: the prepared per-(url, limit) plan. Only the
+        // time_since arithmetic below touches the (driver-side) clock.
+        val viaIdx =
+          if (limit >= 0 && limit <= IndexLatestK) latestIdx.lookup(url) else None
+        val rows: Seq[Row] = viaIdx match {
+          case Some(all) => all.take(limit)
+          case None => prepared(planKey("latest", url, limit.toString))(
+              PodpingQueries.feedUpdates(
+                tables("podping_updates"), tables("podping_ops"), url, limit)
+                .select(feedCols.map(col): _*).limit(MaxResponseRows))
+            .collect().toSeq
+        }
         val newest = rows.headOption.map(_.getAs[Timestamp]("created"))
         val shaped = rows.map(r => JsonOut.obj(
-          ApiShaping.populateBySchema(r.toSeq, feedCols), feedCols))
+          ApiShaping.populateBySchema(feedCols.map(c => r.getAs[Any](c)), feedCols),
+          feedCols))
         JsonOut.obj(Map(
           "feed_updates" -> JsonOut.Raw(JsonOut.arr(shaped)),
           "iri" -> url,
@@ -567,9 +677,17 @@ class HttpApi(
         } yield {
           import org.apache.spark.sql.functions.col
           val content = tables("polls_content")
-          def exists(p: String): Boolean = content
-            .filter(col("author") === author && col("permlink") === p)
-            .limit(1).count() > 0
+          // keyset index: each slug probe is a set lookup instead of a
+          // count job — uniqueSlug probes SERIALLY (-2, -3, ...), so
+          // without the index a crowded author pays one Spark job per
+          // taken suffix inside one request
+          def exists(p: String): Boolean =
+            contentKeyIdx.lookup(PointIndex.key(author, p)) match {
+              case Some(rows) => rows.nonEmpty
+              case None => content
+                .filter(col("author") === author && col("permlink") === p)
+                .limit(1).count() > 0
+            }
           JsonOut.str(ApiShaping.uniqueSlug(question, exists))
         }
       }
@@ -591,34 +709,45 @@ class HttpApi(
             import org.apache.spark.sql.functions.col
             val cols = Seq("author", "permlink", "question", "answers",
               "expires", "tag", "created")
-            val poll = tables("polls_content")
-              .filter(col("author") === author && col("permlink") === permlink &&
-                !col("deleted"))
-              .select(cols.map(col): _*).limit(1).collect().headOption
+            val pk = PointIndex.key(author, permlink)
+            val poll = pollIdx.lookup(pk) match {
+              case Some(rows) => rows.headOption
+              case None => tables("polls_content")
+                .filter(col("author") === author && col("permlink") === permlink &&
+                  !col("deleted"))
+                .select(cols.map(col): _*).limit(1).collect().headOption
+            }
             poll.toRight("Poll not found").map { row =>
+              def shape(rows: IndexedSeq[Row], vCols: Seq[String]) =
+                rows.take(MaxResponseRows).map(r => JsonOut.obj(
+                  ApiShaping.populateBySchema(
+                    vCols.map(c => r.getAs[Any](c)), vCols), vCols))
               val votes =
                 if (summary) {
                   val vCols = Seq("parsed_answer", "votes")
-                  PollsQueries.pollSummary(
-                      tables("polls_content"), tables("polls_votes"))
-                    .filter(col("author") === author && col("permlink") === permlink)
-                    .select(vCols.map(col): _*).orderBy(col("parsed_answer"))
-                    .limit(MaxResponseRows).collect().toSeq
-                    .map(r => JsonOut.obj(
-                      ApiShaping.populateBySchema(r.toSeq, vCols), vCols))
+                  summaryIdx.lookup(pk) match {
+                    case Some(rows) => shape(rows, vCols)
+                    case None => shape(PollsQueries.pollSummary(
+                        tables("polls_content"), tables("polls_votes"))
+                      .filter(col("author") === author && col("permlink") === permlink)
+                      .select(vCols.map(col): _*).orderBy(col("parsed_answer"))
+                      .limit(MaxResponseRows).collect().toIndexedSeq, vCols)
+                  }
                 } else {
                   val vCols = Seq("account", "answer", "created")
-                  PollsQueries.pollVotes(
-                      tables("polls_content"), tables("polls_votes"), author, permlink)
-                    // total order: both the response order and WHICH rows
-                    // survive the cap must be deterministic
-                    .orderBy(col("created"), col("account"), col("answer"))
-                    .limit(MaxResponseRows).collect().toSeq
-                    .map(r => JsonOut.obj(
-                      ApiShaping.populateBySchema(r.toSeq, vCols), vCols))
+                  votesByPollIdx.lookup(pk) match {
+                    case Some(rows) => shape(rows, vCols)
+                    case None => shape(PollsQueries.pollVotes(
+                        tables("polls_content"), tables("polls_votes"), author, permlink)
+                      // total order: both the response order and WHICH rows
+                      // survive the cap must be deterministic
+                      .orderBy(col("created"), col("account"), col("answer"))
+                      .limit(MaxResponseRows).collect().toIndexedSeq, vCols)
+                  }
                 }
               JsonOut.obj(
-                ApiShaping.populateBySchema(row.toSeq, cols) +
+                ApiShaping.populateBySchema(
+                  cols.map(c => row.getAs[Any](c)), cols) +
                   ("votes" -> JsonOut.Raw(JsonOut.arr(votes))),
                 cols :+ "votes")
             }
@@ -637,10 +766,28 @@ class HttpApi(
         // the active variant embeds the (second-snapped) clock: cached
         // per second, like pollsActive
         val t = if (active) Some(snappedNow()) else None
-        rowsJson(prepared(planKey("user", author, tag.getOrElse(""),
-            t.map(_.getTime.toString).getOrElse("")))(
-          PollsQueries.userPolls(tables("polls_content"), author,
-            activeAt = t, tag = tag)))
+        // Point index: per-author polls, pre-ordered (created desc,
+        // permlink) by the build plan. The active/tag variants apply
+        // their row predicates driver-side — `expires >= clock` and
+        // `tag = t` on microsecond timestamps / exact strings, the same
+        // comparisons Spark's filter runs, over an already-ordered
+        // subset (filtering preserves order). HttpApiSpec pins both
+        // variants byte-equal to the fallback.
+        userIdx.lookup(author) match {
+          case Some(all) =>
+            val live = t.fold(all)(clk => all.filter { r =>
+              val e = r.getAs[Timestamp]("expires"); e != null && !e.before(clk)
+            })
+            val rows = tag.fold(live)(tg =>
+              live.filter(r => tg == r.getAs[String]("tag")))
+            rowsJson(rows, Seq("author", "permlink", "question", "answers",
+              "expires", "tag", "created"))
+          case None =>
+            rowsJson(prepared(planKey("user", author, tag.getOrElse(""),
+                t.map(_.getTime.toString).getOrElse("")))(
+              PollsQueries.userPolls(tables("polls_content"), author,
+                activeAt = t, tag = tag)))
+        }
       }
     }
 
@@ -652,27 +799,33 @@ class HttpApi(
           permlink <- ApiShaping.validatePermlink(p)
         } yield {
           import org.apache.spark.sql.functions.col
-          // Serve from the incrementally-materialized summary when the
-          // streaming pipeline registered one ("polls_summary", see
+          // Point index first (all keys precomputed per epoch, same
+          // source dispatch). Spark fallback: serve from the
+          // incrementally-materialized summary when the streaming
+          // pipeline registered one ("polls_summary", see
           // PollsSummaryTable): the stream already paid the
           // content-votes join per batch, so the read path is a plain
-          // filtered scan of the latest version. Fallback: the batch
+          // filtered scan of the latest version. Else: the batch
           // builder (recomputes the join per data epoch, like the
-          // reference recomputes per request). Both paths order by
-          // parsed_answer — identical bytes either way (HttpApiSpec
-          // pins route equivalence).
-          rowsJson(prepared(planKey("summary", author, permlink))(
-            tables.get("polls_summary") match {
-              case Some(live) => live
-                .filter(col("author") === author && col("permlink") === permlink)
-                .select(col("author"), col("permlink"),
-                  col("parsed_answer"), col("votes"))
-                .orderBy(col("parsed_answer"))
-              case None => PollsQueries.pollSummary(
-                  tables("polls_content"), tables("polls_votes"))
-                .filter(col("author") === author && col("permlink") === permlink)
-                .orderBy(col("parsed_answer"))
-            }))
+          // reference recomputes per request). All paths order by
+          // parsed_answer — identical bytes (HttpApiSpec pins route
+          // equivalence).
+          summaryIdx.lookup(PointIndex.key(author, permlink)) match {
+            case Some(rows) =>
+              rowsJson(rows, Seq("author", "permlink", "parsed_answer", "votes"))
+            case None => rowsJson(prepared(planKey("summary", author, permlink))(
+              tables.get("polls_summary") match {
+                case Some(live) => live
+                  .filter(col("author") === author && col("permlink") === permlink)
+                  .select(col("author"), col("permlink"),
+                    col("parsed_answer"), col("votes"))
+                  .orderBy(col("parsed_answer"))
+                case None => PollsQueries.pollSummary(
+                    tables("polls_content"), tables("polls_votes"))
+                  .filter(col("author") === author && col("permlink") === permlink)
+                  .orderBy(col("parsed_answer"))
+              }))
+          }
         }
       }
     }
@@ -727,6 +880,15 @@ class HttpApi(
     }
     JsonOut.arr(rows.map(m => JsonOut.obj(m, cols)))
   }
+
+  /** Shape pre-collected index rows exactly like [[rowsJson]] does a
+    * DataFrame: same per-type normalization, same column order, same
+    * MaxResponseRows cap. By-name extraction (index rows may carry
+    * extra columns the route's final select would have dropped).
+    */
+  private def rowsJson(rows: IndexedSeq[Row], cols: Seq[String]): String =
+    JsonOut.arr(rows.take(MaxResponseRows).map(r => JsonOut.obj(
+      ApiShaping.populateBySchema(cols.map(c => r.getAs[Any](c)), cols), cols)))
 
   private def respond(ex: HttpExchange, code: Int, body: String): Unit = {
     val bytes = body.getBytes(StandardCharsets.UTF_8)

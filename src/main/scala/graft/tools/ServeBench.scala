@@ -99,6 +99,7 @@ object ServeBench {
       f"avgExec=${api.execNanos.get / gated / 1e6}%.1f ms " +
       f"resultCacheHits=${api.resultCacheHits.get} " +
       f"coalesced=${api.coalescedHits.get} " +
-      f"planCacheHits=${api.planCacheHits.get}")
+      f"planCacheHits=${api.planCacheHits.get} " +
+      f"pointIndex=${api.pointIndexStats._1}hits/${api.pointIndexStats._2}builds")
   }
 }

@@ -256,24 +256,28 @@ class HttpApiSpec extends SparkSpec {
   }
 
   test("cache layering: result micro-cache serves repeats, plan cache survives the second") {
+    // exercised through the standalone votes route: clock-free and
+    // result-cacheable like most reads, but deliberately NOT point-
+    // indexed (collect-order response) — so every miss genuinely walks
+    // the prepared-plan layer this test pins
     try {
-      val (c1, b1) = get("/api/polls/summary?author=alice&permlink=color")
+      val (c1, b1) = get("/api/polls/votes?author=alice&permlink=color")
       assert(c1 === 200)
       // an IDENTICAL repeat within the same (epoch, clock second) is
       // served straight from the result micro-cache: byte-identical body,
       // no plan-cache touch, no Spark
       val planAfterFirst = api.planCacheHits.get()
       val resAfterFirst = api.resultCacheHits.get()
-      val (c2, b2) = get("/api/polls/summary?author=alice&permlink=color")
+      val (c2, b2) = get("/api/polls/votes?author=alice&permlink=color")
       assert(c2 === 200 && b2 === b1)
       assert(api.resultCacheHits.get() === resAfterFirst + 1)
       assert(api.planCacheHits.get() === planAfterFirst)
       // advancing the clock one second steps past the RESULT key but not
-      // the PLAN key (summary is clock-free): Catalyst analysis is
+      // the PLAN key (votes is clock-free): Catalyst analysis is
       // skipped (the hit returns the same analyzed DataFrame object) and
       // the shaped body is byte-identical
       clock = "2024-01-15 00:00:01"
-      val (c2b, b2b) = get("/api/polls/summary?author=alice&permlink=color")
+      val (c2b, b2b) = get("/api/polls/votes?author=alice&permlink=color")
       assert(c2b === 200 && b2b === b1)
       assert(api.planCacheHits.get() === planAfterFirst + 1)
       assert(api.resultCacheHits.get() === resAfterFirst + 1)
@@ -286,19 +290,19 @@ class HttpApiSpec extends SparkSpec {
       // prepared plan AND every cached result: the same request misses
       // both, rebuilds, and re-caches
       graft.core.Tables.invalidate(Some(spark))
-      val (c3, b3) = get("/api/polls/summary?author=alice&permlink=color")
+      val (c3, b3) = get("/api/polls/votes?author=alice&permlink=color")
       assert(c3 === 200 && b3 === b1)
       assert(api.planCacheHits.get() === before)
       clock = "2024-01-15 00:00:02" // dodge the result entry c3 just wrote
-      val (c4, b4) = get("/api/polls/summary?author=alice&permlink=color")
+      val (c4, b4) = get("/api/polls/votes?author=alice&permlink=color")
       assert(c4 === 200 && b4 === b1)
       assert(api.planCacheHits.get() === before + 1)
       // key sanitization: a '/' inside one param must not alias another
       // split of the same joined key (both requests 200 with DIFFERENT
       // keys — the second is a miss, not a false hit on the first)
-      assert(get("/api/polls/summary?author=ali&permlink=b%2Fc")._1 === 200)
+      assert(get("/api/polls/votes?author=ali&permlink=b%2Fc")._1 === 200)
       val h = api.planCacheHits.get()
-      assert(get("/api/polls/summary?author=ali%2Fb&permlink=c")._1 === 200)
+      assert(get("/api/polls/votes?author=ali%2Fb&permlink=c")._1 === 200)
       assert(api.planCacheHits.get() === h)
       // the non-idempotent permlink generator is never result-cached
       val res = api.resultCacheHits.get()
@@ -306,6 +310,72 @@ class HttpApiSpec extends SparkSpec {
       assert(get("/api/polls/new_permlink?author=alice&question=cachedq")._1 === 200)
       assert(api.resultCacheHits.get() === res)
     } finally clock = clockDefault
+  }
+
+  test("point indexes: byte-identical to the per-request plans, over-cap fallback, epoch rebuild") {
+    // three servers over the SAME derived tables: index on (default cap),
+    // index disabled (cap 0 — every request runs its per-request plan),
+    // and cap 1 (every build overflows -> permanent fallback, exercising
+    // the over-cap degradation). All three must serve identical bytes
+    // for every indexed route, including unknown keys, driver-side
+    // filter variants, and limits past the indexed K.
+    val pod = Podping.transform(fixture)
+    val pol = Polls.transform(fixture)
+    val t = Map(
+      "podping_updates" -> pod("updates"), "podping_ops" -> pod("ops"),
+      "polls_ops" -> pol("ops"), "polls_content" -> pol("content"),
+      "polls_votes" -> pol("votes"))
+    val clk = () => ts("2024-01-15 00:00:00")
+    val apiOn = new HttpApi(t, now = clk)
+    val apiOff = new HttpApi(t, now = clk, pointIndexMaxRows = 0)
+    val apiTiny = new HttpApi(t, now = clk, pointIndexMaxRows = 1)
+    val pOn = apiOn.start(); val pOff = apiOff.start(); val pTiny = apiTiny.start()
+    def at(port: Int, path: String): (Int, String) = {
+      val resp = client.send(
+        HttpRequest.newBuilder(URI.create(s"http://127.0.0.1:$port$path")).GET().build(),
+        HttpResponse.BodyHandlers.ofString())
+      (resp.statusCode(), resp.body())
+    }
+    val paths = Seq(
+      "/api/podping/feeds/latest?url=https%3A%2F%2Fa.example%2Ffeed",
+      "/api/podping/feeds/latest?url=https%3A%2F%2Fa.example%2Ffeed&limit=1",
+      // limit past IndexLatestK: index must defer to the fallback plan
+      "/api/podping/feeds/latest?url=https%3A%2F%2Fa.example%2Ffeed&limit=25",
+      "/api/podping/feeds/latest?url=unknown",
+      "/api/polls/summary?author=alice&permlink=color",
+      "/api/polls/summary?author=alice&permlink=nope",
+      "/api/polls/user?author=alice",
+      "/api/polls/user?author=alice&active=true",
+      "/api/polls/user?author=alice&tag=colors",
+      "/api/polls/user?author=alice&tag=nope",
+      "/api/polls/user?author=nobody",
+      "/api/polls/poll?author=alice&permlink=color",
+      "/api/polls/poll?author=alice&permlink=color&summary=false",
+      "/api/polls/poll?author=alice&permlink=nope",
+      "/api/polls/new_permlink?author=alice&question=Color%3F",
+      "/api/polls/new_permlink?author=dave&question=Color%3F")
+    try {
+      paths.foreach { p =>
+        val on = at(pOn, p); val off = at(pOff, p); val tiny = at(pTiny, p)
+        assert(on === off, s"index-on diverged from index-off: $p")
+        assert(tiny === off, s"over-cap fallback diverged: $p")
+      }
+      // the indexed server actually used its indexes...
+      val (hits, builds) = apiOn.pointIndexStats
+      assert(hits > 0 && builds > 0, "index-on server never hit an index")
+      // ...and the capped server served FEWER index hits: its multi-row
+      // builds (podping latest = 3 updates, votes join) overflow cap 1
+      // and fall back, while its 1-row tables legitimately still index —
+      // the cap is per-build, not global
+      assert(apiTiny.pointIndexStats._1 < hits,
+        "cap-1 server indexed as much as the uncapped one — cap not enforced")
+      // epoch roll: indexes rebuild lazily and bytes stay identical
+      val b0 = at(pOn, paths.head)
+      graft.core.Tables.invalidate()
+      val b1 = at(pOn, paths.head)
+      assert(b1 === b0, "post-invalidate rebuild changed bytes")
+      assert(apiOn.pointIndexStats._2 > builds, "invalidate did not trigger a rebuild")
+    } finally { apiOn.stop(); apiOff.stop(); apiTiny.stop() }
   }
 
   test("concurrent requests: 50 parallel clients, every response matches its sequential body") {
