@@ -127,7 +127,6 @@ object TextAnalysis {
     */
   def tfidfTopTerms(docs: DataFrame, k: Int = 3,
                     textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     // Corpus size N rides in the plan as a single-row scalar aggregate
     // cross-joined in (BroadcastNestedLoopJoin of one row) — no separate
     // driver-side count() job / extra scan per call.
@@ -143,17 +142,30 @@ object TextAnalysis {
       .select(col("doc"), explode(when(size(col("_tc")) > 0, col("_tc"))).as("t"))
       .select(col("doc"), col("t.term").as("term"), col("t.tf").as("tf"))
     val df_ = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
-    val w = Window.partitionBy(col("doc"))
-      .orderBy(col("tfidf").desc, col("term"))
     // no broadcast hint: a web-scale vocabulary outgrows an executor; the
-    // size-based planner broadcasts the dictionary while it fits
+    // size-based planner broadcasts the dictionary while it fits.
+    // Per-doc top-k WITHOUT a window: re-aggregate by doc and rank
+    // in-row — array_sort on struct(-tfidf, term, ...) is lexicographic
+    // (tfidf desc, then term asc — UTF8 byte order, exactly the
+    // window's ORDER BY), slice keeps k, posexplode numbers the ranks.
+    // The window formulation range-partitioned every (doc, term) row
+    // and SORTED whole partitions to rank ~30 terms per doc; here the
+    // exchange carries one packed row per doc and each doc sorts its
+    // own term list (the reduce side is a hash agg, no sort at all).
+    // Ties: term is unique within a doc, and -tfidf of equal values is
+    // bitwise-equal (all tfidf >= 0, so no mixed +/-0.0), so the struct
+    // order is total — bit-identical ranks to the window.
     tf.join(df_, "term")
       .crossJoin(nDf)
       .withColumn("tfidf", round(col("tf") * log(col("_n") / col("df")), 6))
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select(col("doc"), col("term"), col("tf"), col("df"),
-        col("tfidf"), col("rank").cast("int").as("rank"))
+      .groupBy(col("doc"))
+      .agg(slice(array_sort(collect_list(struct(
+        (-col("tfidf")).as("_neg"), col("term"), col("tf"),
+        col("df"), col("tfidf")))), 1, k).as("_top"))
+      .select(col("doc"), posexplode(col("_top")))
+      .select(col("doc"), col("col.term").as("term"), col("col.tf").as("tf"),
+        col("col.df").as("df"), col("col.tfidf").as("tfidf"),
+        (col("pos") + 1).cast("int").as("rank"))
   }
 
   /** Repetition scores (the Gopher-family repetition quality rules):
