@@ -1892,9 +1892,13 @@ object SparkEntry {
         // formulation ran two scans joined back (2x wall); the
         // single-agg mixed form was worse still (Expand doubles rows
         // and keys the HLL partial on the 150k-group first phase).
+        // count(col), not count(*): countDistinct excludes NULL keys (as
+        // the HLL does), so a null orderkey surviving the dedup must not
+        // count as a distinct value — count(*) would silently redefine
+        // the gate on nullable inputs
         li.select(col("l_returnflag"), col("l_orderkey")).distinct()
           .groupBy(col("l_returnflag"))
-          .agg(count(lit(1)).as("exact_distinct"),
+          .agg(count(col("l_orderkey")).as("exact_distinct"),
             approx_count_distinct(col("l_orderkey"), 0.05).as("approx_distinct"))
           .select(col("l_returnflag"), col("exact_distinct"),
             (abs(col("approx_distinct") - col("exact_distinct")) <=

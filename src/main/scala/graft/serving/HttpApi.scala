@@ -198,18 +198,17 @@ class HttpApi(
 
   private lazy val latestIdx = new PointIndex("podping_latest", () => {
     import org.apache.spark.sql.functions._
-    import org.apache.spark.sql.expressions.Window
     // feedUpdates' exact pipeline (filter-on-url dropped): join to ops
-    // for the hex trx id FIRST, then the route's ORDER BY as a per-url
-    // window — identical rows AND order to the fallback for every url
-    val w = Window.partitionBy(col("url"))
-      .orderBy(col("block_num").desc, col("podping_id").desc)
-    tables("podping_updates")
-      .join(tables("podping_ops").select(col("id").as("podping_id"),
-        lower(hex(col("trx_id"))).as("trx_id")), Seq("podping_id"))
-      .withColumn("_rn", row_number().over(w))
-      .filter(col("_rn") <= IndexLatestK)
-      .orderBy(col("url"), col("_rn"))
+    // for the hex trx id FIRST, then the route's per-url top-K via the
+    // operator that IS its all-keys form (PodpingQueries.latestPerUrl —
+    // one definition of the feed chain order, not a re-implementation),
+    // then the global (key, route-order) sort the driver groups by
+    PodpingQueries.latestPerUrl(
+      tables("podping_updates")
+        .join(tables("podping_ops").select(col("id").as("podping_id"),
+          lower(hex(col("trx_id"))).as("trx_id")), Seq("podping_id")),
+      IndexLatestK)
+      .orderBy(col("url"), col("block_num").desc, col("podping_id").desc)
       .select("block_num", "created", "trx_id", "url", "reason", "medium")
   }, _.getAs[String]("url"), pointIndexMaxRows)
 
@@ -240,6 +239,10 @@ class HttpApi(
 
   private lazy val pollIdx = new PointIndex("polls_poll", () => {
     import org.apache.spark.sql.functions._
+    // no ORDER BY: (author, permlink) is polls_content's primary key
+    // (first-create wins — Polls.transform keeps one row per key), so
+    // every group is a single row and order cannot exist. The fallback's
+    // limit(1) leans on the same uniqueness.
     tables("polls_content").filter(!col("deleted"))
       .select("author", "permlink", "question", "answers", "expires", "tag", "created")
   }, r => PointIndex.key(r.getAs[String]("author"), r.getAs[String]("permlink")),
@@ -264,7 +267,8 @@ class HttpApi(
 
   /** Existence keyset for the unique-permlink generator: ALL
     * (author, permlink) pairs (the probe deliberately counts deleted
-    * rows too — a reused permlink would collide on insert).
+    * rows too — a reused permlink would collide on insert). No ORDER BY:
+    * existence-only, row content and order never read.
     */
   private lazy val contentKeyIdx = new PointIndex("polls_content_keys", () => {
     import org.apache.spark.sql.functions._
@@ -718,26 +722,33 @@ class HttpApi(
                 .select(cols.map(col): _*).limit(1).collect().headOption
             }
             poll.toRight("Poll not found").map { row =>
-              def shape(rows: IndexedSeq[Row], vCols: Seq[String]) =
-                rows.take(MaxResponseRows).map(r => JsonOut.obj(
-                  ApiShaping.populateBySchema(
-                    vCols.map(c => r.getAs[Any](c)), vCols), vCols))
-              val votes =
+              val votesJson =
                 if (summary) {
                   val vCols = Seq("parsed_answer", "votes")
                   summaryIdx.lookup(pk) match {
-                    case Some(rows) => shape(rows, vCols)
-                    case None => shape(PollsQueries.pollSummary(
-                        tables("polls_content"), tables("polls_votes"))
-                      .filter(col("author") === author && col("permlink") === permlink)
-                      .select(vCols.map(col): _*).orderBy(col("parsed_answer"))
-                      .limit(MaxResponseRows).collect().toIndexedSeq, vCols)
+                    case Some(rows) => rowsJson(rows, vCols)
+                    case None =>
+                      // SAME source dispatch as the standalone summary
+                      // route (and as summaryIdx's build): live-
+                      // materialized table when registered, else the
+                      // batch join — the index and its fallback must
+                      // read the same source or index-on vs over-cap
+                      // bytes could diverge on a lagging snapshot
+                      val src = tables.get("polls_summary") match {
+                        case Some(live) => live
+                        case None => PollsQueries.pollSummary(
+                          tables("polls_content"), tables("polls_votes"))
+                      }
+                      rowsJson(src
+                        .filter(col("author") === author && col("permlink") === permlink)
+                        .select(vCols.map(col): _*).orderBy(col("parsed_answer"))
+                        .limit(MaxResponseRows).collect().toIndexedSeq, vCols)
                   }
                 } else {
                   val vCols = Seq("account", "answer", "created")
                   votesByPollIdx.lookup(pk) match {
-                    case Some(rows) => shape(rows, vCols)
-                    case None => shape(PollsQueries.pollVotes(
+                    case Some(rows) => rowsJson(rows, vCols)
+                    case None => rowsJson(PollsQueries.pollVotes(
                         tables("polls_content"), tables("polls_votes"), author, permlink)
                       // total order: both the response order and WHICH rows
                       // survive the cap must be deterministic
@@ -748,7 +759,7 @@ class HttpApi(
               JsonOut.obj(
                 ApiShaping.populateBySchema(
                   cols.map(c => row.getAs[Any](c)), cols) +
-                  ("votes" -> JsonOut.Raw(JsonOut.arr(votes))),
+                  ("votes" -> JsonOut.Raw(votesJson)),
                 cols :+ "votes")
             }
           }

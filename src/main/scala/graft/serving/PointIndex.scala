@@ -22,12 +22,16 @@ import org.apache.spark.sql.{DataFrame, Row}
   * Filtering on the key commutes exactly with every upstream operator
   * the routes use — equi joins on key-independent columns, per-key
   * windows, per-key aggregates — so per-key rows are value-identical to
-  * the fallback's. Per-key ORDER is produced by Spark too: the build
-  * plan ends in a global `ORDER BY (key, route-order)`, and the driver
-  * groups rows in collect order (collect preserves a sorted plan's
-  * order), so ordering semantics — collation, null placement, ties —
-  * are decided by the same engine that serves the fallback path; the
-  * driver never compares values itself.
+  * the fallback's. For a route with a deterministic response ORDER, the
+  * per-key order is produced by Spark too: the build plan ends in a
+  * global `ORDER BY (key, route-order)`, and the driver groups rows in
+  * collect order (collect preserves a sorted plan's order), so ordering
+  * semantics — collation, null placement, ties — are decided by the
+  * same engine that serves the fallback path; the driver never compares
+  * values itself. A build MAY omit the sort only when per-key order
+  * cannot matter: existence-only keysets, and keys that are UNIQUE in
+  * the source by construction (at most one row per key — each such
+  * build site documents the uniqueness invariant it leans on).
   *
   * Scale contract: the index only exists BELOW `maxRows` collected rows
   * (the build collects `maxRows + 1` under a plan-side limit — bounded
@@ -68,12 +72,17 @@ final class PointIndex(
     */
   def lookup(key: String): Option[IndexedSeq[Row]] = {
     if (maxRows <= 0) return None
-    val ep = graft.core.Tables.epoch
     var s = state
-    if (s._1 != ep) synchronized {
+    if (s._1 != graft.core.Tables.epoch) synchronized {
+      // re-read the epoch UNDER the lock: a waiter that blocked on the
+      // monitor while another thread already rebuilt for a NEWER epoch
+      // must not compare against its stale pre-lock epoch — it would
+      // rebuild again and regress state backward (serving current data
+      // labeled with an old epoch, forcing yet another rebuild)
+      val cur = graft.core.Tables.epoch
       s = state
-      if (s._1 != ep) {
-        s = (ep, doBuild())
+      if (s._1 != cur) {
+        s = (cur, doBuild())
         state = s
       }
     }

@@ -376,6 +376,32 @@ class HttpApiSpec extends SparkSpec {
       assert(b1 === b0, "post-invalidate rebuild changed bytes")
       assert(apiOn.pointIndexStats._2 > builds, "invalidate did not trigger a rebuild")
     } finally { apiOn.stop(); apiOff.stop(); apiTiny.stop() }
+
+    // source-dispatch agreement under a registered live summary: wire a
+    // polls_summary snapshot that DIVERGES from the batch join (built
+    // from a feed without the vote op) — the summary index and its
+    // fallback must read the SAME source (live-preferred, like the
+    // standalone route), so index-on and index-off bytes stay identical
+    // on both the standalone and the nested summary routes even though
+    // live != batch
+    val lagFeed = opLog(spark, Seq(
+      op(3, 102, 0, "2024-01-01 00:00:06", "polls",
+        pollCreate("color", "Best color?", Seq("red", "blue"),
+          "2024-06-01 00:00:00", "colors"), postingAuth = "alice")))
+    val lagLive = graft.streaming.PollsSummaryTable.merge(None,
+      graft.streaming.PollsStateful.summaryUpdates(
+        graft.streaming.PollsStateful.toPollOps(lagFeed)))
+    val tLive = t + ("polls_summary" -> lagLive)
+    val liveOn = new HttpApi(tLive, now = clk)
+    val liveOff = new HttpApi(tLive, now = clk, pointIndexMaxRows = 0)
+    val pLiveOn = liveOn.start(); val pLiveOff = liveOff.start()
+    try {
+      Seq("/api/polls/summary?author=alice&permlink=color",
+          "/api/polls/poll?author=alice&permlink=color").foreach { p =>
+        val on = at(pLiveOn, p); val off = at(pLiveOff, p)
+        assert(on === off, s"live-summary dispatch diverged index-on vs off: $p")
+      }
+    } finally { liveOn.stop(); liveOff.stop() }
   }
 
   test("concurrent requests: 50 parallel clients, every response matches its sequential body") {
