@@ -1535,8 +1535,17 @@ object SparkEntry {
              |       LEFT JOIN rc ON r.range = rc.b, tt, tr),
              |g AS (SELECT doc_id, b, count(*) AS n FROM fb
              |      WHERE doc_id % 10 <> 0 GROUP BY 1, 2),
+             |-- "+ 0.0" normalizes DuckDB's SIGNED zero: round() of a
+             |-- tiny negative (balanced buckets summing to ~-1e-9) yields
+             |-- -0.0 in DuckDB but +0.0 from Spark's BigDecimal round, and
+             |-- the gate compares float REPRs ('-0.0' != '0.0'). IEEE
+             |-- (-0.0)+(+0.0)=+0.0 fixes the repr and nothing else; both
+             |-- engines already ORDER -0.0 == 0.0, so ranks were never
+             |-- affected. First observed at the sf30 stress tier (1 doc
+             |-- in 1.35M); the same guard is on every oracle that emits a
+             |-- rounded possibly-negative double.
              |sc AS (SELECT g.doc_id, CAST(sum(g.n) AS BIGINT) AS n_feats,
-             |         round(sum(g.n * lr.lr), 6) AS log_weight
+             |         round(sum(g.n * lr.lr), 6) + 0.0 AS log_weight
              |       FROM g JOIN lr USING (b)
              |       GROUP BY 1),
              |n AS (SELECT count(*) AS n FROM sc),
@@ -1557,7 +1566,8 @@ object SparkEntry {
              |s AS (SELECT vec_id AS sid, e AS se FROM v ORDER BY vec_id LIMIT 8),
              |sc AS (SELECT v.vec_id, s.sid,
              |         round(list_dot_product(v.e, s.se) /
-             |           (sqrt(list_dot_product(v.e, v.e)) * sqrt(list_dot_product(s.se, s.se))), 6) AS cos
+             |           (sqrt(list_dot_product(v.e, v.e)) * sqrt(list_dot_product(s.se, s.se))), 6)
+             |           + 0.0 AS cos
              |       FROM v CROSS JOIN s),
              |a AS (SELECT vec_id, sid AS cluster, cos AS ccos FROM (
              |        SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, sid) AS rn
@@ -1626,7 +1636,7 @@ object SparkEntry {
              |       FROM v CROSS JOIN sp),
              |d AS (SELECT vs.vec_id, vs.subspace, cs.code,
              |        round(list_dot_product(vs.x, vs.x) - 2*list_dot_product(cs.c, vs.x)
-             |              + list_dot_product(cs.c, cs.c), 6) AS dist
+             |              + list_dot_product(cs.c, cs.c), 6) + 0.0 AS dist
              |      FROM vs JOIN cs ON vs.subspace = cs.subspace),
              |best AS (SELECT vec_id, subspace, code, dist,
              |           row_number() OVER (PARTITION BY vec_id, subspace ORDER BY dist, code) AS rn
@@ -1670,7 +1680,7 @@ object SparkEntry {
              |r AS (SELECT probe_id, neighbor_id, cos,
              |        row_number() OVER (PARTITION BY probe_id ORDER BY cos DESC, neighbor_id) AS rank
              |      FROM s)
-             |SELECT probe_id, neighbor_id, round(cos, 6) AS cosine, CAST(rank AS INT) AS rank
+             |SELECT probe_id, neighbor_id, round(cos, 6) + 0.0 AS cosine, CAST(rank AS INT) AS rank
              |FROM r WHERE rank <= 5""".stripMargin)),
 
     // multi-table sign-LSH ANN, fully oracle-checked: the hyperplanes are
@@ -2320,7 +2330,7 @@ object SparkEntry {
        |r AS (SELECT probe_id, neighbor_id, cos,
        |        row_number() OVER (PARTITION BY probe_id ORDER BY cos DESC, neighbor_id) AS rank
        |      FROM s)
-       |SELECT probe_id, neighbor_id, round(cos, 6) AS cosine, CAST(rank AS INT) AS rank
+       |SELECT probe_id, neighbor_id, round(cos, 6) + 0.0 AS cosine, CAST(rank AS INT) AS rank
        |FROM r WHERE rank <= 5 ORDER BY probe_id, rank""".stripMargin
   }
 
@@ -2358,7 +2368,7 @@ object SparkEntry {
        |rk AS (SELECT probe_id, neighbor_id, cos,
        |         row_number() OVER (PARTITION BY probe_id ORDER BY cos DESC, neighbor_id) AS rank
        |       FROM sc)
-       |SELECT probe_id, neighbor_id, round(cos, 6) AS cosine, CAST(rank AS INT) AS rank
+       |SELECT probe_id, neighbor_id, round(cos, 6) + 0.0 AS cosine, CAST(rank AS INT) AS rank
        |FROM rk WHERE rank <= 5 ORDER BY probe_id, rank""".stripMargin
   }
 
