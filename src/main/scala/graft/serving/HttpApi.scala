@@ -281,6 +281,14 @@ class HttpApi(
     (all.map(_.hits.get).sum, all.map(_.builds.get).sum)
   }
 
+  /** Block until every point index is current for the data epoch (live or
+    * marked over-cap) — test/warmup hook for the background-rebuild
+    * design, never called on the serve path.
+    */
+  private[graft] def awaitPointIndexes(): Boolean =
+    Seq(latestIdx, summaryIdx, userIdx, pollIdx, votesByPollIdx, contentKeyIdx)
+      .forall(_.awaitCurrent())
+
   def start(port: Int = 0): Int = start("127.0.0.1", port)
 
   /** Bind per boot config (reference serve.py:41-42 binds uvicorn to

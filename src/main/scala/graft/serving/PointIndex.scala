@@ -44,12 +44,21 @@ import org.apache.spark.sql.{DataFrame, Row}
   * single-node serving tier could hold, and the distributed path is
   * still there when it does.
   *
-  * Concurrency: one builder per epoch (double-checked under the lock);
-  * concurrent requests during a rebuild wait on the builder rather than
-  * racing duplicate jobs (the same convoy the request-coalescing layer
-  * kills for identical URIs). A data rewrite bumps
+  * Concurrency: rebuilds never run on a request thread. At an epoch roll
+  * the first lookup triggers ONE background builder (single-flight CAS)
+  * and requests keep serving the PREVIOUS epoch's map until the build
+  * lands — bounded staleness (the build latency after the roll, normally
+  * well under an ingest interval), the same contract as the serving
+  * layer's 1-second clock snap. The earlier design built inline under
+  * the instance monitor, which convoyed every keyed request for the
+  * route behind one distributed job at each epoch roll — with all
+  * admission-gate seats pinned behind the build, unrelated routes could
+  * shed 503 for its duration. When NO prior map exists (first epoch
+  * ever, or the prior epoch was over cap), lookups return None and the
+  * route runs its per-request plan until the background build completes
+  * — a request never waits on a build. A data rewrite bumps
   * [[graft.core.Tables.epoch]], which lazily invalidates — the first
-  * lookup of the new epoch rebuilds.
+  * lookup of the new epoch triggers the rebuild.
   */
 final class PointIndex(
     val name: String,
@@ -57,39 +66,71 @@ final class PointIndex(
     keyOf: Row => String,
     maxRows: Int) {
 
+  private val log = org.slf4j.LoggerFactory.getLogger(classOf[PointIndex])
+
   // (epoch, Some(map)) = live for that epoch; (epoch, None) = over cap /
-  // disabled for that epoch (fall back); epoch Long.MinValue = never built
+  // build failed for that epoch (fall back); epoch Long.MinValue = never
+  // built. Writes: the background builder only.
   @volatile private var state: (Long, Option[Map[String, IndexedSeq[Row]]]) =
     (Long.MinValue, None)
+
+  // epoch a background builder is currently building, Long.MinValue = idle
+  private val building =
+    new java.util.concurrent.atomic.AtomicLong(Long.MinValue)
 
   private[graft] val builds = new java.util.concurrent.atomic.AtomicLong
   private[graft] val hits = new java.util.concurrent.atomic.AtomicLong
 
   /** Some(rows) — possibly empty — when the index is live for the current
-    * data epoch (the index is COMPLETE, so an absent key means an empty
-    * result, not a miss); None when disabled or over cap (caller must run
-    * its fallback plan).
+    * OR (during a rebuild) the previous data epoch; an absent key means an
+    * empty result, not a miss, because the map is COMPLETE for its epoch.
+    * None when disabled, over cap, or no epoch has ever been indexed
+    * (caller must run its fallback plan).
     */
   def lookup(key: String): Option[IndexedSeq[Row]] = {
     if (maxRows <= 0) return None
-    var s = state
-    if (s._1 != graft.core.Tables.epoch) synchronized {
-      // re-read the epoch UNDER the lock: a waiter that blocked on the
-      // monitor while another thread already rebuilt for a NEWER epoch
-      // must not compare against its stale pre-lock epoch — it would
-      // rebuild again and regress state backward (serving current data
-      // labeled with an old epoch, forcing yet another rebuild)
-      val cur = graft.core.Tables.epoch
-      s = state
-      if (s._1 != cur) {
-        s = (cur, doBuild())
-        state = s
-      }
-    }
+    val s = state
+    if (s._1 != graft.core.Tables.epoch) triggerRebuild()
+    // serve whatever map exists — current epoch's, or the prior epoch's
+    // while the rebuild is in flight. A prior-epoch None (over cap /
+    // failed / never built) falls back to the per-request plan.
     s._2.map { m =>
       hits.incrementAndGet()
       m.getOrElse(key, PointIndex.Empty)
     }
+  }
+
+  /** Start ONE background build for the current epoch if none is running.
+    * CAS single-flight: concurrent lookups at a roll race the CAS, one
+    * wins, the rest serve stale and move on.
+    */
+  private def triggerRebuild(): Unit = {
+    val target = graft.core.Tables.epoch
+    if (building.compareAndSet(Long.MinValue, target)) {
+      // double-check AFTER winning: another builder may have finished for
+      // this exact epoch between our state read and the CAS
+      if (state._1 == target) { building.set(Long.MinValue); return }
+      val t = new Thread(() => {
+        try state = (target, doBuild())
+        finally building.set(Long.MinValue)
+      }, s"graft-point-index-$name")
+      t.setDaemon(true)
+      t.start()
+    }
+  }
+
+  /** Block until the index state is current for the data epoch (build
+    * finished — live OR marked over-cap), triggering the build if no
+    * lookup has. Test/warmup hook, never on the serve path.
+    */
+  private[graft] def awaitCurrent(timeoutMs: Long = 60000L): Boolean = {
+    val deadline = System.nanoTime + timeoutMs * 1000000L
+    while (state._1 != graft.core.Tables.epoch && System.nanoTime < deadline) {
+      if (maxRows <= 0) return false
+      triggerRebuild()
+      Thread.sleep(2)
+    }
+    state._1 == graft.core.Tables.epoch
   }
 
   private def doBuild(): Option[Map[String, IndexedSeq[Row]]] =
@@ -108,8 +149,18 @@ final class PointIndex(
       }
     } catch {
       // a failed build must degrade to the fallback path, not poison the
-      // route: mark this epoch unindexable and let requests run Spark
-      case _: Throwable => None
+      // route: mark this epoch unindexable and let requests run Spark.
+      // NonFatal only — OutOfMemoryError and friends must propagate, and
+      // an interrupt restores its flag so a pool shutdown isn't swallowed.
+      // Logged by name: a persistently failing build otherwise degrades
+      // silently (only the builds counter would move).
+      case ie: InterruptedException =>
+        Thread.currentThread().interrupt()
+        log.warn(s"point index '$name' build interrupted; serving fallback", ie)
+        None
+      case scala.util.control.NonFatal(e) =>
+        log.warn(s"point index '$name' build failed; serving fallback", e)
+        None
     }
 }
 

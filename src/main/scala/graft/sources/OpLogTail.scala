@@ -25,11 +25,20 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * are a pure function of the committed cursor), so the sink sees a
   * duplicate batch, never a gap.
   *
-  * The cursor is one line in `<checkpointDir>/graft_oplog_cursor`,
-  * swapped by write-tmp-then-rename (the engine's standard crash-safe
-  * commit primitive — [[graft.streaming.PlugRunner.streamOrigin]] uses
-  * the identical pattern): a restart resumes from the last committed
-  * block, monotonically, with no rescan of history.
+  * The cursor is a VERSIONED marker file
+  * `<checkpointDir>/graft_oplog_cursor.v<block>` — the file NAME carries
+  * the committed block, and a commit is one create-new rename (tmp →
+  * versioned name), which is atomic on every Hadoop filesystem. The
+  * previous delete-then-rename swap of a single unversioned file had a
+  * crash window (between the delete and the rename) in which NO cursor
+  * existed, and `cursor` would then silently restart from
+  * `startAfterBlock` — replaying all history into the sinks, the exact
+  * failure the loud-parse contract below forbids. With versioned names
+  * there is no window: every crash point leaves at least the prior
+  * version on disk (older versions are deleted only AFTER the new one is
+  * committed, and that delete is pure GC — `cursor` reads the MAX
+  * version). A restart resumes from the last committed block,
+  * monotonically, with no rescan of history.
   *
   * At 100 TB this loop runs on the driver and moves only block NUMBERS;
   * all data movement is inside the partitioned JDBC scan it launches.
@@ -44,31 +53,71 @@ final class OpLogTail(
 
   require(step >= 1, s"step must be >= 1, got $step")
 
-  private val cursorPath = new Path(checkpointDir, "graft_oplog_cursor")
-  private val fs = cursorPath.getFileSystem(spark.sessionState.newHadoopConf())
+  private val ckptPath = new Path(checkpointDir)
+  private val legacyPath = new Path(checkpointDir, "graft_oplog_cursor")
+  private val fs = ckptPath.getFileSystem(spark.sessionState.newHadoopConf())
+  private val VersionPrefix = "graft_oplog_cursor.v"
+
+  /** Committed cursor versions on disk, parsed from the file NAMES (the
+    * name is written by one atomic create-new rename, so it can never be
+    * torn the way file CONTENT under a non-atomic swap could).
+    */
+  private def versionsOnDisk(): Seq[Long] =
+    if (!fs.exists(ckptPath)) Seq.empty
+    else fs.listStatus(ckptPath).toSeq
+      .map(_.getPath.getName)
+      .filter(n => n.startsWith(VersionPrefix) && !n.endsWith(".tmp"))
+      .map { n =>
+        val raw = n.stripPrefix(VersionPrefix)
+        // an unparseable version must fail loudly, not silently restart
+        // from zero (which would replay all history into the sinks)
+        raw.toLongOption.getOrElse(throw new IllegalStateException(
+          s"unreadable op-log cursor version at $ckptPath/$n"))
+      }
 
   /** Last PROCESSED-AND-COMMITTED block (inclusive); `startAfterBlock`
     * before the first commit. Read from the checkpoint each call so a
     * restarted instance resumes exactly where the last one committed.
+    * The max over versioned markers (plus a legacy single-file cursor
+    * from a pre-versioning checkpoint, read once and honored the same
+    * way) — a crash between a version commit and the old-version GC
+    * leaves two markers, and max() picks the committed one.
     */
-  def cursor: Long =
-    if (!fs.exists(cursorPath)) startAfterBlock
-    else {
-      val in = fs.open(cursorPath)
-      val raw = try scala.io.Source.fromInputStream(in).mkString.trim finally in.close()
-      // a torn write cannot happen under rename-commit; an unreadable
-      // value must fail loudly, not silently restart from zero (which
-      // would replay all history into the sinks)
-      raw.toLongOption.getOrElse(throw new IllegalStateException(
-        s"unreadable op-log cursor at $cursorPath: '$raw'"))
-    }
+  def cursor: Long = {
+    val legacy =
+      if (!fs.exists(legacyPath)) None
+      else {
+        val in = fs.open(legacyPath)
+        val raw = try scala.io.Source.fromInputStream(in).mkString.trim finally in.close()
+        Some(raw.toLongOption.getOrElse(throw new IllegalStateException(
+          s"unreadable op-log cursor at $legacyPath: '$raw'")))
+      }
+    (versionsOnDisk() ++ legacy).maxOption.getOrElse(startAfterBlock)
+  }
 
   private def commitCursor(block: Long): Unit = {
-    val tmp = new Path(checkpointDir, "graft_oplog_cursor.tmp")
+    val target = new Path(checkpointDir, s"$VersionPrefix$block")
+    val tmp = new Path(checkpointDir, s"$VersionPrefix$block.tmp")
     val out = fs.create(tmp, true)
     try out.write(block.toString.getBytes("UTF-8")) finally out.close()
-    fs.delete(cursorPath, false)
-    fs.rename(tmp, cursorPath)
+    // create-new rename: atomic, and the only commit point. A replayed
+    // range re-committing the same block finds the target already present
+    // (rename returns false) — the commit already happened; drop the tmp.
+    if (!fs.rename(tmp, target)) {
+      if (!fs.exists(target)) throw new IllegalStateException(
+        s"op-log cursor commit failed: could not rename $tmp -> $target")
+      fs.delete(tmp, false)
+    }
+    // GC AFTER the new version is durable — a crash before or during this
+    // sweep leaves extra markers that cursor's max() already supersedes,
+    // plus possibly an orphaned .tmp from a crashed earlier commit, which
+    // is never read and swept here
+    versionsOnDisk().filter(_ < block)
+      .foreach(v => fs.delete(new Path(checkpointDir, s"$VersionPrefix$v"), false))
+    fs.listStatus(ckptPath).toSeq.map(_.getPath)
+      .filter(p => p.getName.startsWith(VersionPrefix) && p.getName.endsWith(".tmp"))
+      .foreach(fs.delete(_, false))
+    fs.delete(legacyPath, false)
   }
 
   /** The next unprocessed range `[cursor+1, min(head, cursor+step)]`, or

@@ -355,6 +355,11 @@ class HttpApiSpec extends SparkSpec {
       "/api/polls/new_permlink?author=alice&question=Color%3F",
       "/api/polls/new_permlink?author=dave&question=Color%3F")
     try {
+      // builds run on a background thread (never a request thread): wait
+      // for every index to be current so the loop below deterministically
+      // exercises LIVE indexes (and apiTiny's settled over-cap state)
+      assert(apiOn.awaitPointIndexes(), "index builds did not complete")
+      assert(apiTiny.awaitPointIndexes(), "cap-1 builds did not complete")
       paths.foreach { p =>
         val on = at(pOn, p); val off = at(pOff, p); val tiny = at(pTiny, p)
         assert(on === off, s"index-on diverged from index-off: $p")
@@ -369,11 +374,17 @@ class HttpApiSpec extends SparkSpec {
       // the cap is per-build, not global
       assert(apiTiny.pointIndexStats._1 < hits,
         "cap-1 server indexed as much as the uncapped one — cap not enforced")
-      // epoch roll: indexes rebuild lazily and bytes stay identical
+      // epoch roll: the first lookup of the new epoch serves the PRIOR
+      // epoch's map (bounded staleness — never a convoy on a request
+      // thread) while ONE background rebuild runs; bytes stay identical
+      // through the stale window and after the rebuild lands
       val b0 = at(pOn, paths.head)
       graft.core.Tables.invalidate()
-      val b1 = at(pOn, paths.head)
-      assert(b1 === b0, "post-invalidate rebuild changed bytes")
+      val b1 = at(pOn, paths.head) // stale-window read
+      assert(b1 === b0, "stale-window read changed bytes")
+      assert(apiOn.awaitPointIndexes(), "post-invalidate rebuild did not complete")
+      val b2 = at(pOn, paths.head) // rebuilt-index read
+      assert(b2 === b0, "post-invalidate rebuild changed bytes")
       assert(apiOn.pointIndexStats._2 > builds, "invalidate did not trigger a rebuild")
     } finally { apiOn.stop(); apiOff.stop(); apiTiny.stop() }
 

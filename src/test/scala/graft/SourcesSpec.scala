@@ -87,6 +87,60 @@ class SourcesSpec extends SparkSpec {
     assert(tail.runOnce((_, _, _) => ()) === Some((101L, 150L))) // exact replay
   }
 
+  test("OpLogTail cursor commit has NO crash window: every mid-commit crash point resumes from the last committed block") {
+    // the pre-versioning protocol (delete old cursor, then rename tmp
+    // over it) had a window where NO cursor file existed and a restart
+    // silently replayed all history from startAfterBlock; the versioned
+    // protocol's crash points each leave a recoverable on-disk state,
+    // enumerated here by constructing them directly
+    val ckpt = java.nio.file.Files.createTempDirectory("tail4").toString
+    val dir = new java.io.File(ckpt)
+    val tail = simulatedTail(ckpt, 100L, () => 500L)
+    tail.runOnce((_, _, _) => ()) // commits v100
+    assert(tail.cursor === 100L)
+    // crash point A: tmp written for the NEXT commit, rename never ran —
+    // tmp files are not commits; cursor stays at the committed version
+    java.nio.file.Files.write(dir.toPath.resolve("graft_oplog_cursor.v200.tmp"),
+      "200".getBytes)
+    assert(simulatedTail(ckpt, 100L, () => 500L).cursor === 100L)
+    // crash point B: new version renamed in, old-version GC never ran —
+    // two markers on disk; max() picks the committed one
+    java.nio.file.Files.write(dir.toPath.resolve("graft_oplog_cursor.v200"),
+      "200".getBytes)
+    assert(simulatedTail(ckpt, 100L, () => 500L).cursor === 200L)
+    // the next real commit GCs the strays and stays monotone
+    val t2 = simulatedTail(ckpt, 100L, () => 500L)
+    assert(t2.runOnce((_, _, _) => ()) === Some((201L, 300L)))
+    assert(t2.cursor === 300L)
+    assert(!dir.listFiles().exists(_.getName.endsWith(".tmp")))
+    assert(dir.listFiles().count(_.getName.startsWith("graft_oplog_cursor.v")) === 1)
+    // a replayed range re-committing an already-committed block (rename
+    // onto an existing target) is a no-op commit, not a failure
+    java.nio.file.Files.write(dir.toPath.resolve("graft_oplog_cursor.v300.tmp"),
+      "300".getBytes)
+    val t3 = simulatedTail(ckpt, 100L, () => 300L)
+    assert(t3.nextRange() === None)
+    assert(t3.cursor === 300L)
+    // an unparseable version name still fails loudly (never a silent
+    // restart from zero)
+    java.nio.file.Files.write(dir.toPath.resolve("graft_oplog_cursor.vBAD"),
+      "bad".getBytes)
+    intercept[IllegalStateException](simulatedTail(ckpt, 100L, () => 500L).cursor)
+  }
+
+  test("OpLogTail honors a legacy single-file cursor and upgrades it on the next commit") {
+    val ckpt = java.nio.file.Files.createTempDirectory("tail5").toString
+    val dir = new java.io.File(ckpt)
+    java.nio.file.Files.write(dir.toPath.resolve("graft_oplog_cursor"),
+      "150".getBytes)
+    val tail = simulatedTail(ckpt, 100L, () => 400L)
+    assert(tail.cursor === 150L) // pre-versioning checkpoint resumes in place
+    assert(tail.runOnce((_, _, _) => ()) === Some((151L, 250L)))
+    assert(tail.cursor === 250L)
+    assert(!new java.io.File(dir, "graft_oplog_cursor").exists()) // upgraded
+    assert(new java.io.File(dir, "graft_oplog_cursor.v250").exists())
+  }
+
   test("OpLogTail -> PlugRunner end to end: tail-fed tables equal a one-shot transform through a crash replay") {
     // the feeder's exactly-once claim is "at-least-once feeder +
     // idempotent sinks"; this demonstrates it END TO END: a live tail
