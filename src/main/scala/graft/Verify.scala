@@ -22,6 +22,16 @@ object Verify {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // The per-gate CacheScope.release() below unpersists each gate's
+    // eager localCheckpoint once its parquet write has committed; the RDD
+    // layer WARNs "locally checkpointed ... cannot be recomputed" on
+    // every such unpersist. That is this tool's INTENDED lifecycle (the
+    // data is already durable in outDir; nothing recomputes it), and ~100
+    // copies of the warning bury real driver-log warnings — silence just
+    // that logger, nothing else.
+    org.apache.logging.log4j.core.config.Configurator.setLevel(
+      "org.apache.spark.rdd.MapPartitionsRDD",
+      org.apache.logging.log4j.Level.ERROR)
     GraftSession.configure(spark)
     new java.io.File(outDir).mkdirs()
     SparkEntry.queries

@@ -227,17 +227,45 @@ object Dedup {
     * quote-expansions that symmetric Jaccard misses (a small doc embedded
     * in a big one has low Jaccard but high containment).
     *
-    * Shape: shingle self-join + pair-count aggregation (NOT the prefix
-    * path [[ngramJaccardPairs]] takes). Containment is one-sided, so the
-    * prefix filter only bounds one side per direction and has no length
-    * filter — measured at the sf10 tier, the prefix-candidate set stays
-    * tens-of-millions large and the array-fetch verify then ships the
-    * full shingle arrays through two candidate-sized shuffles (2485
-    * core-s, 8x worse than the aggregation). The aggregation formulation
-    * keeps the per-row payload at four longs; both set sizes ride the
-    * joined rows so no sizes rollup follows. merge hint + WIDE join-key
-    * repartition: same no-dimension-side / parallelism-cap reasoning as
-    * [[ngramJaccardPairs]]'s candidate join.
+    * The emitted predicate `c_ab >= t OR c_ba >= t` is EXACTLY the
+    * overlap coefficient: max(i/na, i/nb) = i/min(na, nb), so a pair
+    * qualifies iff `i >= t * min(na, nb)`. Two consequences drive the
+    * candidate design:
+    *
+    *   - Pure SIZE pruning is VACUOUS for this predicate. The directed
+    *     bound (c_ab >= t needs nb >= i >= t*na) looks binnable, but the
+    *     OR admits every size pair: whichever side is larger, the
+    *     SMALLER doc can always be t-contained in it (min >= t*max fails
+    *     only for the direction the OR doesn't need). Length-bin joins
+    *     therefore prune nothing here — recorded so the next reader
+    *     doesn't re-derive it (SCALE_STRESS round 13).
+    *   - The PER-PAIR overlap bound k = ceil(t * min(na, nb)) IS
+    *     filterable, but only at join time when both sizes are on the
+    *     row: a one-sided static prefix (r11 A/B) leaves the candidate
+    *     set tens-of-millions large because each side's required prefix
+    *     depends on the partner's size.
+    *
+    * Shape: shingle self-join + pair-count aggregation. The sound
+    * generalization of binning — a PER-PAIR two-sided prefix filter
+    * (every shingle row carries its position; the join condition applies
+    * the Bayardo prefix lemma with k = ceil(t*min(na,nb)) computed on
+    * the joined row) followed by a candidate distinct + array-fetch
+    * verify — was built and measured at the sf10 tier in round 13:
+    * 2163 task-core-s vs 1081 for this aggregation in the same session
+    * (tools/ContProbe, identical 25,600-pair output). The filter is
+    * structurally weak on real length mixes: any pair touching a SMALL
+    * doc keeps near-full prefixes (k ≈ t*n_small leaves n − k + 1 ≈ n
+    * positions on the large side), so the candidate set stays
+    * millions-large and the fetch verify's two candidate-sized array
+    * shuffles dominate — the same verdict as r11's one-sided prefix
+    * (8x worse). The aggregation formulation keeps the per-row payload
+    * at four longs; both set sizes ride the joined rows so no sizes
+    * rollup follows. merge hint + WIDE join-key repartition: same
+    * no-dimension-side / parallelism-cap reasoning as
+    * [[ngramJaccardPairs]]'s candidate join. Work-parity with the
+    * single-node oracle is measured (~540 engine vs ~480 DuckDB core-s,
+    * SCALE_STRESS r12); the residual sf10 WALL gap is single-JVM
+    * scheduling/GC that an executor spread absorbs.
     */
   def containmentPairs(df: DataFrame, textCol: String, idCol: String,
                        w: Int = 3, threshold: Double = 0.8): DataFrame = {

@@ -118,12 +118,37 @@ object TextAnalysis {
       .withColumn("ws_tokens", size(tokens(col(textCol))).cast("long"))
       .withColumn("re_tokens", size(regexTokens(col(textCol))).cast("long"))
 
+  /** Corpora at or below this many DOCUMENTS (proven by zero-job parquet
+    * footer counts) broadcast the df (document-frequency) side of the
+    * tf-idf join. The broadcast side is one row per DISTINCT TERM, which
+    * Heaps' law keeps far below the token count (every tier measured:
+    * sf0.1 ≈ 10^4 distinct terms over 5k docs, sf10 ≈ 10^6 over 500k
+    * docs ≈ tens of MB serialized — dimension-sized); at the 4M-doc
+    * cutoff a web-like corpus bounds the vocabulary in the low hundreds
+    * of MB, inside any executor. Above the cutoff (or when footers can't
+    * bound the input) the vocabulary is corpus-scale-unknown and the
+    * join stays a shuffle join — the same footer-gated dispatch as the
+    * dedup family's isSmallCorpus.
+    */
+  private val tfidfBroadcastDocCutoff = 4000000L
+
   /** Top-k terms per document by tf-idf.
     *
     * tf = in-doc term count; idf = ln(N / df) over the corpus; ties break
-    * by term for determinism. Two shuffles: per-(doc, term) counts, then
-    * the df aggregation joined back (broadcast — the term dictionary is
-    * dimension-sized). The per-doc top-k is a window over the doc key.
+    * by term for determinism. The per-doc top-k is ranked in-row (no
+    * window — see below).
+    *
+    * Join dispatch: below [[tfidfBroadcastDocCutoff]] footer-counted docs
+    * the df side broadcasts, so the exploded (doc, term, tf) stream — the
+    * corpus-proportional side — is never shuffled by term at all: the
+    * only wide exchange left in the whole plan is the packed
+    * one-row-per-doc top-k aggregation. The trade priced in: the probe
+    * side re-tokenizes the corpus (the shuffle plan's ReusedExchange
+    * served both join inputs from one pass) — one extra map-only native
+    * pass bought the removal of the full-width term shuffle + both SMJ
+    * sorts (same-session sf10 A/B in SCALE_STRESS.md). Above the cutoff
+    * the shuffle join stands: an unbounded vocabulary must not ride a
+    * broadcast (driver/executor OOM class at 100 TB).
     */
   def tfidfTopTerms(docs: DataFrame, k: Int = 3,
                     textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
@@ -141,9 +166,15 @@ object TextAnalysis {
         org.apache.spark.sql.GraftBridge.tokenTermTfs(lower(col(textCol))).as("_tc"))
       .select(col("doc"), explode(when(size(col("_tc")) > 0, col("_tc"))).as("t"))
       .select(col("doc"), col("t.term").as("term"), col("t.tf").as("tf"))
-    val df_ = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
-    // no broadcast hint: a web-scale vocabulary outgrows an executor; the
-    // size-based planner broadcasts the dictionary while it fits.
+    val df0 = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    // footer-gated broadcast of the term dictionary (scaladoc above); the
+    // explode-derived size estimate oversells df0 so the size-based
+    // planner never broadcasts it unhinted, and the hint must not be
+    // unconditional — a web-scale vocabulary outgrows an executor
+    val df_ =
+      if (graft.core.RowCounts.upperBound(docs).exists(_ <= tfidfBroadcastDocCutoff))
+        broadcast(df0)
+      else df0
     // Per-doc top-k WITHOUT a window: re-aggregate by doc and rank
     // in-row — array_sort on struct(-tfidf, term, ...) is lexicographic
     // (tfidf desc, then term asc — UTF8 byte order, exactly the

@@ -44,11 +44,48 @@ object ContProbe {
       println(s"[cont] $hintName p=$wide pairs=$n")
       sh.unpersist()
     }
+    // Candidate-generation arm (round-13 A/B, REJECTED by measurement:
+    // 2163 vs 1081 task-core-s at sf10): per-pair two-sided prefix
+    // filter — position + both sizes ride the join, so the Bayardo
+    // prefix bound with k = ceil(t*min(na,nb)) is evaluated exactly —
+    // then distinct candidates + array-fetch verify. Kept runnable so
+    // the Dedup.containmentPairs scaladoc's verdict stays reproducible.
+    def runPrefix(): Unit = {
+      val t = 0.8
+      val arrs = graft.core.CacheScope.cached(
+        graft.operators.Dedup.shingleArrays(docs, "text", "doc_id", 3))
+      val pos = arrs.select(col("doc"), size(col("_arr")).as("n"),
+          posexplode(when(size(col("_arr")) > 0, col("_arr"))))
+        .select(col("doc"), col("n"), (col("pos") + 1).as("pos"),
+          col("col").as("shingle"))
+        .repartition(32, col("shingle"))
+      val k = ceil(lit(t) * least(col("a.n"), col("b.n")))
+      val candidates = pos.as("a").hint("merge")
+        .join(pos.as("b"),
+          col("a.shingle") === col("b.shingle") && col("a.doc") < col("b.doc") &&
+            col("a.pos") <= col("a.n") - k + 1 &&
+            col("b.pos") <= col("b.n") - k + 1)
+        .select(col("a.doc").as("doc_a"), col("b.doc").as("doc_b"))
+        .distinct()
+      val verified = candidates.hint("merge")
+        .join(arrs.select(col("doc").as("doc_a"), col("_arr").as("_arr_a")), Seq("doc_a"))
+        .hint("merge")
+        .join(arrs.select(col("doc").as("doc_b"), col("_arr").as("_arr_b")), Seq("doc_b"))
+        .select(col("doc_a"), col("doc_b"),
+          org.apache.spark.sql.GraftBridge
+            .intersectCount(col("_arr_a"), col("_arr_b")).as("i"),
+          size(col("_arr_a")).cast("long").as("na"),
+          size(col("_arr_b")).cast("long").as("nb"))
+        .filter(col("i") >= lit(t) * least(col("na"), col("nb")))
+      val n = time("prefix+verify (rejected)")(verified.count())
+      println(s"[cont] prefix+verify pairs=$n")
+      graft.core.CacheScope.release()
+    }
     (1 to reps).foreach { rep =>
       println(s"--- rep $rep")
+      runPrefix()
       partList.foreach { p =>
         run("merge", p)
-        run("shuffle_hash", p)
       }
     }
     spark.stop()

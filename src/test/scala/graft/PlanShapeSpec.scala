@@ -96,6 +96,21 @@ class PlanShapeSpec extends SparkSpec {
     // scale pin for the above-cutoff path is the next test.
   }
 
+  test("containment: one shingle self-join straight into the pair aggregation — no candidate/fetch chain") {
+    // round-13 A/B verdict pinned as a shape (tools/ContProbe, sf10:
+    // aggregation 1081 task-core-s vs prefix-candidates+verify 2163):
+    // the plan must be the SINGLE sort-merge self-join feeding the pair
+    // count — a candidate distinct + two array-fetch joins (the rejected
+    // shape) would show 3 joins here
+    val p = plan("dedup_containment")
+    assert("SortMergeJoin".r.findAllIn(p).size === 1,
+      "expected exactly the one shingle self-join")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))
+    // the pair count must partial-aggregate map-side before its exchange
+    // (the shuffle carries combined pair partials, not raw join output)
+    assert(p.contains("partial_count"), "pair aggregation lost its map-side partial")
+  }
+
   test("embedding cosine above the size cutoff: merge joins, no corpus broadcast") {
     import spark.implicits._
     // 20k rows > directPairCutoff (16384) -> the sizing pass runs and the
@@ -120,8 +135,7 @@ class PlanShapeSpec extends SparkSpec {
     assert(p.contains("block_num") && (p.contains(">= 100") || p.contains("100")))
   }
 
-  test("tfidf: dictionary join broadcasts; sampling is a scan-level filter") {
-    assert(plan("text_tfidf_top_terms").contains("BroadcastHashJoin"))
+  test("sampling is a scan-level filter") {
     val s = plan("sample_deterministic")
     assert(!s.contains("Exchange hashpartitioning"), "sampling must not shuffle")
   }
@@ -189,6 +203,36 @@ class PlanShapeSpec extends SparkSpec {
     }
     // stratified sampling filters at the scan side before its aggregation
     assert("Exchange hashpartitioning".r.findAllIn(plan("sample_stratified")).size <= 1)
+  }
+
+  test("tfidf: footer-bounded corpus broadcasts the term dictionary; corpus stream never shuffles by term") {
+    val p = plan("text_tfidf_top_terms")
+    // the df join must be broadcast-hash (the dictionary is the build
+    // side), so the exploded (doc, term, tf) stream reaches the per-doc
+    // top-k aggregation with the DOC exchange as its only wide shuffle;
+    // the df build's own term aggregation is the one other exchange
+    assert(p.contains("BroadcastHashJoin") && p.contains("BuildRight"),
+      "term dictionary (the RIGHT side) must broadcast below the doc cutoff")
+    assert(!p.contains("SortMergeJoin"), "corpus stream must not sort-merge on term")
+    assert("Exchange hashpartitioning".r.findAllIn(p).size <= 2,
+      "expected only the df-build term exchange + the per-doc agg exchange")
+    // an input whose row count footers CANNOT bound (post-generate plan)
+    // must not carry the broadcast HINT — the vocabulary is then
+    // corpus-scale-unknown and only the size estimator (whose estimates
+    // grow with the data, unlike a hint) may still broadcast a small one
+    import org.apache.spark.sql.functions.{explode, array, lit}
+    val unbounded = graft.core.Tables.documents(spark, sf)
+      .withColumn("_dup", explode(array(lit(1), lit(2))))
+      .drop("_dup")
+    assert(graft.core.RowCounts.upperBound(unbounded).isEmpty, "fixture must defeat footer bounds")
+    val p2 = graft.operators.TextAnalysis.tfidfTopTerms(unbounded)
+      .queryExecution.optimizedPlan.toString
+    assert(!p2.contains("strategy=broadcast"),
+      "unbounded corpus must not FORCE a dictionary broadcast")
+    val p1 = SparkEntry.queries("text_tfidf_top_terms")(spark, sf)
+      .queryExecution.optimizedPlan.toString
+    assert(p1.contains("strategy=broadcast"),
+      "footer-bounded corpus lost its dictionary broadcast hint")
   }
 
   test("quantize/pack/sequences: no shuffle beyond the declared aggregations") {
