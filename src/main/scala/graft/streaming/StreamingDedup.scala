@@ -89,76 +89,54 @@ object StreamingDedup {
   def nearDupBatchSink(corpusDir: String, resultDir: String,
                        textCol: String, idCol: String,
                        w: Int = 3, numPerm: Int = 128, bands: Int = 32,
-                       threshold: Double = 0.8): (DataFrame, Long) => Unit =
+                       threshold: Double = 0.8,
+                       compactEvery: Int = DefaultCompactEvery): (DataFrame, Long) => Unit =
     (batchDf, batchId) => {
       val spark = batchDf.sparkSession
-      import org.apache.hadoop.fs.Path
-      val fs = new Path(corpusDir).getFileSystem(spark.sessionState.newHadoopConf())
-      def committed(sub: String): Seq[String] = {
-        val p = new Path(corpusDir, sub)
-        if (!fs.exists(p)) Seq.empty
-        else fs.listStatus(p).toSeq
-          .filter(s => s.isDirectory && s.getPath.getName.startsWith("batch_id="))
-          .filter(_.getPath.getName.stripPrefix("batch_id=")
-            .toLongOption.exists(_ < batchId))
-          .filter(s => fs.exists(new Path(s.getPath, "_SUCCESS")))
-          .map(_.getPath.toString)
-      }
+      val subroots = Seq(s"$corpusDir/arrays", s"$corpusDir/buckets")
       try if (!batchDf.isEmpty) {
         val parts = graft.operators.Dedup.buildNearDupIndex(
           batchDf.select(col(idCol), col(textCol)), textCol, idCol,
           w, numPerm, bands, cache = false)
         val within = parts.selfPairs(threshold)
-        // a batch part is committed only when BOTH its arrays and buckets
-        // dirs carry _SUCCESS (they are written back to back; the
-        // intersection guards the never-expected half-written stray)
-        val aParts = committed("arrays")
-        val bByBatch = committed("buckets")
-          .map(p => p.substring(p.lastIndexOf("batch_id=")) -> p).toMap
-        val pairedParts = aParts.flatMap(a =>
-          bByBatch.get(a.substring(a.lastIndexOf("batch_id="))).map(a -> _))
-        val pairs =
-          if (pairedParts.isEmpty) within
-          else {
+        // a corpus part (batch dir or compacted segment) counts only when
+        // BOTH its arrays and buckets halves carry _SUCCESS (they are
+        // written back to back; the pairing guards the half-written stray)
+        val corpusParts = pairedStoreParts(spark, subroots, batchId)
+        val pairs = corpusParts match {
+          case None => within
+          case Some(Seq(arraysDf, bucketsDf)) =>
             val corpus = graft.operators.Dedup.nearDupIndexFromParts(
-              spark.read.parquet(pairedParts.map(_._1): _*),
-              spark.read.parquet(pairedParts.map(_._2): _*), w, numPerm, bands)
+              arraysDf, bucketsDf, w, numPerm, bands)
             val cross = corpus.pairsWith(parts, threshold)
               .filter(col("doc_a") =!= col("doc_b"))
               .select(least(col("doc_a"), col("doc_b")).as("doc_a"),
                 greatest(col("doc_a"), col("doc_b")).as("doc_b"), col("jaccard"))
             within.unionByName(cross)
-          }
+          case Some(other) => sys.error(s"unexpected store parts: $other")
+        }
         pairs.write.mode("overwrite").parquet(s"$resultDir/batch_id=$batchId")
         parts.arrays.write.mode("overwrite")
           .parquet(s"$corpusDir/arrays/batch_id=$batchId")
         parts.buckets.write.mode("overwrite")
           .parquet(s"$corpusDir/buckets/batch_id=$batchId")
+        maybeCompact(spark, subroots, batchId, compactEvery)
       } finally graft.core.CacheScope.release()
     }
 
   def semanticBatchSink(corpusDir: String, resultDir: String,
                         idCol: String, vecCol: String,
-                        k: Int = 32, threshold: Double = 0.35)
+                        k: Int = 32, threshold: Double = 0.35,
+                        compactEvery: Int = DefaultCompactEvery)
       : (DataFrame, Long) => Unit = (batchDf, batchId) => {
     val spark = batchDf.sparkSession
-    import org.apache.hadoop.fs.Path
-    val root = new Path(corpusDir)
-    val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
-    // COMMITTED prior batches only, by explicit directory list: a crash
+    // COMMITTED prior parts only, by explicit directory list: a crash
     // mid corpus write can leave corpusDir existing with zero committed
     // files (just a _temporary dir), where a bare read of the root would
     // throw "unable to infer schema" on every replay — wedging the
     // stream. The _SUCCESS check is the commit marker; listing also makes
     // the < batchId exclusion structural instead of a partition filter.
-    val committed =
-      if (!fs.exists(root)) Seq.empty
-      else fs.listStatus(root).toSeq
-        .filter(s => s.isDirectory && s.getPath.getName.startsWith("batch_id="))
-        .filter(_.getPath.getName.stripPrefix("batch_id=")
-          .toLongOption.exists(_ < batchId))
-        .filter(s => fs.exists(new Path(s.getPath, "_SUCCESS")))
-        .map(_.getPath.toString)
+    val committed = pairedStoreParts(spark, Seq(corpusDir), batchId)
     // Empty micro-batch guard: Spark can hand foreachBatch an empty
     // DataFrame (replay of a fully-committed offset range, no-new-data
     // triggers with availableNow). An empty batch has no rows to judge
@@ -168,16 +146,168 @@ object StreamingDedup {
     // corpus partition, and the _SUCCESS-committed listing already
     // tolerates the gap in batch ids.
     try if (!batchDf.isEmpty) {
-      val judged =
-        if (committed.nonEmpty) graft.operators.Dedup.semanticDedupIncremental(
-          batchDf, spark.read.parquet(committed: _*).select(col(idCol), col(vecCol)),
+      val judged = committed match {
+        case Some(Seq(corpus)) => graft.operators.Dedup.semanticDedupIncremental(
+          batchDf, corpus.select(col(idCol), col(vecCol)),
           idCol, vecCol, k, threshold)
-        else graft.operators.Dedup
+        case _ => graft.operators.Dedup
           .semanticDedup(batchDf, idCol, vecCol, k, threshold)
+      }
       judged.write.mode("overwrite").parquet(s"$resultDir/batch_id=$batchId")
       batchDf.select(col(idCol), col(vecCol))
         .write.mode("overwrite").parquet(s"$corpusDir/batch_id=$batchId")
+      maybeCompact(spark, Seq(corpusDir), batchId, compactEvery)
     } finally graft.core.CacheScope.release()
+  }
+
+  // ------------------------------------------------- store layout + compaction
+
+  /** Fold trigger for the batch sinks: once this many committed batch
+    * dirs accumulate, everything below the current batch folds into one
+    * compact segment. The per-batch-directory overwrite sink is correct
+    * but directory-heavy at high batch counts — at 28,800 blocks/day a
+    * long-running stream's corpus store otherwise grows one directory
+    * (and its file handles, listings, and footer reads) per micro-batch
+    * forever. Same manifest-commit reasoning as
+    * [[PlugRunner.compactAppends]]; 0 disables.
+    */
+  val DefaultCompactEvery: Int = 64
+
+  private val BatchPrefix = "batch_id="
+  private val SegPrefix = "compact_upto="
+
+  private def hfs(spark: org.apache.spark.sql.SparkSession, root: String) =
+    new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+
+  /** Committed (`_SUCCESS`-marked) child dirs of `root` named
+    * `<prefix><long>`, as sorted (id, path) pairs.
+    */
+  private def committedDirs(spark: org.apache.spark.sql.SparkSession,
+                            root: String, prefix: String): Seq[(Long, String)] = {
+    import org.apache.hadoop.fs.Path
+    val fs = hfs(spark, root)
+    val p = new Path(root)
+    if (!fs.exists(p)) Seq.empty
+    else fs.listStatus(p).toSeq
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith(prefix))
+      .flatMap(s => s.getPath.getName.stripPrefix(prefix).toLongOption
+        .filter(_ => fs.exists(new Path(s.getPath, "_SUCCESS")))
+        .map(_ -> s.getPath.toString))
+      .sortBy(_._1)
+  }
+
+  /** The committed corpus visible to `batchId`, one frame per subroot:
+    * every compacted segment with fold watermark `upto < batchId` that is
+    * PAIRED (present and committed in ALL subroots — a crash between a
+    * multi-subroot fold's halves leaves an unpaired stray that readers
+    * must ignore; its batches are still live because GC only runs after
+    * every half commits), plus committed batch dirs in
+    * `(maxPairedUpto, batchId)`. None when the store holds nothing yet.
+    * Segments carry their source `batch_id` as a column (fork truncation
+    * filters on it) which is dropped here.
+    */
+  private def pairedStoreParts(spark: org.apache.spark.sql.SparkSession,
+                               subroots: Seq[String],
+                               batchId: Long): Option[Seq[DataFrame]] = {
+    val segsPer = subroots.map(r =>
+      committedDirs(spark, r, SegPrefix).filter(_._1 < batchId).toMap)
+    val paired = segsPer.map(_.keySet).reduce(_ intersect _)
+    val maxW = if (paired.isEmpty) -1L else paired.max
+    val livesPer = subroots.map(r =>
+      committedDirs(spark, r, BatchPrefix)
+        .filter { case (n, _) => n > maxW && n < batchId })
+    // live ids must also pair across subroots (same half-written guard)
+    val pairedLive = livesPer.map(_.map(_._1).toSet).reduce(_ intersect _)
+    if (paired.isEmpty && pairedLive.isEmpty) None
+    else Some(subroots.indices.map { i =>
+      val segFrames = paired.toSeq.sorted.map(w =>
+        spark.read.parquet(segsPer(i)(w)).drop("batch_id"))
+      val liveDirs = livesPer(i).collect {
+        case (n, path) if pairedLive.contains(n) => path }
+      val liveFrames =
+        if (liveDirs.isEmpty) Nil else Seq(spark.read.parquet(liveDirs: _*))
+      (segFrames ++ liveFrames).reduce(_.unionByName(_))
+    })
+  }
+
+  private def maybeCompact(spark: org.apache.spark.sql.SparkSession,
+                           subroots: Seq[String], batchId: Long,
+                           compactEvery: Int): Unit =
+    if (compactEvery > 0 &&
+        committedDirs(spark, subroots.head, BatchPrefix).size >= compactEvery)
+      compactStore(spark, subroots, batchId - 1)
+
+  /** Fold committed batch dirs `<= upToBatch` into one compact segment
+    * per subroot — the corpus-store counterpart of
+    * [[PlugRunner.compactAppends]]. Protocol, in commit order:
+    *
+    *  1. REPAIR: a fold watermark committed in one subroot but not all
+    *     (crash between halves) is completed first — the missing halves
+    *     re-fold the same `(prev, w]` range from their still-live batch
+    *     dirs (GC hadn't run, so the inputs are all present; the
+    *     overwrite is idempotent).
+    *  2. FOLD: each subroot writes batches `(maxExistingUpto, upToBatch]`
+    *     to `compact_upto=<upToBatch>`, committed by parquet `_SUCCESS`.
+    *     The source `batch_id` (the dir-name partition column) rides the
+    *     segment rows so fork truncation can still filter per batch.
+    *     Folding is incremental — a segment never re-reads prior
+    *     segments, so compaction cost is O(new data).
+    *  3. GC: batch dirs `<= upToBatch` are deleted LAST, only once every
+    *     subroot's segment is committed. A crash anywhere earlier leaves
+    *     dirs that [[pairedStoreParts]] already excludes (watermark rule)
+    *     or still reads (unpaired segment -> batches stay live) — never
+    *     a gap, never a double-read.
+    *
+    * Only call with `upToBatch` strictly below any batch id that may
+    * still replay; the sinks' auto-trigger uses `batchId - 1`, whose
+    * source offsets committed before the current batch started (the same
+    * replay-window argument as [[PlugRunner.compactAppends]]).
+    */
+  private[graft] def compactStore(spark: org.apache.spark.sql.SparkSession,
+                                      subroots: Seq[String],
+                                      upToBatch: Long): Unit = {
+    val segsPer = subroots.map(r =>
+      r -> committedDirs(spark, r, SegPrefix).map(_._1)).toMap
+    val targets = (segsPer.values.flatten.toSeq :+ upToBatch)
+      .distinct.sorted.filter(_ <= upToBatch)
+    // fold only batch ids committed in EVERY subroot: an unpaired
+    // half-written stray is excluded by readers and must stay excluded
+    // through a fold (folding it one-sided would smuggle half a batch
+    // into the paired segments)
+    val pairedIds = subroots
+      .map(r => committedDirs(spark, r, BatchPrefix).map(_._1).toSet)
+      .reduce(_ intersect _)
+    subroots.foreach { r =>
+      val have = segsPer(r).toSet
+      var prev = -1L
+      targets.foreach { w =>
+        if (!have.contains(w)) {
+          val ids = pairedIds.filter(n => n > prev && n <= w).toSeq.sorted
+          if (ids.nonEmpty)
+            spark.read.option("basePath", r)
+              .parquet(ids.map(n => s"$r/$BatchPrefix$n"): _*)
+              .withColumn("batch_id", col("batch_id").cast("long"))
+              .write.mode("overwrite").parquet(s"$r/$SegPrefix$w")
+        }
+        prev = w
+      }
+    }
+    // GC last: every target is now committed in every subroot, so every
+    // reader takes the segments and excludes these dirs by the watermark
+    // (the sweep also clears unpaired/replayed-folded strays <= the
+    // watermark — readers were already ignoring them)
+    val maxW = targets.lastOption.getOrElse(-1L)
+    subroots.foreach { r =>
+      val fs = hfs(spark, r)
+      committedDirs(spark, r, BatchPrefix)
+        .filter(_._1 <= maxW)
+        .foreach { case (_, path) =>
+          val p = new org.apache.hadoop.fs.Path(path)
+          fs.delete(new org.apache.hadoop.fs.Path(p, "_SUCCESS"), false)
+          fs.delete(p, true)
+        }
+    }
   }
 
   /** Roll a [[nearDupBatchSink]] store pair back to batches BELOW
@@ -208,16 +338,48 @@ object StreamingDedup {
                            fromBatch: Long): Unit =
     truncateBatchDirsFrom(spark, fromBatch, Seq(corpusDir, resultDir))
 
+  /** Truncation across both store layouts. Batch dirs `>= fromBatch` are
+    * dropped as before. A compacted segment whose fold watermark reaches
+    * into the doomed range is handled by COVERAGE: segments entirely
+    * above the fork point are deleted outright; the one BOUNDARY segment
+    * straddling it (covering `(prev, upto]` with `prev < fromBatch <=
+    * upto`) is rewritten filtered to its `batch_id < fromBatch` rows as
+    * `compact_upto=<fromBatch-1>` — the per-batch provenance column the
+    * fold keeps exists exactly for this. Commit order: the replacement
+    * segment lands (parquet `_SUCCESS`) before any doomed segment loses
+    * its marker, and a re-run is idempotent (the replacement is below the
+    * fork point, so it is never doomed). Like the pre-compaction
+    * truncation, this runs OFFLINE (stream stopped) — the reference's
+    * fork recovery is a stop-the-world operation too.
+    */
   private def truncateBatchDirsFrom(spark: org.apache.spark.sql.SparkSession,
                                     fromBatch: Long, roots: Seq[String]): Unit = {
     import org.apache.hadoop.fs.Path
     roots.foreach { rootStr =>
+      val fs = hfs(spark, rootStr)
+      val segs = committedDirs(spark, rootStr, SegPrefix)
+      val (doomed, kept) = segs.partition(_._1 >= fromBatch)
+      doomed.headOption.foreach { case (upto, path) =>
+        // lowest doomed segment: the only one that can straddle the fork
+        val prev = kept.map(_._1).filter(_ < upto).maxOption.getOrElse(-1L)
+        if (fromBatch - 1 > prev) {
+          val survivors = spark.read.parquet(path)
+            .filter(col("batch_id") < fromBatch)
+          if (!survivors.isEmpty)
+            survivors.write.mode("overwrite")
+              .parquet(s"$rootStr/$SegPrefix${fromBatch - 1}")
+        }
+      }
+      doomed.foreach { case (_, path) =>
+        val p = new Path(path)
+        fs.delete(new Path(p, "_SUCCESS"), false)
+        fs.delete(p, true)
+      }
       val root = new Path(rootStr)
-      val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
       if (fs.exists(root))
         fs.listStatus(root).toSeq
-          .filter(s => s.isDirectory && s.getPath.getName.startsWith("batch_id="))
-          .filter(_.getPath.getName.stripPrefix("batch_id=")
+          .filter(s => s.isDirectory && s.getPath.getName.startsWith(BatchPrefix))
+          .filter(_.getPath.getName.stripPrefix(BatchPrefix)
             .toLongOption.exists(_ >= fromBatch))
           .foreach { s =>
             fs.delete(new Path(s.getPath, "_SUCCESS"), false)

@@ -714,6 +714,124 @@ class StreamingSpec extends SparkSpec {
     docs.unpersist()
   }
 
+  test("dedup corpus store compaction: directory growth bounded, fold equivalence preserved, replay idempotent, fork truncation filters segments") {
+    import org.apache.spark.sql.functions._
+    val docs = graft.core.Tables.documents(spark, "/root/testdata/sf0.001")
+      .select("doc_id", "text").cache()
+    val ids = docs.select("doc_id").collect().map(_.getLong(0)).sorted
+    val nBatches = 12
+    val slices = (0 until nBatches).map { i =>
+      val lo = ids(i * ids.length / nBatches)
+      val hiOpt = if (i == nBatches - 1) None
+        else Some(ids((i + 1) * ids.length / nBatches))
+      docs.filter(col("doc_id") >= lo &&
+        hiOpt.map(col("doc_id") < _).getOrElse(lit(true)))
+    }
+    val base = java.nio.file.Files.createTempDirectory("ndcompact").toString
+    val (corpus, results) = (s"$base/corpus", s"$base/results")
+    // compactEvery=4 so 12 id-ordered batches exercise several fold cycles
+    val sink = graft.streaming.StreamingDedup
+      .nearDupBatchSink(corpus, results, "text", "doc_id", 3, 128, 32, 0.8,
+        compactEvery = 4)
+    slices.zipWithIndex.foreach { case (b, i) => sink(b, i.toLong) }
+    def dirNames(sub: String): Seq[String] = {
+      val d = new java.io.File(s"$corpus/$sub")
+      if (!d.exists()) Seq.empty
+      else d.listFiles().toSeq.map(_.getName).filter(!_.startsWith("_")).sorted
+    }
+    // growth audit: the per-batch dirs folded into segments — the
+    // directory count is bounded by compactEvery + segments, NOT by the
+    // number of batches ever processed
+    Seq("arrays", "buckets").foreach { sub =>
+      val names = dirNames(sub)
+      val (segs, lives) = names.partition(_.startsWith("compact_upto="))
+      assert(lives.size < 4, s"$sub live dirs unbounded: $names")
+      assert(segs.nonEmpty, s"$sub never folded: $names")
+      assert(names.size < nBatches, s"$sub directory count grew per batch: $names")
+    }
+    // fold equivalence THROUGH the folds: identical pairs to one-shot
+    def resultSet() = spark.read.parquet(results).collect()
+      .map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"),
+        r.getAs[Double]("jaccard"))).toSet
+    val streamed = resultSet()
+    val oneShot = graft.operators.Dedup
+      .minhashLshPairs(docs, "text", "doc_id", 3, 128, 32, 0.8).collect()
+      .map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"),
+        r.getAs[Double]("jaccard"))).toSet
+    graft.core.CacheScope.release()
+    assert(streamed === oneShot)
+    assert(streamed.nonEmpty, "fixture produced no near-dup pairs — vacuous")
+    // replay of the LAST batch (the only id inside the replay window once
+    // compaction has run — its offsets are the uncommitted ones): corpus
+    // read = segments + lives below it, result overwrites its own dir
+    sink(slices.last, (nBatches - 1).toLong)
+    assert(resultSet() === oneShot)
+    // fork truncation across the compacted layout: fork=8 lands INSIDE
+    // the last segment's coverage (folds fire at batches 3/6/9 -> segs
+    // upto 2/5/8, lives 9..11), so the boundary segment must be rewritten
+    // filtered to its below-fork rows, not just deleted; then replay the
+    // corrected (identical) feed and converge to one-shot
+    val fork = nBatches - 4L
+    graft.streaming.StreamingDedup.truncateNearDupFrom(spark, corpus, results, fork)
+    // every surviving segment row sits below the fork point
+    dirNames("arrays").filter(_.startsWith("compact_upto=")).foreach { s =>
+      val above = spark.read.parquet(s"$corpus/arrays/$s")
+        .filter(col("batch_id") >= fork).count()
+      assert(above === 0L, s"segment $s kept rows at/above the fork point")
+    }
+    (fork.toInt until nBatches).foreach(i => sink(slices(i), i.toLong))
+    assert(resultSet() === oneShot, "truncate+replay diverged from one-shot")
+    docs.unpersist()
+  }
+
+  test("dedup store compaction crash between fold halves: unpaired segment ignored, next compaction repairs it") {
+    import org.apache.spark.sql.functions._
+    val docs = graft.core.Tables.documents(spark, "/root/testdata/sf0.001")
+      .select("doc_id", "text").filter(col("doc_id") < 200).cache()
+    val ids = docs.select("doc_id").collect().map(_.getLong(0)).sorted
+    val cut = ids(ids.length / 2)
+    val base = java.nio.file.Files.createTempDirectory("ndcrash").toString
+    val (corpus, results) = (s"$base/corpus", s"$base/results")
+    val subroots = Seq(s"$corpus/arrays", s"$corpus/buckets")
+    // two batches, auto-compaction OFF — the crash state is built by hand
+    val sink = graft.streaming.StreamingDedup
+      .nearDupBatchSink(corpus, results, "text", "doc_id", 3, 128, 32, 0.8,
+        compactEvery = 0)
+    sink(docs.filter(col("doc_id") < cut), 0L)
+    sink(docs.filter(col("doc_id") >= cut), 1L)
+    def resultSet() = spark.read.parquet(results).collect()
+      .map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"))).toSet
+    val before = resultSet()
+    // CRASH SNAPSHOT between the fold's halves: arrays/compact_upto=0 is
+    // committed, the buckets half never ran, GC never ran (it only runs
+    // after EVERY subroot commits) — exactly what a kill mid-compactStore
+    // leaves behind
+    spark.read.option("basePath", s"$corpus/arrays")
+      .parquet(s"$corpus/arrays/batch_id=0")
+      .withColumn("batch_id", col("batch_id").cast("long"))
+      .write.mode("overwrite").parquet(s"$corpus/arrays/compact_upto=0")
+    // reads in this state must IGNORE the unpaired segment and keep
+    // serving the still-live paired batch dirs: a replay of batch 1 sees
+    // the identical corpus and reproduces its result bytes
+    sink(docs.filter(col("doc_id") >= cut), 1L)
+    assert(resultSet() === before, "unpaired segment leaked into the corpus read")
+    // the next compaction REPAIRS: the buckets half re-folds the same
+    // range from its live dirs, both halves pair, GC clears the folded
+    // batch dirs
+    graft.streaming.StreamingDedup.compactStore(spark, subroots, 0L)
+    Seq("arrays", "buckets").foreach { sub =>
+      assert(new java.io.File(s"$corpus/$sub/compact_upto=0/_SUCCESS").exists(),
+        s"$sub fold half missing after repair")
+      assert(!new java.io.File(s"$corpus/$sub/batch_id=0").exists(),
+        s"$sub folded batch dir not GC'd after repair")
+    }
+    // and the repaired store reads identically
+    sink(docs.filter(col("doc_id") >= cut), 1L)
+    assert(resultSet() === before, "repaired store changed the corpus read")
+    graft.core.CacheScope.release()
+    docs.unpersist()
+  }
+
   test("streaming semantic dedup: batches fold to the one-shot result; replay idempotent") {
     import org.apache.spark.sql.functions._
     val emb = graft.core.Tables.embeddings(spark, "/root/testdata/sf0.001")
