@@ -15,10 +15,17 @@ import java.net.http.{HttpClient, HttpRequest, HttpResponse}
   * every handler tags its jobs into the `serving` pool — one heavy
   * request must not convoy every light one behind it in the FIFO queue.
   *
-  * Usage: runMain graft.tools.ServeBench [sfDir] [clients] [reqsPerClient] [mix|uniq]
+  * Usage: runMain graft.tools.ServeBench [sfDir] [clients] [reqsPerClient] [mix|uniq] [rollEveryMs]
   * `uniq` makes every latest-feed request carry a distinct url, so the
   * result micro-cache and the per-params plan cache both miss — the
   * execution-path envelope, vs the default repeated-request mix.
+  * `rollEveryMs` > 0 bumps the data epoch on that period for the whole
+  * run (a fast-rolling ingest) — the probe for the point-index
+  * epoch-roll path: rebuilds must run on their background thread while
+  * requests serve the previous epoch's maps, so p99 must NOT spike at
+  * the rolls (the inline-rebuild design convoyed every keyed request,
+  * and through the shared admission gate every OTHER route, behind one
+  * distributed build per roll).
   */
 object ServeBench {
   def main(args: Array[String]): Unit = {
@@ -26,6 +33,7 @@ object ServeBench {
     val clients = args.lift(1).map(_.toInt).getOrElse(50)
     val perClient = args.lift(2).map(_.toInt).getOrElse(20)
     val uniq = args.lift(3).contains("uniq")
+    val rollEveryMs = args.lift(4).map(_.toLong).getOrElse(0L)
 
     val spark = org.apache.spark.sql.SparkSession.builder()
       .master("local[32]")
@@ -60,6 +68,15 @@ object ServeBench {
 
     val lat = new java.util.concurrent.ConcurrentLinkedQueue[Long]()
     val errors = new java.util.concurrent.atomic.AtomicLong
+    val rolls = new java.util.concurrent.atomic.AtomicLong
+    val roller = new Thread(() => {
+      try while (!Thread.interrupted()) {
+        Thread.sleep(rollEveryMs)
+        graft.core.Tables.invalidate(Some(spark))
+        rolls.incrementAndGet(): Unit
+      } catch { case _: InterruptedException => }
+    }, "serve-bench-epoch-roller")
+    if (rollEveryMs > 0) { roller.setDaemon(true); roller.start() }
     val t0 = System.nanoTime()
     val threads = (0 until clients).map { c =>
       new Thread(() => {
@@ -84,6 +101,8 @@ object ServeBench {
     }
     threads.foreach(_.start()); threads.foreach(_.join())
     val wallS = (System.nanoTime() - t0) / 1e9
+    if (rollEveryMs > 0) { roller.interrupt(); roller.join(1000) }
+    if (rolls.get > 0) println(s"[serve] epoch rolls during run: ${rolls.get}")
     api.stop()
 
     val sorted = lat.toArray(Array.empty[java.lang.Long]).map(_.toLong).sorted
