@@ -882,6 +882,43 @@ class StreamingSpec extends SparkSpec {
     emb.unpersist()
   }
 
+  test("semantic corpus store compaction through the sink: folds auto-trigger, result equals one-shot") {
+    import org.apache.spark.sql.functions._
+    val emb = graft.core.Tables.embeddings(spark, "/root/testdata/sf0.001")
+      .select("vec_id", "embedding").cache()
+    val ids = emb.select("vec_id").collect().map(_.getLong(0)).sorted
+    val nBatches = 6
+    val base = java.nio.file.Files.createTempDirectory("semcompact").toString
+    val (corpus, results) = (s"$base/corpus", s"$base/results")
+    val sink = graft.streaming.StreamingDedup
+      .semanticBatchSink(corpus, results, "vec_id", "embedding", 8, 0.35,
+        compactEvery = 3)
+    (0 until nBatches).foreach { i =>
+      val lo = ids(i * ids.length / nBatches)
+      val hiOpt = if (i == nBatches - 1) None
+        else Some(ids((i + 1) * ids.length / nBatches))
+      sink(emb.filter(col("vec_id") >= lo &&
+        hiOpt.map(col("vec_id") < _).getOrElse(lit(true))), i.toLong)
+    }
+    // the single-subroot store folded: segments exist, live dirs bounded
+    val names = new java.io.File(corpus).listFiles().toSeq
+      .map(_.getName).filter(!_.startsWith("_")).sorted
+    val (segs, lives) = names.partition(_.startsWith("compact_upto="))
+    assert(segs.nonEmpty, s"semantic store never folded: $names")
+    assert(lives.size < 3, s"semantic live dirs unbounded: $names")
+    // folding must not change a single judgment: identical to one-shot
+    val streamed = spark.read.parquet(results).collect()
+      .map(r => r.getAs[Long]("vec_id") ->
+        (r.getAs[Long]("cluster"), r.getAs[Long]("keep"))).toMap
+    val oneShot = graft.operators.Dedup
+      .semanticDedup(emb, "vec_id", "embedding", 8, 0.35).collect()
+      .map(r => r.getAs[Long]("vec_id") ->
+        (r.getAs[Long]("cluster"), r.getAs[Long]("keep"))).toMap
+    graft.core.CacheScope.release()
+    assert(streamed === oneShot)
+    emb.unpersist()
+  }
+
   test("dedup corpus stores: past-horizon fork truncates and replays to fresh-build state") {
     import org.apache.spark.sql.functions._
     val docs = graft.core.Tables.documents(spark, "/root/testdata/sf0.001")
