@@ -27,11 +27,20 @@ object Verify {
     // layer WARNs "locally checkpointed ... cannot be recomputed" on
     // every such unpersist. That is this tool's INTENDED lifecycle (the
     // data is already durable in outDir; nothing recomputes it), and ~100
-    // copies of the warning bury real driver-log warnings — silence just
-    // that logger, nothing else.
-    org.apache.logging.log4j.core.config.Configurator.setLevel(
-      "org.apache.spark.rdd.MapPartitionsRDD",
-      org.apache.logging.log4j.Level.ERROR)
+    // copies of the warning bury real driver-log warnings. Suppress by
+    // MESSAGE, not by logger level — a level cut on MapPartitionsRDD
+    // would also hide its genuine warnings (lost-block recomputes etc.).
+    locally {
+      val ctx = org.apache.logging.log4j.LogManager.getContext(false)
+        .asInstanceOf[org.apache.logging.log4j.core.LoggerContext]
+      ctx.getConfiguration.getRootLogger.addFilter(
+        org.apache.logging.log4j.core.filter.RegexFilter.createFilter(
+          ".*was locally checkpointed, its lineage has been truncated.*",
+          null, false,
+          org.apache.logging.log4j.core.Filter.Result.DENY,
+          org.apache.logging.log4j.core.Filter.Result.NEUTRAL))
+      ctx.updateLoggers()
+    }
     GraftSession.configure(spark)
     new java.io.File(outDir).mkdirs()
     SparkEntry.queries

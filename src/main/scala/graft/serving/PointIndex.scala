@@ -102,22 +102,39 @@ final class PointIndex(
 
   /** Start ONE background build for the current epoch if none is running.
     * CAS single-flight: concurrent lookups at a roll race the CAS, one
-    * wins, the rest serve stale and move on.
+    * wins, the rest serve stale and move on. The TARGET epoch is read
+    * AFTER winning the CAS — a pre-CAS target could be stale (thread
+    * stalls across a roll while another builder lands the newer epoch),
+    * and building for it would regress state backward and force yet
+    * another full rebuild.
     */
-  private def triggerRebuild(): Unit = {
-    val target = graft.core.Tables.epoch
-    if (building.compareAndSet(Long.MinValue, target)) {
-      // double-check AFTER winning: another builder may have finished for
-      // this exact epoch between our state read and the CAS
+  private def triggerRebuild(): Unit =
+    if (building.compareAndSet(Long.MinValue, 1L)) {
+      val target = graft.core.Tables.epoch
       if (state._1 == target) { building.set(Long.MinValue); return }
       val t = new Thread(() => {
+        // the spawning request thread's Spark local properties are
+        // INHERITED (InheritableThreadLocal) — including its per-handler
+        // FAIR pool, inside which jobs run FIFO: left in place, the
+        // multi-second build would convoy that handler's later request
+        // jobs. Re-pool the build into its own name so FAIR isolates it;
+        // inert under a FIFO scheduler.
+        org.apache.spark.sql.SparkSession.getActiveSession
+          .orElse(org.apache.spark.sql.SparkSession.getDefaultSession)
+          .foreach(_.sparkContext.setLocalProperty(
+            "spark.scheduler.pool", "graft-index-build"))
+        // a FATAL build error (driver OOM on the capped collect) must
+        // still mark the epoch unindexable before propagating — state
+        // left stale would re-trigger the same fatal build on every
+        // subsequent lookup, a crash loop of heavy jobs; NonFatal and
+        // interrupts are already absorbed to None inside doBuild
         try state = (target, doBuild())
+        catch { case fatal: Throwable => state = (target, None); throw fatal }
         finally building.set(Long.MinValue)
       }, s"graft-point-index-$name")
       t.setDaemon(true)
       t.start()
     }
-  }
 
   /** Block until the index state is current for the data epoch (build
     * finished — live OR marked over-cap), triggering the build if no

@@ -175,6 +175,20 @@ object StreamingDedup {
 
   private val BatchPrefix = "batch_id="
   private val SegPrefix = "compact_upto="
+  private val MergedPrefix = "merged_upto="
+
+  /** Merge trigger for the SEGMENT tier: incremental folds accumulate one
+    * `compact_upto=` dir per [[DefaultCompactEvery]] batches forever —
+    * the same unbounded-directory class the folds were added to stop,
+    * one level up. Once this many incremental segments exist they roll
+    * into ONE cumulative `merged_upto=<W>` segment (all batches <= W).
+    * The merge rewrites the whole corpus, amortized to once per
+    * `SegmentMergeAt * compactEvery` batches (~1/512 at the defaults) —
+    * the standard LSM-ish trade: O(corpus) rewrite bought per O(corpus)
+    * of new appends keeps the store's directory count bounded by
+    * `SegmentMergeAt + compactEvery + 1` for the stream's lifetime.
+    */
+  val SegmentMergeAt: Int = 8
 
   private def hfs(spark: org.apache.spark.sql.SparkSession, root: String) =
     new org.apache.hadoop.fs.Path(root)
@@ -197,37 +211,55 @@ object StreamingDedup {
       .sortBy(_._1)
   }
 
-  /** The committed corpus visible to `batchId`, one frame per subroot:
-    * every compacted segment with fold watermark `upto < batchId` that is
-    * PAIRED (present and committed in ALL subroots — a crash between a
-    * multi-subroot fold's halves leaves an unpaired stray that readers
-    * must ignore; its batches are still live because GC only runs after
-    * every half commits), plus committed batch dirs in
-    * `(maxPairedUpto, batchId)`. None when the store holds nothing yet.
+  /** The committed corpus visible to `batchId`, one frame per subroot —
+    * three tiers, newest data outermost:
+    *
+    *   1. the single CUMULATIVE `merged_upto=M` segment with the highest
+    *      paired M `< batchId` (it holds every batch `<= M`; older merged
+    *      segments a crashed GC left behind are superseded by max);
+    *   2. incremental `compact_upto=` segments with upto in `(M,
+    *      batchId)`, read as ONE multi-path parquet read (identical
+    *      schemas) — never a per-segment frame chain;
+    *   3. committed batch dirs in `(max segment upto, batchId)`.
+    *
+    * PAIRED everywhere (present and committed in ALL subroots — a crash
+    * between a multi-subroot write's halves leaves an unpaired stray that
+    * readers must ignore; its inputs are still on disk because GC only
+    * runs after every half commits). None when the store holds nothing.
     * Segments carry their source `batch_id` as a column (fork truncation
     * filters on it) which is dropped here.
     */
   private def pairedStoreParts(spark: org.apache.spark.sql.SparkSession,
                                subroots: Seq[String],
                                batchId: Long): Option[Seq[DataFrame]] = {
+    val mergedPer = subroots.map(r =>
+      committedDirs(spark, r, MergedPrefix).filter(_._1 < batchId).toMap)
+    val pairedMerged = mergedPer.map(_.keySet).reduce(_ intersect _)
+    val m = if (pairedMerged.isEmpty) -1L else pairedMerged.max
     val segsPer = subroots.map(r =>
-      committedDirs(spark, r, SegPrefix).filter(_._1 < batchId).toMap)
+      committedDirs(spark, r, SegPrefix)
+        .filter { case (w, _) => w > m && w < batchId }.toMap)
     val paired = segsPer.map(_.keySet).reduce(_ intersect _)
-    val maxW = if (paired.isEmpty) -1L else paired.max
+    val maxW = if (paired.isEmpty) m else math.max(m, paired.max)
     val livesPer = subroots.map(r =>
       committedDirs(spark, r, BatchPrefix)
         .filter { case (n, _) => n > maxW && n < batchId })
     // live ids must also pair across subroots (same half-written guard)
     val pairedLive = livesPer.map(_.map(_._1).toSet).reduce(_ intersect _)
-    if (paired.isEmpty && pairedLive.isEmpty) None
+    if (m < 0 && paired.isEmpty && pairedLive.isEmpty) None
     else Some(subroots.indices.map { i =>
-      val segFrames = paired.toSeq.sorted.map(w =>
-        spark.read.parquet(segsPer(i)(w)).drop("batch_id"))
+      val mergedFrames =
+        if (m < 0) Nil
+        else Seq(spark.read.parquet(mergedPer(i)(m)).drop("batch_id"))
+      val segDirs = paired.toSeq.sorted.map(segsPer(i))
+      val segFrames =
+        if (segDirs.isEmpty) Nil
+        else Seq(spark.read.parquet(segDirs: _*).drop("batch_id"))
       val liveDirs = livesPer(i).collect {
         case (n, path) if pairedLive.contains(n) => path }
       val liveFrames =
         if (liveDirs.isEmpty) Nil else Seq(spark.read.parquet(liveDirs: _*))
-      (segFrames ++ liveFrames).reduce(_.unionByName(_))
+      (mergedFrames ++ segFrames ++ liveFrames).reduce(_.unionByName(_))
     })
   }
 
@@ -308,6 +340,48 @@ object StreamingDedup {
           fs.delete(p, true)
         }
     }
+    mergeSegments(spark, subroots)
+  }
+
+  /** The SEGMENT-tier roll-up (see [[SegmentMergeAt]]): once enough
+    * paired incremental segments accumulate, every subroot rewrites
+    * (prior merged segment + all incremental segments) into one
+    * cumulative `merged_upto=<maxUpto>`. Same commit discipline as the
+    * fold: the new merged segment is `_SUCCESS`-committed per subroot
+    * first (a subroot that already has it skips — that is the crash
+    * REPAIR path, inputs still on disk because GC hadn't run), GC of the
+    * superseded inputs runs strictly last, and a crash anywhere leaves
+    * readers consistent — [[pairedStoreParts]] takes the highest PAIRED
+    * merged watermark and ignores incremental segments at or below it.
+    */
+  private def mergeSegments(spark: org.apache.spark.sql.SparkSession,
+                            subroots: Seq[String]): Unit = {
+    val incrPer = subroots.map(r =>
+      r -> committedDirs(spark, r, SegPrefix).toMap).toMap
+    val pairedIncr = incrPer.values.map(_.keySet).reduce(_ intersect _)
+    if (pairedIncr.size < SegmentMergeAt) return
+    val m = pairedIncr.max
+    subroots.foreach { r =>
+      if (!committedDirs(spark, r, MergedPrefix).exists(_._1 == m)) {
+        val priorMerged = committedDirs(spark, r, MergedPrefix)
+          .filter(_._1 < m).toSeq.sortBy(_._1).lastOption.map(_._2)
+        val inputs = priorMerged.toSeq ++
+          pairedIncr.toSeq.sorted.flatMap(incrPer(r).get)
+        spark.read.parquet(inputs: _*)
+          .write.mode("overwrite").parquet(s"$r/$MergedPrefix$m")
+      }
+    }
+    // GC strictly last — all subroots committed merged_upto=m above
+    subroots.foreach { r =>
+      val fs = hfs(spark, r)
+      (committedDirs(spark, r, MergedPrefix).filter(_._1 < m) ++
+        committedDirs(spark, r, SegPrefix).filter(_._1 <= m))
+        .foreach { case (_, path) =>
+          val p = new org.apache.hadoop.fs.Path(path)
+          fs.delete(new org.apache.hadoop.fs.Path(p, "_SUCCESS"), false)
+          fs.delete(p, true)
+        }
+    }
   }
 
   /** Roll a [[nearDupBatchSink]] store pair back to batches BELOW
@@ -357,6 +431,27 @@ object StreamingDedup {
     import org.apache.hadoop.fs.Path
     roots.foreach { rootStr =>
       val fs = hfs(spark, rootStr)
+      // merged tier first: CUMULATIVE content, so the highest doomed
+      // merged segment holds every batch <= its upto — rewrite its
+      // below-fork rows as merged_upto=<fromBatch-1> unless a kept
+      // merged already covers exactly that range
+      val (mDoomed, mKept) = committedDirs(spark, rootStr, MergedPrefix)
+        .partition(_._1 >= fromBatch)
+      mDoomed.sortBy(_._1).lastOption.foreach { case (_, path) =>
+        val keptMax = mKept.map(_._1).maxOption.getOrElse(-1L)
+        if (fromBatch - 1 > keptMax) {
+          val survivors = spark.read.parquet(path)
+            .filter(col("batch_id") < fromBatch)
+          if (!survivors.isEmpty)
+            survivors.write.mode("overwrite")
+              .parquet(s"$rootStr/$MergedPrefix${fromBatch - 1}")
+        }
+      }
+      mDoomed.foreach { case (_, path) =>
+        val p = new Path(path)
+        fs.delete(new Path(p, "_SUCCESS"), false)
+        fs.delete(p, true)
+      }
       val segs = committedDirs(spark, rootStr, SegPrefix)
       val (doomed, kept) = segs.partition(_._1 >= fromBatch)
       doomed.headOption.foreach { case (upto, path) =>

@@ -882,6 +882,84 @@ class StreamingSpec extends SparkSpec {
     emb.unpersist()
   }
 
+  test("segment merge tier: incremental segments roll into one cumulative merged segment; crash between halves repairs") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val base = java.nio.file.Files.createTempDirectory("segmerge").toString
+    val subroots = Seq(s"$base/arrays", s"$base/buckets")
+    val mergeAt = graft.streaming.StreamingDedup.SegmentMergeAt
+    def writeBatch(id: Long): Unit = subroots.foreach { r =>
+      Seq((id * 10, id * 100)).toDF("doc", "v")
+        .write.parquet(s"$r/batch_id=$id")
+    }
+    def names(r: String): Seq[String] = {
+      val d = new java.io.File(r)
+      if (!d.exists()) Seq.empty
+      else d.listFiles().toSeq.map(_.getName).filter(!_.startsWith("_")).sorted
+    }
+    // one fold per batch -> mergeAt incremental segments; the merge
+    // auto-triggers inside the compactStore call that commits the
+    // mergeAt-th segment
+    (0L until mergeAt).foreach { i =>
+      writeBatch(i)
+      graft.streaming.StreamingDedup.compactStore(spark, subroots, i)
+    }
+    subroots.foreach { r =>
+      val n = names(r)
+      assert(n === Seq(s"merged_upto=${mergeAt - 1}"),
+        s"expected ONE merged segment in $r, got $n")
+    }
+    // cumulative content: every batch's rows, provenance intact
+    val merged = spark.read.parquet(s"${subroots.head}/merged_upto=${mergeAt - 1}")
+    assert(merged.select("doc", "batch_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet ===
+      (0L until mergeAt).map(i => (i * 10, i)).toSet)
+    // directory count stays bounded through another full cycle (the next
+    // merge folds the PRIOR merged segment forward)
+    (mergeAt until 2 * mergeAt).foreach { i =>
+      writeBatch(i)
+      graft.streaming.StreamingDedup.compactStore(spark, subroots, i)
+    }
+    subroots.foreach { r =>
+      assert(names(r) === Seq(s"merged_upto=${2 * mergeAt - 1}"),
+        s"second cycle did not re-merge in $r: ${names(r)}")
+    }
+    val merged2 = spark.read.parquet(s"${subroots.head}/merged_upto=${2 * mergeAt - 1}")
+    assert(merged2.count() === 2L * mergeAt, "second merge lost prior merged rows")
+    // crash between merge halves: build mergeAt paired segments by hand
+    // (folds only — one below the trigger, last one written manually so
+    // no auto-merge runs), commit the arrays half of the merge, kill.
+    // The next compactStore call must complete the buckets half from the
+    // still-present segments and GC the inputs.
+    val base2 = java.nio.file.Files.createTempDirectory("segmerge2").toString
+    val sub2 = Seq(s"$base2/arrays", s"$base2/buckets")
+    def writeBatch2(id: Long): Unit = sub2.foreach { r =>
+      Seq((id * 10, id * 100)).toDF("doc", "v")
+        .write.parquet(s"$r/batch_id=$id")
+    }
+    (0L until (mergeAt - 1)).foreach { i =>
+      writeBatch2(i)
+      graft.streaming.StreamingDedup.compactStore(spark, sub2, i)
+    }
+    val last = mergeAt - 1L
+    writeBatch2(last)
+    sub2.foreach { r => // the mergeAt-th fold, by hand (no merge runs)
+      spark.read.option("basePath", r).parquet(s"$r/batch_id=$last")
+        .withColumn("batch_id", col("batch_id").cast("long"))
+        .write.parquet(s"$r/compact_upto=$last")
+    }
+    // crashed merge: arrays half committed, buckets half missing
+    spark.read.parquet((0L to last).map(w => s"${sub2.head}/compact_upto=$w"): _*)
+      .write.parquet(s"${sub2.head}/merged_upto=$last")
+    graft.streaming.StreamingDedup.compactStore(spark, sub2, last)
+    sub2.foreach { r =>
+      assert(names(r) === Seq(s"merged_upto=$last"),
+        s"crash repair incomplete in $r: ${names(r)}")
+    }
+    assert(spark.read.parquet(s"${sub2(1)}/merged_upto=$last").count() === mergeAt.toLong,
+      "repaired buckets half lost rows")
+  }
+
   test("semantic corpus store compaction through the sink: folds auto-trigger, result equals one-shot") {
     import org.apache.spark.sql.functions._
     val emb = graft.core.Tables.embeddings(spark, "/root/testdata/sf0.001")
