@@ -193,8 +193,38 @@ class PlugRunner(
     */
   val CompactEvery: Int = 64
 
+  /** Segment-tier roll-up threshold: incremental folds still accumulate
+    * one `_compact/v=` dir per [[CompactEvery]] batches forever (the
+    * same unbounded-directory class, one level up — ~450 new segment
+    * dirs/day at production block rates). Once this many segments are
+    * committed they merge into ONE cumulative `_compact/m=<W>` dir
+    * holding every batch `<= W`; the manifest's `merged` field commits
+    * the swap atomically. The merge rewrites the table, amortized to
+    * once per `MergeSegmentsAt * CompactEvery` batches — the LSM trade
+    * that keeps the table's directory count bounded by
+    * `MergeSegmentsAt + CompactEvery + 1` for the stream's lifetime.
+    * 0 disables.
+    */
+  val MergeSegmentsAt: Int = 8
+
   private def appendStore(spark: SparkSession, name: String) =
     new ParquetStateStore(spark, s"${tableDir(name)}/_compact")
+
+  /** Committed cumulative-merge watermarks (`_compact/m=<W>` dirs),
+    * ascending. Only the manifest's `merged` entry is live data; others
+    * are strays a crashed merge left for GC.
+    */
+  private def mergedDirsOnDisk(spark: SparkSession, name: String): Seq[Long] = {
+    val root = new org.apache.hadoop.fs.Path(s"${tableDir(name)}/_compact")
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(root)) Seq.empty
+    else fs.listStatus(root).toSeq
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith("m="))
+      .flatMap(_.getPath.getName.stripPrefix("m=").toLongOption)
+      .filter(w => fs.exists(
+        new org.apache.hadoop.fs.Path(root, s"m=$w/_SUCCESS")))
+      .sorted
+  }
 
   /** The append table's one-file commit record: which segment watermarks
     * and which live batch ids are committed. Readers and the compaction
@@ -203,14 +233,16 @@ class PlugRunner(
     * operation, and a 500k-batch year of `_batch_id=` history would pay
     * it on every plan. One `open` + `rename` pair per commit instead.
     *
-    * Format: a single line `1|w1,w2|b1,b2,b3` (version | ascending
-    * segment watermarks | ascending live batch ids), swapped into place
-    * by write-tmp-then-rename — the same commit primitive Spark's own
-    * HDFSMetadataLog uses (atomic on HDFS/local; object-store
-    * deployments point checkpoints at a rename-capable store for the
-    * same reason).
+    * Format: a single line `2|m|w1,w2|b1,b2,b3` (version | cumulative
+    * merged watermark or empty | ascending segment watermarks | ascending
+    * live batch ids), swapped into place by write-tmp-then-rename — the
+    * same commit primitive Spark's own HDFSMetadataLog uses (atomic on
+    * HDFS/local; object-store deployments point checkpoints at a
+    * rename-capable store for the same reason). Version-1 records
+    * (`1|segs|live`, pre-merge-tier) parse with `merged = None`.
     */
-  private[streaming] case class AppendManifest(segments: Seq[Long], live: Seq[Long])
+  private[streaming] case class AppendManifest(segments: Seq[Long], live: Seq[Long],
+                                               merged: Option[Long] = None)
 
   private def manifestPath(name: String) =
     new org.apache.hadoop.fs.Path(tableDir(name), "_append_manifest")
@@ -229,20 +261,33 @@ class PlugRunner(
         val raw = try scala.io.Source.fromInputStream(in).mkString finally in.close()
         // tolerate a torn write (crash mid-create should be impossible
         // under rename, but a corrupt record must re-derive, not brick)
+        def ids(s: String): Option[Seq[Long]] =
+          if (s.isEmpty) Some(Nil)
+          else {
+            val parts = s.split(",").toSeq.map(_.toLongOption)
+            if (parts.forall(_.isDefined)) Some(parts.flatten) else None
+          }
         raw.trim.split("\\|", -1) match {
           case Array("1", segs, live) =>
-            def ids(s: String): Option[Seq[Long]] =
-              if (s.isEmpty) Some(Nil)
-              else {
-                val parts = s.split(",").toSeq.map(_.toLongOption)
-                if (parts.forall(_.isDefined)) Some(parts.flatten) else None
-              }
             for (s <- ids(segs); l <- ids(live)) yield AppendManifest(s, l)
+          case Array("2", merged, segs, live) =>
+            for {
+              m <- if (merged.isEmpty) Some(None)
+                   else merged.toLongOption.map(Some(_))
+              s <- ids(segs); l <- ids(live)
+            } yield AppendManifest(s, l, m)
           case _ => None
         }
       }
-    parsed.getOrElse(AppendManifest(
-      appendStore(spark, name).allVersions, listBatchIds(spark, name)))
+    parsed.getOrElse {
+      // pre-manifest (or deleted-manifest) derivation from one listing:
+      // the highest committed merge supersedes everything at or below it
+      val merged = mergedDirsOnDisk(spark, name).lastOption
+      val mw = merged.getOrElse(-1L)
+      AppendManifest(
+        appendStore(spark, name).allVersions.filter(_ > mw),
+        listBatchIds(spark, name), merged)
+    }
   }
 
   private[streaming] def writeManifest(spark: SparkSession, name: String,
@@ -252,7 +297,8 @@ class PlugRunner(
     val tmp = new org.apache.hadoop.fs.Path(tableDir(name), "._append_manifest.tmp")
     val out = fs.create(tmp, true)
     try out.write(
-      s"1|${m.segments.mkString(",")}|${m.live.mkString(",")}".getBytes("UTF-8"))
+      s"2|${m.merged.map(_.toString).getOrElse("")}|${m.segments.mkString(",")}|${m.live.mkString(",")}"
+        .getBytes("UTF-8"))
     finally out.close()
     fs.delete(path, false)
     fs.rename(tmp, path)
@@ -301,7 +347,8 @@ class PlugRunner(
     // unreferenced segment, and the re-trigger must re-fold (idempotent
     // overwrite of the same version) rather than skip and strand the
     // manifest behind the segment store forever
-    val prevW = m.segments.lastOption.getOrElse(-1L)
+    val prevW = math.max(m.merged.getOrElse(-1L),
+      m.segments.lastOption.getOrElse(-1L))
     if (upToBatch <= prevW) return
     val foldable = m.live.filter(n => n > prevW && n <= upToBatch)
     if (foldable.isEmpty) return
@@ -318,7 +365,8 @@ class PlugRunner(
     // dir gets GC'd too)
     val newLive = m.live.filter(_ > upToBatch)
     writeManifest(spark, name,
-      AppendManifest((m.segments :+ upToBatch).distinct.sorted, newLive))
+      m.copy(segments = (m.segments :+ upToBatch).distinct.sorted,
+        live = newLive))
     // GC last — everything below runs after the new manifest is visible,
     // so a crash anywhere here leaves only dirs every reader already
     // excludes. The listing (one per compaction, not per read) also
@@ -329,6 +377,48 @@ class PlugRunner(
       .filter(n => n <= upToBatch && !newLive.contains(n))
       .foreach(n =>
         fs.delete(new org.apache.hadoop.fs.Path(root, s"_batch_id=$n"), true))
+    mergeAppendSegments(spark, name)
+  }
+
+  /** The SEGMENT-tier roll-up (see [[MergeSegmentsAt]]): once the
+    * manifest lists enough incremental segments, rewrite (current merged
+    * segment, if any) + all listed segments into one cumulative
+    * `_compact/m=<maxW>` dir holding every batch `<= maxW`. Commit order
+    * mirrors [[compactAppends]]: data first (parquet `_SUCCESS`), the
+    * manifest swap is THE commit (merged=maxW, segments emptied), GC of
+    * the superseded inputs strictly last — a crash at any point leaves
+    * either the old manifest (stray m-dir ignored, idempotently
+    * overwritten on re-trigger) or the new one (leftover v-dirs/old
+    * m-dirs are ignored strays the next merge's GC sweeps).
+    */
+  private def mergeAppendSegments(spark: SparkSession, name: String): Unit = {
+    if (MergeSegmentsAt <= 0) return
+    val m = manifest(spark, name)
+    if (m.segments.size < MergeSegmentsAt) return
+    val dir = tableDir(name)
+    val maxW = m.segments.max
+    val inputs =
+      m.merged.map(w => s"$dir/_compact/m=$w").toSeq ++
+        m.segments.map(w => s"$dir/_compact/v=$w")
+    // per-dir reads + unionByName (NOT one multi-path read: segments may
+    // be partitioned by _block_bucket, and multi-root partition
+    // discovery needs a common base these dirs don't share)
+    val all = inputs.map(spark.read.parquet(_)).reduce(_.unionByName(_))
+    val partCols =
+      if (all.columns.contains("_block_bucket")) Seq("_block_bucket") else Nil
+    val w = all.write.mode("overwrite")
+    (if (partCols.nonEmpty) w.partitionBy(partCols: _*) else w)
+      .parquet(s"$dir/_compact/m=$maxW")
+    writeManifest(spark, name,
+      AppendManifest(Nil, m.live.filter(_ > maxW), Some(maxW)))
+    // GC strictly last: superseded inputs (and any stray m-dirs an
+    // earlier crash left) — every reader already takes merged=maxW
+    val root = new org.apache.hadoop.fs.Path(s"$dir/_compact")
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    mergedDirsOnDisk(spark, name).filter(_ < maxW).foreach(v =>
+      fs.delete(new org.apache.hadoop.fs.Path(root, s"m=$v"), true))
+    appendStore(spark, name).allVersions.filter(_ <= maxW).foreach(v =>
+      fs.delete(new org.apache.hadoop.fs.Path(root, s"v=$v"), true))
   }
 
   /** Read the current contents of a derived table. Append tables are the
@@ -346,13 +436,17 @@ class PlugRunner(
     else {
       val dir = tableDir(name)
       val m = manifest(spark, name)
-      if (m.segments.isEmpty && m.live.isEmpty)
+      if (m.segments.isEmpty && m.live.isEmpty && m.merged.isEmpty)
         // nothing committed (or a pre-manifest dir with nothing listable):
         // let the plain read surface its own empty-path semantics
         spark.read.parquet(dir).drop("_batch_id", "_block_bucket")
       else {
-        val maxW = m.segments.lastOption.getOrElse(-1L)
-        val segFrames = m.segments.map(w =>
+        val mw = m.merged.getOrElse(-1L)
+        val maxW = math.max(mw, m.segments.lastOption.getOrElse(-1L))
+        val mergedFrames = m.merged.toSeq.map(w =>
+          spark.read.parquet(s"$dir/_compact/m=$w")
+            .drop("_batch_id", "_block_bucket"))
+        val segFrames = m.segments.filter(_ > mw).map(w =>
           spark.read.parquet(s"$dir/_compact/v=$w")
             .drop("_batch_id", "_block_bucket"))
         val live = m.live.filter(_ > maxW)
@@ -361,7 +455,7 @@ class PlugRunner(
           else Seq(spark.read.option("basePath", dir)
             .parquet(live.map(n => s"$dir/_batch_id=$n"): _*)
             .drop("_batch_id", "_block_bucket"))
-        (segFrames ++ liveFrames).reduce(_.unionByName(_))
+        (mergedFrames ++ segFrames ++ liveFrames).reduce(_.unionByName(_))
       }
     }
 
@@ -409,10 +503,10 @@ class PlugRunner(
           name -> Left(st)
         } else {
           val m = manifest(spark, name)
-          require(m.segments.forall(_ < fromBatch),
+          require((m.segments ++ m.merged).forall(_ < fromBatch),
             s"append table $name folded batches >= $fromBatch into segments " +
-              s"(watermarks ${m.segments.mkString(",")}) — fork deeper than " +
-              "the compaction lag; rebuild the table from scratch")
+              s"(watermarks ${(m.segments ++ m.merged).mkString(",")}) — fork " +
+              "deeper than the compaction lag; rebuild the table from scratch")
           name -> Right(m)
         }
       }

@@ -96,12 +96,18 @@ class StreamingSpec extends SparkSpec {
     // VERDICT r9 item 3 "done" bar: bounded directory count across 100+
     // batches — live batch dirs under CompactEvery, segments ~n/CompactEvery
     val live = entries().count(_.startsWith("_batch_id="))
-    val segs = Option(new java.io.File(s"$out/podping/updates/_compact").list())
-      .toSeq.flatten.count(_.startsWith("v="))
+    val compactDirs = Option(new java.io.File(s"$out/podping/updates/_compact").list())
+      .toSeq.flatten
+    val segs = compactDirs.count(_.startsWith("v="))
     assert(live < 8, s"live=$live")
     // trigger fires at live >= CompactEvery and folds to batchId-1
-    // (leaves 1 live), so a fold lands every CompactEvery-1 batches
-    assert(segs <= 120 / 7 + 1, s"segs=$segs")
+    // (leaves 1 live), so a fold lands every CompactEvery-1 batches —
+    // and the SEGMENT tier itself stays bounded: at MergeSegmentsAt
+    // segments they roll into one cumulative m= dir, so 120 batches
+    // cannot accumulate 120/7 segment dirs
+    assert(segs < runner.MergeSegmentsAt, s"segs=$segs — merge tier never fired")
+    assert(compactDirs.count(_.startsWith("m=")) === 1,
+      s"expected ONE cumulative merged dir: $compactDirs")
     assert(entries().count(_ == "_append_manifest") === 1)
     assert(runner.table(spark, "updates").count() === 120)
 
