@@ -210,21 +210,14 @@ class PlugRunner(
   private def appendStore(spark: SparkSession, name: String) =
     new ParquetStateStore(spark, s"${tableDir(name)}/_compact")
 
-  /** Committed cumulative-merge watermarks (`_compact/m=<W>` dirs),
-    * ascending. Only the manifest's `merged` entry is live data; others
-    * are strays a crashed merge left for GC.
+  /** The cumulative-merge dirs (`_compact/m=<W>`) as a store — the same
+    * committed-version listing protocol as the segment tier, reused via
+    * [[ParquetStateStore]]'s prefix parameter rather than re-implemented.
+    * Only the manifest's `merged` entry is live data; other committed
+    * dirs are strays a crashed merge left for GC.
     */
-  private def mergedDirsOnDisk(spark: SparkSession, name: String): Seq[Long] = {
-    val root = new org.apache.hadoop.fs.Path(s"${tableDir(name)}/_compact")
-    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (!fs.exists(root)) Seq.empty
-    else fs.listStatus(root).toSeq
-      .filter(s => s.isDirectory && s.getPath.getName.startsWith("m="))
-      .flatMap(_.getPath.getName.stripPrefix("m=").toLongOption)
-      .filter(w => fs.exists(
-        new org.apache.hadoop.fs.Path(root, s"m=$w/_SUCCESS")))
-      .sorted
-  }
+  private def mergedStore(spark: SparkSession, name: String) =
+    new ParquetStateStore(spark, s"${tableDir(name)}/_compact", "m=")
 
   /** The append table's one-file commit record: which segment watermarks
     * and which live batch ids are committed. Readers and the compaction
@@ -282,7 +275,7 @@ class PlugRunner(
     parsed.getOrElse {
       // pre-manifest (or deleted-manifest) derivation from one listing:
       // the highest committed merge supersedes everything at or below it
-      val merged = mergedDirsOnDisk(spark, name).lastOption
+      val merged = mergedStore(spark, name).latestVersion
       val mw = merged.getOrElse(-1L)
       AppendManifest(
         appendStore(spark, name).allVersions.filter(_ > mw),
@@ -364,9 +357,9 @@ class PlugRunner(
     // holds (readers were excluding it by the watermark rule; now its
     // dir gets GC'd too)
     val newLive = m.live.filter(_ > upToBatch)
-    writeManifest(spark, name,
-      m.copy(segments = (m.segments :+ upToBatch).distinct.sorted,
-        live = newLive))
+    val folded = m.copy(
+      segments = (m.segments :+ upToBatch).distinct.sorted, live = newLive)
+    writeManifest(spark, name, folded)
     // GC last — everything below runs after the new manifest is visible,
     // so a crash anywhere here leaves only dirs every reader already
     // excludes. The listing (one per compaction, not per read) also
@@ -377,7 +370,9 @@ class PlugRunner(
       .filter(n => n <= upToBatch && !newLive.contains(n))
       .foreach(n =>
         fs.delete(new org.apache.hadoop.fs.Path(root, s"_batch_id=$n"), true))
-    mergeAppendSegments(spark, name)
+    // the manifest just written is passed through — no re-read of the
+    // file this method wrote moments ago
+    mergeAppendSegments(spark, name, folded)
   }
 
   /** The SEGMENT-tier roll-up (see [[MergeSegmentsAt]]): once the
@@ -391,10 +386,9 @@ class PlugRunner(
     * overwritten on re-trigger) or the new one (leftover v-dirs/old
     * m-dirs are ignored strays the next merge's GC sweeps).
     */
-  private def mergeAppendSegments(spark: SparkSession, name: String): Unit = {
-    if (MergeSegmentsAt <= 0) return
-    val m = manifest(spark, name)
-    if (m.segments.size < MergeSegmentsAt) return
+  private def mergeAppendSegments(spark: SparkSession, name: String,
+                                  m: AppendManifest): Unit = {
+    if (MergeSegmentsAt <= 0 || m.segments.size < MergeSegmentsAt) return
     val dir = tableDir(name)
     val maxW = m.segments.max
     val inputs =
@@ -411,14 +405,15 @@ class PlugRunner(
       .parquet(s"$dir/_compact/m=$maxW")
     writeManifest(spark, name,
       AppendManifest(Nil, m.live.filter(_ > maxW), Some(maxW)))
-    // GC strictly last: superseded inputs (and any stray m-dirs an
-    // earlier crash left) — every reader already takes merged=maxW
-    val root = new org.apache.hadoop.fs.Path(s"$dir/_compact")
-    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    mergedDirsOnDisk(spark, name).filter(_ < maxW).foreach(v =>
-      fs.delete(new org.apache.hadoop.fs.Path(root, s"m=$v"), true))
-    appendStore(spark, name).allVersions.filter(_ <= maxW).foreach(v =>
-      fs.delete(new org.apache.hadoop.fs.Path(root, s"v=$v"), true))
+    // GC strictly last, COMMITTED OR NOT: an uncommitted m=/v= dir below
+    // the watermark is a dead partial write from an earlier crash (the
+    // fold/merge path is single-threaded per runner, so it can never be
+    // a concurrent writer), and a committed one is a superseded stray —
+    // every reader already takes merged=maxW from the manifest. Sweeping
+    // only committed dirs would leak a near-table-sized partial per
+    // crash, breaking the lifetime directory bound this tier exists for.
+    mergedStore(spark, name).deleteUpTo(maxW, inclusive = false)
+    appendStore(spark, name).deleteUpTo(maxW, inclusive = true)
   }
 
   /** Read the current contents of a derived table. Append tables are the
@@ -550,10 +545,15 @@ class PlugRunner(
       if (mergeFns.contains(name))
         new ParquetStateStore(spark, tableDir(name)).read()
           .foreach(_.createOrReplaceTempView(s"${plug.name}_$name"))
-      else if (manifest(spark, name).segments.nonEmpty)
-        // compacted: data lives in `_compact` segments the external-table
-        // path can't see (hidden dir) — register the watermark-aware
-        // union as a view, same refresh contract as the merge tables
+      else if ({ val m = manifest(spark, name)
+                 m.segments.nonEmpty || m.merged.nonEmpty })
+        // compacted: data lives in `_compact` segment/merged dirs the
+        // external-table path can't see (hidden dir) — register the
+        // watermark-aware union as a view, same refresh contract as the
+        // merge tables. The merged check matters on its own: right after
+        // a segment-tier merge the segments list is EMPTY while all
+        // history sits under `merged`, and the raw-location fallback
+        // would silently serve only the few live batch dirs.
         table(spark, name).createOrReplaceTempView(s"${plug.name}_$name")
       else {
         // nothing written yet -> schema inference would fail; register on
@@ -732,7 +732,8 @@ object PlugState {
   * (T3/T9) without requiring a transactional table format: committing
   * version N twice (failure replay) simply rewrites the same directory.
   */
-class ParquetStateStore(spark: SparkSession, dir: String) {
+class ParquetStateStore(spark: SparkSession, dir: String,
+                        prefix: String = "v=") {
   import org.apache.hadoop.fs.Path
 
   // Hadoop FS throughout, for the same reason streamOrigin is (see its
@@ -746,13 +747,33 @@ class ParquetStateStore(spark: SparkSession, dir: String) {
   private def versions: Seq[Long] = {
     if (!fs.exists(root)) Seq.empty
     else fs.listStatus(root).toSeq
-      .filter(s => s.isDirectory && s.getPath.getName.startsWith("v="))
-      .map(_.getPath.getName.stripPrefix("v=").toLong)
-      .filter(v => fs.exists(new Path(root, s"v=$v/_SUCCESS")))
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith(prefix))
+      // toLongOption, not toLong: a stray non-numeric suffix (leftover
+      // tool dir, editor droppings) must be ignored, not brick every
+      // listing for the table's lifetime
+      .flatMap(_.getPath.getName.stripPrefix(prefix).toLongOption)
+      .filter(v => fs.exists(new Path(root, s"$prefix$v/_SUCCESS")))
       .sorted
   }
 
   def latestVersion: Option[Long] = versions.lastOption
+
+  /** GC for additive (segment/merge) uses: delete EVERY dir named
+    * `<prefix><id>` with id below the bound, COMMITTED OR NOT — an
+    * uncommitted dir below an already-committed watermark is a dead
+    * partial write from a crash (the fold/merge path is single-threaded
+    * per runner, never a concurrent writer), and skipping it would leak
+    * a near-table-sized directory per crash.
+    */
+  def deleteUpTo(bound: Long, inclusive: Boolean): Unit = {
+    if (!fs.exists(root)) return
+    fs.listStatus(root).toSeq
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith(prefix))
+      .flatMap(s => s.getPath.getName.stripPrefix(prefix).toLongOption
+        .map(_ -> s.getPath))
+      .filter { case (v, _) => if (inclusive) v <= bound else v < bound }
+      .foreach { case (_, p) => fs.delete(p, true) }
+  }
 
   /** All committed versions, oldest first — for additive (segment) uses
     * where every version is live data, not just the newest snapshot.
@@ -760,15 +781,15 @@ class ParquetStateStore(spark: SparkSession, dir: String) {
   def allVersions: Seq[Long] = versions
 
   def readBefore(batchId: Long): Option[DataFrame] =
-    versions.filter(_ < batchId).lastOption.map(v => spark.read.parquet(s"$dir/v=$v"))
+    versions.filter(_ < batchId).lastOption.map(v => spark.read.parquet(s"$dir/$prefix$v"))
 
   def read(): Option[DataFrame] =
-    latestVersion.map(v => spark.read.parquet(s"$dir/v=$v"))
+    latestVersion.map(v => spark.read.parquet(s"$dir/$prefix$v"))
 
   def commit(batchId: Long, df: DataFrame, partitionBy: Seq[String] = Nil): Unit = {
     val w = df.write.mode("overwrite")
     (if (partitionBy.nonEmpty) w.partitionBy(partitionBy: _*) else w)
-      .parquet(s"$dir/v=$batchId")
+      .parquet(s"$dir/$prefix$batchId")
   }
 
   /** Compaction: drop all but the newest `keepLast` committed versions
@@ -777,7 +798,7 @@ class ParquetStateStore(spark: SparkSession, dir: String) {
     */
   def prune(keepLast: Int = 2): Unit =
     versions.dropRight(keepLast)
-      .foreach(v => fs.delete(new Path(root, s"v=$v"), true))
+      .foreach(v => fs.delete(new Path(root, s"$prefix$v"), true))
 
   /** Fork rollback: drop every version `>= fromBatch`, leaving the last
     * version below the fork as the live snapshot. Versions are COMPLETE
@@ -790,7 +811,7 @@ class ParquetStateStore(spark: SparkSession, dir: String) {
   def truncateFrom(fromBatch: Long): Unit = {
     validateTruncateFrom(fromBatch)
     versions.filter(_ >= fromBatch)
-      .foreach(v => fs.delete(new Path(root, s"v=$v"), true))
+      .foreach(v => fs.delete(new Path(root, s"$prefix$v"), true))
   }
 
   /** The retained-window bound of [[truncateFrom]] alone, mutation-free —

@@ -130,6 +130,16 @@ class StreamingSpec extends SparkSpec {
     assert(!entries().contains("_batch_id=3"), "stray dir swept by compaction GC")
     assert(runner.table(spark, "updates").count() === 133)
     assert(runner.table(spark, "updates").filter(col("url") === "u3").count() === 1)
+
+    // crash window 3: a PARTIAL (uncommitted — no _SUCCESS) merge dir
+    // from a kill mid-parquet-write is dead weight readers ignore; the
+    // next merge's GC must sweep it anyway, or one near-table-sized
+    // directory leaks per crash and the lifetime bound is a lie
+    val stray = new java.io.File(s"$out/podping/updates/_compact/m=1")
+    assert(stray.mkdirs())
+    (133 to 195).foreach(i => runner.processBatch(batch(i), i.toLong))
+    assert(!stray.exists(), "uncommitted partial merge dir leaked past the next merge")
+    assert(runner.table(spark, "updates").count() === 196)
   }
 
   test("append compaction auto-triggers once enough batch partitions accumulate") {
