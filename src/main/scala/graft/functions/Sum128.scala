@@ -1,9 +1,9 @@
 package graft.functions
 
-import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
-import org.apache.spark.sql.catalyst.expressions.Expression
-import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.expressions.aggregate.DeclarativeAggregate
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
 import org.apache.spark.sql.types.{DataType, Decimal, DecimalType, LongType}
 
 /** Exact decimal sum over an int128 (two-long) accumulator.
@@ -13,8 +13,21 @@ import org.apache.spark.sql.types.{DataType, Decimal, DecimalType, LongType}
   * whole surrounding scan for TPC-H-style aggregates), while the
   * unscaled values of decimal(<=18, s) inputs are plain longs. This
   * aggregate adds those longs into a 128-bit two's-complement
-  * accumulator — pure JVM long arithmetic per row, exact to 38 digits —
+  * accumulator — pure long arithmetic per row, exact to 38 digits —
   * and converts to Decimal once per group at evaluation.
+  *
+  * DECLARATIVE, deliberately: the round-12 form was a
+  * TypedImperativeAggregate, which forces ObjectHashAggregate — no
+  * whole-stage codegen for the entire aggregation stage, an
+  * interpreted `child.eval` (boxing one java.lang.Long PER ROW PER
+  * AGGREGATE — q1 runs five of these over every lineitem row), and an
+  * Array[Long] buffer object per group. Expressed declaratively over
+  * three LongType buffer slots, the same carry arithmetic compiles into
+  * HashAggregate's generated update loop: primitive longs end to end,
+  * zero allocation per row. The adds use EvalMode.LEGACY explicitly —
+  * two's-complement WRAPPING of the low word is the algorithm, not an
+  * overflow to detect, and the expression must keep wrapping even if a
+  * future session flips spark.sql.ansi.enabled.
   *
   * Input: the UNSCALED long of the decimal input (wrap the column in
   * [[org.apache.spark.sql.catalyst.expressions.UnscaledValue]]; see
@@ -23,14 +36,11 @@ import org.apache.spark.sql.types.{DataType, Decimal, DecimalType, LongType}
   * `sum(x).cast(DecimalType(38, scale))`.
   *
   * Scale safety: a 128-bit accumulator holds +-1.7e38 — sums that
-  * overflow it would overflow decimal(38) regardless of engine. Runs
-  * under ObjectHashAggregate (same path as the MinHash/SimHash
-  * aggregators; map-side partial aggregation preserved).
+  * overflow it would overflow decimal(38) regardless of engine; a group
+  * sum between 10^38 and the int128 max returns null, matching the
+  * non-ANSI overflow semantics of the cast form this replaces.
   */
-case class Sum128(child: Expression, scale: Int,
-                  mutableAggBufferOffset: Int = 0,
-                  inputAggBufferOffset: Int = 0)
-    extends TypedImperativeAggregate[Array[Long]] {
+case class Sum128(child: Expression, scale: Int) extends DeclarativeAggregate {
 
   override def children: Seq[Expression] = Seq(child)
   override def nullable: Boolean = true
@@ -43,82 +53,105 @@ case class Sum128(child: Expression, scale: Int,
       s"$prettyName expects the UNSCALED long of a decimal column, " +
         s"got ${child.dataType.sql}")
 
-  // buffer = [hi, lo, nonNullCount]
-  override def createAggregationBuffer(): Array[Long] = new Array[Long](3)
+  private lazy val hi = AttributeReference("hi", LongType, nullable = false)()
+  private lazy val lo = AttributeReference("lo", LongType, nullable = false)()
+  private lazy val cnt = AttributeReference("cnt", LongType, nullable = false)()
 
-  override def update(b: Array[Long], input: InternalRow): Array[Long] = {
-    val v = child.eval(input)
-    if (v != null) {
-      val x = v.asInstanceOf[Long]
-      val lo = b(1)
-      val newLo = lo + x
-      // unsigned carry out of the low word, sign-extended high word of x
-      b(0) += (x >> 63) + (((lo & x) | ((lo | x) & ~newLo)) >>> 63)
-      b(1) = newLo
-      b(2) += 1
-    }
-    b
+  override lazy val aggBufferAttributes: Seq[AttributeReference] = Seq(hi, lo, cnt)
+
+  override lazy val initialValues: Seq[Expression] =
+    Seq(Literal(0L), Literal(0L), Literal(0L))
+
+  /** (hi1, lo1) + (hi2, lo2) in two's-complement int128: low words add
+    * with wrap; the unsigned carry-out of the low add is
+    * `((lo1 & lo2) | ((lo1 | lo2) & ~newLo)) >>> 63` (carry iff both top
+    * bits set, or either set and the result's top bit clear); high words
+    * add the carry. Identical arithmetic to the imperative r12 form —
+    * the spec's random-128-bit fold pins value equality against
+    * BigInteger.
+    */
+  private def addWide(hi1: Expression, lo1: Expression,
+                      hi2: Expression, lo2: Expression): (Expression, Expression) = {
+    def add(a: Expression, b: Expression) = Add(a, b, EvalMode.LEGACY)
+    val newLo = add(lo1, lo2)
+    val carry = ShiftRightUnsigned(
+      BitwiseOr(BitwiseAnd(lo1, lo2),
+        BitwiseAnd(BitwiseOr(lo1, lo2), BitwiseNot(newLo))),
+      Literal(63))
+    (add(add(hi1, hi2), carry), newLo)
   }
 
-  override def merge(b: Array[Long], o: Array[Long]): Array[Long] = {
-    val lo = b(1)
-    val newLo = lo + o(1)
-    b(0) += o(0) + (((lo & o(1)) | ((lo | o(1)) & ~newLo)) >>> 63)
-    b(1) = newLo
-    b(2) += o(2)
-    b
+  override lazy val updateExpressions: Seq[Expression] = {
+    // sign-extended high word of the input: (x >> 63, x)
+    val (nh, nl) = addWide(hi, lo, ShiftRight(child, Literal(63)), child)
+    Seq(
+      If(IsNull(child), hi, nh),
+      If(IsNull(child), lo, nl),
+      If(IsNull(child), cnt, Add(cnt, Literal(1L), EvalMode.LEGACY)))
   }
 
-  override def eval(b: Array[Long]): Any = {
-    if (b(2) == 0) return null
-    val bytes = new Array[Byte](16)
-    var i = 0
-    while (i < 8) {
-      bytes(i) = (b(0) >>> (56 - i * 8)).toByte
-      bytes(8 + i) = (b(1) >>> (56 - i * 8)).toByte
-      i += 1
-    }
-    val bd = new java.math.BigDecimal(new java.math.BigInteger(bytes), scale)
-    // a group sum whose magnitude lies between 10^38 and the int128 max
-    // (~1.7e38) fits the accumulator but not decimal(38): return null,
-    // matching the non-ANSI overflow semantics of the
-    // sum(x).cast(DecimalType(38, scale)) this aggregate replaces
-    if (bd.precision > 38) null
-    else Decimal(bd, 38, scale)
+  override lazy val mergeExpressions: Seq[Expression] = {
+    val (nh, nl) = addWide(hi.left, lo.left, hi.right, lo.right)
+    Seq(nh, nl, Add(cnt.left, cnt.right, EvalMode.LEGACY))
   }
 
-  override def serialize(b: Array[Long]): Array[Byte] = {
-    val out = new Array[Byte](24)
-    var i = 0
-    while (i < 3) {
-      var j = 0
-      while (j < 8) {
-        out(i * 8 + j) = (b(i) >>> (56 - j * 8)).toByte
-        j += 1
-      }
-      i += 1
-    }
-    out
-  }
+  override lazy val evaluateExpression: Expression =
+    If(EqualTo(cnt, Literal(0L)),
+      Literal(null, dataType),
+      Int128ToDecimal(hi, lo, scale))
 
-  override def deserialize(bytes: Array[Byte]): Array[Long] = {
-    val b = new Array[Long](3)
-    var i = 0
-    while (i < 3) {
-      var v = 0L
-      var j = 0
-      while (j < 8) { v = (v << 8) | (bytes(i * 8 + j) & 0xFFL); j += 1 }
-      b(i) = v
-      i += 1
-    }
-    b
-  }
-
-  override def withNewMutableAggBufferOffset(newOffset: Int): Sum128 =
-    copy(mutableAggBufferOffset = newOffset)
-  override def withNewInputAggBufferOffset(newOffset: Int): Sum128 =
-    copy(inputAggBufferOffset = newOffset)
   override protected def withNewChildrenInternal(
       newChildren: IndexedSeq[Expression]): Sum128 =
     copy(child = newChildren.head)
+}
+
+/** (hi, lo) int128 → decimal(38, scale); null when the exact value needs
+  * more than 38 digits (see [[Sum128]]'s overflow contract). Runs once
+  * per GROUP (Sum128's evaluateExpression). It carries a REAL doGenCode
+  * (one static call into [[Int128ToDecimal.convert]]) — a CodegenFallback
+  * here would poison the whole aggregation stage's codegen: HashAggregate
+  * compiles the result projection into the generated class, where the
+  * fallback path's INPUT_ROW reference is null and code generation
+  * itself crashes (hit in spec, not a theoretical concern).
+  */
+case class Int128ToDecimal(hiExpr: Expression, loExpr: Expression, scale: Int)
+    extends BinaryExpression {
+
+  override def left: Expression = hiExpr
+  override def right: Expression = loExpr
+  override def dataType: DataType = DecimalType(38, scale)
+  override def nullable: Boolean = true
+  override def prettyName: String = "graft_int128_to_decimal"
+
+  override protected def nullSafeEval(h: Any, l: Any): Any =
+    Int128ToDecimal.convert(h.asInstanceOf[Long], l.asInstanceOf[Long], scale)
+
+  override protected def doGenCode(
+      ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+      ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
+      : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode =
+    nullSafeCodeGen(ctx, ev, (h, l) => s"""
+      ${ev.value} = graft.functions.Int128ToDecimal$$.MODULE$$.convert($h, $l, $scale);
+      ${ev.isNull} = ${ev.value} == null;
+    """)
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Int128ToDecimal =
+    copy(hiExpr = newLeft, loExpr = newRight)
+}
+
+object Int128ToDecimal {
+  /** Static conversion target for both eval and generated code. */
+  def convert(hiV: Long, loV: Long, scale: Int): Decimal = {
+    val bytes = new Array[Byte](16)
+    var i = 0
+    while (i < 8) {
+      bytes(i) = (hiV >>> (56 - i * 8)).toByte
+      bytes(8 + i) = (loV >>> (56 - i * 8)).toByte
+      i += 1
+    }
+    val bd = new java.math.BigDecimal(new java.math.BigInteger(bytes), scale)
+    if (bd.precision > 38) null
+    else Decimal(bd, 38, scale)
+  }
 }

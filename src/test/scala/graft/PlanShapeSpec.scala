@@ -62,9 +62,14 @@ class PlanShapeSpec extends SparkSpec {
       "per-source rank window must partition by source")
   }
 
-  test("q1: aggregation is two-phase (partial + final)") {
+  test("q1: aggregation is two-phase (partial + final) and codegen'd") {
     val p = plan("q1_pricing_summary")
     assert("HashAggregate".r.findAllIn(p).size >= 2)
+    // the int128 sums must ride the codegen'd hash aggregate — the
+    // imperative Sum128 form forced ObjectHashAggregate (no whole-stage
+    // codegen, one boxed Long per row per aggregate on the hot path)
+    assert(!p.contains("ObjectHashAggregate"),
+      "q1's sums fell back to the object hash aggregate")
   }
 
   test("dedup pair generation is an equi join on constructed keys, never a cross") {

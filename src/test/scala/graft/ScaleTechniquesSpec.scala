@@ -453,19 +453,42 @@ class ScaleTechniquesSpec extends SparkSpec {
 
   test("sum128 overflow past decimal(38) yields null, like non-ANSI sum+cast") {
     // sums between 10^38 and the int128 max (~1.7e38) fit the two-long
-    // accumulator but not decimal(38): eval must return null (ADVICE r7),
-    // not throw — exercised directly on a crafted buffer because reaching
-    // 10^38 through data would take ~1e19 max-long rows
-    val agg = graft.functions.Sum128(
-      org.apache.spark.sql.catalyst.expressions.Literal(1L), 2)
-    def buf(v: BigInt): Array[Long] =
-      Array((v >> 64).toLong, v.toLong, 1L)
+    // accumulator but not decimal(38): evaluation must return null
+    // (ADVICE r7), not throw — exercised on the finalizer expression
+    // directly because reaching 10^38 through data would take ~1e19
+    // max-long rows
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    def toDec(v: BigInt): Any = graft.functions.Int128ToDecimal(
+      Literal((v >> 64).toLong), Literal(v.toLong), 2).eval(null)
     val over = BigInt(10).pow(38) + 7
-    assert(agg.eval(buf(over)) == null)
-    assert(agg.eval(buf(-over)) == null)
+    assert(toDec(over) == null)
+    assert(toDec(-over) == null)
     val under = BigInt(10).pow(38) - 1
-    val d = agg.eval(buf(under)).asInstanceOf[org.apache.spark.sql.types.Decimal]
+    val d = toDec(under).asInstanceOf[org.apache.spark.sql.types.Decimal]
     assert(d.toBigDecimal.bigDecimal.unscaledValue.toString === under.toString)
+  }
+
+  test("sum128 declarative carry arithmetic folds exactly like BigInteger over adversarial longs") {
+    // the r13 declarative rewrite (codegen'd HashAggregate instead of
+    // ObjectHashAggregate) re-expresses the int128 carry as Catalyst
+    // expressions; pin VALUE equality against BigInteger over data that
+    // wraps the low word constantly in both signs, across partial +
+    // merge paths (repartition forces multi-buffer merges)
+    import spark.implicits._
+    val rnd = new scala.util.Random(42)
+    val vals = Seq.fill(2000)(rnd.nextLong()) ++
+      Seq(Long.MaxValue, Long.MinValue, -1L, 0L, 1L)
+    vals.toDF("u").repartition(7).createOrReplaceTempView("u128b")
+    val got = spark.sql(
+      "SELECT CAST(graft_sum128(u, 0) AS STRING) AS s FROM u128b")
+      .collect().head.getString(0)
+    assert(got === vals.map(BigInt(_)).sum.toString)
+    // and the aggregation stage actually codegens: a hash aggregate, not
+    // the object-agg fallback the imperative form forced
+    val p = spark.sql("SELECT graft_sum128(u, 0) FROM u128b")
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("ObjectHashAggregate"),
+      "sum128 must run under codegen'd HashAggregate")
   }
 
   test("GraftExtensions injects its registrations into a fresh extension set") {
