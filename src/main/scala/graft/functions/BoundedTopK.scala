@@ -11,8 +11,10 @@ import org.apache.spark.sql.types._
   * (score, id) — exactly the rows a
   * `row_number() OVER (PARTITION BY g ORDER BY score, id) <= k` window
   * keeps, WITHOUT the window's full shuffle: this runs under
-  * ObjectHashAggregate with map-side partial aggregation (the Sum128
-  * path), so each task ships AT MOST k pairs per group into the
+  * ObjectHashAggregate with map-side partial aggregation (typed object
+  * state is the right call HERE — the buffer is a bounded heap, not
+  * fixed-width slots, unlike Sum128 which went declarative in r13), so
+  * each task ships AT MOST k pairs per group into the
   * exchange instead of every candidate row. For the ANN join
   * ([[graft.operators.Similarity.IvfPqIndex.topKJoin]]) that turns a
   * candidates-sized shuffle (|probes| × nProbe × cellSize pairs) into a

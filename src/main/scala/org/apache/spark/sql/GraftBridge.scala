@@ -127,8 +127,9 @@ object GraftBridge {
 
   /** The unscaled long of a decimal column — project this (codegen'd)
     * ahead of an aggregation and feed the resulting ATTRIBUTE to
-    * [[sum128Long]]: a TypedImperativeAggregate evaluates its child
-    * interpreted per row, so arithmetic belongs in the projection.
+    * [[sum128Long]]. (Sum128 is declarative/codegen'd since r13, so the
+    * old interpreted-child penalty is gone; keeping arithmetic in the
+    * projection still lets several aggregates share one computed input.)
     */
   def unscaled(c: Column): Column =
     ExpressionUtils.column(org.apache.spark.sql.catalyst.expressions

@@ -479,15 +479,13 @@ class ScaleTechniquesSpec extends SparkSpec {
     val vals = Seq.fill(2000)(rnd.nextLong()) ++
       Seq(Long.MaxValue, Long.MinValue, -1L, 0L, 1L)
     vals.toDF("u").repartition(7).createOrReplaceTempView("u128b")
-    val got = spark.sql(
+    val q = spark.sql(
       "SELECT CAST(graft_sum128(u, 0) AS STRING) AS s FROM u128b")
-      .collect().head.getString(0)
-    assert(got === vals.map(BigInt(_)).sum.toString)
-    // and the aggregation stage actually codegens: a hash aggregate, not
-    // the object-agg fallback the imperative form forced
-    val p = spark.sql("SELECT graft_sum128(u, 0) FROM u128b")
-      .queryExecution.executedPlan.toString
-    assert(!p.contains("ObjectHashAggregate"),
+    assert(q.collect().head.getString(0) === vals.map(BigInt(_)).sum.toString)
+    // and the EXECUTED query's aggregation stage actually codegens: a
+    // hash aggregate, not the object-agg fallback the imperative form
+    // forced (assert on the same plan whose value was just verified)
+    assert(!q.queryExecution.executedPlan.toString.contains("ObjectHashAggregate"),
       "sum128 must run under codegen'd HashAggregate")
   }
 
