@@ -941,15 +941,22 @@ object SparkEntry {
     //      20% of their part's average quantity
     Q("q17_small_quantity",
       (s, d) => {
-        // no spread: both consumers aggregate immediately and the
-        // per-partkey shuffle already redistributes — measured slower
-        // with the extra exchange
-        val l = Tables.lineitem(s, d)
-        // per-partkey averages scale with SF — no broadcast hint; the
-        // size-based planner picks BHJ while the agg fits, SMJ beyond
-        val avgQty = l.groupBy(col("l_partkey").as("p_key"))
-          .agg(avg(col("l_quantity")).as("avg_qty"))
-        l.join(avgQty, col("l_partkey") === col("p_key"))
+        // ONE scan of lineitem via a per-partkey window — the r12 shape
+        // (per-partkey avg aggregated then self-joined back) scanned the
+        // DOMINANT table twice and exchanged it twice; at 100 TB the
+        // second scan is the cost that matters, and the r13 sf10 A/B
+        // (tools/Q17Probe) measured the window form at consistently
+        // lower taskTime (41.5-55 vs 44.5-135 core-s) with identical
+        // output. The window's avg IS the same Spark avg the agg branch
+        // computed, so borderline `l_quantity < 0.2*avg` comparisons are
+        // bit-identical to the old form (and the oracle). partitionBy
+        // l_partkey = millions of bounded groups, never a global window;
+        // the final groupBy reuses the window's partkey partitioning —
+        // one exchange in the whole plan (pinned).
+        Tables.lineitem(s, d)
+          .withColumn("avg_qty", avg(col("l_quantity")).over(
+            org.apache.spark.sql.expressions.Window
+              .partitionBy(col("l_partkey"))))
           .filter(col("l_quantity") < col("avg_qty") * 0.2)
           .withColumn("_up", org.apache.spark.sql.GraftBridge.unscaled(
             col("l_extendedprice").cast(dec(18, 2))))

@@ -240,6 +240,16 @@ class PlanShapeSpec extends SparkSpec {
       "footer-bounded corpus lost its dictionary broadcast hint")
   }
 
+  test("q17: one lineitem scan, one exchange — window and final agg share the partkey partitioning") {
+    val p = plan("q17_small_quantity")
+    // the r12 agg+self-join shape scanned the dominant table twice and
+    // exchanged it twice; the window form is pinned to ONE of each
+    assert("Scan parquet".r.findAllIn(p).size <= 1, "q17 re-scans lineitem")
+    assert("Exchange hashpartitioning".r.findAllIn(p).size <= 1,
+      "q17's final agg must reuse the window's partkey partitioning")
+    assert(!p.contains("Join"), "q17 must not self-join")
+  }
+
   test("quantize/pack/sequences: no shuffle beyond the declared aggregations") {
     // quantization is map-side only: no exchange at all
     assert(!plan("emb_quantize_int8").contains("Exchange hashpartitioning"))
