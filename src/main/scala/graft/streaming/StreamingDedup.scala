@@ -364,9 +364,21 @@ object StreamingDedup {
     subroots.foreach { r =>
       if (!committedDirs(spark, r, MergedPrefix).exists(_._1 == m)) {
         val priorMerged = committedDirs(spark, r, MergedPrefix)
-          .filter(_._1 < m).toSeq.sortBy(_._1).lastOption.map(_._2)
-        val inputs = priorMerged.toSeq ++
-          pairedIncr.toSeq.sorted.flatMap(incrPer(r).get)
+          .filter(_._1 < m).toSeq.sortBy(_._1).lastOption
+        // Inputs = prior merged + incremental segments STRICTLY ABOVE its
+        // watermark. The watermark filter (not just the path) is
+        // load-bearing for crash repair at an ADVANCED watermark: a crash
+        // after this subroot committed merged_upto=M but before GC leaves
+        // both merged_upto=M and segments <= M on disk; when later folds
+        // trigger the next merge at m2 > M, rebuilding from
+        // (merged=M ++ ALL paired segments) would re-read the <= M
+        // segments whose rows merged=M already holds — every batch <= M
+        // duplicated in the new cumulative segment, then the inputs GC'd,
+        // permanently corrupting the corpus. merged=W is cumulative
+        // (every batch <= W), so dropping segments <= W loses nothing.
+        val priorW = priorMerged.map(_._1).getOrElse(-1L)
+        val inputs = priorMerged.map(_._2).toSeq ++
+          pairedIncr.toSeq.sorted.filter(_ > priorW).flatMap(incrPer(r).get)
         spark.read.parquet(inputs: _*)
           .write.mode("overwrite").parquet(s"$r/$MergedPrefix$m")
       }

@@ -976,6 +976,63 @@ class StreamingSpec extends SparkSpec {
       "repaired buckets half lost rows")
   }
 
+  test("segment merge crash repair at an ADVANCED watermark does not duplicate batches below the committed half") {
+    // Crash between merge halves at watermark M (arrays committed
+    // merged_upto=M, buckets did not, GC never ran — segments <= M still
+    // on disk), then ONE MORE fold lands before the repair merge fires at
+    // m2 > M. The arrays rebuild must read merged_upto=M plus ONLY the
+    // segments strictly above M: re-reading the <= M segments would
+    // duplicate every batch <= M in the new cumulative segment and then
+    // GC the evidence — permanent corpus corruption.
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val mergeAt = graft.streaming.StreamingDedup.SegmentMergeAt
+    val base = java.nio.file.Files.createTempDirectory("segmergeadv").toString
+    val subroots = Seq(s"$base/arrays", s"$base/buckets")
+    def writeBatch(id: Long): Unit = subroots.foreach { r =>
+      Seq((id * 10, id * 100)).toDF("doc", "v")
+        .write.parquet(s"$r/batch_id=$id")
+    }
+    def names(r: String): Seq[String] = {
+      val d = new java.io.File(r)
+      if (!d.exists()) Seq.empty
+      else d.listFiles().toSeq.map(_.getName).filter(!_.startsWith("_")).sorted
+    }
+    // mergeAt paired segments without an auto-merge (last fold by hand)
+    (0L until (mergeAt - 1)).foreach { i =>
+      writeBatch(i)
+      graft.streaming.StreamingDedup.compactStore(spark, subroots, i)
+    }
+    val m1 = mergeAt - 1L
+    writeBatch(m1)
+    subroots.foreach { r =>
+      spark.read.option("basePath", r).parquet(s"$r/batch_id=$m1")
+        .withColumn("batch_id", col("batch_id").cast("long"))
+        .write.parquet(s"$r/compact_upto=$m1")
+    }
+    // crash: arrays half of the merge at M=m1 committed, buckets half and
+    // GC never ran
+    spark.read.parquet((0L to m1).map(w => s"${subroots.head}/compact_upto=$w"): _*)
+      .write.parquet(s"${subroots.head}/merged_upto=$m1")
+    // one more batch + fold BEFORE the repair — advances the merge
+    // watermark to m2 = mergeAt > M
+    val m2 = mergeAt.toLong
+    writeBatch(m2)
+    graft.streaming.StreamingDedup.compactStore(spark, subroots, m2)
+    subroots.foreach { r =>
+      assert(names(r) === Seq(s"merged_upto=$m2"),
+        s"advanced-watermark repair incomplete in $r: ${names(r)}")
+      val rows = spark.read.parquet(s"$r/merged_upto=$m2")
+        .select("doc", "batch_id").collect()
+        .map(row => (row.getLong(0), row.getLong(1))).toSeq
+      assert(rows.size === rows.distinct.size,
+        s"duplicated rows in $r after advanced-watermark repair: " +
+          rows.groupBy(identity).filter(_._2.size > 1).keys.toSeq.sorted.mkString(", "))
+      assert(rows.toSet === (0L to m2).map(i => (i * 10, i)).toSet,
+        s"advanced-watermark repair lost or corrupted batches in $r")
+    }
+  }
+
   test("semantic corpus store compaction through the sink: folds auto-trigger, result equals one-shot") {
     import org.apache.spark.sql.functions._
     val emb = graft.core.Tables.embeddings(spark, "/root/testdata/sf0.001")
