@@ -313,17 +313,32 @@ object SparkEntry {
         val price = col("l_extendedprice").cast(dec(18, 2))
         val disc = col("l_discount").cast(dec(4, 2))
         val tax = col("l_tax").cast(dec(4, 2))
-        // exact decimal sums via the int128 accumulator (graft_sum128):
-        // identical values to sum(decimal).cast(dec(38,s)) — see
-        // functions.Sum128 for why builtin decimal sums are the CPU
-        // bottleneck of this family. The decimal arithmetic and unscaled
-        // extraction stay in a codegen'd PROJECTION; the aggregate sees
-        // plain long attributes (a TypedImperativeAggregate evaluates its
-        // child interpreted per row). Identical aggregate expressions
-        // (sum_qty / avg_qty share one) are deduplicated by the planner.
+        // exact decimal sums, dispatched per aggregate: plain long sum
+        // when parquet footer stats PROVE max|unscaled| x rowCount < 2^63
+        // (zero jobs, see functions.ExactSum — same value as Sum128 by
+        // construction), graft_sum128 otherwise. The plan is filter-only
+        // over lineitem, so the base table's footer row count bounds the
+        // aggregated rows with no join-fanout premise. Each aggregate
+        // carries ITS OWN product bound: sum_charge's per-row magnitude
+        // is ~10^4 x the base price, so at a large enough SF it falls
+        // back to the int128 path while sum_qty still rides the long sum.
+        // The decimal arithmetic and unscaled extraction stay in a
+        // codegen'd PROJECTION; the aggregate sees plain long attributes.
+        // Identical aggregate expressions (sum_qty / avg_qty share one)
+        // are deduplicated by the planner.
         val br = org.apache.spark.sql.GraftBridge
-        val sumQty = br.sum128Long(col("_uq"), 2)
-        val sumPrice = br.sum128Long(col("_up"), 2)
+        val es = graft.functions.ExactSum
+        val base = Tables.lineitem(s, d)
+        val rows = graft.core.RowCounts.upperBound(base)
+        val bQ = es.unscaledAbsBound(base, "l_quantity", 2)
+        val bP = es.unscaledAbsBound(base, "l_extendedprice", 2)
+        val bD = es.unscaledAbsBound(base, "l_discount", 2)
+        val bT = es.unscaledAbsBound(base, "l_tax", 2)
+        // |up*(100-udisc)| <= bP*(100+bD); |*(100+utax)| <= that*(100+bT)
+        val bUd = for { p <- bP; dd <- bD } yield p * (100 + dd)
+        val bUc = for { ud <- bUd; t <- bT } yield ud * (100 + t)
+        val sumQty = es.sumExact(col("_uq"), 2, es.fitsLong(bQ, rows))
+        val sumPrice = es.sumExact(col("_up"), 2, es.fitsLong(bP, rows))
         // no spread: the sf parquet files are single-row-group, so the
         // scan+decode stage is single-threaded regardless of planned
         // splits, and it, not the decimal projection, is the per-row
@@ -343,7 +358,7 @@ object SparkEntry {
         val up = br.unscaled(price)
         val udisc = br.unscaled(disc)
         val utax = br.unscaled(tax)
-        Tables.lineitem(s, d)
+        base
           .filter(col("l_shipdate") <= lit(java.sql.Timestamp.valueOf("2000-12-01 00:00:00")))
           .select(col("l_returnflag"), col("l_linestatus"),
             br.unscaled(col("l_quantity").cast(dec(18, 2))).as("_uq"),
@@ -354,8 +369,10 @@ object SparkEntry {
           .agg(
             sumQty.cast("string").as("sum_qty"),
             sumPrice.cast("string").as("sum_base_price"),
-            br.sum128Long(col("_ud"), 4).cast("string").as("sum_disc_price"),
-            br.sum128Long(col("_uc"), 6).cast("string").as("sum_charge"),
+            es.sumExact(col("_ud"), 4, es.fitsLong(bUd, rows))
+              .cast("string").as("sum_disc_price"),
+            es.sumExact(col("_uc"), 6, es.fitsLong(bUc, rows))
+              .cast("string").as("sum_charge"),
             round(sumQty.cast("double") / count(lit(1)), 6).as("avg_qty"),
             round(sumPrice.cast("double") / count(lit(1)), 6).as("avg_price"),
             count(lit(1)).as("count_order"))
@@ -394,16 +411,28 @@ object SparkEntry {
       // query (NOTES round 8). The shuffle join also co-partitions the
       // groupBy(o_orderkey) with the join — no second exchange.
       // Measured at sf0.1: 1.04 -> 0.45 s.
-      (s, d) => Tables.orders(s, d).hint("merge")
-        .join(Tables.lineitem(s, d),
-          col("l_orderkey") === col("o_orderkey") &&
-            col("l_shipdate") <= col("o_orderdate") + expr("INTERVAL 60 DAYS"))
-        .withColumn("_uv", org.apache.spark.sql.GraftBridge.unscaled(
-          col("l_extendedprice").cast(dec(18, 2))))
-        .groupBy(col("o_orderkey"))
-        .agg(count(lit(1)).as("n_lines"),
-          org.apache.spark.sql.GraftBridge.sum128Long(col("_uv"), 2)
-            .cast("string").as("early_value")),
+      (s, d) => {
+        val li = Tables.lineitem(s, d)
+        val es = graft.functions.ExactSum
+        // long-sum dispatch across a join: each lineitem row joins at
+        // most ONE orders row (o_orderkey is the orders primary key per
+        // the reference schema — the oracle's own group counts are wrong
+        // if that's violated), so the fact table's footer row count
+        // bounds the aggregated rows; 16x headroom tolerates modest
+        // undetected key duplication on top of the proof.
+        val fits = es.fitsLong(es.unscaledAbsBound(li, "l_extendedprice", 2),
+          graft.core.RowCounts.upperBound(li), headroom = 16)
+        Tables.orders(s, d).hint("merge")
+          .join(li,
+            col("l_orderkey") === col("o_orderkey") &&
+              col("l_shipdate") <= col("o_orderdate") + expr("INTERVAL 60 DAYS"))
+          .withColumn("_uv", org.apache.spark.sql.GraftBridge.unscaled(
+            col("l_extendedprice").cast(dec(18, 2))))
+          .groupBy(col("o_orderkey"))
+          .agg(count(lit(1)).as("n_lines"),
+            es.sumExact(col("_uv"), 2, fits)
+              .cast("string").as("early_value"))
+      },
       Some("""SELECT o_orderkey, CAST(count(*) AS BIGINT) AS n_lines,
              |  CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS VARCHAR) AS early_value
              |FROM orders JOIN lineitem ON l_orderkey = o_orderkey
@@ -491,26 +520,41 @@ object SparkEntry {
       // groupBy(o_orderkey, o_orderdate) with no extra exchange
       // (HashPartitioning(okey) satisfies the superset clustering).
       // Measured at sf0.1: 0.70 -> 0.39 s.
-      (s, d) => Tables.customer(s, d).filter(col("c_mktsegment") === "BUILDING")
-        .join(Tables.orders(s, d), col("c_custkey") === col("o_custkey"))
-        .hint("merge")
-        .join(Tables.lineitem(s, d), col("o_orderkey") === col("l_orderkey"))
-        // unscaled-long product, not Decimal.times — see q1's projection
-        // comment (scale 2+2 -> 4, exact, overflow-safe per row)
-        .withColumn("_ur",
-          org.apache.spark.sql.GraftBridge.unscaled(
-            col("l_extendedprice").cast(dec(18, 2))) *
-            (lit(100L) - org.apache.spark.sql.GraftBridge.unscaled(
-              col("l_discount").cast(dec(4, 2)))))
-        .groupBy(col("o_orderkey"), col("o_orderdate"))
-        .agg(org.apache.spark.sql.GraftBridge.sum128Long(col("_ur"), 4).as("_rev"))
-        .orderBy(col("_rev").desc, col("o_orderkey")).limit(10)
-        .select(col("o_orderkey"), col("o_orderdate"),
-          col("_rev").cast("string").as("revenue"))
-        // the top-10 SELECTION is by revenue; the OUTPUT order re-sorts by
-        // key because subquery/projection order preservation is an
-        // implementation detail in both engines, not a guarantee
-        .orderBy(col("o_orderkey")),
+      (s, d) => {
+        val li = Tables.lineitem(s, d)
+        val es = graft.functions.ExactSum
+        // long-sum dispatch across joins: each lineitem row joins at most
+        // one orders row and each orders row at most one customer row
+        // (o_orderkey / c_custkey are primary keys per the reference
+        // schema), so lineitem's footer row count bounds the aggregated
+        // rows; 16x headroom on top (see j2's premise note).
+        val bR = for {
+          p <- es.unscaledAbsBound(li, "l_extendedprice", 2)
+          dd <- es.unscaledAbsBound(li, "l_discount", 2)
+        } yield p * (100 + dd)
+        val fits = es.fitsLong(bR, graft.core.RowCounts.upperBound(li),
+          headroom = 16)
+        Tables.customer(s, d).filter(col("c_mktsegment") === "BUILDING")
+          .join(Tables.orders(s, d), col("c_custkey") === col("o_custkey"))
+          .hint("merge")
+          .join(li, col("o_orderkey") === col("l_orderkey"))
+          // unscaled-long product, not Decimal.times — see q1's projection
+          // comment (scale 2+2 -> 4, exact, overflow-safe per row)
+          .withColumn("_ur",
+            org.apache.spark.sql.GraftBridge.unscaled(
+              col("l_extendedprice").cast(dec(18, 2))) *
+              (lit(100L) - org.apache.spark.sql.GraftBridge.unscaled(
+                col("l_discount").cast(dec(4, 2)))))
+          .groupBy(col("o_orderkey"), col("o_orderdate"))
+          .agg(es.sumExact(col("_ur"), 4, fits).as("_rev"))
+          .orderBy(col("_rev").desc, col("o_orderkey")).limit(10)
+          .select(col("o_orderkey"), col("o_orderdate"),
+            col("_rev").cast("string").as("revenue"))
+          // the top-10 SELECTION is by revenue; the OUTPUT order re-sorts
+          // by key because subquery/projection order preservation is an
+          // implementation detail in both engines, not a guarantee
+          .orderBy(col("o_orderkey"))
+      },
       Some("""SELECT o_orderkey, o_orderdate, CAST(_rev AS VARCHAR) AS revenue FROM (
              |  SELECT o_orderkey, o_orderdate,
              |    CAST(sum(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(4,2))) AS DECIMAL(18,4))) AS DECIMAL(38,4)) AS _rev
@@ -532,16 +576,26 @@ object SparkEntry {
       // left to the size-based planner (it scales with SF too — a cluster
       // tier shuffle-joins it, and AQE re-plans to broadcast only when
       // the post-scan size genuinely qualifies).
-      (s, d) => Tables.orders(s, d)
-        .join(Tables.customer(s, d), col("o_custkey") === col("c_custkey"))
-        .join(broadcast(Tables.nation(s, d)), col("c_nationkey") === col("n_nationkey"))
-        .join(broadcast(Tables.region(s, d)), col("n_regionkey") === col("r_regionkey"))
-        .withColumn("_ut", org.apache.spark.sql.GraftBridge.unscaled(
-          col("o_totalprice").cast(dec(18, 2))))
-        .groupBy(col("r_name"), col("n_name"))
-        .agg(count(lit(1)).as("n_orders"),
-          org.apache.spark.sql.GraftBridge.sum128Long(col("_ut"), 2)
-            .cast("string").as("total_value")),
+      (s, d) => {
+        val ord = Tables.orders(s, d)
+        val es = graft.functions.ExactSum
+        // long-sum dispatch: orders is the fact side, each orders row
+        // joins at most one customer/nation/region row (primary keys per
+        // the reference schema), so orders' footer row count bounds the
+        // aggregated rows; 16x headroom (see j2's premise note).
+        val fits = es.fitsLong(es.unscaledAbsBound(ord, "o_totalprice", 2),
+          graft.core.RowCounts.upperBound(ord), headroom = 16)
+        ord
+          .join(Tables.customer(s, d), col("o_custkey") === col("c_custkey"))
+          .join(broadcast(Tables.nation(s, d)), col("c_nationkey") === col("n_nationkey"))
+          .join(broadcast(Tables.region(s, d)), col("n_regionkey") === col("r_regionkey"))
+          .withColumn("_ut", org.apache.spark.sql.GraftBridge.unscaled(
+            col("o_totalprice").cast(dec(18, 2))))
+          .groupBy(col("r_name"), col("n_name"))
+          .agg(count(lit(1)).as("n_orders"),
+            es.sumExact(col("_ut"), 2, fits)
+              .cast("string").as("total_value"))
+      },
       Some("""SELECT r_name, n_name, CAST(count(*) AS BIGINT) AS n_orders,
              |  CAST(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS VARCHAR) AS total_value
              |FROM region JOIN nation ON n_regionkey = r_regionkey
@@ -621,6 +675,9 @@ object SparkEntry {
              |FROM r WHERE rn <= 2""".stripMargin)),
 
     // ---- hive-engine pipeline: contract dispatch + NUMERIC(18,10) sums
+    //      (these stay on graft_sum128: quantity is parsed out of JSON
+    //      payloads, so no parquet footer can bound its magnitude and the
+    //      long-sum dispatch of functions.ExactSum correctly never fires)
     Q("plug_hive_transfers",
       (s, d) => plugTables(s, d)("hive_transfers")
         .withColumn("_uq", org.apache.spark.sql.GraftBridge.unscaled(
@@ -953,7 +1010,14 @@ object SparkEntry {
         // l_partkey = millions of bounded groups, never a global window;
         // the final groupBy reuses the window's partkey partitioning —
         // one exchange in the whole plan (pinned).
-        Tables.lineitem(s, d)
+        val li = Tables.lineitem(s, d)
+        val es = graft.functions.ExactSum
+        // long-sum dispatch: the window is row-preserving and the filter
+        // only shrinks, so lineitem's footer row count bounds the
+        // aggregated rows with no join premise (see functions.ExactSum).
+        val fits = es.fitsLong(es.unscaledAbsBound(li, "l_extendedprice", 2),
+          graft.core.RowCounts.upperBound(li))
+        li
           .withColumn("avg_qty", avg(col("l_quantity")).over(
             org.apache.spark.sql.expressions.Window
               .partitionBy(col("l_partkey"))))
@@ -962,7 +1026,7 @@ object SparkEntry {
             col("l_extendedprice").cast(dec(18, 2))))
           .groupBy(col("l_partkey"))
           .agg(count(lit(1)).as("n"),
-            org.apache.spark.sql.GraftBridge.sum128Long(col("_up"), 2)
+            es.sumExact(col("_up"), 2, fits)
               .cast("string").as("total_price"))
       },
       Some("""SELECT l_partkey, CAST(count(*) AS BIGINT) AS n,

@@ -78,6 +78,103 @@ object RowCounts {
     }
   }
 
+  /** ZERO-JOB upper bound on |values| of a top-level numeric column, from
+    * parquet footer column statistics (min/max per row group). Walks the
+    * optimized plan through value-preserving operators: Project (the
+    * named column must pass through as a bare attribute — possibly
+    * renamed — never a computed expression) and Filter (removing rows can
+    * only shrink the max). None when the plan is opaque, any file/chunk
+    * lacks trustworthy stats, or a bound is non-finite (parquet double
+    * stats omit NaN — a NaN casts to decimal null and never reaches a
+    * sum, but an Infinity lands in the stats and correctly yields an
+    * unbounded answer).
+    *
+    * This is the footer half of the exact-sum long dispatch (see
+    * [[graft.functions.ExactSum]]): max|v| x rowCount < 2^63 proves a
+    * plain long sum of unscaled decimals can never wrap.
+    */
+  def columnAbsBound(df: DataFrame, column: String): Option[Double] =
+    absBound(df.queryExecution.optimizedPlan, column, df)
+
+  private def absBound(plan: LogicalPlan, column: String, df: DataFrame): Option[Double] =
+    plan match {
+      case p: Project =>
+        // follow the named output to the child attribute it renames; a
+        // computed expression disqualifies (its values are not the file's)
+        p.projectList.find(_.name == column).flatMap {
+          case a: AttributeReference => absBound(p.child, a.name, df)
+          case al: org.apache.spark.sql.catalyst.expressions.Alias =>
+            al.child match {
+              case a: AttributeReference => absBound(p.child, a.name, df)
+              case _ => None
+            }
+          case _ => None
+        }
+      case f: Filter => absBound(f.child, column, df)
+      case lr: LogicalRelation =>
+        lr.relation match {
+          case rel: HadoopFsRelation if rel.fileFormat.isInstanceOf[ParquetFileFormat] =>
+            footerAbsBound(rel, column, df)
+          case _ => None
+        }
+      case _ => None
+    }
+
+  private def footerAbsBound(rel: HadoopFsRelation, column: String,
+                             df: DataFrame): Option[Double] = {
+    val files = rel.location.inputFiles
+    if (files.isEmpty || files.length > maxFooterFiles) None
+    else {
+      import org.apache.hadoop.fs.Path
+      import org.apache.parquet.hadoop.ParquetFileReader
+      import org.apache.parquet.hadoop.util.HadoopInputFile
+      import scala.jdk.CollectionConverters._
+      val conf = df.sparkSession.sessionState.newHadoopConf()
+      try {
+        val bounds = files.iterator.flatMap { f =>
+          val r = ParquetFileReader.open(HadoopInputFile.fromPath(new Path(f), conf))
+          try r.getFooter.getBlocks.asScala.iterator.map { block =>
+            block.getColumns.asScala
+              .find(_.getPath.toDotString == column)
+              .flatMap(chunkAbsBound)
+          }.toVector
+          finally r.close()
+        }.toVector
+        // every row group must state a trustworthy bound; all-null chunks
+        // contribute 0 (handled in chunkAbsBound)
+        if (bounds.exists(_.isEmpty)) None
+        else {
+          val m = bounds.flatten.foldLeft(0.0)(math.max)
+          if (java.lang.Double.isFinite(m)) Some(m) else None
+        }
+      } catch { case scala.util.control.NonFatal(_) => None }
+    }
+  }
+
+  /** max(|min|, |max|) of one column chunk's statistics; 0 for an all-null
+    * chunk; None when stats are absent or of an unhandled physical type.
+    */
+  private def chunkAbsBound(
+      c: org.apache.parquet.hadoop.metadata.ColumnChunkMetaData): Option[Double] = {
+    val s = c.getStatistics
+    if (s == null || s.isEmpty) None
+    else if (!s.hasNonNullValue) Some(0.0)
+    else s match {
+      case d: org.apache.parquet.column.statistics.DoubleStatistics =>
+        Some(math.max(math.abs(d.getMin), math.abs(d.getMax)))
+      case f: org.apache.parquet.column.statistics.FloatStatistics =>
+        Some(math.max(math.abs(f.getMin.toDouble), math.abs(f.getMax.toDouble)))
+      // long -> double rounds to NEAREST and can understate by an ulp
+      // beyond 2^53; nextUp keeps this an upper bound (ints are exact)
+      case l: org.apache.parquet.column.statistics.LongStatistics =>
+        Some(Math.nextUp(math.max(math.abs(l.getMin.toDouble),
+          math.abs(l.getMax.toDouble))))
+      case i: org.apache.parquet.column.statistics.IntStatistics =>
+        Some(math.max(math.abs(i.getMin.toDouble), math.abs(i.getMax.toDouble)))
+      case _ => None
+    }
+  }
+
   /** The HadoopFsRelation when the plan is exactly a parquet scan with no
     * row-changing operator above it. Attribute-only projections are
     * row-count-neutral and stripped; ANYTHING else (Filter, Join, ...)

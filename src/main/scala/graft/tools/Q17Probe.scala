@@ -4,10 +4,12 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.core.Tables
 
-/** Scratch: q17 shape A/B at a tier — the shipped two-scan agg+self-join
-  * (per-partkey averages joined back) vs a one-scan window formulation
-  * (identical `avg` function, so identical borderline semantics: the
-  * filter compares against the SAME decimal average value either way).
+/** Scratch: q17 shape A/B at a tier — the REJECTED two-scan agg+self-join
+  * (per-partkey averages aggregated then joined back; inlined here so the
+  * rejected shape stays runnable, the gate itself shipped the window form
+  * in r13) vs the shipped one-scan window formulation (identical `avg`
+  * function, so identical borderline semantics: the filter compares
+  * against the SAME decimal average value either way).
   * Trade: 2 scans + 2 exchanges + join vs 1 scan + 1 exchange + sort.
   *
   * Usage: runMain graft.tools.Q17Probe [sfDir] [reps]
@@ -23,10 +25,14 @@ object Q17Probe {
         Option(t.taskMetrics).foreach(m => taskMs.addAndGet(m.executorRunTime))
     })
     def dec(p: Int, s: Int) = org.apache.spark.sql.types.DecimalType(p, s)
-    def windowed() = {
+    // the r12 shape the gate REJECTED: aggregate per-partkey averages,
+    // self-join them back onto lineitem (second scan of the dominant
+    // table), then filter + aggregate
+    def aggJoin() = {
       val l = Tables.lineitem(spark, sfDir)
-      l.withColumn("avg_qty",
-          avg(col("l_quantity")).over(Window.partitionBy(col("l_partkey"))))
+      val avgs = l.groupBy(col("l_partkey").as("p_key"))
+        .agg(avg(col("l_quantity")).as("avg_qty"))
+      l.join(avgs, col("l_partkey") === col("p_key"))
         .filter(col("l_quantity") < col("avg_qty") * 0.2)
         .withColumn("_up", org.apache.spark.sql.GraftBridge.unscaled(
           col("l_extendedprice").cast(dec(18, 2))))
@@ -43,9 +49,9 @@ object Q17Probe {
     }
     (1 to reps).foreach { rep =>
       println(s"--- rep $rep")
-      time("agg+join (gate)")(
+      time("agg+join (old)")(aggJoin().count())
+      time("window (gate)")(
         graft.SparkEntry.queries("q17_small_quantity")(spark, sfDir).count())
-      time("window (1-scan)")(windowed().count())
     }
     spark.stop()
   }

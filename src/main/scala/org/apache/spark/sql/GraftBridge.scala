@@ -140,6 +140,16 @@ object GraftBridge {
     ExpressionUtils.column(graft.functions.Sum128(
       ExpressionUtils.expression(c), scale).toAggregateExpression())
 
+  /** Reinterpret a LONG column as the unscaled value of a
+    * decimal(38, scale) — Catalyst's MakeDecimal, the terminal step of
+    * the footer-proven long-sum dispatch (see
+    * [[graft.functions.ExactSum]]). Any long fits 38 digits, so the
+    * nullOnOverflow arm is unreachable; null passes through as null.
+    */
+  def makeDecimal38(c: Column, scale: Int): Column =
+    ExpressionUtils.column(org.apache.spark.sql.catalyst.expressions.MakeDecimal(
+      ExpressionUtils.expression(c), 38, scale, nullOnOverflow = true))
+
   /** Column of in-row (token-hash, tf) pairs (see
     * graft.functions.TokenTfs).
     */

@@ -72,6 +72,77 @@ class PlanShapeSpec extends SparkSpec {
       "q1's sums fell back to the object hash aggregate")
   }
 
+  test("exact-sum dispatch: footer-proven gates ride the plain long sum; JSON-derived sums keep the int128 fallback") {
+    // at any testdata tier every TPC-H money bound x rowcount fits 2^63,
+    // so all five footer-provable gates must dispatch to sum(long) +
+    // MakeDecimal — zero graft_sum128 in their plans
+    Seq("q1_pricing_summary", "j2_theta_residual", "q3_top_revenue",
+        "q5_region_rollup", "q17_small_quantity").foreach { q =>
+      val p = plan(q)
+      assert(!p.contains("graft_sum128"),
+        s"$q did not dispatch its exact sum to the long path")
+      // the decimal reinterpretation sits in the aggregate's result
+      // expressions, which the physical summary elides — pin it on the
+      // optimized logical plan
+      val lp = SparkEntry.queries(q)(spark, sf)
+        .queryExecution.optimizedPlan.toString.toLowerCase
+      assert(lp.contains("makedecimal") || lp.contains("make_decimal"),
+        s"$q's long sum lost its MakeDecimal reinterpretation")
+    }
+    // the hive-engine quantity is parsed from JSON — no footer can bound
+    // it, and the dispatch must NEVER force the long path without a proof
+    assert(plan("plug_hive_transfers").contains("graft_sum128"),
+      "plug_hive_transfers must keep the int128 fallback (unprovable bound)")
+  }
+
+  test("exact-sum dispatch fails safe: oversized footer bounds and opaque plans keep the int128 path") {
+    import org.apache.spark.sql.functions._
+    import graft.functions.ExactSum
+    import graft.core.RowCounts
+    val dir = java.nio.file.Files.createTempDirectory("exactsum").toString
+    // magnitude near 2^63 at scale 2: bound x rows overflows -> no proof
+    spark.range(10).select((col("id") + lit(9.0e16)).as("v"))
+      .write.mode("overwrite").parquet(s"$dir/big")
+    val big = spark.read.parquet(s"$dir/big")
+    assert(ExactSum.unscaledAbsBound(big, "v", 2).isDefined,
+      "footer stats should be readable")
+    assert(!ExactSum.fitsLong(ExactSum.unscaledAbsBound(big, "v", 2),
+      RowCounts.upperBound(big)),
+      "oversized bound must not prove the long path")
+    // small values DO prove it
+    spark.range(1000).select((col("id") % 100).cast("double").as("v"))
+      .write.mode("overwrite").parquet(s"$dir/small")
+    val small = spark.read.parquet(s"$dir/small")
+    assert(ExactSum.fitsLong(ExactSum.unscaledAbsBound(small, "v", 2),
+      RowCounts.upperBound(small)))
+    // an opaque plan (self-join fanout) has no footer row bound -> no proof
+    val joined = small.join(small.withColumnRenamed("v", "w"),
+      col("v") === col("w"))
+    assert(RowCounts.upperBound(joined).isEmpty)
+    assert(!ExactSum.fitsLong(ExactSum.unscaledAbsBound(small, "v", 2),
+      RowCounts.upperBound(joined)))
+    // a computed projection must not inherit the source column's bound
+    val computed = small.select((col("v") * 1.0e18).as("v"))
+    assert(RowCounts.columnAbsBound(computed, "v").isEmpty,
+      "computed expressions must disqualify the footer bound")
+    // bit-identical results: both accumulators produce the same
+    // decimal(38,2), including the all-null group -> null contract
+    val withNulls = small.withColumn("g", col("v") % 3)
+      .withColumn("v", when(col("g") === 2, lit(null)).otherwise(col("v")))
+    val es = graft.functions.ExactSum
+    val un = org.apache.spark.sql.GraftBridge.unscaled(
+      col("v").cast(org.apache.spark.sql.types.DecimalType(18, 2)))
+    val both = withNulls.select(col("g"), un.as("_u"))
+      .groupBy("g")
+      .agg(es.sumExact(col("_u"), 2, provenFitsLong = true).as("long_sum"),
+           es.sumExact(col("_u"), 2, provenFitsLong = false).as("i128_sum"))
+      .collect()
+    both.foreach { r =>
+      assert(r.get(1) == r.get(2),
+        s"dispatch mismatch for group ${r.get(0)}: ${r.get(1)} vs ${r.get(2)}")
+    }
+  }
+
   test("dedup pair generation is an equi join on constructed keys, never a cross") {
     Seq("dedup_ngram_jaccard", "dedup_minhash_lsh", "dedup_embedding_cosine",
       "dedup_simhash_pairs", "sim_lsh_topk").foreach { q =>
