@@ -42,6 +42,15 @@ object Verify {
       ctx.updateLoggers()
     }
     GraftSession.configure(spark)
+    // Dev knob: dump through a bucketed layout (core.Layout) instead of
+    // the flat parquet — proves the layout path zero-diff against the
+    // SAME flat-reading DuckDB oracle. The driver's gate never sets this.
+    sys.env.get("SPARK_GRAFT_LAYOUT_DIR").foreach { dir =>
+      spark.conf.set("spark.graft.layout.dir", dir)
+      spark.conf.set("spark.graft.layout.src", sfDir)
+      GraftSession.addOverrides(spark,
+        Map("spark.graft.layout.dir" -> dir, "spark.graft.layout.src" -> sfDir))
+    }
     new java.io.File(outDir).mkdirs()
     SparkEntry.queries
       .filter { case (name, _) => only.forall(_.contains(name)) }

@@ -32,6 +32,15 @@ object GraftSession {
   def registerOverrides(spark: SparkSession, overrides: Map[String, String]): Unit =
     sessionOverrides.put(spark, overrides)
 
+  /** Merge additional overrides into a session's existing registration
+    * (later wins) — for opt-ins layered after session build (e.g. the
+    * bench layout redirect) that must not clobber the base pins.
+    */
+  def addOverrides(spark: SparkSession, overrides: Map[String, String]): Unit = {
+    val prior = Option(sessionOverrides.get(spark)).getOrElse(Map.empty)
+    sessionOverrides.put(spark, prior ++ overrides)
+  }
+
   /** Apply engine configs onto an arbitrary (possibly driver-provided)
     * session. All of these are runtime-settable SQL confs.
     */
@@ -48,6 +57,14 @@ object GraftSession {
     // shingle fanout. Group buffers are small (one Array[Long] per doc);
     // let the hash path run.
     spark.conf.set("spark.sql.objectHashAggregate.sortBased.fallbackThreshold", "1000000")
+    // Bucketed layouts (core.Layout) are written per-bucket-SORTED with
+    // one file per bucket; this conf lets the scan report that order so
+    // sort-merge joins over bucket-matched tables elide their Sort nodes
+    // as well as the Exchange. Spark parked the ordering calculation
+    // behind this flag because multi-file buckets can't use it anyway —
+    // the single-file check still guards correctness, our writer
+    // guarantees the layout qualifies.
+    spark.conf.set("spark.sql.legacy.bucketedTableScan.outputOrdering", "true")
     // Broadcast dimension-sized sides up to 64 MB (production clusters
     // with multi-GB executors run 100 MB+). Size-based, so genuinely big
     // sides still sort-merge; AQE re-plans to broadcast at runtime when

@@ -1,0 +1,113 @@
+package graft.core
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Bucketed storage layout for the big fact tables — the Spark-native
+  * replacement for the reference's B-tree indexes on join keys
+  * (haf_plug_play/plugs/podping/tables.sql:25-35 indexes every lookup
+  * column; a distributed engine instead pre-partitions DATA LAYOUT so
+  * the hot joins need no runtime exchange).
+  *
+  * A table written `bucketBy(n, key).sortBy(key)` carries its hash
+  * partitioning and sort order in the catalog: a join of two tables
+  * bucketed on their join key with matching bucket counts plans as a
+  * sort-merge join with NO Exchange and NO Sort on either side — at
+  * 100 TB that deletes the two largest shuffles of every
+  * orderkey-family query (q3/j2 shapes), paid once at write time and
+  * amortized over every query against the layout.
+  *
+  * Spark reads bucket metadata from the CATALOG, not the files, so a
+  * fresh session must [[register]] an existing layout before reading
+  * it ([[bucketed]] does both). The files themselves are plain parquet.
+  */
+object Layout {
+
+  /** Write `df` as a bucketed, per-bucket-sorted external table at
+    * `path`, registered as `table` in the session catalog. One-time
+    * layout cost: a full shuffle of `df` into `buckets` output tasks.
+    */
+  def writeBucketed(df: DataFrame, table: String, rawPath: String,
+                    key: String, buckets: Int): Unit = {
+    val spark = df.sparkSession
+    // a relative location would silently resolve under the session
+    // warehouse dir (and diverge from the manifest path below)
+    val path = new java.io.File(rawPath).getAbsolutePath
+    spark.sql(s"DROP TABLE IF EXISTS $table")
+    // repartition by the bucket key FIRST, with the bucket count:
+    // repartition's HashPartitioning uses the same murmur3-pmod hash as
+    // the bucket spec, so each write task holds exactly one bucket's rows
+    // and every bucket lands in ONE file — the condition under which
+    // Spark's scan reports the per-bucket sort order and the downstream
+    // SMJ elides its Sort nodes as well as the Exchange (a multi-file
+    // bucket only guarantees order within each file, so the scan must
+    // re-sort). Costs one shuffle at write time, which the layout pays
+    // anyway in spirit: this IS the exchange every future join skips.
+    df.repartition(buckets, org.apache.spark.sql.functions.col(key))
+      .write
+      .bucketBy(buckets, key)
+      .sortBy(key)
+      .option("path", path)
+      .format("parquet")
+      .saveAsTable(table)
+    // self-describing layout: a later session re-registers from the
+    // manifest instead of trusting a caller to repeat the bucket spec
+    val esc = df.schema.toDDL.replace("\\", "\\\\").replace("\"", "\\\"")
+    val manifest = s"""{"key":"$key","buckets":$buckets,"schema":"$esc"}"""
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(path, "_layout.json"),
+      manifest.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+  }
+
+  /** Register-and-read a layout directory written by [[writeBucketed]],
+    * taking the bucket spec from its `_layout.json` manifest. None when
+    * the directory holds no committed layout.
+    */
+  def bucketedFromManifest(spark: SparkSession, table: String,
+                           path: String): Option[DataFrame] = {
+    val p = java.nio.file.Paths.get(path, "_layout.json")
+    val ok = java.nio.file.Files.exists(p) &&
+      java.nio.file.Files.exists(java.nio.file.Paths.get(path, "_SUCCESS"))
+    if (!ok) None
+    else {
+      if (!spark.catalog.tableExists(table)) {
+        val m = new String(java.nio.file.Files.readAllBytes(p),
+          java.nio.charset.StandardCharsets.UTF_8)
+        // tiny fixed-shape manifest; extract the three fields directly
+        val key = "\"key\":\"([^\"]+)\"".r.findFirstMatchIn(m).get.group(1)
+        val buckets = "\"buckets\":(\\d+)".r.findFirstMatchIn(m).get.group(1).toInt
+        val schema = "\"schema\":\"(.*)\"\\}\\s*$".r.findFirstMatchIn(m).get.group(1)
+          .replace("\\\"", "\"").replace("\\\\", "\\")
+        register(spark, table, path, key, buckets, schema)
+      }
+      Some(spark.table(table))
+    }
+  }
+
+  /** Register an existing bucketed layout (written by [[writeBucketed]],
+    * possibly in another session) in this session's catalog. The bucket
+    * spec (`key`, `buckets`) must match what was written — Spark trusts
+    * the catalog, so a wrong spec here would produce WRONG joins, same
+    * as any external-catalog system.
+    */
+  def register(spark: SparkSession, table: String, rawPath: String,
+               key: String, buckets: Int, schemaDdl: String): Unit = {
+    val path = new java.io.File(rawPath).getAbsolutePath
+    spark.sql(s"DROP TABLE IF EXISTS $table")
+    spark.sql(
+      s"""CREATE TABLE $table ($schemaDdl)
+         |USING PARQUET
+         |CLUSTERED BY ($key) SORTED BY ($key) INTO $buckets BUCKETS
+         |LOCATION '$path'""".stripMargin)
+  }
+
+  /** The bucketed table as a DataFrame, registering it first when the
+    * catalog doesn't know it yet. `schemaOf` supplies the DDL on first
+    * registration (derived from the source table's schema).
+    */
+  def bucketed(spark: SparkSession, table: String, path: String,
+               key: String, buckets: Int, schemaOf: => DataFrame): DataFrame = {
+    if (!spark.catalog.tableExists(table))
+      register(spark, table, path, key, buckets, schemaOf.schema.toDDL)
+    spark.table(table)
+  }
+}

@@ -59,12 +59,52 @@ object Tables {
   private val epochCounter = new java.util.concurrent.atomic.AtomicLong(0L)
   def epoch: Long = epochCounter.get
 
+  /** Tables eligible for a bucketed layout redirect: the SF-proportional
+    * fact tables of the orderkey join family. Dimensions don't benefit
+    * (they broadcast) and events/documents/embeddings have no hot
+    * equi-join key worth a layout.
+    */
+  private val layoutTables = Set("lineitem", "orders")
+
   def load(spark: SparkSession, sfDir: String, name: String): DataFrame =
     name match {
       case "events" => events(spark, sfDir)
       case other =>
-        resolved.getOrElseUpdate((spark, s"$sfDir/$other.parquet"),
-          spark.read.parquet(s"$sfDir/$other.parquet"))
+        bucketedLayout(spark, sfDir, name).getOrElse(
+          resolved.getOrElseUpdate((spark, s"$sfDir/$other.parquet"),
+            spark.read.parquet(s"$sfDir/$other.parquet")))
+    }
+
+  /** The bucketed layout of `name` when the session opted in by setting
+    * `spark.graft.layout.dir` to a directory of [[Layout.writeBucketed]]
+    * outputs (one `b_<table>` child per table, self-describing via
+    * `_layout.json`) and `spark.graft.layout.src` to the sfDir the layout
+    * was BUILT FROM — reads of any other sfDir in the same session keep
+    * the flat parquet (a layout must never answer for data it wasn't
+    * built from). Opt-IN and per-session by design: the driver's
+    * correctness gate reads the flat parquet exactly like its DuckDB
+    * oracle, while the bench session points here after a one-time layout
+    * build — the same ingest-time indexing discipline as the reference's
+    * B-trees (plugs/podping/tables.sql:25-35). The catalog table name
+    * carries a path hash so two layouts never collide in one session.
+    */
+  private def bucketedLayout(spark: SparkSession, sfDir: String,
+                             name: String): Option[DataFrame] =
+    if (!layoutTables.contains(name)) None
+    else spark.conf.getOption("spark.graft.layout.dir").flatMap { dir =>
+      val srcOk = spark.conf.getOption("spark.graft.layout.src").exists(src =>
+        java.nio.file.Paths.get(src).toAbsolutePath.normalize ==
+          java.nio.file.Paths.get(sfDir).toAbsolutePath.normalize)
+      if (!srcOk) None
+      else {
+        val path = s"$dir/b_$name"
+        val table = s"b_${name}_${Integer.toHexString(path.hashCode).takeRight(8)}"
+        resolved.get((spark, path)).orElse {
+          val df = Layout.bucketedFromManifest(spark, table, path)
+          df.foreach(resolved.put((spark, path), _))
+          df
+        }
+      }
     }
 
   /** events with `ts` as a proper TimestampType (microsecond precision),

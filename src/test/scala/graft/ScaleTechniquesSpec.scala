@@ -55,6 +55,60 @@ class ScaleTechniquesSpec extends SparkSpec {
     }
   }
 
+  test("Layout: manifest round-trip re-registers the bucketed layout; orderkey join runs exchange-free and sort-free; Tables redirect is opt-in and src-keyed") {
+    val sf = "/root/testdata/sf0.001"
+    val dir = java.nio.file.Files.createTempDirectory("layout").toString
+    val li = graft.core.Tables.lineitem(spark, sf)
+    val ord = graft.core.Tables.orders(spark, sf)
+    graft.core.Layout.writeBucketed(li, "t_b_lineitem", s"$dir/b_lineitem", "l_orderkey", 8)
+    graft.core.Layout.writeBucketed(ord, "t_b_orders", s"$dir/b_orders", "o_orderkey", 8)
+    // fresh-session simulation: drop the catalog entries, re-register
+    // from the on-disk manifest alone
+    spark.sql("DROP TABLE t_b_lineitem"); spark.sql("DROP TABLE t_b_orders")
+    val bl = graft.core.Layout.bucketedFromManifest(spark, "m_b_lineitem", s"$dir/b_lineitem")
+    val bo = graft.core.Layout.bucketedFromManifest(spark, "m_b_orders", s"$dir/b_orders")
+    assert(bl.isDefined && bo.isDefined, "manifest re-registration failed")
+    assert(bl.get.schema === li.schema, "layout must preserve the schema")
+    val prevThreshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val joined = bo.get.join(bl.get, col("o_orderkey") === col("l_orderkey"))
+        .groupBy(col("o_orderkey")).agg(count(lit(1)).as("n"))
+      val p = joined.queryExecution.executedPlan.toString
+      assert(!p.contains("Exchange"), s"bucketed orderkey join must be exchange-free:\n$p")
+      assert(!" Sort \\[".r.findFirstIn(p).isDefined,
+        s"sorted buckets must satisfy the SMJ ordering with no Sort node:\n$p")
+      // identical results to the flat layout
+      val flat = ord.join(li, col("o_orderkey") === col("l_orderkey"))
+        .groupBy(col("o_orderkey")).agg(count(lit(1)).as("n"))
+      assert(joined.except(flat).isEmpty && flat.except(joined).isEmpty,
+        "bucketed join must return exactly the flat join's rows")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
+    // Tables redirect: fires only with BOTH confs set and a matching src
+    def planOf(d: String) =
+      graft.core.Tables.lineitem(spark, d).queryExecution.optimizedPlan.toString
+    assert(!planOf(sf).contains("m_b_lineitem") && !planOf(sf).contains("b_lineitem_"),
+      "no redirect without the opt-in conf")
+    spark.conf.set("spark.graft.layout.dir", dir)
+    spark.conf.set("spark.graft.layout.src", sf)
+    try {
+      val redirected = graft.core.Tables.lineitem(spark, sf)
+      assert(redirected.queryExecution.optimizedPlan.toString.contains("b_lineitem"),
+        "redirect must serve the bucketed layout for the matching src")
+      assert(redirected.count() === li.count())
+      // a DIFFERENT sfDir in the same session keeps its flat read: the
+      // layout never answers for data it wasn't built from
+      val other = graft.core.Tables.lineitem(spark, "/root/testdata/sf0.01")
+      assert(!other.queryExecution.optimizedPlan.toString.contains("b_lineitem"),
+        "redirect must not fire for a different sfDir")
+    } finally {
+      spark.conf.unset("spark.graft.layout.dir")
+      spark.conf.unset("spark.graft.layout.src")
+      spark.sql("DROP TABLE IF EXISTS m_b_lineitem")
+      spark.sql("DROP TABLE IF EXISTS m_b_orders")
+    }
+  }
+
   test("graft_dot is SQL-callable on a configured session") {
     // GraftSession.configure registered the function on the shared session
     val r = spark.sql(
