@@ -33,15 +33,9 @@ object Bench {
       .config("spark.sql.codegen.cache.maxEntries", "5000")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    // WindowExec warns "No Partition Defined" on EVERY unpartitioned
-    // window — for this suite that is only corpusMixture's windows over
-    // the aggregated strata frame (dimension-sized at any input scale and
-    // documented as such at operators/Stats.scala). The warning would be
-    // the first line a reviewer reads in every bench tail; scope it out
-    // at the logger so the 2000-char driver window carries only signal.
-    org.apache.logging.log4j.core.config.Configurator.setLevel(
-      "org.apache.spark.sql.execution.window.WindowExec",
-      org.apache.logging.log4j.Level.ERROR)
+    // WindowExec's unpartitioned-window WARN (corpusMixture's documented
+    // dimension-sized windows) and the native-lib advisories are scoped
+    // out in the classpath log4j2.properties — see its header.
     // Local-mode scheduling-latency pins, measured at sf0.1 (A/B via the
     // knobs below; NOTES.md round 8):
     //  - AQE off: stage-by-stage materialization costs a blocking

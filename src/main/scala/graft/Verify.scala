@@ -14,6 +14,9 @@ object Verify {
     val only: Option[Set[String]] =
       if (args.length > 2) Some(args(2).split(',').toSet) else None
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    // Known non-actionable warning classes are scoped out in the
+    // classpath log4j2.properties (see its header) — programmatic
+    // Configurator calls don't survive Spark's own log4j init.
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -41,6 +44,15 @@ object Verify {
           org.apache.logging.log4j.core.Filter.Result.NEUTRAL))
       ctx.updateLoggers()
     }
+    // Environment-noise one-liners with no in-repo remedy, scoped OUT so
+    // the driver log is pure signal: native-hadoop and netlib-BLAS
+    // native acceleration are absent from this container (both fall back
+    // to the JVM implementations — a deployment with native libs loses
+    // nothing by silencing the advisory here), and the plan-string
+    // truncation notice only reflects spark.sql.debug.maxToStringFields
+    // on the dump's widest plan.
+    // plan-string truncation notice scales with the dump's widest plan
+    spark.conf.set("spark.sql.debug.maxToStringFields", "200")
     GraftSession.configure(spark)
     // Dev knob: dump through a bucketed layout (core.Layout) instead of
     // the flat parquet — proves the layout path zero-diff against the

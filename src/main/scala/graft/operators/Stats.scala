@@ -75,6 +75,15 @@ object Stats {
     require(strata.nonEmpty)
     import org.apache.spark.sql.expressions.Window
     val ord = col("n_tokens").desc +: strata.map(col)
+    // These windows run UNPARTITIONED on purpose: the frame below them is
+    // the aggregated strata table (dimension-sized at any input scale),
+    // so single-partition execution is the correct plan. A constant
+    // partition key would silence WindowExec's WARN, but Spark 4's
+    // EliminateWindowPartitions optimizer rule strips foldable partition
+    // expressions back out (verified: the lit-keyed form plans
+    // identically and still warns) — the mains scope the logger instead,
+    // and the PlanShapeSpec fence polices that every unpartitioned window
+    // in the suite sits above an aggregate where it belongs.
     val w = Window.orderBy(ord: _*)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val total = Window.partitionBy()
