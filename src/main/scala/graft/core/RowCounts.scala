@@ -151,6 +151,66 @@ object RowCounts {
     }
   }
 
+  /** ZERO-JOB upper bound on the total UNCOMPRESSED bytes of one column,
+    * from parquet footer chunk metadata — same plan walk as
+    * [[columnAbsBound]] (Project pass-through, Filter only shrinks).
+    * Unlike row counts, bytes bound VOCABULARY-type blowups: a corpus's
+    * distinct-term dictionary can never serialize bigger than the text
+    * it was tokenized from (every distinct term occurs in the text), so
+    * a byte gate holds even for corpora of few-but-huge or high-entropy
+    * documents where a document-count gate is vacuous.
+    */
+  def columnUncompressedBytes(df: DataFrame, column: String): Option[Long] =
+    bytesBound(df.queryExecution.optimizedPlan, column, df)
+
+  private def bytesBound(plan: LogicalPlan, column: String, df: DataFrame): Option[Long] =
+    plan match {
+      case p: Project =>
+        p.projectList.find(_.name == column).flatMap {
+          case a: AttributeReference => bytesBound(p.child, a.name, df)
+          case al: org.apache.spark.sql.catalyst.expressions.Alias =>
+            al.child match {
+              case a: AttributeReference => bytesBound(p.child, a.name, df)
+              case _ => None
+            }
+          case _ => None
+        }
+      case f: Filter => bytesBound(f.child, column, df)
+      case lr: LogicalRelation =>
+        lr.relation match {
+          case rel: HadoopFsRelation if rel.fileFormat.isInstanceOf[ParquetFileFormat] =>
+            footerBytes(rel, column, df)
+          case _ => None
+        }
+      case _ => None
+    }
+
+  private def footerBytes(rel: HadoopFsRelation, column: String,
+                          df: DataFrame): Option[Long] = {
+    val files = rel.location.inputFiles
+    if (files.isEmpty || files.length > maxFooterFiles) None
+    else {
+      import org.apache.hadoop.fs.Path
+      import org.apache.parquet.hadoop.ParquetFileReader
+      import org.apache.parquet.hadoop.util.HadoopInputFile
+      import scala.jdk.CollectionConverters._
+      val conf = df.sparkSession.sessionState.newHadoopConf()
+      try {
+        var total = 0L
+        var found = false
+        files.foreach { f =>
+          val r = ParquetFileReader.open(HadoopInputFile.fromPath(new Path(f), conf))
+          try r.getFooter.getBlocks.asScala.foreach { block =>
+            block.getColumns.asScala
+              .find(_.getPath.toDotString == column)
+              .foreach { c => total += c.getTotalUncompressedSize; found = true }
+          } finally r.close()
+        }
+        if (found) Some(total) else None
+      } catch { case scala.util.control.NonFatal(_) => None }
+    }
+  }
+
   /** max(|min|, |max|) of one column chunk's statistics; 0 for an all-null
     * chunk; None when stats are absent or of an unhandled physical type.
     */

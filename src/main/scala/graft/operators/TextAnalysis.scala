@@ -132,6 +132,19 @@ object TextAnalysis {
     */
   private val tfidfBroadcastDocCutoff = 4000000L
 
+  /** Second, STRUCTURAL leg of the broadcast gate: total uncompressed
+    * bytes of the text column (zero-job, from footer chunk metadata). A
+    * document count alone does not bound vocabulary — a corpus of
+    * few-but-huge or high-entropy-token documents can push the term
+    * dictionary past executor/broadcast limits while passing the 4M-doc
+    * cutoff. Bytes do bound it: every distinct term occurs in the text,
+    * so the dictionary's term bytes can never exceed the text bytes, and
+    * with hash-relation overhead (~6x for short tokens, worst case
+    * all-distinct) 512 MiB of text stays well inside the 8 GiB broadcast
+    * hard cap with margin. The measured sf10 tier (229 MB) qualifies.
+    */
+  private val tfidfBroadcastTextBytesCutoff = 512L * 1024 * 1024
+
   /** Top-k terms per document by tf-idf.
     *
     * tf = in-doc term count; idf = ln(N / df) over the corpus; ties break
@@ -167,12 +180,17 @@ object TextAnalysis {
       .select(col("doc"), explode(when(size(col("_tc")) > 0, col("_tc"))).as("t"))
       .select(col("doc"), col("t.term").as("term"), col("t.tf").as("tf"))
     val df0 = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
-    // footer-gated broadcast of the term dictionary (scaladoc above); the
+    // footer-gated broadcast of the term dictionary (scaladocs above); the
     // explode-derived size estimate oversells df0 so the size-based
     // planner never broadcasts it unhinted, and the hint must not be
-    // unconditional — a web-scale vocabulary outgrows an executor
+    // unconditional — a web-scale vocabulary outgrows an executor. BOTH
+    // legs must prove: document count (the Heaps'-law web-corpus bound)
+    // AND text bytes (the structural vocabulary bound that holds for
+    // any token distribution).
     val df_ =
-      if (graft.core.RowCounts.upperBound(docs).exists(_ <= tfidfBroadcastDocCutoff))
+      if (graft.core.RowCounts.upperBound(docs).exists(_ <= tfidfBroadcastDocCutoff)
+          && graft.core.RowCounts.columnUncompressedBytes(docs, textCol)
+            .exists(_ <= tfidfBroadcastTextBytesCutoff))
         broadcast(df0)
       else df0
     // Per-doc top-k WITHOUT a window: re-aggregate by doc and rank

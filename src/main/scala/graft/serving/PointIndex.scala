@@ -64,19 +64,27 @@ final class PointIndex(
     val name: String,
     build: () => DataFrame,
     keyOf: Row => String,
-    maxRows: Int) {
+    maxRows: Int,
+    buildDeadlineMs: Long = 10L * 60 * 1000) {
 
   private val log = org.slf4j.LoggerFactory.getLogger(classOf[PointIndex])
 
   // (epoch, Some(map)) = live for that epoch; (epoch, None) = over cap /
   // build failed for that epoch (fall back); epoch Long.MinValue = never
-  // built. Writes: the background builder only.
+  // built. Writes: the background builder only, under commitLock.
   @volatile private var state: (Long, Option[Map[String, IndexedSeq[Row]]]) =
     (Long.MinValue, None)
 
-  // epoch a background builder is currently building, Long.MinValue = idle
+  // single-flight token: Long.MinValue = idle; otherwise the running
+  // builder's start-nanos, which doubles as (a) the watchdog's deadline
+  // clock and (b) the builder's COMMIT TOKEN — a build whose token was
+  // stolen by the watchdog (hung past buildDeadlineMs) can neither write
+  // state nor release the flag, so a zombie builder finishing late can
+  // never regress the index to an older epoch
   private val building =
     new java.util.concurrent.atomic.AtomicLong(Long.MinValue)
+  private val commitLock = new Object
+  @volatile private var builderThread: Thread = _
 
   private[graft] val builds = new java.util.concurrent.atomic.AtomicLong
   private[graft] val hits = new java.util.concurrent.atomic.AtomicLong
@@ -108,8 +116,10 @@ final class PointIndex(
     * and building for it would regress state backward and force yet
     * another full rebuild.
     */
-  private def triggerRebuild(): Unit =
-    if (building.compareAndSet(Long.MinValue, 1L)) {
+  private def triggerRebuild(): Unit = {
+    val now = System.nanoTime()
+    val token = if (now == Long.MinValue) now + 1 else now
+    if (building.compareAndSet(Long.MinValue, token)) {
       val target = graft.core.Tables.epoch
       if (state._1 == target) { building.set(Long.MinValue); return }
       val t = new Thread(() => {
@@ -117,24 +127,68 @@ final class PointIndex(
         // INHERITED (InheritableThreadLocal) — including its per-handler
         // FAIR pool, inside which jobs run FIFO: left in place, the
         // multi-second build would convoy that handler's later request
-        // jobs. Re-pool the build into its own name so FAIR isolates it;
-        // inert under a FIFO scheduler.
+        // jobs. Re-pool the build into its own name so FAIR isolates it
+        // (inert under FIFO), and tag a cancellable JOB GROUP so the
+        // watchdog can kill a hung build's distributed work, not just
+        // interrupt its driver thread.
         org.apache.spark.sql.SparkSession.getActiveSession
           .orElse(org.apache.spark.sql.SparkSession.getDefaultSession)
-          .foreach(_.sparkContext.setLocalProperty(
-            "spark.scheduler.pool", "graft-index-build"))
+          .foreach { sp =>
+            sp.sparkContext.setLocalProperty(
+              "spark.scheduler.pool", "graft-index-build")
+            sp.sparkContext.setJobGroup(jobGroup(token),
+              s"graft point index build: $name", interruptOnCancel = true)
+          }
         // a FATAL build error (driver OOM on the capped collect) must
         // still mark the epoch unindexable before propagating — state
         // left stale would re-trigger the same fatal build on every
         // subsequent lookup, a crash loop of heavy jobs; NonFatal and
-        // interrupts are already absorbed to None inside doBuild
-        try state = (target, doBuild())
-        catch { case fatal: Throwable => state = (target, None); throw fatal }
-        finally building.set(Long.MinValue)
+        // interrupts are already absorbed to None inside doBuild. Every
+        // commit is TOKEN-GUARDED under commitLock: a builder whose
+        // token the watchdog stole is a zombie — it must neither write
+        // state (epoch regression) nor release a flag it no longer owns.
+        val result = try Right(doBuild()) catch { case fatal: Throwable => Left(fatal) }
+        commitLock.synchronized {
+          if (building.get() == token) {
+            state = (target, result.getOrElse(None))
+            building.set(Long.MinValue)
+          }
+        }
+        result.left.foreach(throw _)
       }, s"graft-point-index-$name")
       t.setDaemon(true)
+      builderThread = t
       t.start()
+    } else watchdog(now)
+  }
+
+  private def jobGroup(token: Long) = s"graft-point-index-$name-$token"
+
+  /** Reclaim a build that has been running past [[buildDeadlineMs]]: a
+    * hung distributed job would otherwise hold the single-flight flag
+    * forever — no future rebuild could start and lookups would serve the
+    * previous epoch's map indefinitely (unbounded staleness). The steal
+    * invalidates the straggler's commit token FIRST (so it can never
+    * regress state), then interrupts its thread and cancels its job
+    * group; the NEXT trigger starts a fresh build.
+    */
+  private def watchdog(now: Long): Unit = {
+    val cur = building.get()
+    if (cur != Long.MinValue && now - cur > buildDeadlineMs * 1000000L) {
+      commitLock.synchronized {
+        if (building.get() == cur) {
+          log.warn(s"point index '$name' build exceeded ${buildDeadlineMs} ms; " +
+            "reclaiming single-flight, interrupting the straggler, and " +
+            "cancelling its job group")
+          building.set(Long.MinValue)
+          Option(builderThread).foreach(_.interrupt())
+          org.apache.spark.sql.SparkSession.getActiveSession
+            .orElse(org.apache.spark.sql.SparkSession.getDefaultSession)
+            .foreach(_.sparkContext.cancelJobGroup(jobGroup(cur)))
+        }
+      }
     }
+  }
 
   /** Block until the index state is current for the data epoch (build
     * finished — live OR marked over-cap), triggering the build if no

@@ -312,6 +312,38 @@ class HttpApiSpec extends SparkSpec {
     } finally clock = clockDefault
   }
 
+  test("point index watchdog: a hung build is reclaimed past the deadline; the zombie cannot commit; a fresh build restores bounded staleness") {
+    import spark.implicits._
+    val calls = new java.util.concurrent.atomic.AtomicInteger
+    val idx = new graft.serving.PointIndex("wd-test",
+      () => {
+        if (calls.getAndIncrement() == 0) {
+          // simulate a hung first build; the watchdog's interrupt frees it
+          try Thread.sleep(120000)
+          catch { case _: InterruptedException =>
+            Thread.currentThread().interrupt()
+            throw new RuntimeException("hung build interrupted")
+          }
+        }
+        Seq(("k", 1L)).toDF("key", "v")
+      },
+      // deadline chosen ABOVE a legitimate small build (~hundreds of ms
+      // warm) and far below the simulated hang — a too-tight deadline
+      // would make the watchdog kill healthy builds in a loop
+      r => r.getString(0), maxRows = 100, buildDeadlineMs = 5000)
+    // first lookup triggers the hung build; no epoch was ever indexed, so
+    // callers fall back (None) rather than wait
+    assert(idx.lookup("k").isEmpty)
+    Thread.sleep(5500) // let the build run past its deadline
+    idx.lookup("k")    // watchdog fires here: steal + interrupt + cancel
+    // a fresh build must now be able to start and land — without the
+    // watchdog the single-flight flag is held forever and this times out
+    assert(idx.awaitCurrent(30000),
+      "fresh build never landed after the watchdog reclaim")
+    assert(idx.lookup("k").exists(_.nonEmpty), "index must serve after recovery")
+    assert(calls.get() >= 2, "expected a second (fresh) build invocation")
+  }
+
   test("point indexes: byte-identical to the per-request plans, over-cap fallback, epoch rebuild") {
     // three servers over the SAME derived tables: index on (default cap),
     // index disabled (cap 0 — every request runs its per-request plan),

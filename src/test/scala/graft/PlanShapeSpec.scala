@@ -309,6 +309,18 @@ class PlanShapeSpec extends SparkSpec {
       .queryExecution.optimizedPlan.toString
     assert(p1.contains("strategy=broadcast"),
       "footer-bounded corpus lost its dictionary broadcast hint")
+    // the BYTE leg of the gate: the doc-count cutoff alone cannot bound
+    // vocabulary (few-but-huge documents), so the gate also requires a
+    // footer byte bound on the text column — verify the helper reads the
+    // real chunk metadata and disqualifies computed projections
+    val docs = graft.core.Tables.documents(spark, sf)
+    val bytes = graft.core.RowCounts.columnUncompressedBytes(docs, "text")
+    assert(bytes.exists(b => b > 0 && b < 512L * 1024 * 1024),
+      s"text byte bound unreadable or implausible: $bytes")
+    import org.apache.spark.sql.functions.{concat, col}
+    val computed = docs.select(concat(col("text"), col("text")).as("text"))
+    assert(graft.core.RowCounts.columnUncompressedBytes(computed, "text").isEmpty,
+      "computed text must disqualify the footer byte bound")
   }
 
   test("q17: one lineitem scan, one exchange — window and final agg share the partkey partitioning") {
