@@ -40,7 +40,20 @@ import pyarrow.compute as pc
 import pyarrow.parquet as pq
 
 COPY = ["region", "nation", "customer", "supplier", "part", "events",
-        "documents", "embeddings"]
+        "embeddings"]
+
+# Hot-template document skew: a fixed boilerplate phrase prepended to 10%
+# of documents (i%10==0) ACROSS scale_up's disjoint-vocabulary copies —
+# the crawler-artifact / shared-header scenario where one stop-phrase's
+# w-shingles acquire corpus-scale document frequency. scale_up's
+# construction keeps shingle df flat by design, so the shingle-join
+# family (containment/jaccard/minhash) never meets a hot shingle without
+# this: each of the template's interior 3-shingles lands in 10% of ALL
+# docs, and the exact containment self-join then emits C(0.1*N, 2) pairs
+# per hot shingle — the quadratic blowup dedup_containment_capped's df
+# ceiling exists to cut.
+HOT_TEMPLATE = ("subscribe to our newsletter today for breaking updates "
+                "and exclusive member offers")
 
 
 def skew_column(table, col, hot_values):
@@ -69,6 +82,19 @@ def main(src, dst):
         t = pq.read_table(f"{src}/{name}.parquet")
         pq.write_table(t, f"{dst}/{name}.parquet", row_group_size=rg_size(t))
         print(f"{name}: copied verbatim ({t.num_rows} rows)")
+
+    import numpy as np
+    docs = pq.read_table(f"{src}/documents.parquet")
+    texts = docs["text"].combine_chunks()
+    mask = pa.array(np.arange(docs.num_rows) % 10 == 0)
+    prefixed = pc.binary_join_element_wise(
+        pa.scalar(HOT_TEMPLATE, type=texts.type), texts, " ")
+    out = pc.if_else(mask, prefixed, texts)
+    i = docs.schema.get_field_index("text")
+    docs = docs.set_column(i, docs.schema.field(i), out.cast(texts.type))
+    pq.write_table(docs, f"{dst}/documents.parquet", row_group_size=rg_size(docs))
+    print(f"documents: hot template prepended to {docs.num_rows // 10} "
+          f"of {docs.num_rows} docs")
 
     orders = pq.read_table(f"{src}/orders.parquet")
     custkeys = orders["o_custkey"].combine_chunks()

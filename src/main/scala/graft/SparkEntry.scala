@@ -1465,6 +1465,31 @@ object SparkEntry {
              |FROM inter JOIN sz x ON x.doc_id = doc_a JOIN sz y ON y.doc_id = doc_b
              |WHERE round(i * 1.0 / x.n, 6) >= 0.6 OR round(i * 1.0 / y.n, 6) >= 0.6""".stripMargin)),
 
+    // containment with a shingle document-frequency ceiling (5% of docs):
+    // the hot-shingle mitigation — semantics differ from the exact
+    // predicate (filtered sets), hence its own gate
+    Q("dedup_containment_capped",
+      (s, d) => Dedup.containmentPairsCapped(
+        Tables.documents(s, d), "text", "doc_id", 3, 0.6, 0.05),
+      Some("""WITH toks AS (
+             |  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS t
+             |  FROM documents),
+             |sh AS (SELECT DISTINCT doc_id, concat_ws(' ', t[i], t[i+1], t[i+2]) AS s
+             |       FROM (SELECT doc_id, t, unnest(range(1, len(t) - 1)) AS i FROM toks)
+             |       WHERE len(t) >= 3),
+             |hot AS (SELECT s FROM sh GROUP BY s
+             |        HAVING count(*) > ceil(0.05 * (SELECT count(*) FROM documents))),
+             |f AS (SELECT * FROM sh WHERE s NOT IN (SELECT s FROM hot)),
+             |sz AS (SELECT doc_id, count(*) AS n FROM f GROUP BY 1),
+             |inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i
+             |          FROM f a JOIN f b ON a.s = b.s AND a.doc_id < b.doc_id
+             |          GROUP BY 1, 2)
+             |SELECT doc_a, doc_b,
+             |       round(i * 1.0 / x.n, 6) AS c_ab,
+             |       round(i * 1.0 / y.n, 6) AS c_ba
+             |FROM inter JOIN sz x ON x.doc_id = doc_a JOIN sz y ON y.doc_id = doc_b
+             |WHERE round(i * 1.0 / x.n, 6) >= 0.6 OR round(i * 1.0 / y.n, 6) >= 0.6""".stripMargin)),
+
     // cross-corpus decontamination: doc_id % 20 == 0 plays the benchmark
     // suite, the rest the training corpus; pairs sharing >= 2 distinct
     // 3-gram shingles are contamination hits with the bench doc's

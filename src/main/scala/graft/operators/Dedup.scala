@@ -283,6 +283,57 @@ object Dedup {
       .select("doc_a", "doc_b", "c_ab", "c_ba")
   }
 
+  /** [[containmentPairs]] with a shingle DOCUMENT-FREQUENCY CEILING — the
+    * standard production mitigation for hot shingles (a boilerplate
+    * header, a stop-phrase, a shared template): a shingle occurring in
+    * more than `ceil(maxDfFrac * N)` documents is dropped from BOTH the
+    * pair generation and every document's set size, so containment is
+    * computed over the FILTERED shingle sets. Deliberately a separate
+    * operator, not a flag on containmentPairs: the semantics differ from
+    * the exact predicate (a pair can gain or lose membership when hot
+    * shingles are excluded), so pipelines opt in explicitly.
+    *
+    * Why the exact form needs this at scale: the self-join emits
+    * C(df_s, 2) rows PER SHINGLE — a stop-phrase shingle owning 10% of a
+    * 10^9-doc corpus alone yields ~5*10^15 join rows, quadratic blowup
+    * no partitioning fixes (measured on the hot-template skew tier, see
+    * SCALE_STRESS round 14). The ceiling restores the linear-in-corpus
+    * candidate bound: Σ C(df_s,2) ≤ maxDf/2 * Σ df_s = O(maxDf * S).
+    *
+    * Scale shape: the hot-shingle list is STRUCTURALLY dimension-sized —
+    * #{s : df_s > maxDf} ≤ S / maxDf for S total (doc, shingle) rows —
+    * so it broadcasts (hinted; the anti join stays map-side at any
+    * corpus size). One extra linear shuffle (the per-doc window that
+    * recounts the filtered set sizes) precedes the same
+    * shingle-self-join + pair-aggregation tail as the exact operator.
+    */
+  def containmentPairsCapped(df: DataFrame, textCol: String, idCol: String,
+                             w: Int = 3, threshold: Double = 0.8,
+                             maxDfFrac: Double = 0.05): DataFrame = {
+    val sh = graft.core.CacheScope.cached(
+      shinglesN(df, textCol, idCol, w).select(col("doc"), col("shingle")))
+    // corpus size as a 1-row scalar (cross-joined in — no driver count)
+    val nDf = df.select(count(lit(1)).cast("double").as("_nd"))
+    val hot = sh.groupBy(col("shingle")).agg(count(lit(1)).as("_df"))
+      .crossJoin(nDf)
+      .filter(col("_df") > ceil(lit(maxDfFrac) * col("_nd")))
+      .select("shingle")
+    val filtered = graft.core.CacheScope.cached(
+      sh.join(broadcast(hot), Seq("shingle"), "left_anti")
+        .withColumn("n", count(lit(1)).over(Window.partitionBy(col("doc"))))
+        .repartition(wideShufflePartitions(df), col("shingle")))
+    filtered.as("a").hint("merge")
+      .join(filtered.as("b"),
+        col("a.shingle") === col("b.shingle") && col("a.doc") < col("b.doc"))
+      .groupBy(col("a.doc").as("doc_a"), col("b.doc").as("doc_b"),
+        col("a.n").as("na"), col("b.n").as("nb"))
+      .agg(count(lit(1)).as("i"))
+      .withColumn("c_ab", round(col("i").cast("double") / col("na"), 6))
+      .withColumn("c_ba", round(col("i").cast("double") / col("nb"), 6))
+      .filter(col("c_ab") >= threshold || col("c_ba") >= threshold)
+      .select("doc_a", "doc_b", "c_ab", "c_ba")
+  }
+
   /** Cross-corpus contamination (train ↔ eval n-gram overlap — the
     * decontamination check every serious pretraining pipeline runs before
     * training): for each (train, bench) doc pair sharing at least
