@@ -302,16 +302,23 @@ object Dedup {
     *
     * Scale shape: the hot-shingle list is STRUCTURALLY dimension-sized —
     * #{s : df_s > maxDf} ≤ S / maxDf for S total (doc, shingle) rows —
-    * so it broadcasts (hinted; the anti join stays map-side at any
-    * corpus size). One extra linear shuffle (the per-doc window that
-    * recounts the filtered set sizes) precedes the same
-    * shingle-self-join + pair-aggregation tail as the exact operator.
+    * so it broadcasts (hinted; the anti/semi joins stay map-side at any
+    * corpus size). Filtered set sizes are NOT recounted over the stream
+    * (an earlier per-doc window formulation sorted the whole shingle
+    * stream — measured 1410 vs 484 core-s against the exact operator at
+    * the 100x tier on a hot-free corpus); instead each doc's ORIGINAL
+    * in-row size rides the join and the pair aggregation's output —
+    * result-sized, tiny — is adjusted by a per-doc DROPPED-count table
+    * (`n_filtered = n − dropped`). The dropped stream holds only hot
+    * occurrences, so its aggregate is far below corpus scale, and the
+    * two adjustment joins shuffle the OUTPUT, never the shingle stream.
+    * Clean-tier overhead vs the exact operator is therefore one extra
+    * wide hash aggregation (the df census), nothing else.
     */
   def containmentPairsCapped(df: DataFrame, textCol: String, idCol: String,
                              w: Int = 3, threshold: Double = 0.8,
                              maxDfFrac: Double = 0.05): DataFrame = {
-    val sh = graft.core.CacheScope.cached(
-      shinglesN(df, textCol, idCol, w).select(col("doc"), col("shingle")))
+    val sh = graft.core.CacheScope.cached(shinglesN(df, textCol, idCol, w))
     // corpus size as a 1-row scalar (cross-joined in — no driver count)
     val nDf = df.select(count(lit(1)).cast("double").as("_nd"))
     val hot = sh.groupBy(col("shingle")).agg(count(lit(1)).as("_df"))
@@ -320,14 +327,21 @@ object Dedup {
       .select("shingle")
     val filtered = graft.core.CacheScope.cached(
       sh.join(broadcast(hot), Seq("shingle"), "left_anti")
-        .withColumn("n", count(lit(1)).over(Window.partitionBy(col("doc"))))
         .repartition(wideShufflePartitions(df), col("shingle")))
+    val dropped = sh.join(broadcast(hot), Seq("shingle"), "left_semi")
+      .groupBy(col("doc")).agg(count(lit(1)).as("_drop"))
     filtered.as("a").hint("merge")
       .join(filtered.as("b"),
         col("a.shingle") === col("b.shingle") && col("a.doc") < col("b.doc"))
       .groupBy(col("a.doc").as("doc_a"), col("b.doc").as("doc_b"),
-        col("a.n").as("na"), col("b.n").as("nb"))
+        col("a.n").as("_na0"), col("b.n").as("_nb0"))
       .agg(count(lit(1)).as("i"))
+      .join(dropped.select(col("doc").as("doc_a"), col("_drop").as("_da")),
+        Seq("doc_a"), "left")
+      .join(dropped.select(col("doc").as("doc_b"), col("_drop").as("_db")),
+        Seq("doc_b"), "left")
+      .withColumn("na", col("_na0") - coalesce(col("_da"), lit(0L)))
+      .withColumn("nb", col("_nb0") - coalesce(col("_db"), lit(0L)))
       .withColumn("c_ab", round(col("i").cast("double") / col("na"), 6))
       .withColumn("c_ba", round(col("i").cast("double") / col("nb"), 6))
       .filter(col("c_ab") >= threshold || col("c_ba") >= threshold)

@@ -322,16 +322,21 @@ object TextAnalysis {
   val DigitRunRe = "\\b[0-9]{7,}\\b"
 
   def redactPii(docs: DataFrame, textCol: String = "text"): DataFrame = {
-    def count(c: Column, re: String): Column =
-      size(regexp_extract_all(c, lit(re), lit(0))).cast("long")
+    // fused count-and-replace (RegexRedact): one Matcher pass per pattern
+    // instead of the composable count-then-replace's two — bit-identical
+    // (same java regex engine, same left-to-right non-overlapping
+    // discipline; spec-pinned against the composable form). Halved the
+    // gate's task time at the 100x tier.
+    val br = org.apache.spark.sql.GraftBridge
     graft.core.Spread.ensureParallel(docs)
-      .withColumn("n_emails", count(col(textCol), EmailRe))
-      .withColumn("_r1", regexp_replace(col(textCol), EmailRe, "<EMAIL>"))
-      .withColumn("n_ipv4", count(col("_r1"), Ipv4Re))
-      .withColumn("_r2", regexp_replace(col("_r1"), Ipv4Re, "<IP>"))
-      .withColumn("n_digit_runs", count(col("_r2"), DigitRunRe))
-      .withColumn("text_redacted", regexp_replace(col("_r2"), DigitRunRe, "<ID>"))
-      .drop("_r1", "_r2")
+      .withColumn("_e", br.regexRedact(col(textCol), EmailRe, "<EMAIL>"))
+      .withColumn("_i", br.regexRedact(col("_e.redacted"), Ipv4Re, "<IP>"))
+      .withColumn("_d", br.regexRedact(col("_i.redacted"), DigitRunRe, "<ID>"))
+      .withColumn("n_emails", col("_e.n"))
+      .withColumn("n_ipv4", col("_i.n"))
+      .withColumn("n_digit_runs", col("_d.n"))
+      .withColumn("text_redacted", col("_d.redacted"))
+      .drop("_e", "_i", "_d")
   }
 
   /** Sliding-window token chunking (training-example construction: split

@@ -80,18 +80,24 @@ object BucketAB {
     shape("j2 flat    ", j2(Tables.orders(spark, sfDir), Tables.lineitem(spark, sfDir)))
     shape("j2 bucketed", j2(bOrd, bLine))
 
-    def time(tag: String)(f: => Long): Unit = {
+    // noop SINK, never count(): Dataset.count() lets the optimizer PRUNE
+    // unreferenced aggregate expressions (a count over q1's aggregate
+    // never computes the sums at all — measured 9 vs 53 core-s), so a
+    // count-based A/B of aggregate arms compares pruned plans. The noop
+    // write materializes every output column, like the bench.
+    def time(tag: String)(df: => org.apache.spark.sql.DataFrame): Unit = {
       val m0 = taskMs.get
-      val t0 = System.nanoTime(); val n = f
+      val t0 = System.nanoTime()
+      df.write.format("noop").mode("overwrite").save()
       println(f"[bucket] $tag%-14s ${(System.nanoTime() - t0) / 1e9}%.3f s" +
-        f"  taskTime ${(taskMs.get - m0) / 1e3}%.1f s  rows $n")
+        f"  taskTime ${(taskMs.get - m0) / 1e3}%.1f s")
     }
     (1 to reps).foreach { rep =>
       println(s"--- rep $rep")
-      time("q3 flat")(q3(Tables.orders(spark, sfDir), Tables.lineitem(spark, sfDir)).count())
-      time("q3 bucketed")(q3(bOrd, bLine).count())
-      time("j2 flat")(j2(Tables.orders(spark, sfDir), Tables.lineitem(spark, sfDir)).count())
-      time("j2 bucketed")(j2(bOrd, bLine).count())
+      time("q3 flat")(q3(Tables.orders(spark, sfDir), Tables.lineitem(spark, sfDir)))
+      time("q3 bucketed")(q3(bOrd, bLine))
+      time("j2 flat")(j2(Tables.orders(spark, sfDir), Tables.lineitem(spark, sfDir)))
+      time("j2 bucketed")(j2(bOrd, bLine))
     }
     spark.stop()
   }

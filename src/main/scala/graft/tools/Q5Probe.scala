@@ -47,17 +47,22 @@ object Q5Probe {
         .agg(count(lit(1)).as("n_orders"),
           br.makeDecimal38(sum(col("_ut")), 2).cast("string").as("total_value"))
 
-    def time(tag: String)(f: => Long): Unit = {
+    // noop SINK, never count(): Dataset.count() lets the optimizer PRUNE
+    // unreferenced aggregate expressions (q5's sum would never be
+    // computed under a count), so a count-based A/B compares pruned
+    // plans. The noop write materializes every output column.
+    def time(tag: String)(df: => org.apache.spark.sql.DataFrame): Unit = {
       val (m0, j0) = (taskMs.get, jobs.get)
-      val t0 = System.nanoTime(); val n = f
+      val t0 = System.nanoTime()
+      df.write.format("noop").mode("overwrite").save()
       println(f"[q5] $tag%-16s ${(System.nanoTime() - t0) / 1e9}%.3f s" +
-        f"  taskTime ${(taskMs.get - m0) / 1e3}%.1f s  jobs ${jobs.get - j0}  rows $n")
+        f"  taskTime ${(taskMs.get - m0) / 1e3}%.1f s  jobs ${jobs.get - j0}")
     }
     (1 to reps).foreach { rep =>
       println(s"--- rep $rep")
       time("gate")(
-        graft.SparkEntry.queries("q5_region_rollup")(spark, sfDir).count())
-      time("collapsed (1-stage)")(collapsed().count())
+        graft.SparkEntry.queries("q5_region_rollup")(spark, sfDir))
+      time("collapsed (1-stage)")(collapsed())
     }
     spark.stop()
   }

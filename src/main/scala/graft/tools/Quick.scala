@@ -17,6 +17,14 @@ object Quick {
       .getOrElse(SparkEntry.queries.keys.toSeq.sorted)
     val reps = args.lift(2).map(_.toInt).getOrElse(2)
     val spark = Bench.session("32")
+    // same opt-in as Verify: point at a core.Layout dir to measure the
+    // bench session's adopted bucketed-layout config
+    sys.env.get("SPARK_GRAFT_LAYOUT_DIR").foreach { dir =>
+      spark.conf.set("spark.graft.layout.dir", dir)
+      spark.conf.set("spark.graft.layout.src", sfDir)
+      graft.core.GraftSession.addOverrides(spark,
+        Map("spark.graft.layout.dir" -> dir, "spark.graft.layout.src" -> sfDir))
+    }
     // host-noise-robust A/B metrics: wall clock on a shared box swings
     // 2-5x with external load, but job count / task count / summed task
     // time are (near-)deterministic per plan — report both.

@@ -67,20 +67,26 @@ object SumAB {
           col("_rev").cast("string").as("revenue"))
         .orderBy(col("o_orderkey"))
 
-    def time(tag: String)(f: => Long): Unit = {
+    // noop SINK, never count(): Dataset.count() lets the optimizer PRUNE
+    // unreferenced aggregate expressions (a count over q1's aggregate
+    // never computes the sums at all — measured 9 vs 53 core-s), so a
+    // count-based A/B of aggregate arms compares pruned plans. The noop
+    // write materializes every output column, like the bench.
+    def time(tag: String)(df: => org.apache.spark.sql.DataFrame): Unit = {
       val m0 = taskMs.get
-      val t0 = System.nanoTime(); val n = f
+      val t0 = System.nanoTime()
+      df.write.format("noop").mode("overwrite").save()
       println(f"[sumab] $tag%-18s ${(System.nanoTime() - t0) / 1e9}%.3f s" +
-        f"  taskTime ${(taskMs.get - m0) / 1e3}%.1f s  rows $n")
+        f"  taskTime ${(taskMs.get - m0) / 1e3}%.1f s")
     }
     (1 to reps).foreach { rep =>
       println(s"--- rep $rep")
-      time("q1 sum128 (old)")(q1Sum128().count())
+      time("q1 sum128 (old)")(q1Sum128())
       time("q1 long (gate)")(
-        graft.SparkEntry.queries("q1_pricing_summary")(spark, sfDir).count())
-      time("q3 sum128 (old)")(q3Sum128().count())
+        graft.SparkEntry.queries("q1_pricing_summary")(spark, sfDir))
+      time("q3 sum128 (old)")(q3Sum128())
       time("q3 long (gate)")(
-        graft.SparkEntry.queries("q3_top_revenue")(spark, sfDir).count())
+        graft.SparkEntry.queries("q3_top_revenue")(spark, sfDir))
     }
     spark.stop()
   }

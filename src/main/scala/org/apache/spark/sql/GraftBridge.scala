@@ -211,6 +211,13 @@ object GraftBridge {
   def canonFingerprint(text: Column): Column =
     ExpressionUtils.column(CanonFingerprint(ExpressionUtils.expression(text)))
 
+  /** Column of fused count-and-replace over one regex — struct(n,
+    * redacted) in one pass (see graft.functions.RegexRedact).
+    */
+  def regexRedact(text: Column, pattern: String, replacement: String): Column =
+    ExpressionUtils.column(graft.functions.RegexRedact(
+      ExpressionUtils.expression(text), pattern, replacement))
+
   /** Column of fused C4 line-filter stats (see
     * graft.functions.C4LineStats).
     */

@@ -55,6 +55,36 @@ class ScaleTechniquesSpec extends SparkSpec {
     }
   }
 
+  test("RegexRedact is bit-identical to the composable count-then-replace chain and evaluates once per pattern") {
+    import org.apache.spark.sql.functions.{regexp_extract_all, regexp_replace, size => fsize}
+    val docs = graft.core.Tables.documents(spark, "/root/testdata/sf0.001")
+      .select(col("doc_id"),
+        concat(col("text"), lit(" a.b-x%9@mail.example 10.0.0."),
+          col("doc_id") % 250, lit(" id 123456789 e@f"), lit(" @nope 1.2.3"),
+          lit(" x@y.zw 999.999.999.999")).as("text"))
+    val fused = graft.operators.TextAnalysis.redactPii(docs)
+      .select("doc_id", "n_emails", "n_ipv4", "n_digit_runs", "text_redacted")
+    def cnt(c: org.apache.spark.sql.Column, re: String) =
+      fsize(regexp_extract_all(c, lit(re), lit(0))).cast("long")
+    import graft.operators.TextAnalysis.{EmailRe, Ipv4Re, DigitRunRe}
+    val composable = docs
+      .withColumn("n_emails", cnt(col("text"), EmailRe))
+      .withColumn("_r1", regexp_replace(col("text"), EmailRe, "<EMAIL>"))
+      .withColumn("n_ipv4", cnt(col("_r1"), Ipv4Re))
+      .withColumn("_r2", regexp_replace(col("_r1"), Ipv4Re, "<IP>"))
+      .withColumn("n_digit_runs", cnt(col("_r2"), DigitRunRe))
+      .withColumn("text_redacted", regexp_replace(col("_r2"), DigitRunRe, "<ID>"))
+      .select("doc_id", "n_emails", "n_ipv4", "n_digit_runs", "text_redacted")
+    assert(fused.except(composable).isEmpty && composable.except(fused).isEmpty,
+      "fused redaction must be bit-identical to the composable chain")
+    // one Matcher pass per pattern: each redactor appears ONCE in the
+    // plan (CollapseProject must keep the non-cheap aliases, not inline
+    // a second evaluation for the struct's second field)
+    val p = fused.queryExecution.executedPlan.toString
+    val evals = "graft_regex_redact".r.findAllIn(p).size
+    assert(evals == 3, s"expected 3 redactor evaluations in the plan, found $evals:\n$p")
+  }
+
   test("Layout: manifest round-trip re-registers the bucketed layout; orderkey join runs exchange-free and sort-free; Tables redirect is opt-in and src-keyed") {
     val sf = "/root/testdata/sf0.001"
     val dir = java.nio.file.Files.createTempDirectory("layout").toString
