@@ -2026,32 +2026,51 @@ object SparkEntry {
     Q("sketch_quantiles",
       (s, d) => {
         // rank-error bound: approx_percentile(accuracy=1000) returns an
-        // ELEMENT whose rank is within ~n/1000 of the target rank p*n.
-        // The check verifies rank membership directly: per (group, prob),
-        // count values <=/< the sketch's answer in ONE linear pass (li
-        // broadcast-joined to the 9-row sketch output) and assert the
-        // rank interval [r_lt+1, r_le] meets [(p-eps)n, (p+eps)n] with
-        // eps=0.01 — a 10x margin over the sketch guarantee (+/-1 rank
-        // slack for ties). An exact-percentile bracket was the first
-        // formulation and cost 3.3 s of the sf0.1 bench: `percentile`
-        // aggregates a per-group value->count map, which on ~200k
-        // DISTINCT doubles per group is exactly the cardinality
-        // Stats.exactQuantiles' scaladoc warns it is NOT for. Counting
-        // ranks needs no sort and no map: two codegen'd passes total.
+        // ELEMENT whose rank is within ~n/1000 of the target rank p*n;
+        // the gate VERIFIES that rank membership against the data with
+        // eps=0.01 (a 10x margin; +/-1 rank slack for ties). The exact
+        // `percentile` was rejected first (per-group value->count map —
+        // the cardinality class its scaladoc warns about), and a
+        // histogram-census exact formulation (Stats.histogramQuantiles)
+        // was built and measured SLOWER than the sketch at sf10
+        // (~130-170 vs ~30-40 core-s — its exactness needs two full
+        // scans); it ships as the exact-at-scale OPERATOR, the gate
+        // keeps the sketch.
         val probs = Seq(0.25, 0.5, 0.95)
         val eps = 0.01
         val li = Tables.lineitem(s, d).select(col("l_returnflag").as("g"),
           col("l_extendedprice").cast("double").as("v"))
-        val approx = operators.Stats.approxQuantiles(li, "v", "g", probs, 1000)
-        val p = element_at(array(probs.map(lit): _*), col("which").cast("int"))
-        li.join(broadcast(approx), "g")
-          .groupBy(col("g"), col("which"), col("q"))
-          .agg(count(lit(1)).as("n"),
-            sum(when(col("v") <= col("q"), 1L).otherwise(0L)).as("r_le"),
-            sum(when(col("v") < col("q"), 1L).otherwise(0L)).as("r_lt"))
-          .select(col("g"), col("which"), col("n"),
-            (col("r_lt") <= (p + eps) * col("n") + 1 &&
-              col("r_le") >= (p - eps) * col("n") - 1).as("within_bound"))
+        // the sketch lands as a COLLECTED 9-row threshold table (the
+        // bounded dimension-collect pattern, like the DSIR bucket model):
+        // the check then runs as ONE un-multiplied codegen'd pass —
+        // per-(group, prob) thresholds become CASE-on-group literal
+        // columns and each prob contributes two conditional sums. The
+        // prior broadcast-join check multiplied every row by |probs|
+        // before aggregating (3x the scan width; measured ~180 vs ~50
+        // core-s for the whole gate at sf10).
+        val qs = operators.Stats.approxQuantiles(li, "v", "g", probs, 1000)
+          .collect().map(r => (r.getString(0), r.get(1).toString.toInt, r.getDouble(2)))
+        def thresholdFor(w: Int): org.apache.spark.sql.Column =
+          qs.filter(_._2 == w).foldLeft(lit(Double.NaN)) {
+            case (acc, (g, _, q)) => when(col("g") === g, q).otherwise(acc)
+          }
+        val sums = probs.indices.flatMap { i =>
+          val w = i + 1
+          Seq(sum(when(col("v") <= thresholdFor(w), 1L).otherwise(0L)).as(s"_le$w"),
+            sum(when(col("v") < thresholdFor(w), 1L).otherwise(0L)).as(s"_lt$w"))
+        }
+        val aggs = (count(lit(1)).as("n") +: sums)
+        val perW = probs.indices.map { i =>
+          val w = i + 1
+          struct(lit(w.toLong).as("which"), lit(probs(i)).as("p"),
+            col(s"_le$w").as("r_le"), col(s"_lt$w").as("r_lt"))
+        }
+        li.groupBy(col("g"))
+          .agg(aggs.head, aggs.tail: _*)
+          .select(col("g"), col("n"), explode(array(perW: _*)).as("w"))
+          .select(col("g"), col("w.which").as("which"), col("n"),
+            (col("w.r_lt") <= (col("w.p") + eps) * col("n") + 1 &&
+              col("w.r_le") >= (col("w.p") - eps) * col("n") - 1).as("within_bound"))
           .orderBy("g", "which")
       },
       Some("""SELECT l_returnflag AS g, v.i AS which,

@@ -151,6 +151,87 @@ object RowCounts {
     }
   }
 
+  /** ZERO-JOB (min, max) of a numeric column from parquet footer
+    * statistics — same plan walk and trust rules as [[columnAbsBound]].
+    * None when any chunk lacks trustworthy stats or the plan is opaque.
+    * All-null chunks contribute nothing; an all-null COLUMN yields None.
+    */
+  def columnRange(df: DataFrame, column: String): Option[(Double, Double)] = {
+    columnAbsBound(df, column) match {
+      case None => None
+      case Some(_) =>
+        // bounded-abs proof succeeded; re-walk for the signed range
+        rangeBound(df.queryExecution.optimizedPlan, column, df)
+    }
+  }
+
+  private def rangeBound(plan: LogicalPlan, column: String,
+                         df: DataFrame): Option[(Double, Double)] = plan match {
+    case p: Project =>
+      p.projectList.find(_.name == column).flatMap {
+        case a: AttributeReference => rangeBound(p.child, a.name, df)
+        case al: org.apache.spark.sql.catalyst.expressions.Alias =>
+          al.child match {
+            case a: AttributeReference => rangeBound(p.child, a.name, df)
+            case _ => None
+          }
+        case _ => None
+      }
+    case f: Filter => rangeBound(f.child, column, df)
+    case lr: LogicalRelation =>
+      lr.relation match {
+        case rel: HadoopFsRelation if rel.fileFormat.isInstanceOf[ParquetFileFormat] =>
+          footerRange(rel, column, df)
+        case _ => None
+      }
+    case _ => None
+  }
+
+  private def footerRange(rel: HadoopFsRelation, column: String,
+                          df: DataFrame): Option[(Double, Double)] = {
+    val files = rel.location.inputFiles
+    if (files.isEmpty || files.length > maxFooterFiles) None
+    else {
+      import org.apache.hadoop.fs.Path
+      import org.apache.parquet.hadoop.ParquetFileReader
+      import org.apache.parquet.hadoop.util.HadoopInputFile
+      import scala.jdk.CollectionConverters._
+      val conf = df.sparkSession.sessionState.newHadoopConf()
+      try {
+        var mn = Double.PositiveInfinity
+        var mx = Double.NegativeInfinity
+        var any = false
+        files.foreach { f =>
+          val r = ParquetFileReader.open(HadoopInputFile.fromPath(new Path(f), conf))
+          try r.getFooter.getBlocks.asScala.foreach { block =>
+            block.getColumns.asScala
+              .find(_.getPath.toDotString == column)
+              .foreach { c =>
+                val s = c.getStatistics
+                if (s != null && !s.isEmpty && s.hasNonNullValue) {
+                  val (lo, hi) = s match {
+                    case d: org.apache.parquet.column.statistics.DoubleStatistics =>
+                      (d.getMin, d.getMax)
+                    case fl: org.apache.parquet.column.statistics.FloatStatistics =>
+                      (fl.getMin.toDouble, fl.getMax.toDouble)
+                    case l: org.apache.parquet.column.statistics.LongStatistics =>
+                      (l.getMin.toDouble, l.getMax.toDouble)
+                    case i: org.apache.parquet.column.statistics.IntStatistics =>
+                      (i.getMin.toDouble, i.getMax.toDouble)
+                    case _ => (Double.NaN, Double.NaN)
+                  }
+                  if (!lo.isNaN) { mn = math.min(mn, lo); mx = math.max(mx, hi); any = true }
+                }
+              }
+          } finally r.close()
+        }
+        if (any && java.lang.Double.isFinite(mn) && java.lang.Double.isFinite(mx))
+          Some((mn, mx))
+        else None
+      } catch { case scala.util.control.NonFatal(_) => None }
+    }
+  }
+
   /** ZERO-JOB upper bound on the total UNCOMPRESSED bytes of one column,
     * from parquet footer chunk metadata — same plan walk as
     * [[columnAbsBound]] (Project pass-through, Filter only shrinks).

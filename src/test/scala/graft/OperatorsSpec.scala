@@ -533,6 +533,32 @@ class OperatorsSpec extends SparkSpec {
     assert(approx === Map(1 -> 26.0, 2 -> 51.0, 3 -> 91.0))
   }
 
+  test("histogram quantiles return the EXACT k-th smallest element, including multi-valued and single-valued crossing bins") {
+    val s = spark
+    import s.implicits._
+    // two groups, duplicates, and a value distribution that lands probs
+    // in both single-valued bins (value 7 repeated — one bin, bmn==bmx)
+    // and multi-valued bins (the dense 1..101 run with 16 bins)
+    val base = (1L to 101L).map(i => (i.toDouble, "a")) ++
+      Seq.fill(40)((7.0, "b")) ++ (1 to 10).map(i => (i * 3.0, "b"))
+    val rows = base.toDF("v", "grp")
+    val probs = Seq(0.25, 0.5, 0.9)
+    val got = Stats.histogramQuantiles(rows, "v", "grp", probs, 1.0, 101.0, bins = 16)
+      .collect().map(r => (r.getString(0), r.getLong(1).toInt) -> r.getDouble(2)).toMap
+    // oracle: exact k-th smallest, k = max(1, ceil(p*n)), per group
+    val byG = base.groupBy(_._2).view.mapValues(_.map(_._1).sorted).toMap
+    for (g <- Seq("a", "b"); (p, i) <- probs.zipWithIndex) {
+      val vs = byG(g)
+      val k = math.max(1, math.ceil(p * vs.length).toLong).toInt
+      assert(got((g, i + 1)) === vs(k - 1),
+        s"group $g p=$p: got ${got((g, i + 1))}, want rank-$k element ${vs(k - 1)}")
+    }
+    // values outside [lo, hi] clamp into edge bins and stay correct
+    val clamped = Stats.histogramQuantiles(rows, "v", "grp", probs, 5.0, 50.0, bins = 4)
+      .collect().map(r => (r.getString(0), r.getLong(1).toInt) -> r.getDouble(2)).toMap
+    assert(clamped === got, "clamped-range histogram must return identical elements")
+  }
+
   test("stratified sampling: per-stratum rates, deterministic, default applies") {
     val s = spark
     import s.implicits._
