@@ -96,10 +96,20 @@ object Bench {
         Seq("lineitem" -> "l_orderkey", "orders" -> "o_orderkey").foreach {
           case (t, key) =>
             val path = s"$layoutDir/b_$t"
-            if (!new java.io.File(path, "_layout.json").exists()) {
+            val src = new java.io.File(s"$sfDir/$t.parquet")
+            val fp = graft.core.Layout.fingerprint(src)
+            // (re)build when absent OR stale — the manifest records the
+            // source fingerprint and Tables refuses a mismatched layout,
+            // so a regenerated tier triggers a rebuild here instead of a
+            // silent flat fallback in every timed query
+            val fresh = graft.core.Layout.bucketedFromManifest(
+              spark, s"bench_probe_$t", path, Some(fp)).isDefined
+            spark.sql(s"DROP TABLE IF EXISTS bench_probe_$t")
+            if (!fresh) {
               val t0 = System.nanoTime()
               graft.core.Layout.writeBucketed(
-                graft.core.Tables.load(spark, sfDir, t), s"bench_b_$t", path, key, 32)
+                graft.core.Tables.load(spark, sfDir, t), s"bench_b_$t", path, key, 32,
+                srcFingerprint = Some(fp))
               System.err.println(f"[bench] layout build $t -> $path " +
                 f"${(System.nanoTime() - t0) / 1e9}%.1f s (one-time)")
             }

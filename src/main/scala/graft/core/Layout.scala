@@ -26,8 +26,27 @@ object Layout {
     * `path`, registered as `table` in the session catalog. One-time
     * layout cost: a full shuffle of `df` into `buckets` output tasks.
     */
+  /** Identity of a layout's SOURCE data (size + mtime, recursive for
+    * directories): recorded in the manifest at write time and validated
+    * at redirect time, so a layout built from since-regenerated source
+    * files can never silently answer for the new data — the staleness
+    * class every derived-artifact cache has to close.
+    */
+  def fingerprint(src: java.io.File): String = {
+    def walk(f: java.io.File): (Long, Long) =
+      if (f.isDirectory)
+        Option(f.listFiles()).toSeq.flatten
+          .filterNot(_.getName.startsWith("_layout"))
+          .map(walk).foldLeft((0L, 0L)) {
+            case ((sz, mt), (s2, m2)) => (sz + s2, math.max(mt, m2)) }
+      else (f.length, f.lastModified)
+    val (sz, mt) = walk(src)
+    s"$sz:$mt"
+  }
+
   def writeBucketed(df: DataFrame, table: String, rawPath: String,
-                    key: String, buckets: Int): Unit = {
+                    key: String, buckets: Int,
+                    srcFingerprint: Option[String] = None): Unit = {
     val spark = df.sparkSession
     // a relative location would silently resolve under the session
     // warehouse dir (and diverge from the manifest path below)
@@ -52,7 +71,8 @@ object Layout {
     // self-describing layout: a later session re-registers from the
     // manifest instead of trusting a caller to repeat the bucket spec
     val esc = df.schema.toDDL.replace("\\", "\\\\").replace("\"", "\\\"")
-    val manifest = s"""{"key":"$key","buckets":$buckets,"schema":"$esc"}"""
+    val fp = srcFingerprint.map(f => s""","src":"$f"""").getOrElse("")
+    val manifest = s"""{"key":"$key","buckets":$buckets$fp,"schema":"$esc"}"""
     java.nio.file.Files.write(
       java.nio.file.Paths.get(path, "_layout.json"),
       manifest.getBytes(java.nio.charset.StandardCharsets.UTF_8))
@@ -60,26 +80,36 @@ object Layout {
 
   /** Register-and-read a layout directory written by [[writeBucketed]],
     * taking the bucket spec from its `_layout.json` manifest. None when
-    * the directory holds no committed layout.
+    * the directory holds no committed layout, or when
+    * `expectSrcFingerprint` is supplied and does not match the
+    * manifest's recorded source identity (regenerated source data —
+    * the layout is STALE and must not answer; mismatch also covers a
+    * manifest written without a fingerprint).
     */
   def bucketedFromManifest(spark: SparkSession, table: String,
-                           path: String): Option[DataFrame] = {
+                           path: String,
+                           expectSrcFingerprint: Option[String] = None)
+      : Option[DataFrame] = {
     val p = java.nio.file.Paths.get(path, "_layout.json")
     val ok = java.nio.file.Files.exists(p) &&
       java.nio.file.Files.exists(java.nio.file.Paths.get(path, "_SUCCESS"))
     if (!ok) None
     else {
-      if (!spark.catalog.tableExists(table)) {
-        val m = new String(java.nio.file.Files.readAllBytes(p),
-          java.nio.charset.StandardCharsets.UTF_8)
-        // tiny fixed-shape manifest; extract the three fields directly
-        val key = "\"key\":\"([^\"]+)\"".r.findFirstMatchIn(m).get.group(1)
-        val buckets = "\"buckets\":(\\d+)".r.findFirstMatchIn(m).get.group(1).toInt
-        val schema = "\"schema\":\"(.*)\"\\}\\s*$".r.findFirstMatchIn(m).get.group(1)
-          .replace("\\\"", "\"").replace("\\\\", "\\")
-        register(spark, table, path, key, buckets, schema)
+      val m = new String(java.nio.file.Files.readAllBytes(p),
+        java.nio.charset.StandardCharsets.UTF_8)
+      val recorded = "\"src\":\"([^\"]+)\"".r.findFirstMatchIn(m).map(_.group(1))
+      if (expectSrcFingerprint.isDefined && recorded != expectSrcFingerprint) None
+      else {
+        if (!spark.catalog.tableExists(table)) {
+          // tiny fixed-shape manifest; extract the fields directly
+          val key = "\"key\":\"([^\"]+)\"".r.findFirstMatchIn(m).get.group(1)
+          val buckets = "\"buckets\":(\\d+)".r.findFirstMatchIn(m).get.group(1).toInt
+          val schema = "\"schema\":\"(.*)\"\\}\\s*$".r.findFirstMatchIn(m).get.group(1)
+            .replace("\\\"", "\"").replace("\\\\", "\\")
+          register(spark, table, path, key, buckets, schema)
+        }
+        Some(spark.table(table))
       }
-      Some(spark.table(table))
     }
   }
 

@@ -100,7 +100,11 @@ object Tables {
         val path = s"$dir/b_$name"
         val table = s"b_${name}_${Integer.toHexString(path.hashCode).takeRight(8)}"
         resolved.get((spark, path)).orElse {
-          val df = Layout.bucketedFromManifest(spark, table, path)
+          // staleness fence: the layout only answers if its recorded
+          // source fingerprint matches the flat file AS IT IS NOW — a
+          // regenerated tier silently falls back to flat reads
+          val fp = Layout.fingerprint(new java.io.File(s"$sfDir/$name.parquet"))
+          val df = Layout.bucketedFromManifest(spark, table, path, Some(fp))
           df.foreach(resolved.put((spark, path), _))
           df
         }

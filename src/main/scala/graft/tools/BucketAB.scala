@@ -32,7 +32,9 @@ object BucketAB {
       if (!new java.io.File(path, "_SUCCESS").exists()) {
         println(s"[bucket] writing $table bucketed($buckets, $key) -> $path")
         val t0 = System.nanoTime()
-        Layout.writeBucketed(src, table, path, key, buckets)
+        val flat = new java.io.File(s"$sfDir/${table.stripPrefix("b_")}.parquet")
+        Layout.writeBucketed(src, table, path, key, buckets,
+          srcFingerprint = Some(Layout.fingerprint(flat)))
         println(f"[bucket]   layout write ${(System.nanoTime() - t0) / 1e9}%.1f s")
         spark.table(table)
       } else Layout.bucketed(spark, table, path, key, buckets, src)

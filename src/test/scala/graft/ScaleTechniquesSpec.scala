@@ -90,8 +90,12 @@ class ScaleTechniquesSpec extends SparkSpec {
     val dir = java.nio.file.Files.createTempDirectory("layout").toString
     val li = graft.core.Tables.lineitem(spark, sf)
     val ord = graft.core.Tables.orders(spark, sf)
-    graft.core.Layout.writeBucketed(li, "t_b_lineitem", s"$dir/b_lineitem", "l_orderkey", 8)
-    graft.core.Layout.writeBucketed(ord, "t_b_orders", s"$dir/b_orders", "o_orderkey", 8)
+    val fpLi = graft.core.Layout.fingerprint(new java.io.File(s"$sf/lineitem.parquet"))
+    val fpOrd = graft.core.Layout.fingerprint(new java.io.File(s"$sf/orders.parquet"))
+    graft.core.Layout.writeBucketed(li, "t_b_lineitem", s"$dir/b_lineitem", "l_orderkey", 8,
+      srcFingerprint = Some(fpLi))
+    graft.core.Layout.writeBucketed(ord, "t_b_orders", s"$dir/b_orders", "o_orderkey", 8,
+      srcFingerprint = Some(fpOrd))
     // fresh-session simulation: drop the catalog entries, re-register
     // from the on-disk manifest alone
     spark.sql("DROP TABLE t_b_lineitem"); spark.sql("DROP TABLE t_b_orders")
@@ -131,6 +135,11 @@ class ScaleTechniquesSpec extends SparkSpec {
       val other = graft.core.Tables.lineitem(spark, "/root/testdata/sf0.01")
       assert(!other.queryExecution.optimizedPlan.toString.contains("b_lineitem"),
         "redirect must not fire for a different sfDir")
+      // staleness fence: a layout whose recorded source fingerprint does
+      // not match the flat file NOW must refuse to answer
+      assert(graft.core.Layout.bucketedFromManifest(spark, "t_stale",
+        s"$dir/b_lineitem", Some("0:0")).isEmpty,
+        "a fingerprint mismatch must disqualify the layout")
     } finally {
       spark.conf.unset("spark.graft.layout.dir")
       spark.conf.unset("spark.graft.layout.src")
