@@ -1849,8 +1849,9 @@ object SparkEntry {
     Q("emb_l2_normalize",
       (s, d) => operators.Embeddings.l2Normalize(Tables.embeddings(s, d))
         .select(col("vec_id"),
-          array_join(transform(col("normalized"),
-            x => round(x, 6).cast("decimal(10,6)").cast("string")), ",")
+          // fused native rendering — bit-identical to
+          // array_join(transform(round/cast/cast), ",") by spec
+          org.apache.spark.sql.GraftBridge.formatDec6Csv(col("normalized"))
             .as("normalized")),
       Some("""WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
              |n AS (SELECT vec_id, e, sqrt(list_dot_product(e, e)) AS nrm FROM v)

@@ -22,18 +22,15 @@ object Embeddings {
     * CollapseProject staging rule as quantizeInt8's scale).
     */
   def l2Normalize(emb: DataFrame, idCol: String = "vec_id",
-                  vecCol: String = "embedding"): DataFrame = {
-    // spread: the per-element HOF math is CPU-bound interpreted work — a
-    // single-split source would run the whole corpus on one core
-    val staged = graft.core.Spread.ensureParallel(emb)
-      .select(col(idCol), asDouble(col(vecCol)).as("_v"))
-      .withColumn("_n",
-        sqrt(org.apache.spark.sql.GraftBridge.dotProduct(col("_v"), col("_v"))))
-    staged.select(col(idCol),
-      when(col("_n") === 0.0, col("_v"))
-        .otherwise(transform(col("_v"), x => x / col("_n")))
-        .as("normalized"))
-  }
+                  vecCol: String = "embedding"): DataFrame =
+    // native fused loop (L2Normalize): the composable cast → dot →
+    // divide chain ran its two ArrayTransform passes interpreted
+    // (HigherOrderFunction is CodegenFallback) with a boxed
+    // intermediate array each per row; semantics pinned bit-identical
+    // by spec (null elements, zero vectors, NaN poisoning)
+    graft.core.Spread.ensureParallel(emb)
+      .select(col(idCol),
+        org.apache.spark.sql.GraftBridge.l2Normalize(col(vecCol)).as("normalized"))
 
   /** Symmetric per-vector int8 quantization: scale = max|x| / 127,
     * q_i = round(x_i / scale) ∈ [-127, 127]. The dequantized error is

@@ -322,21 +322,22 @@ object TextAnalysis {
   val DigitRunRe = "\\b[0-9]{7,}\\b"
 
   def redactPii(docs: DataFrame, textCol: String = "text"): DataFrame = {
-    // fused count-and-replace (RegexRedact): one Matcher pass per pattern
-    // instead of the composable count-then-replace's two — bit-identical
-    // (same java regex engine, same left-to-right non-overlapping
-    // discipline; spec-pinned against the composable form). Halved the
-    // gate's task time at the 100x tier.
+    // Hand-rolled fused scanner (PiiRedact): ONE expression evaluates
+    // the whole three-pattern chain — one UTF8String decode, three
+    // linear run-skipping char passes, one re-encode — replacing three
+    // java-regex Matcher passes whose greedy local-part class re-scans
+    // every word from each retry offset. Bit-identical to the
+    // java-regex chain (randomized differential spec + composable-plan
+    // spec in ScaleTechniquesSpec); A/B vs the RegexRedact chain
+    // recorded in SCALE_STRESS.md round 14.
     val br = org.apache.spark.sql.GraftBridge
     graft.core.Spread.ensureParallel(docs)
-      .withColumn("_e", br.regexRedact(col(textCol), EmailRe, "<EMAIL>"))
-      .withColumn("_i", br.regexRedact(col("_e.redacted"), Ipv4Re, "<IP>"))
-      .withColumn("_d", br.regexRedact(col("_i.redacted"), DigitRunRe, "<ID>"))
-      .withColumn("n_emails", col("_e.n"))
-      .withColumn("n_ipv4", col("_i.n"))
-      .withColumn("n_digit_runs", col("_d.n"))
-      .withColumn("text_redacted", col("_d.redacted"))
-      .drop("_e", "_i", "_d")
+      .withColumn("_p", br.piiRedact(col(textCol)))
+      .withColumn("n_emails", col("_p.n_emails"))
+      .withColumn("n_ipv4", col("_p.n_ipv4"))
+      .withColumn("n_digit_runs", col("_p.n_digit_runs"))
+      .withColumn("text_redacted", col("_p.redacted"))
+      .drop("_p")
   }
 
   /** Sliding-window token chunking (training-example construction: split
@@ -446,17 +447,21 @@ object TextAnalysis {
         // "round(,6) absorbs it" is not enough). sum(tf*x)/sum(tf) over
         // exact decimals equals the expanded-multiset mean.
         // EXACTLY Average-over-decimal(28,18) semantics, reproduced in
-        // weighted form: tf cast to decimal(9,0) keeps the product inside
-        // decimal(38,18) (a bare long multiplicand would trip the
-        // precision-loss rule and truncate the scale to 7), the sum is
-        // exact integer arithmetic, and dividing by the decimal(20,0)
-        // token count hits the same result type (scale 18, MathContext-38
-        // HALF_UP) that Average's internal Divide produces — so this
-        // rounds identically to the per-occurrence avg() it replaces,
-        // and stays order-invariant
-        round(sum(col("tf").cast(org.apache.spark.sql.types.DecimalType(9, 0))
-            * log((col("c") + lit(1)) / (col("_T") + col("_V")))
-            .cast(org.apache.spark.sql.types.DecimalType(28, 18)))
+        // weighted form: conceptually tf.cast(decimal(9,0)) ×
+        // log(...).cast(decimal(28,18)) summed to decimal(38,18) and
+        // divided by the decimal(20,0) token count — the same result
+        // type (scale 18, MathContext-38 HALF_UP) that Average's
+        // internal Divide produces, so this rounds identically to the
+        // per-occurrence avg() it replaces, and stays order-invariant.
+        // The decimal multiply + decimal(38,18) sum are executed as
+        // int128 long arithmetic (sum128Product — bit-identical arms
+        // including both cast overflow→null branches; differential spec
+        // in OperatorsSpec), keeping the per-row hot path out of
+        // BigDecimal: only the double→scale-18 rounding (defined by
+        // Double.toString semantics) remains a BigDecimal op per row.
+        round(org.apache.spark.sql.GraftBridge.sum128Product(
+            col("tf").cast("long"),
+            log((col("c") + lit(1)) / (col("_T") + col("_V"))), 18)
           / sum(col("tf")).cast(org.apache.spark.sql.types.DecimalType(20, 0)), 6)
           .cast("double").as("avg_logprob"))
   }

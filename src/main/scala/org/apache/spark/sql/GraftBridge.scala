@@ -140,6 +140,19 @@ object GraftBridge {
     ExpressionUtils.column(graft.functions.Sum128(
       ExpressionUtils.expression(c), scale).toAggregateExpression())
 
+  /** Exact decimal(38, scale) sum of `weight × value` — the weighted
+    * accumulation `sum(weight.cast(decimal(9,0)) *
+    * value.cast(decimal(28,18)))` with the per-row decimal multiply and
+    * decimal(38,18) sum both replaced by int128 long arithmetic (see
+    * graft.functions.ProductUnscaled18 / Sum128Pair). Bit-identical
+    * null/overflow arms to the cast chain.
+    */
+  def sum128Product(weight: Column, value: Column, scale: Int): Column =
+    ExpressionUtils.column(graft.functions.Sum128Pair(
+      graft.functions.ProductUnscaled18(
+        ExpressionUtils.expression(weight),
+        ExpressionUtils.expression(value)), scale).toAggregateExpression())
+
   /** Reinterpret a LONG column as the unscaled value of a
     * decimal(38, scale) — Catalyst's MakeDecimal, the terminal step of
     * the footer-proven long-sum dispatch (see
@@ -217,6 +230,28 @@ object GraftBridge {
   def regexRedact(text: Column, pattern: String, replacement: String): Column =
     ExpressionUtils.column(graft.functions.RegexRedact(
       ExpressionUtils.expression(text), pattern, replacement))
+
+  /** Column of the native fused L2 normalization (see
+    * graft.functions.L2Normalize).
+    */
+  def l2Normalize(vec: Column): Column =
+    ExpressionUtils.column(graft.functions.L2Normalize(
+      ExpressionUtils.expression(vec)))
+
+  /** Column rendering array<double> in the gate's scale-6 decimal CSV
+    * shape in one pass (see graft.functions.FormatDec6Csv).
+    */
+  def formatDec6Csv(vec: Column): Column =
+    ExpressionUtils.column(graft.functions.FormatDec6Csv(
+      ExpressionUtils.expression(vec)))
+
+  /** Column of the fused three-pattern PII redaction scanner —
+    * struct(n_emails, n_ipv4, n_digit_runs, redacted) in one hand-rolled
+    * pass chain (see graft.functions.PiiRedact).
+    */
+  def piiRedact(text: Column): Column =
+    ExpressionUtils.column(graft.functions.PiiRedact(
+      ExpressionUtils.expression(text)))
 
   /** Column of fused C4 line-filter stats (see
     * graft.functions.C4LineStats).

@@ -77,12 +77,71 @@ class ScaleTechniquesSpec extends SparkSpec {
       .select("doc_id", "n_emails", "n_ipv4", "n_digit_runs", "text_redacted")
     assert(fused.except(composable).isEmpty && composable.except(fused).isEmpty,
       "fused redaction must be bit-identical to the composable chain")
-    // one Matcher pass per pattern: each redactor appears ONCE in the
-    // plan (CollapseProject must keep the non-cheap aliases, not inline
-    // a second evaluation for the struct's second field)
+    // the whole chain is ONE hand-rolled scanner evaluation
+    // (CollapseProject must keep the non-cheap alias, not inline a
+    // second evaluation per struct field)
     val p = fused.queryExecution.executedPlan.toString
-    val evals = "graft_regex_redact".r.findAllIn(p).size
-    assert(evals == 3, s"expected 3 redactor evaluations in the plan, found $evals:\n$p")
+    val evals = "graft_pii_redact".r.findAllIn(p).size
+    assert(evals == 1, s"expected 1 fused PII scanner in the plan, found $evals:\n$p")
+  }
+
+  test("PiiRedact hand-rolled scanner is bit-identical to the java-regex chain on adversarial and fuzzed inputs") {
+    import graft.operators.TextAnalysis.{EmailRe, Ipv4Re, DigitRunRe}
+    // oracle: the exact java.util.regex chain the scanner replaces
+    def oracle(s: String): (Long, Long, Long, String) = {
+      def pass(t: String, re: String, tok: String): (Long, String) = {
+        val m = java.util.regex.Pattern.compile(re).matcher(t)
+        var n = 0L; val sb = new java.lang.StringBuilder; var last = 0
+        while (m.find()) { n += 1; sb.append(t, last, m.start()).append(tok); last = m.end() }
+        sb.append(t, last, t.length); (n, sb.toString)
+      }
+      val (ne, t1) = pass(s, EmailRe, "<EMAIL>")
+      val (ni, t2) = pass(t1, Ipv4Re, "<IP>")
+      val (nd, t3) = pass(t2, DigitRunRe, "<ID>")
+      (ne, ni, nd, t3)
+    }
+    val scanner = new graft.functions.PiiRedact.Scanner("<EMAIL>", "<IP>", "<ID>")
+    def run(s: String): (Long, Long, Long, String) = {
+      val r = scanner.apply(org.apache.spark.unsafe.types.UTF8String.fromString(s))
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3))
+    }
+    val adversarial = Seq(
+      "", "@", "a@", "@a", "a@b", "a@b.c", "a@b.co", "a@b.co1", "a@b.c1o",
+      "a@@b.com", "a@b@c.de", "a@b..com", "a@.com", "a@b.-com", "a@b-.co",
+      "x@y.zw 999.999.999.999", "a.b-x%9@mail.example", "user@mail.example.",
+      "user@mail.example.c", "u@a.bc.de", "u@a.bc.d", "_@x.yz", "%+-.@x.yz",
+      "пример@тест.рф", "café@mail.com", "a@b.com1234567", "1234567a@b.cd",
+      "1.2.3.4", "1.2.3.4.5", "1234.5.6.7", "1.2.3.4567", "01.002.0003.4",
+      "a1.2.3.4", "1.2.3.4b", "-1.2.3.4-", ".1.2.3.4.", "1.2.3.4@x.yz",
+      "1.2..3.4", "1..2.3.4", "999.999.999.9999", "10.0.0.250 ref 37000000",
+      "123456", "1234567", "12345678", "1234567a", "a1234567", "_1234567",
+      "1234567_", "12345671234567", " 1234567 ", "1.234567890.2.3",
+      "contact user42@mail.example from 10.42.0.42 ref 37001554",
+      "x".repeat(300) + "@y.zw", "9".repeat(300), "1.2.3." + "4".repeat(300))
+    for (s <- adversarial)
+      assert(run(s) === oracle(s), s"mismatch on <<$s>>")
+    // fuzz: PII-dense alphabet so matches and near-misses are common;
+    // the surrogate pair (😀) gets split by random char indexing, so
+    // lone surrogates are exercised too (non-word in both engines)
+    val alphabet = "ab1290._%+-@ .\t<>…_😀"
+    val rnd = new scala.util.Random(421414)
+    var i = 0
+    while (i < 4000) {
+      val len = rnd.nextInt(60)
+      val s = (0 until len).map(_ => alphabet(rnd.nextInt(alphabet.length))).mkString
+      assert(run(s) === oracle(s), s"fuzz mismatch on <<$s>>")
+      i += 1
+    }
+    // digit/dot-dense fuzz: stresses the IPv4 {1,3} backtracking and
+    // digit-run boundary cases specifically
+    val digitsDots = "0123456789._a-"
+    i = 0
+    while (i < 4000) {
+      val len = rnd.nextInt(40)
+      val s = (0 until len).map(_ => digitsDots(rnd.nextInt(digitsDots.length))).mkString
+      assert(run(s) === oracle(s), s"digit fuzz mismatch on <<$s>>")
+      i += 1
+    }
   }
 
   test("Layout: manifest round-trip re-registers the bucketed layout; orderkey join runs exchange-free and sort-free; Tables redirect is opt-in and src-keyed") {
@@ -580,6 +639,97 @@ class ScaleTechniquesSpec extends SparkSpec {
     // forced (assert on the same plan whose value was just verified)
     assert(!q.queryExecution.executedPlan.toString.contains("ObjectHashAggregate"),
       "sum128 must run under codegen'd HashAggregate")
+  }
+
+  test("sum128Product weighted sum is bit-identical to the decimal cast-multiply chain, including both cast null arms") {
+    import spark.implicits._
+    import org.apache.spark.sql.types.DecimalType
+    val rnd = new scala.util.Random(1414)
+    // ordinary tf/logprob rows plus every boundary the cast chain can
+    // hit: the dec(9,0) overflow fence at ±1e9, the dec(28,18)
+    // precision fence at 1e10, NaN/±Inf, ±0.0, negatives, zero weight
+    val rows = Seq.fill(3000)(
+        (rnd.nextInt(2000).toLong + 1L, -math.log(rnd.nextDouble() + 1e-12))) ++
+      Seq((999999999L, -1.23), (1000000000L, -1.23), (-1000000000L, 0.5),
+        (-999999999L, 0.5), (7L, Double.NaN), (7L, Double.PositiveInfinity),
+        (7L, Double.NegativeInfinity), (3L, 0.0), (3L, -0.0), (5L, 1.0e10),
+        (5L, -1.0e10), (5L, 9.999999e9), (0L, -3.14), (-17L, 2.5e-19),
+        (17L, -2.5e-19), (1L, 123.456789012345678))
+    val df = rows.toDF("tf", "x").repartition(5)
+    val br = org.apache.spark.sql.GraftBridge
+    def chain = sum(col("tf").cast(DecimalType(9, 0))
+      * col("x").cast(DecimalType(28, 18)))
+    // global and grouped (grouped exercises partial+merge with many
+    // buffers); CAST AS STRING compares scale and value bitwise
+    val g = df.agg(chain.cast("string").as("c"),
+      br.sum128Product(col("tf"), col("x"), 18).cast("string").as("f")).collect().head
+    assert(g.getString(0) === g.getString(1), "global aggregate mismatch")
+    val per = df.groupBy((col("tf") % 13).as("k"))
+      .agg(chain.cast("string").as("c"),
+        br.sum128Product(col("tf"), col("x"), 18).cast("string").as("f"))
+      .collect()
+    for (r <- per) assert(r.getString(1) === r.getString(2), s"group ${r.get(0)} mismatch")
+    // all-null group (NaN-only input) must yield null like the chain
+    val nn = Seq((1L, Double.NaN)).toDF("tf", "x")
+      .agg(chain.cast("string").as("c"),
+        br.sum128Product(col("tf"), col("x"), 18).cast("string").as("f")).collect().head
+    assert(nn.isNullAt(0) && nn.isNullAt(1))
+    // and the fused form stays inside codegen'd HashAggregate
+    val q = df.agg(br.sum128Product(col("tf"), col("x"), 18))
+    assert(!q.queryExecution.executedPlan.toString.contains("ObjectHashAggregate"),
+      "sum128Product must run under codegen'd HashAggregate")
+  }
+
+  test("native L2Normalize + FormatDec6Csv are bit-identical to the composable HOF chains on real and adversarial vectors") {
+    import spark.implicits._
+    val br = org.apache.spark.sql.GraftBridge
+    // real embeddings plus edge vectors: empty, zero, null elements,
+    // NaN/Inf poisoning, values across the decimal(10,6) precision
+    // fence, negative zero, denormals
+    val edges: Seq[(Long, Seq[java.lang.Double])] = Seq(
+      (9000001L, Seq.empty[java.lang.Double]),
+      (9000002L, Seq[java.lang.Double](0.0, 0.0, 0.0)),
+      (9000003L, Seq[java.lang.Double](null, null)),
+      (9000004L, Seq[java.lang.Double](1.0, null, -2.0)),
+      (9000005L, Seq[java.lang.Double](Double.NaN, 1.0)),
+      (9000006L, Seq[java.lang.Double](Double.PositiveInfinity, 1.0)),
+      (9000007L, Seq[java.lang.Double](1.0e12, 2.0)),
+      (9000008L, Seq[java.lang.Double](9999.9999994, 9999.9999996)),
+      (9000009L, Seq[java.lang.Double](-0.0, 1.0e-9, -1.0e-7)),
+      (9000010L, Seq[java.lang.Double](java.lang.Double.MIN_VALUE, 1.0)),
+      (9000011L, Seq[java.lang.Double](0.1234565, -0.1234575, 3.0)))
+    val edgeDf = edges.toDF("vec_id", "embedding")
+    val real = graft.core.Tables.embeddings(spark, "/root/testdata/sf0.001")
+      .select(col("vec_id"), transform(col("embedding"), _.cast("double")).as("embedding"))
+    for (df <- Seq(edgeDf, real)) {
+      // operator-level: native normalize vs the composable chain
+      val chainNorm = df
+        .select(col("vec_id"), col("embedding").as("_v"))
+        .withColumn("_n", sqrt(br.dotProduct(col("_v"), col("_v"))))
+        .select(col("vec_id"),
+          when(col("_n") === 0.0, col("_v"))
+            .otherwise(transform(col("_v"), x => x / col("_n")))
+            .as("normalized"))
+      val nativeNorm = df.select(col("vec_id"),
+        br.l2Normalize(col("embedding")).as("normalized"))
+      assert(nativeNorm.except(chainNorm).isEmpty && chainNorm.except(nativeNorm).isEmpty,
+        "native L2Normalize must equal the composable chain")
+      // gate-level rendering: fused CSV vs round/cast/cast + array_join
+      val chainFmt = nativeNorm.select(col("vec_id"),
+        array_join(transform(col("normalized"),
+          x => round(x, 6).cast("decimal(10,6)").cast("string")), ",").as("s"))
+      val nativeFmt = nativeNorm.select(col("vec_id"),
+        br.formatDec6Csv(col("normalized")).as("s"))
+      assert(nativeFmt.except(chainFmt).isEmpty && chainFmt.except(nativeFmt).isEmpty,
+        "fused FormatDec6Csv must equal the composable rendering")
+    }
+    // float input path (the embeddings table's physical type): native
+    // cast-and-normalize equals cast-then-chain
+    val fl = graft.core.Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val viaFloat = fl.select(col("vec_id"), br.l2Normalize(col("embedding")).as("n"))
+    val viaDouble = fl.select(col("vec_id"),
+      br.l2Normalize(transform(col("embedding"), _.cast("double"))).as("n"))
+    assert(viaFloat.except(viaDouble).isEmpty && viaDouble.except(viaFloat).isEmpty)
   }
 
   test("GraftExtensions injects its registrations into a fresh extension set") {
