@@ -1982,6 +1982,49 @@ object SparkEntry {
              |        / sum(n_tokens) OVER (), 6) AS cum_share
              |FROM a ORDER BY n_tokens DESC, lang, source""".stripMargin)),
 
+    // Zipf-law OLS fit over (ln rank, ln freq) of the unigram
+    // distribution — the rank sums are tie-permutation invariant (see
+    // Stats.zipfSlope), so the oracle's row_number() needs no tie
+    // order, and the exact-decimal OLS sums make the fit
+    // partitioning-independent in both engines
+    Q("stats_zipf_slope",
+      (s, d) => operators.Stats.zipfSlope(Tables.documents(s, d)),
+      Some("""WITH t AS (
+             |  SELECT unnest(list_filter(string_split(lower(text), ' '), x -> x <> '')) AS term
+             |  FROM documents),
+             |c AS (SELECT term, count(*) AS c FROM t GROUP BY term),
+             |r AS (SELECT c, row_number() OVER (ORDER BY c DESC) AS rn FROM c),
+             |s AS (SELECT CAST(count(*) AS BIGINT) AS n_terms,
+             |        CAST(sum(CAST(ln(rn) AS DECIMAL(28,18))) AS DOUBLE) AS sx,
+             |        CAST(sum(CAST(ln(c) AS DECIMAL(28,18))) AS DOUBLE) AS sy,
+             |        CAST(sum(CAST(ln(rn) * ln(rn) AS DECIMAL(28,18))) AS DOUBLE) AS sxx,
+             |        CAST(sum(CAST(ln(rn) * ln(c) AS DECIMAL(28,18))) AS DOUBLE) AS sxy
+             |      FROM r)
+             |SELECT n_terms,
+             |  round((n_terms * sxy - sx * sy) / (n_terms * sxx - sx * sx), 6) AS slope,
+             |  round((sy - ((n_terms * sxy - sx * sy) / (n_terms * sxx - sx * sx)) * sx)
+             |        / n_terms, 6) AS intercept
+             |FROM s""".stripMargin)),
+
+    // Gini coefficient of document token counts — rank-weighted sum is
+    // tie-permutation invariant and accumulates exactly in int128, so
+    // the oracle's row_number() reproduces it without a tie order
+    Q("stats_length_gini",
+      (s, d) => operators.Stats.giniLengths(Tables.documents(s, d)),
+      Some("""WITH t AS (
+             |  SELECT len(list_filter(string_split(text, ' '), x -> x <> '')) AS x
+             |  FROM documents),
+             |r AS (SELECT x, row_number() OVER (ORDER BY x) AS rn FROM t),
+             |s AS (SELECT CAST(count(*) AS BIGINT) AS n_docs,
+             |        CAST(sum(x) AS BIGINT) AS total_tokens,
+             |        sum(CAST(rn * x AS DECIMAL(38,0))) AS srx
+             |      FROM r)
+             |SELECT n_docs, total_tokens,
+             |  round((2.0 * CAST(srx AS DOUBLE)
+             |         - (CAST(n_docs AS DOUBLE) + 1) * CAST(total_tokens AS DOUBLE))
+             |        / (CAST(n_docs AS DOUBLE) * CAST(total_tokens AS DOUBLE)), 6) AS gini
+             |FROM s""".stripMargin)),
+
     // ---- sketch gates: the approximate operators held to their ERROR
     //      BOUNDS against the exact answer. A sketch has no row-equal
     //      external oracle (the estimate is algorithm-specific), but the

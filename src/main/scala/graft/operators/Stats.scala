@@ -200,4 +200,126 @@ object Stats {
         round(sum(col("n_tokens")).over(w).cast("double")
           / sum(col("n_tokens")).over(total), 6))
   }
+
+  /** Zipf-law fit of the corpus unigram distribution: OLS slope and
+    * intercept of ln(frequency) against ln(rank) over the full
+    * vocabulary (rank 1 = most frequent term). A healthy natural-text
+    * corpus sits near slope −1; template/boilerplate floods, dedup
+    * failures, and tokenizer bugs all bend it — the one-row vocabulary
+    * health check a curation pipeline runs per snapshot.
+    *
+    * Exactness contract (the gate hashes representations):
+    *  - ranks are generated per FREQUENCY CLASS as the exact integer
+    *    range the class occupies in the descending sort. Every OLS term
+    *    is tie-permutation invariant — within a class, ln(c) is
+    *    constant and the rank set is the same whatever order an engine
+    *    assigns — so an external engine's row_number() OVER (ORDER BY c
+    *    DESC) reproduces the sums exactly without agreeing on tie
+    *    order (terms never need to leave the map side here);
+    *  - each per-row double term is cast to decimal(28,18) once (the
+    *    defining rounding) and summed EXACTLY via the int128 aggregate
+    *    (sum128Product with weight 1), so the sums are independent of
+    *    partitioning; the final fit is one scalar double computation
+    *    over those exact sums, identical in any engine.
+    *
+    * Scale shape: one vocabulary-sized shuffle (term-hash groupBy, the
+    * same 8-byte keys as the other unigram operators), one
+    * counts-of-counts census shuffle (distinct frequency VALUES — e.g.
+    * ~thousands at billions of tokens), a dimension-sized unpartitioned
+    * window over the census for class offsets (cf. corpusMixture), and
+    * a CHUNKED rank explode (≤ 65536 ranks per generated array, so the
+    * rank-1-frequency class of a Zipfian corpus — half the vocabulary —
+    * never materializes as one in-row array). No corpus-sized global
+    * window or sort anywhere.
+    */
+  def zipfSlope(docs: DataFrame, textCol: String = "text"): DataFrame = {
+    val br = org.apache.spark.sql.GraftBridge
+    val counts = graft.core.Spread.ensureParallel(docs)
+      .select(br.tokenTfs(lower(col(textCol))).as("_tc"))
+      .select(explode(when(size(col("_tc")) > 0, col("_tc"))).as("tc"))
+      .select(col("tc.h").as("term"), col("tc.tf").as("tf"))
+      .groupBy(col("term")).agg(sum(col("tf")).as("c"))
+    val census = counts.groupBy(col("c")).agg(count(lit(1)).as("m"))
+    val ranks = classRanks(census, ascending = false)
+    val x = log(col("rn").cast("double"))
+    val y = log(col("c").cast("double"))
+    def s128(e: org.apache.spark.sql.Column) = br.sum128Product(lit(1L), e, 18)
+    val sums = ranks.agg(count(lit(1)).as("n_terms"),
+      s128(x).as("sx"), s128(y).as("sy"),
+      s128(x * x).as("sxx"), s128(x * y).as("sxy"))
+    val nD = col("n_terms").cast("double")
+    def d(c: String) = col(c).cast("double")
+    val slope = (nD * d("sxy") - d("sx") * d("sy")) /
+      (nD * d("sxx") - d("sx") * d("sx"))
+    sums.select(col("n_terms"),
+      round(slope, 6).as("slope"),
+      round((d("sy") - slope * d("sx")) / nD, 6).as("intercept"))
+  }
+
+  /** Gini coefficient of per-document token counts — the corpus length
+    * inequality report (G = 0: uniform lengths; G → 1: a few huge docs
+    * hold all the tokens). Drift here flags chunking bugs, boilerplate
+    * floods, or a source whose length mix changed — the one-number
+    * companion to the length-quantile gate.
+    *
+    * Same exactness machinery as [[zipfSlope]]: ranks come from the
+    * length-value census as exact integer ranges (ascending), every
+    * rank·length product stays in longs (bounded by n·maxLen ≪ 2^63),
+    * the rank-weighted sum accumulates EXACTLY in the int128 aggregate
+    * (decimal(38,0) — the 100 TB-safe form of the oracle's HUGEINT
+    * sum), and the final G = (2·Σrn·x − (n+1)·Σx) / (n·Σx) is one
+    * scalar double computation both engines reproduce bit-for-bit.
+    * Tie-permutation invariant for the same reason as zipfSlope: within
+    * a length class, x is constant and the rank set is fixed.
+    *
+    * Scale shape: one dimension-sized shuffle (the length census —
+    * lengths are bounded integers), the dimension-sized offset window,
+    * and a linear chunked rank explode. No corpus-sized sort or window.
+    */
+  def giniLengths(docs: DataFrame, textCol: String = "text"): DataFrame = {
+    val br = org.apache.spark.sql.GraftBridge
+    val lens = graft.core.Spread.ensureParallel(docs)
+      .select(size(TextAnalysis.tokens(col(textCol))).cast("long").as("c"))
+    val census = lens.groupBy(col("c")).agg(count(lit(1)).as("m"))
+    val ranks = classRanks(census, ascending = true)
+    val sums = ranks.agg(count(lit(1)).as("n_docs"),
+      sum(col("c")).as("total_tokens"),
+      br.sum128Long(col("rn") * col("c"), 0).as("_srx"))
+    val nD = col("n_docs").cast("double")
+    val sxD = col("total_tokens").cast("double")
+    sums.select(col("n_docs"), col("total_tokens"),
+      round((lit(2.0) * col("_srx").cast("double") - (nD + 1) * sxD)
+        / (nD * sxD), 6).as("gini"))
+  }
+
+  /** Exact global ranks for a value census `(c, m)` — one output row
+    * per underlying element, `(c, rn)`, where each value class occupies
+    * its exact integer rank range in the `ascending`/descending sort.
+    * The offset window runs over the census frame (dimension-sized; cf.
+    * corpusMixture's note), and ranges materialize via a CHUNKED
+    * explode (≤ 65536 ranks per generated array) so a dominant class —
+    * e.g. the frequency-1 half of a Zipfian vocabulary — never builds
+    * one giant in-row array. Consumers must only use rank aggregates
+    * that are invariant to order WITHIN a class (sums of f(rn)·g(c)
+    * are: g(c) is constant per class and the rank set is fixed), which
+    * is exactly what makes an external engine's row_number() over the
+    * raw rows reproduce them without agreeing on tie order.
+    */
+  private def classRanks(census: DataFrame, ascending: Boolean): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val ord = if (ascending) col("c").asc else col("c").desc
+    val w = Window.orderBy(ord)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val chunk = 65536L
+    census.withColumn("_end", sum(col("m")).over(w))
+      .withColumn("_start", col("_end") - col("m"))
+      .select(col("c"), col("_start"), col("m"),
+        explode(sequence(lit(0L),
+          floor((col("m") - 1) / chunk).cast("long"))).as("_ch"))
+      .select(col("c"),
+        explode(sequence(
+          col("_start") + col("_ch") * chunk + 1,
+          least(col("_start") + col("m"),
+            col("_start") + (col("_ch") + 1) * chunk))).as("rn"))
+  }
 }

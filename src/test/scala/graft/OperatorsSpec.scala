@@ -443,6 +443,46 @@ class OperatorsSpec extends SparkSpec {
     assert(a === b)
   }
 
+  test("zipf slope: flat corpus fits slope 0, skewed corpus fits negative; partition-invariant") {
+    val s = spark
+    import s.implicits._
+    // flat: every term appears exactly once → ln(c) ≡ 0 → slope 0
+    val flat = (0 until 40).map(i => (i.toLong, s"u$i v$i")).toDF("doc_id", "text")
+    val rf = operators.Stats.zipfSlope(flat).collect().head
+    assert(rf.getAs[Long]("n_terms") === 80L)
+    assert(rf.getAs[Double]("slope") === 0.0)
+    assert(rf.getAs[Double]("intercept") === 0.0)
+    // zipf-ish: term k appears ~N/k times → slope near -1, definitely negative
+    val zipf = (1 to 30).flatMap(k => Seq.fill(60 / k)(s"t$k"))
+    val zd = Seq((1L, zipf.mkString(" "))).toDF("doc_id", "text")
+    val rz = operators.Stats.zipfSlope(zd).collect().head
+    assert(rz.getAs[Double]("slope") < -0.5, s"slope ${rz.getAs[Double]("slope")}")
+    // exact-decimal sums ⇒ bitwise identical under any partitioning
+    val docs = graft.core.Tables.documents(spark, "/root/testdata/sf0.001")
+    val base = operators.Stats.zipfSlope(docs).collect().head
+    val shuffled = operators.Stats.zipfSlope(docs.repartition(7)).collect().head
+    assert(base === shuffled)
+  }
+
+  test("gini of lengths: uniform → 0, extreme concentration → near 1; partition-invariant") {
+    val s = spark
+    import s.implicits._
+    val uniform = (0 until 25).map(i => (i.toLong, "a b c d")).toDF("doc_id", "text")
+    val ru = operators.Stats.giniLengths(uniform).collect().head
+    assert(ru.getAs[Long]("n_docs") === 25L)
+    assert(ru.getAs[Long]("total_tokens") === 100L)
+    assert(ru.getAs[Double]("gini") === 0.0)
+    // 99 empty docs + 1 doc holding every token → G = (n-1)/n = 0.99
+    val skewed = ((0 until 99).map(i => (i.toLong, "")) :+
+      (99L, Seq.fill(50)("w").mkString(" "))).toDF("doc_id", "text")
+    val rs = operators.Stats.giniLengths(skewed).collect().head
+    assert(rs.getAs[Double]("gini") === 0.99)
+    val docs = graft.core.Tables.documents(spark, "/root/testdata/sf0.001")
+    val base = operators.Stats.giniLengths(docs).collect().head
+    val shuffled = operators.Stats.giniLengths(docs.repartition(5)).collect().head
+    assert(base === shuffled)
+  }
+
   test("corpus mixture: per-stratum token shares and cumulative share") {
     val s = spark
     import s.implicits._
