@@ -193,7 +193,7 @@ object Stats {
     docs
       .groupBy(strata.map(col): _*)
       .agg(count(lit(1)).as("n_docs"),
-        sum(size(TextAnalysis.tokens(col(textCol))).cast("long")).as("n_tokens"))
+        sum(org.apache.spark.sql.GraftBridge.tokenCount(col(textCol))).as("n_tokens"))
       .withColumn("token_share",
         round(col("n_tokens").cast("double") / sum(col("n_tokens")).over(total), 6))
       .withColumn("cum_share",
@@ -279,7 +279,7 @@ object Stats {
   def giniLengths(docs: DataFrame, textCol: String = "text"): DataFrame = {
     val br = org.apache.spark.sql.GraftBridge
     val lens = graft.core.Spread.ensureParallel(docs)
-      .select(size(TextAnalysis.tokens(col(textCol))).cast("long").as("c"))
+      .select(org.apache.spark.sql.GraftBridge.tokenCount(col(textCol)).as("c"))
     val census = lens.groupBy(col("c")).agg(count(lit(1)).as("m"))
     val ranks = classRanks(census, ascending = true)
     val sums = ranks.agg(count(lit(1)).as("n_docs"),

@@ -112,11 +112,15 @@ object TextAnalysis {
   def fingerprint(text: Column): Column =
     org.apache.spark.sql.GraftBridge.canonFingerprint(text)
 
-  /** Token counts via both tokenizers. */
+  /** Token counts via both tokenizers — both as native counting scans
+    * (TokenCount / AlnumRunCount): the composable forms materialized
+    * every token / regex match as a string just to take the array size.
+    */
   def tokenCounts(docs: DataFrame, textCol: String = "text"): DataFrame =
     graft.core.Spread.ensureParallel(docs)
-      .withColumn("ws_tokens", size(tokens(col(textCol))).cast("long"))
-      .withColumn("re_tokens", size(regexTokens(col(textCol))).cast("long"))
+      .withColumn("ws_tokens", org.apache.spark.sql.GraftBridge.tokenCount(col(textCol)))
+      .withColumn("re_tokens",
+        org.apache.spark.sql.GraftBridge.alnumRunCount(lower(col(textCol))))
 
   /** Corpora at or below this many DOCUMENTS (proven by zero-job parquet
     * footer counts) broadcast the df (document-frequency) side of the
@@ -502,7 +506,7 @@ object TextAnalysis {
     val spark = docs.sparkSession
     import spark.implicits._
     val withTok = docs
-      .withColumn("n_tokens", size(tokens(col(textCol))).cast("long"))
+      .withColumn("n_tokens", org.apache.spark.sql.GraftBridge.tokenCount(col(textCol)))
       .withColumn("_shard", expr(s"CAST($idCol AS BIGINT) DIV $shardSize"))
     val shardTotals = withTok.groupBy(col("_shard"))
       .agg(sum(col("n_tokens")).as("_t"))

@@ -231,6 +231,21 @@ object GraftBridge {
     ExpressionUtils.column(graft.functions.RegexRedact(
       ExpressionUtils.expression(text), pattern, replacement))
 
+  /** Column of the whitespace token count WITHOUT materializing the
+    * token array (see graft.functions.TokenCount) — bit-identical to
+    * `size(array_remove(split(text, " ", -1), "")).cast("long")`.
+    */
+  def tokenCount(text: Column): Column =
+    ExpressionUtils.column(graft.functions.TokenCount(
+      ExpressionUtils.expression(text)))
+
+  /** Column counting `[a-z]+|[0-9]+` matches over already-lowercased
+    * text without materializing them (see graft.functions.AlnumRunCount).
+    */
+  def alnumRunCount(loweredText: Column): Column =
+    ExpressionUtils.column(graft.functions.AlnumRunCount(
+      ExpressionUtils.expression(loweredText)))
+
   /** Column of the native fused L2 normalization (see
     * graft.functions.L2Normalize).
     */

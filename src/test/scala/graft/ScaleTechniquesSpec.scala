@@ -732,6 +732,34 @@ class ScaleTechniquesSpec extends SparkSpec {
     assert(viaFloat.except(viaDouble).isEmpty && viaDouble.except(viaFloat).isEmpty)
   }
 
+  test("native TokenCount equals size(array_remove(split)) on testdata and edge strings") {
+    import spark.implicits._
+    val edges = Seq("", " ", "  ", "a", " a", "a ", " a ", "a b", "a  b",
+      "  a  b  ", "\ta\tb", "a\nb", "多 字 节", "a b", "😀 x", "…")
+      .zipWithIndex.map { case (t, i) => (i.toLong, t) }
+    val docs = graft.core.Tables.documents(spark, "/root/testdata/sf0.001")
+      .select(col("doc_id"), col("text"))
+      .unionByName(edges.toDF("doc_id", "text")
+        .withColumn("doc_id", col("doc_id") + 5000000L))
+    val br = org.apache.spark.sql.GraftBridge
+    val diff = docs.select(col("doc_id"),
+        br.tokenCount(col("text")).as("fast"),
+        size(graft.operators.TextAnalysis.tokens(col("text"))).cast("long").as("slow"))
+      .filter(col("fast") =!= col("slow"))
+    assert(diff.isEmpty, diff.limit(5).collect().mkString("; "))
+    // and the regex-token counter vs the materializing form, plus
+    // alternation adversaria (letter runs adjacent to digit runs)
+    val edges2 = Seq("", "a1b2", "abc123", "ABC", "a_b", "1,2", "ştiu42",
+      "İstanbul 9", "ab12cd ef", "ß1").zipWithIndex
+      .map { case (t, i) => (i.toLong + 6000000L, t) }
+    val docs2 = docs.unionByName(edges2.toDF("doc_id", "text"))
+    val diff2 = docs2.select(col("doc_id"),
+        br.alnumRunCount(lower(col("text"))).as("fast"),
+        size(graft.operators.TextAnalysis.regexTokens(col("text"))).cast("long").as("slow"))
+      .filter(col("fast") =!= col("slow"))
+    assert(diff2.isEmpty, diff2.limit(5).collect().mkString("; "))
+  }
+
   test("GraftExtensions injects its registrations into a fresh extension set") {
     val exts = new org.apache.spark.sql.SparkSessionExtensions
     new GraftExtensions().apply(exts) // must not throw; builder is arity-checked
