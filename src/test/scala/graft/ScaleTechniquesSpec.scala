@@ -105,6 +105,15 @@ class ScaleTechniquesSpec extends SparkSpec {
       val r = scanner.apply(org.apache.spark.unsafe.types.UTF8String.fromString(s))
       (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3))
     }
+    // Real inputs are valid-UTF-8 UTF8Strings; a LONE surrogate (which
+    // random char-indexing of the 😀 pair produces) cannot exist in one
+    // — UTF8String.fromString replaces it — so canonicalize through the
+    // same round-trip both arms would see in a plan before comparing
+    // (and before interpolating into failure messages: an unpaired
+    // surrogate in a test name/message crashes sbt's JUnit XML writer
+    // and aborts the whole forked run).
+    def canon(s: String): String =
+      org.apache.spark.unsafe.types.UTF8String.fromString(s).toString
     val adversarial = Seq(
       "", "@", "a@", "@a", "a@b", "a@b.c", "a@b.co", "a@b.co1", "a@b.c1o",
       "a@@b.com", "a@b@c.de", "a@b..com", "a@.com", "a@b.-com", "a@b-.co",
@@ -118,17 +127,18 @@ class ScaleTechniquesSpec extends SparkSpec {
       "1234567_", "12345671234567", " 1234567 ", "1.234567890.2.3",
       "contact user42@mail.example from 10.42.0.42 ref 37001554",
       "x".repeat(300) + "@y.zw", "9".repeat(300), "1.2.3." + "4".repeat(300))
-    for (s <- adversarial)
-      assert(run(s) === oracle(s), s"mismatch on <<$s>>")
+    for (s0 <- adversarial) { val s = canon(s0)
+      assert(run(s) === oracle(s), s"mismatch on <<$s>>") }
     // fuzz: PII-dense alphabet so matches and near-misses are common;
-    // the surrogate pair (😀) gets split by random char indexing, so
-    // lone surrogates are exercised too (non-word in both engines)
+    // the surrogate pair (😀) gets split by random char indexing — after
+    // canon() those lone halves become literal '?' like any real plan
+    // input would, while intact pairs exercise the supplementary plane
     val alphabet = "ab1290._%+-@ .\t<>…_😀"
     val rnd = new scala.util.Random(421414)
     var i = 0
     while (i < 4000) {
       val len = rnd.nextInt(60)
-      val s = (0 until len).map(_ => alphabet(rnd.nextInt(alphabet.length))).mkString
+      val s = canon((0 until len).map(_ => alphabet(rnd.nextInt(alphabet.length))).mkString)
       assert(run(s) === oracle(s), s"fuzz mismatch on <<$s>>")
       i += 1
     }
@@ -138,7 +148,7 @@ class ScaleTechniquesSpec extends SparkSpec {
     i = 0
     while (i < 4000) {
       val len = rnd.nextInt(40)
-      val s = (0 until len).map(_ => digitsDots(rnd.nextInt(digitsDots.length))).mkString
+      val s = canon((0 until len).map(_ => digitsDots(rnd.nextInt(digitsDots.length))).mkString)
       assert(run(s) === oracle(s), s"digit fuzz mismatch on <<$s>>")
       i += 1
     }
