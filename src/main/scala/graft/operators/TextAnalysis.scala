@@ -134,7 +134,7 @@ object TextAnalysis {
     * join stays a shuffle join — the same footer-gated dispatch as the
     * dedup family's isSmallCorpus.
     */
-  private val tfidfBroadcastDocCutoff = 4000000L
+  private val dictBroadcastDocCutoff = 4000000L
 
   /** Second, STRUCTURAL leg of the broadcast gate: total uncompressed
     * bytes of the text column (zero-job, from footer chunk metadata). A
@@ -147,7 +147,7 @@ object TextAnalysis {
     * all-distinct) 512 MiB of text stays well inside the 8 GiB broadcast
     * hard cap with margin. The measured sf10 tier (229 MB) qualifies.
     */
-  private val tfidfBroadcastTextBytesCutoff = 512L * 1024 * 1024
+  private val dictBroadcastTextBytesCutoff = 512L * 1024 * 1024
 
   /** Top-k terms per document by tf-idf.
     *
@@ -155,7 +155,7 @@ object TextAnalysis {
     * by term for determinism. The per-doc top-k is ranked in-row (no
     * window — see below).
     *
-    * Join dispatch: below [[tfidfBroadcastDocCutoff]] footer-counted docs
+    * Join dispatch: below [[dictBroadcastDocCutoff]] footer-counted docs
     * the df side broadcasts, so the exploded (doc, term, tf) stream — the
     * corpus-proportional side — is never shuffled by term at all: the
     * only wide exchange left in the whole plan is the packed
@@ -192,9 +192,9 @@ object TextAnalysis {
     // AND text bytes (the structural vocabulary bound that holds for
     // any token distribution).
     val df_ =
-      if (graft.core.RowCounts.upperBound(docs).exists(_ <= tfidfBroadcastDocCutoff)
+      if (graft.core.RowCounts.upperBound(docs).exists(_ <= dictBroadcastDocCutoff)
           && graft.core.RowCounts.columnUncompressedBytes(docs, textCol)
-            .exists(_ <= tfidfBroadcastTextBytesCutoff))
+            .exists(_ <= dictBroadcastTextBytesCutoff))
         broadcast(df0)
       else df0
     // Per-doc top-k WITHOUT a window: re-aggregate by doc and rank
@@ -436,8 +436,30 @@ object TextAnalysis {
       // (NOTES.md round-1 finding 1)
       .select(col("doc"), explode(when(size(col("_tc")) > 0, col("_tc"))).as("tc"))
       .select(col("doc"), col("tc.h").as("term"), col("tc.tf").as("tf"))
-    val counts = docTerm.groupBy(col("term")).agg(sum(col("tf")).as("c"))
-    val stats = counts.agg(sum(col("c")).cast("double").as("_T"),
+    // footer-gated dictionary broadcast — the same two-leg gate as
+    // tfidf's (doc-count Heaps'-law bound AND structural text-byte
+    // bound): below it the corpus-proportional docTerm stream is never
+    // shuffled by term, and because each doc's rows stay contiguous in
+    // their scan partition, the per-doc aggregation's map-side partial
+    // collapses to ~one row per doc before its exchange — the plan's
+    // only corpus-sized shuffle. Above the gate (or when footers can't
+    // bound the input) the shuffle join stands: an unbounded vocabulary
+    // must not ride a forced broadcast. In the gated arm the
+    // DICTIONARY-SIZED counts frame is cached: the broadcast build and
+    // the (_T, _V) stats aggregate both consume it, and a
+    // ShuffleExchange and a BroadcastExchange over the same subplan
+    // cannot ReusedExchange-share — uncached, the corpus would tokenize
+    // three times (dictionary build ×2 + probe) instead of twice.
+    val broadcastDict =
+      graft.core.RowCounts.upperBound(docs).exists(_ <= dictBroadcastDocCutoff) &&
+        graft.core.RowCounts.columnUncompressedBytes(docs, textCol)
+          .exists(_ <= dictBroadcastTextBytesCutoff)
+    val counts0 = {
+      val c = docTerm.groupBy(col("term")).agg(sum(col("tf")).as("c"))
+      if (broadcastDict) graft.core.CacheScope.cached(c) else c
+    }
+    val counts = if (broadcastDict) broadcast(counts0) else counts0
+    val stats = counts0.agg(sum(col("c")).cast("double").as("_T"),
       count(lit(1)).cast("double").as("_V"))
     docTerm.join(counts, "term")
       .crossJoin(stats)

@@ -323,6 +323,33 @@ class PlanShapeSpec extends SparkSpec {
       "computed text must disqualify the footer byte bound")
   }
 
+  test("unigram logprob: footer-bounded corpus broadcasts the dictionary; stream never shuffles by term") {
+    val p = plan("text_unigram_logprob")
+    assert(p.contains("BroadcastHashJoin"),
+      "unigram dictionary must broadcast below the doc cutoff")
+    assert(!p.contains("SortMergeJoin"), "corpus stream must not sort-merge on term")
+    // dictionary-build term exchange + per-doc agg exchange only —
+    // counted by DISTINCT plan_id: the cached dictionary's underlying
+    // plan (one physical exchange) prints under BOTH its consumers
+    val exchangeIds = "Exchange hashpartitioning[^\\[]*\\[(plan_id=\\d+)\\]".r
+      .findAllMatchIn(p).map(_.group(1)).toSet
+    assert(exchangeIds.size <= 2,
+      s"expected only the dictionary-build + per-doc exchanges, got $exchangeIds:\n$p")
+    // a footer-unboundable input must not carry the broadcast HINT
+    import org.apache.spark.sql.functions.{explode, array, lit}
+    val unbounded = graft.core.Tables.documents(spark, sf)
+      .withColumn("_dup", explode(array(lit(1), lit(2))))
+      .drop("_dup")
+    val p2 = graft.operators.TextAnalysis.unigramLogProb(unbounded)
+      .queryExecution.optimizedPlan.toString
+    assert(!p2.contains("strategy=broadcast"),
+      "unbounded corpus must not FORCE a dictionary broadcast")
+    val p1 = SparkEntry.queries("text_unigram_logprob")(spark, sf)
+      .queryExecution.optimizedPlan.toString
+    assert(p1.contains("strategy=broadcast"),
+      "footer-bounded corpus lost its dictionary broadcast hint")
+  }
+
   test("q17: one lineitem scan, one exchange — window and final agg share the partkey partitioning") {
     val p = plan("q17_small_quantity")
     // the r12 agg+self-join shape scanned the dominant table twice and
