@@ -1832,7 +1832,7 @@ object SparkEntry {
     Q("emb_quantize_int8",
       (s, d) => operators.Embeddings.quantizeInt8(Tables.embeddings(s, d))
         .select(col("vec_id"), col("scale"),
-          array_join(transform(col("quantized"), _.cast("string")), ",")
+          org.apache.spark.sql.GraftBridge.intCsv(col("quantized"))
             .as("quantized")),
       Some("""WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
              |s AS (SELECT vec_id, e,

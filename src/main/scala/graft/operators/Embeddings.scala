@@ -45,20 +45,15 @@ object Embeddings {
     // encoding with an unrounded scale while reporting the rounded one
     // would add a systematic bias for large-magnitude components.
     //
-    // Two-stage select: `scale` (a per-row array fold) becomes an
-    // attribute before the quantization pass references it twice — the
-    // single projection form re-evaluated the fold per reference.
-    val staged = graft.core.Spread.ensureParallel(emb).select(
-      col(idCol), asDouble(col(vecCol)).as("_v"),
-      round(aggregate(asDouble(col(vecCol)), lit(0.0),
-        (acc, x) => greatest(acc, abs(x))) / 127.0, 6).as("scale"))
-    staged.select(
-      col(idCol),
-      col("scale"),
-      when(col("scale") === 0.0, transform(col("_v"), _ => lit(0)))
-        .otherwise(transform(col("_v"),
-          x => round(x / col("scale"), 0).cast("int")))
-        .as("quantized"))
+    // One native pass (QuantizeInt8): the composable form ran an
+    // interpreted aggregate fold plus two interpreted transform passes;
+    // bit-identity (incl. null elements, zero/NaN scales, the non-ANSI
+    // double→int cast arms) pinned by differential spec.
+    graft.core.Spread.ensureParallel(emb)
+      .select(col(idCol),
+        org.apache.spark.sql.GraftBridge.quantizeInt8(col(vecCol)).as("_q"))
+      .select(col(idCol), col("_q.scale").as("scale"),
+        col("_q.quantized").as("quantized"))
   }
 
   // --------------------------------------------------- product quantization

@@ -246,6 +246,20 @@ object GraftBridge {
     ExpressionUtils.column(graft.functions.AlnumRunCount(
       ExpressionUtils.expression(loweredText)))
 
+  /** Column of the native fused int8 quantization — struct(scale,
+    * quantized) in one pass (see graft.functions.QuantizeInt8).
+    */
+  def quantizeInt8(vec: Column): Column =
+    ExpressionUtils.column(graft.functions.QuantizeInt8(
+      ExpressionUtils.expression(vec)))
+
+  /** Column rendering array<int> as a comma-joined string in one pass
+    * (see graft.functions.IntCsv).
+    */
+  def intCsv(arr: Column): Column =
+    ExpressionUtils.column(graft.functions.IntCsv(
+      ExpressionUtils.expression(arr)))
+
   /** Column of the native fused L2 normalization (see
     * graft.functions.L2Normalize).
     */

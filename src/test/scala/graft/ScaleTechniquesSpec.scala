@@ -770,6 +770,54 @@ class ScaleTechniquesSpec extends SparkSpec {
     assert(diff2.isEmpty, diff2.limit(5).collect().mkString("; "))
   }
 
+  test("native QuantizeInt8 + IntCsv are bit-identical to the composable HOF chains") {
+    import spark.implicits._
+    val br = org.apache.spark.sql.GraftBridge
+    val edges: Seq[(Long, Seq[java.lang.Double])] = Seq(
+      (9100001L, Seq.empty[java.lang.Double]),
+      (9100002L, Seq[java.lang.Double](0.0, 0.0)),
+      (9100003L, Seq[java.lang.Double](null, null)),
+      (9100004L, Seq[java.lang.Double](1.0, null, -2.0)),
+      (9100005L, Seq[java.lang.Double](Double.NaN, 1.0)),
+      (9100006L, Seq[java.lang.Double](Double.PositiveInfinity, -1.0)),
+      (9100007L, Seq[java.lang.Double](63.5, -63.5, 0.5, -0.5)),
+      (9100008L, Seq[java.lang.Double](1.0e-9, -1.0e-9)),
+      (9100009L, Seq[java.lang.Double](-0.0, 127.0, -127.0)),
+      (9100010L, Seq[java.lang.Double](0.1234565, -0.1234575, 3.0)))
+    val edgeDf = edges.toDF("vec_id", "embedding")
+    val real = graft.core.Tables.embeddings(spark, "/root/testdata/sf0.001")
+      .select(col("vec_id"), transform(col("embedding"), _.cast("double")).as("embedding"))
+    for (df <- Seq(edgeDf, real)) {
+      def asD(c: org.apache.spark.sql.Column) = transform(c, x => x.cast("double"))
+      val chain = df.select(
+          col("vec_id"), asD(col("embedding")).as("_v"),
+          round(aggregate(asD(col("embedding")), lit(0.0),
+            (acc, x) => greatest(acc, abs(x))) / 127.0, 6).as("scale"))
+        .select(col("vec_id"), col("scale"),
+          when(col("scale") === 0.0, transform(col("_v"), _ => lit(0)))
+            .otherwise(transform(col("_v"), x => round(x / col("scale"), 0).cast("int")))
+            .as("quantized"))
+      val native = df.select(col("vec_id"),
+          br.quantizeInt8(col("embedding")).as("_q"))
+        .select(col("vec_id"), col("_q.scale").as("scale"),
+          col("_q.quantized").as("quantized"))
+      assert(native.except(chain).isEmpty && chain.except(native).isEmpty,
+        "native QuantizeInt8 must equal the composable chain")
+      // gate rendering: fused int CSV vs transform + array_join
+      val a = native.select(col("vec_id"), br.intCsv(col("quantized")).as("s"))
+      val b = native.select(col("vec_id"),
+        array_join(transform(col("quantized"), _.cast("string")), ",").as("s"))
+      assert(a.except(b).isEmpty && b.except(a).isEmpty,
+        "fused IntCsv must equal the composable rendering")
+    }
+    // float input path equals cast-then-quantize
+    val fl = graft.core.Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val vf = fl.select(col("vec_id"), br.quantizeInt8(col("embedding")).as("q"))
+    val vd = fl.select(col("vec_id"),
+      br.quantizeInt8(transform(col("embedding"), _.cast("double"))).as("q"))
+    assert(vf.except(vd).isEmpty && vd.except(vf).isEmpty)
+  }
+
   test("GraftExtensions injects its registrations into a fresh extension set") {
     val exts = new org.apache.spark.sql.SparkSessionExtensions
     new GraftExtensions().apply(exts) // must not throw; builder is arity-checked
