@@ -117,6 +117,26 @@ object GraftExtensions {
         new ExpressionInfo(classOf[graft.functions.TokenTermTfs].getName,
           "graft_token_term_tfs"),
         arity("graft_token_term_tfs", 1)(c => graft.functions.TokenTermTfs(c.head))),
+      (FunctionIdentifier("graft_token_count"),
+        new ExpressionInfo(classOf[graft.functions.TokenCount].getName,
+          "graft_token_count"),
+        arity("graft_token_count", 1)(c => graft.functions.TokenCount(c.head))),
+      (FunctionIdentifier("graft_alnum_run_count"),
+        new ExpressionInfo(classOf[graft.functions.AlnumRunCount].getName,
+          "graft_alnum_run_count"),
+        arity("graft_alnum_run_count", 1)(c => graft.functions.AlnumRunCount(c.head))),
+      (FunctionIdentifier("graft_l2_normalize"),
+        new ExpressionInfo(classOf[graft.functions.L2Normalize].getName,
+          "graft_l2_normalize"),
+        arity("graft_l2_normalize", 1)(c => graft.functions.L2Normalize(c.head))),
+      (FunctionIdentifier("graft_quantize_int8"),
+        new ExpressionInfo(classOf[graft.functions.QuantizeInt8].getName,
+          "graft_quantize_int8"),
+        arity("graft_quantize_int8", 1)(c => graft.functions.QuantizeInt8(c.head))),
+      (FunctionIdentifier("graft_pii_redact"),
+        new ExpressionInfo(classOf[graft.functions.PiiRedact].getName,
+          "graft_pii_redact"),
+        arity("graft_pii_redact", 1)(c => graft.functions.PiiRedact(c.head))),
       (FunctionIdentifier("graft_sum128"),
         new ExpressionInfo(classOf[graft.functions.Sum128].getName, "graft_sum128"),
         arity("graft_sum128", 2)(c =>

@@ -595,7 +595,12 @@ class ScaleTechniquesSpec extends SparkSpec {
         |  size(graft_token_chunks('a b c d e', 2, 2)) AS nch,
         |  size(graft_token_tfs('a b a')) AS ntf,
         |  size(graft_token_term_tfs('a b a')) AS nttf,
-        |  size(graft_ngram_bucket_counts('a b a', 64)) AS nbc
+        |  size(graft_ngram_bucket_counts('a b a', 64)) AS nbc,
+        |  graft_token_count(' a  b c ') AS tc,
+        |  graft_alnum_run_count('ab12cd') AS arc,
+        |  size(graft_l2_normalize(array(3.0D, 4.0D))) AS l2n,
+        |  size(graft_quantize_int8(array(1.0D, -2.0D)).quantized) AS q8,
+        |  graft_pii_redact('x a@b.cd 12345678').n_emails AS pr
         |""".stripMargin).collect().head
     assert(rows.getDouble(0) === 11.0)
     assert(rows.getInt(1) === 3)
@@ -605,6 +610,11 @@ class ScaleTechniquesSpec extends SparkSpec {
     assert(rows.getInt(6) === 16)
     assert(rows.getInt(7) === 3)
     assert(rows.getInt(8) === 2 && rows.getInt(9) === 2)
+    assert(rows.getLong(11) === 3L)   // tc
+    assert(rows.getLong(12) === 3L)   // arc: ab|12|cd
+    assert(rows.getInt(13) === 2)     // l2n
+    assert(rows.getInt(14) === 2)     // q8
+    assert(rows.getLong(15) === 1L)   // pr
     // the aggregate registration resolves and sums exactly
     import spark.implicits._
     Seq(150L, 250L).toDF("u").createOrReplaceTempView("u128")
