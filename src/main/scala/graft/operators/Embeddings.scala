@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
 /** Embedding-column operators for training-data pipelines: normalization
@@ -8,8 +8,6 @@ import org.apache.spark.sql.functions._
   * the native dot expression) — map-side, no shuffle, linear at 100 TB.
   */
 object Embeddings {
-
-  private def asDouble(c: Column): Column = transform(c, x => x.cast("double"))
 
   /** L2-normalized embeddings: v / ||v||, zero vectors unchanged — the
     * preprocessing step that turns dot products into cosines for every
