@@ -24,7 +24,8 @@ import org.apache.spark.sql.types._
   * elements contribute 0, shorter-prefix length); ||c||² folds at
   * construction with the same sequential sum.
   */
-case class NearestCenter(child: Expression, centers: Array[Array[Double]])
+case class NearestCenter(child: Expression, centers: Array[Array[Double]],
+                         tieHigh: Boolean = false)
     extends UnaryExpression {
 
   require(centers.nonEmpty, "at least one center")
@@ -62,7 +63,12 @@ case class NearestCenter(child: Expression, centers: Array[Array[Double]])
         j += 1
       }
       val score = d * 2 - cNorm2(c)
-      if (score > bestScore) { bestScore = score; bestCell = c; bestDot = d }
+      // tieHigh replicates array_max over struct(score, cell): among
+      // equal scores the HIGHEST cell index wins (lexicographic struct
+      // max); the default keeps the original smaller-index rule
+      if (score > bestScore || (tieHigh && score == bestScore)) {
+        bestScore = score; bestCell = c; bestDot = d
+      }
       c += 1
     }
     var ss = 0.0

@@ -138,8 +138,17 @@ object Similarity {
       .setFeaturesCol("features")
       .fit(c.withColumn("features", array_to_vector(col("_cv"))))
     val centers = model.clusterCenters.map(_.toArray)
+    // native argmax (NearestCenter, tieHigh = array_max's struct-max tie
+    // rule): at sqrt-n cell counts the composable array-of-structs form
+    // generates a > 64 KB codegen method (447 cells at the 100x tier) —
+    // Janino refuses it and the WHOLE assignment stage silently fell
+    // back to interpreted, paying the ~100x literal/struct overhead the
+    // native family exists to remove. Bit-identical: same sequential
+    // dot accumulation, same score, same tie winner (spec-pinned with a
+    // duplicated-center tie fixture).
     val assigned = c.withColumn("cell",
-      array_max(ivfCellScores(centers)(col("_cv"))).getField("cell"))
+      org.apache.spark.sql.GraftBridge.nearestCenter(col("_cv"), centers,
+        tieHigh = true).getField("cell"))
     new IvfIndex(if (cache) assigned.persist() else assigned, centers, idCol, vecCol)
   }
 
@@ -325,7 +334,9 @@ object Similarity {
     def assign(batch: DataFrame): DataFrame =
       spread(batch).select(col(idCol).as("neighbor_id"), asDouble(col(vecCol)).as("_cv"))
         .withColumn("cell",
-          array_max(cellScores(col("_cv"))).getField("cell"))
+          // same native argmax + tie rule as buildIvf's assignment
+          org.apache.spark.sql.GraftBridge.nearestCenter(col("_cv"), centers,
+            tieHigh = true).getField("cell"))
 
     /** Append a new batch to a SAVED index directory: assignment rides
       * the existing centroids and the rows land in their cell partitions

@@ -24,9 +24,10 @@ object GraftBridge {
       ExpressionUtils.expression(vec), sids, seeds))
 
   /** Column over the fused nearest-centroid assignment (struct(cell, ccos)). */
-  def nearestCenter(vec: Column, centers: Array[Array[Double]]): Column =
+  def nearestCenter(vec: Column, centers: Array[Array[Double]],
+                    tieHigh: Boolean = false): Column =
     ExpressionUtils.column(graft.functions.NearestCenter(
-      ExpressionUtils.expression(vec), centers))
+      ExpressionUtils.expression(vec), centers, tieHigh))
 
   /** Column over the fused product-quantization encoder
     * (array of struct(subspace, code, dist)).

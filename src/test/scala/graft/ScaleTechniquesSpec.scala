@@ -828,6 +828,40 @@ class ScaleTechniquesSpec extends SparkSpec {
     assert(vf.except(vd).isEmpty && vd.except(vf).isEmpty)
   }
 
+  test("NearestCenter tieHigh assignment is bit-identical to the composable array_max form, including exact score ties") {
+    // the composable ivfCellScores chain: array_max over
+    // struct(2·c·x − ||c||², cell) with Similarity.dot's sequential fold
+    def dotC(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
+      aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+    val emb = graft.core.Tables.embeddings(spark, "/root/testdata/sf0.001")
+      .select(col("vec_id"), transform(col("embedding"), _.cast("double")).as("v"))
+    val some = emb.orderBy("vec_id").limit(7).collect()
+      .map(_.getSeq[Double](1).toArray)
+    // DUPLICATED centers force an exact score tie on every row — the
+    // composable struct-max picks the HIGHEST tied cell index, which
+    // tieHigh must replicate
+    val centers = some ++ some
+    val composable = emb.withColumn("cell",
+      array_max(array(centers.zipWithIndex.map { case (ctr, i) =>
+        val n2 = ctr.map(x => x * x).sum
+        struct((dotC(col("v"), array(ctr.map(lit(_)): _*)) * 2 - n2).as("score"),
+          lit(i).as("cell"))
+      }: _*)).getField("cell")).select("vec_id", "cell")
+    val native = emb.withColumn("cell",
+      org.apache.spark.sql.GraftBridge.nearestCenter(col("v"), centers,
+        tieHigh = true).getField("cell")).select("vec_id", "cell")
+    assert(native.except(composable).isEmpty && composable.except(native).isEmpty,
+      "tieHigh native assignment must equal the composable struct-max")
+    // every winner must be a duplicate-range index (>= 7): the tie rule
+    // actually engaged on every row
+    assert(native.filter(col("cell") < 7).isEmpty, "tie rule did not engage")
+    // and the default (smaller-index) rule picks the ORIGINAL range
+    val low = emb.withColumn("cell",
+      org.apache.spark.sql.GraftBridge.nearestCenter(col("v"), centers)
+        .getField("cell"))
+    assert(low.filter(col("cell") >= 7).isEmpty, "default tie rule changed")
+  }
+
   test("GraftExtensions injects its registrations into a fresh extension set") {
     val exts = new org.apache.spark.sql.SparkSessionExtensions
     new GraftExtensions().apply(exts) // must not throw; builder is arity-checked
