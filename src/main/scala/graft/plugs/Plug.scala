@@ -35,4 +35,13 @@ trait Plug {
 object PlugRegistry {
   def all: Seq[Plug] = Seq(Podping, Polls, HiveEngine)
   def byName(n: String): Option[Plug] = all.find(_.name == n)
+
+  /** Runtime discovery from a directory of `<plug>/defs.json` definition
+    * files — the reference's actual boot story (every startup rescans the
+    * plugs dir; an operator adds a dataset by dropping in a definition,
+    * no rebuild). Returns the ENABLED plugs, each bound to its compiled
+    * transform via [[PlugDefs.transforms]]. The compiled [[all]] remains
+    * the default when no defs directory is deployed.
+    */
+  def fromDefs(dir: java.io.File): Seq[Plug] = PlugDefs.boot(dir)
 }

@@ -186,4 +186,64 @@ class SourcesSpec extends SparkSpec {
     }
     feed.unpersist()
   }
+
+  test("defs.json boot: a plug registers from a definition file and matches the compiled transform") {
+    import graft.plugs.{PlugDefs, PlugRegistry}
+    import org.apache.spark.sql.functions.col
+    val dir = java.nio.file.Files.createTempDirectory("plug_defs").toFile
+    def write(sub: String, json: String): Unit = {
+      val d = new java.io.File(dir, sub); d.mkdirs()
+      java.nio.file.Files.writeString(new java.io.File(d, "defs.json").toPath, json)
+    }
+    // reference-shaped definitions (docs/plug-definitions.md example):
+    // podping enabled with a custom start block, polls shipped disabled
+    write("podping",
+      """{"name": "podping",
+        | "props": {"enabled": true, "schema": "podping",
+        |           "context": "podping", "start_block": 101},
+        | "ops": {"18": "podping.process_cjop"}}""".stripMargin)
+    write("polls",
+      """{"name": "polls",
+        | "props": {"enabled": false, "schema": "polls",
+        |           "context": "polls", "start_block": 0},
+        | "ops": {"18": "polls.process_cjop"}}""".stripMargin)
+    // a directory without defs.json is not a plug (haf.py _is_valid_plug)
+    new java.io.File(dir, "not_a_plug").mkdirs()
+    // parse keeps every declared field
+    val defs = PlugDefs.load(dir)
+    assert(defs.map(_.name) === Seq("podping", "polls"))
+    assert(defs.find(_.name == "polls").exists(!_.enabled))
+    // boot: only the enabled plug, identity from the JSON
+    val booted = PlugRegistry.fromDefs(dir)
+    assert(booted.map(_.name) === Seq("podping"))
+    val p = booted.head
+    assert(p.startBlock === 101)
+    assert(p.opTypeIds === Set(18))
+    // the booted plug's transform is byte-equal to the compiled plug's
+    import Fixtures._
+    val feed = opLog(spark, Seq(
+      op(1, 100, 0, "2024-01-01 00:00:00", "podping",
+        podpingV03(Seq("https://a.example/feed"))),
+      op(2, 101, 0, "2024-01-01 00:00:03", "pp_video_update",
+        podpingV10(Seq("https://c.example/feed"), medium = "video"))))
+    val fromDef = p.transform(feed)
+    val compiled = graft.plugs.Podping.transform(feed)
+    assert(fromDef.keySet === compiled.keySet)
+    fromDef.keySet.foreach { t =>
+      val cols = compiled(t).columns.toSeq.sorted.map(col)
+      assert(fromDef(t).orderBy(cols: _*).collect().toSeq ===
+        compiled(t).orderBy(cols: _*).collect().toSeq, s"$t diverged")
+    }
+    // misconfigurations fail LOUDLY at boot, not silently at sync time
+    write("misnamed", """{"name": "other",
+      | "props": {"enabled": true, "schema": "o", "context": "o", "start_block": 0},
+      | "ops": {"18": "podping.process_cjop"}}""".stripMargin)
+    intercept[IllegalArgumentException](PlugDefs.load(dir))
+    new java.io.File(new java.io.File(dir, "misnamed"), "defs.json").delete()
+    new java.io.File(dir, "misnamed").delete()
+    write("podping", """{"name": "podping",
+      | "props": {"enabled": true, "schema": "podping", "context": "podping", "start_block": 0},
+      | "ops": {"18": "podping.no_such_function"}}""".stripMargin)
+    intercept[IllegalArgumentException](PlugRegistry.fromDefs(dir))
+  }
 }
