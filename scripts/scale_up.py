@@ -38,7 +38,10 @@ Design (all copies deterministic; copy 0 is the untouched seed data):
   row-group parallelism like a production many-row-group file. Pair with
   spark.sql.files.maxPartitionBytes sized for ~32 splits when benching.
 
-Usage: scale_up.py [src_dir] [dst_dir] [copies]
+Usage: scale_up.py [src_dir] [dst_dir] [copies] [tables]
+  tables: optional comma-separated subset (e.g. "documents,embeddings")
+  for partial tiers — the sf100 dedup stress needs only the corpus
+  tables, not 600M lineitem rows.
 """
 import json
 import os
@@ -92,10 +95,12 @@ def scale_table(name, src_path, copies):
     return pa.concat_tables(parts)
 
 
-def main(src, dst, copies):
+def main(src, dst, copies, only=None):
     os.makedirs(dst, exist_ok=True)
     manifest = {"src": src, "copies": copies, "stride": STRIDE, "tables": {}}
     names = DIMENSIONS + sorted(KEY_COLS)
+    if only:
+        names = [n for n in names if n in only]
     for name in names:
         src_path = f"{src}/{name}.parquet"
         dst_path = f"{dst}/{name}.parquet"
@@ -119,4 +124,5 @@ def main(src, dst, copies):
 if __name__ == "__main__":
     main(sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1",
          sys.argv[2] if len(sys.argv) > 2 else "/root/repo/target/sf1",
-         int(sys.argv[3]) if len(sys.argv) > 3 else 10)
+         int(sys.argv[3]) if len(sys.argv) > 3 else 10,
+         set(sys.argv[4].split(",")) if len(sys.argv) > 4 else None)

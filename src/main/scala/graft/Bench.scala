@@ -75,6 +75,57 @@ object Bench {
     spark
   }
 
+  /** Same-window DuckDB baseline: time every oracle SQL over the same
+    * tier via scripts/bench_duck.py immediately after the engine's timed
+    * passes, so each BENCH_r* artifact carries its own denominator —
+    * wall-clock on a shared host swings up to 5x between rounds, which
+    * made raw engine totals unattributable without side records (the
+    * r13→r14 17.0→25.3 s "regression" was host load). Returns
+    * (duck_total_sec, raw_json_line). None when the helper is disabled
+    * (SPARK_GRAFT_DUCK=off) or python3/duckdb are absent — the engine
+    * numbers still print, with explicit nulls marking the missing
+    * denominator. The subprocess is the DEV-TOOL side of the fence
+    * (driver-side python, like check_local.py); the engine library never
+    * depends on it.
+    */
+  private def duckBaseline(spark: SparkSession, sfDir: String,
+                           reps: Int): Option[(Double, String)] =
+    try {
+      val tmp = java.nio.file.Files.createTempDirectory("bench_duck")
+      val dynamic =
+        try SparkEntry.dynamicOracleSql(spark, sfDir)
+        catch { case scala.util.control.NonFatal(e) =>
+          System.err.println(s"[bench] dynamic oracle generation failed: ${e.getMessage}")
+          Map.empty[String, String]
+        }
+      import graft.serving.JsonOut
+      val json = (SparkEntry.oracleSql ++ dynamic)
+        .map { case (k, v) => s"${JsonOut.str(k)}: ${JsonOut.str(v)}" }
+        .mkString("{", ",", "}")
+      java.nio.file.Files.writeString(tmp.resolve("oracle_sql.json"), json)
+      val pb = new ProcessBuilder("python3", "scripts/bench_duck.py",
+        sfDir, tmp.toString, reps.toString)
+      pb.redirectError(ProcessBuilder.Redirect.INHERIT)
+      val p = pb.start()
+      // stdout is one JSON line (plus nothing else); read to EOF then reap
+      val out = new String(p.getInputStream.readAllBytes(),
+        java.nio.charset.StandardCharsets.UTF_8)
+      val ok = p.waitFor(30, java.util.concurrent.TimeUnit.MINUTES) &&
+        p.exitValue() == 0
+      if (!ok) { System.err.println("[bench] duck baseline failed (rc!=0)"); None }
+      // python json.dumps spaces its separators — match structurally,
+      // not byte-for-byte
+      else out.linesIterator
+        .find(l => l.startsWith("{") && l.contains("\"duckdb_total\""))
+        .flatMap { line =>
+          "\"value\":\\s*([0-9.eE+-]+)".r.findFirstMatchIn(line)
+            .map(m => (m.group(1).toDouble, line.trim))
+        }
+    } catch { case scala.util.control.NonFatal(e) =>
+      System.err.println(s"[bench] duck baseline unavailable: ${e.getMessage}")
+      None
+    }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -107,8 +158,13 @@ object Bench {
             spark.sql(s"DROP TABLE IF EXISTS bench_probe_$t")
             if (!fresh) {
               val t0 = System.nanoTime()
+              // accelerate: unscaled-long money columns materialized at
+              // write time (Layout.unscaledCols) — part of the one-time
+              // layout cost, like the bucketing shuffle itself
               graft.core.Layout.writeBucketed(
-                graft.core.Tables.load(spark, sfDir, t), s"bench_b_$t", path, key, 32,
+                graft.core.Layout.accelerate(
+                  graft.core.Tables.load(spark, sfDir, t), t),
+                s"bench_b_$t", path, key, 32,
                 srcFingerprint = Some(fp))
               System.err.println(f"[bench] layout build $t -> $path " +
                 f"${(System.nanoTime() - t0) / 1e9}%.1f s (one-time)")
@@ -253,15 +309,34 @@ object Bench {
     // self-consistent: value == sum(queries) + omitted.sum.
     def fmt(v: Double): String = String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
     val total = results.collect { case (_, v) if v >= 0 => v }.sum
+    // same-window baseline (see duckBaseline): runs AFTER the engine's
+    // timed passes, while the Spark JVM is idle, so both totals measure
+    // the same host window and the line is self-interpreting. Explicit
+    // nulls when the helper can't run — a silent absence would read as
+    // "not attempted".
+    val duck =
+      if (sys.env.get("SPARK_GRAFT_DUCK").contains("off")) None
+      else duckBaseline(spark, sfDir,
+        sys.env.getOrElse("SPARK_GRAFT_DUCK_REPS", "2").toInt)
+    val duckExtra =
+      if (sys.env.get("SPARK_GRAFT_DUCK").contains("off")) ""
+      else duck match {
+        case Some((dt, _)) if dt > 0 =>
+          s""","engine_total":${fmt(total)},"duck_total":${fmt(dt)},"ratio":${fmt(total / dt)}"""
+        case _ => ""","engine_total":null,"duck_total":null,"ratio":null"""
+      }
     def render(rs: Seq[(String, Double)], extra: String): String = {
       val qs = rs.map { case (k, v) => "\"" + k + "\":" + fmt(v) }.mkString("{", ",", "}")
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs$extra,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs$extra$duckExtra,"sf":"$sfDir"}"""
     }
     val fullLine = render(results, "")
     val metricsJson = planMetrics.map { case (k, (j, tk, ts)) =>
       "\"" + k + "\":{\"jobs\":" + j + ",\"tasks\":" + tk + ",\"task_sec\":" + fmt(ts) + "}"
     }.mkString(",\"plan_metrics\":{", ",", "}")
-    val fullRecord = fullLine.patch(fullLine.lastIndexOf("}"), metricsJson + "}", 1)
+    // the baseline's full per-query map rides in the durable copy only
+    // (the stdout tail budget can't fit two query maps)
+    val duckJson = duck.map { case (_, raw) => s""","duck":$raw""" }.getOrElse("")
+    val fullRecord = fullLine.patch(fullLine.lastIndexOf("}"), metricsJson + duckJson + "}", 1)
     try java.nio.file.Files.writeString(java.nio.file.Paths.get("BENCH_LOCAL.json"), fullRecord + "\n")
     catch { case _: Throwable => () }
     val Budget = 1800 // 2000-char tail minus the sbt epilogue, with margin

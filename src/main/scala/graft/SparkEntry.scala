@@ -35,6 +35,18 @@ object SparkEntry {
   private def k = org.apache.spark.sql.GraftBridge.jsonGet(col("props"), "k").cast("int")
   private def dec(p: Int, sc: Int) = DecimalType(p, sc)
 
+  /** The unscaled long of `cast(name AS decimal(p, 2))` — read from the
+    * layout's materialized `<name>_u2` column when `frame` carries one
+    * (core.Layout.accelerate: written by the SAME cast at layout-build
+    * time, so the two forms are bit-identical by construction), computed
+    * per row otherwise (the flat-parquet path the correctness gate and
+    * its DuckDB oracle both read). This is what turns the TPC-H money
+    * scans from per-row double→BigDecimal casts into plain long decode.
+    */
+  private def unscaled2(frame: DataFrame, name: String, p: Int) =
+    if (frame.columns.contains(s"${name}_u2")) col(s"${name}_u2")
+    else org.apache.spark.sql.GraftBridge.unscaled(col(name).cast(dec(p, 2)))
+
   /** Materialized plug-derived tables, once per (session, sf dir) — the
     * production shape: the streaming pipeline maintains these tables and
     * serving queries read them; a serving query never re-ingests the op
@@ -317,9 +329,6 @@ object SparkEntry {
     //      harness boundary even when values are identical)
     Q("q1_pricing_summary",
       (s, d) => {
-        val price = col("l_extendedprice").cast(dec(18, 2))
-        val disc = col("l_discount").cast(dec(4, 2))
-        val tax = col("l_tax").cast(dec(4, 2))
         // exact decimal sums, dispatched per aggregate: plain long sum
         // when parquet footer stats PROVE max|unscaled| x rowCount < 2^63
         // (zero jobs, see functions.ExactSum — same value as Sum128 by
@@ -362,13 +371,17 @@ object SparkEntry {
         // volume, so the long products (<= ~1e4 x unscaled price) are
         // overflow-safe at any SF; only GROUP sums scale, and those
         // ride the int128 accumulator.
-        val up = br.unscaled(price)
-        val udisc = br.unscaled(disc)
-        val utax = br.unscaled(tax)
+        //
+        // unscaled2: reads the layout's materialized unscaled-long
+        // columns when present (bench path), casts per row otherwise
+        // (gate path) — bit-identical either way, see the helper doc.
+        val up = unscaled2(base, "l_extendedprice", 18)
+        val udisc = unscaled2(base, "l_discount", 4)
+        val utax = unscaled2(base, "l_tax", 4)
         base
           .filter(col("l_shipdate") <= lit(java.sql.Timestamp.valueOf("2000-12-01 00:00:00")))
           .select(col("l_returnflag"), col("l_linestatus"),
-            br.unscaled(col("l_quantity").cast(dec(18, 2))).as("_uq"),
+            unscaled2(base, "l_quantity", 18).as("_uq"),
             up.as("_up"),
             (up * (lit(100L) - udisc)).as("_ud"),
             (up * (lit(100L) - udisc) * (lit(100L) + utax)).as("_uc"))
@@ -433,8 +446,7 @@ object SparkEntry {
           .join(li,
             col("l_orderkey") === col("o_orderkey") &&
               col("l_shipdate") <= col("o_orderdate") + expr("INTERVAL 60 DAYS"))
-          .withColumn("_uv", org.apache.spark.sql.GraftBridge.unscaled(
-            col("l_extendedprice").cast(dec(18, 2))))
+          .withColumn("_uv", unscaled2(li, "l_extendedprice", 18))
           .groupBy(col("o_orderkey"))
           .agg(count(lit(1)).as("n_lines"),
             es.sumExact(col("_uv"), 2, fits)
@@ -548,10 +560,8 @@ object SparkEntry {
           // unscaled-long product, not Decimal.times — see q1's projection
           // comment (scale 2+2 -> 4, exact, overflow-safe per row)
           .withColumn("_ur",
-            org.apache.spark.sql.GraftBridge.unscaled(
-              col("l_extendedprice").cast(dec(18, 2))) *
-              (lit(100L) - org.apache.spark.sql.GraftBridge.unscaled(
-                col("l_discount").cast(dec(4, 2)))))
+            unscaled2(li, "l_extendedprice", 18) *
+              (lit(100L) - unscaled2(li, "l_discount", 4)))
           .groupBy(col("o_orderkey"), col("o_orderdate"))
           .agg(es.sumExact(col("_ur"), 4, fits).as("_rev"))
           .orderBy(col("_rev").desc, col("o_orderkey")).limit(10)
@@ -596,8 +606,7 @@ object SparkEntry {
           .join(Tables.customer(s, d), col("o_custkey") === col("c_custkey"))
           .join(broadcast(Tables.nation(s, d)), col("c_nationkey") === col("n_nationkey"))
           .join(broadcast(Tables.region(s, d)), col("n_regionkey") === col("r_regionkey"))
-          .withColumn("_ut", org.apache.spark.sql.GraftBridge.unscaled(
-            col("o_totalprice").cast(dec(18, 2))))
+          .withColumn("_ut", unscaled2(ord, "o_totalprice", 18))
           .groupBy(col("r_name"), col("n_name"))
           .agg(count(lit(1)).as("n_orders"),
             es.sumExact(col("_ut"), 2, fits)
@@ -1029,8 +1038,7 @@ object SparkEntry {
             org.apache.spark.sql.expressions.Window
               .partitionBy(col("l_partkey"))))
           .filter(col("l_quantity") < col("avg_qty") * 0.2)
-          .withColumn("_up", org.apache.spark.sql.GraftBridge.unscaled(
-            col("l_extendedprice").cast(dec(18, 2))))
+          .withColumn("_up", unscaled2(li, "l_extendedprice", 18))
           .groupBy(col("l_partkey"))
           .agg(count(lit(1)).as("n"),
             es.sumExact(col("_up"), 2, fits)
@@ -1497,6 +1505,33 @@ object SparkEntry {
              |FROM inter JOIN sz x ON x.doc_id = doc_a JOIN sz y ON y.doc_id = doc_b
              |WHERE round(i * 1.0 / x.n, 6) >= 0.6 OR round(i * 1.0 / y.n, 6) >= 0.6""".stripMargin)),
 
+    // capped containment with the SAMPLED hot-shingle census (1-in-8
+    // deterministic doc subset; ceiling applied to the sample size) —
+    // the ε-approximate census that removes the exact census's ~50%
+    // clean-tier premium. The oracle replays the identical sampled
+    // census in SQL, so the gate is exact over the approximate SEMANTICS.
+    Q("dedup_containment_capped_approx",
+      (s, d) => Dedup.containmentPairsCappedApprox(
+        Tables.documents(s, d), "text", "doc_id", 3, 0.6, 0.05, 8),
+      Some("""WITH toks AS (
+             |  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS t
+             |  FROM documents),
+             |sh AS (SELECT DISTINCT doc_id, concat_ws(' ', t[i], t[i+1], t[i+2]) AS s
+             |       FROM (SELECT doc_id, t, unnest(range(1, len(t) - 1)) AS i FROM toks)
+             |       WHERE len(t) >= 3),
+             |hot AS (SELECT s FROM sh WHERE doc_id % 8 = 0 GROUP BY s
+             |        HAVING count(*) > ceil(0.05 * (SELECT count(*) FROM documents WHERE doc_id % 8 = 0))),
+             |f AS (SELECT * FROM sh WHERE s NOT IN (SELECT s FROM hot)),
+             |sz AS (SELECT doc_id, count(*) AS n FROM f GROUP BY 1),
+             |inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i
+             |          FROM f a JOIN f b ON a.s = b.s AND a.doc_id < b.doc_id
+             |          GROUP BY 1, 2)
+             |SELECT doc_a, doc_b,
+             |       round(i * 1.0 / x.n, 6) AS c_ab,
+             |       round(i * 1.0 / y.n, 6) AS c_ba
+             |FROM inter JOIN sz x ON x.doc_id = doc_a JOIN sz y ON y.doc_id = doc_b
+             |WHERE round(i * 1.0 / x.n, 6) >= 0.6 OR round(i * 1.0 / y.n, 6) >= 0.6""".stripMargin)),
+
     // cross-corpus decontamination: doc_id % 20 == 0 plays the benchmark
     // suite, the rest the training corpus; pairs sharing >= 2 distinct
     // 3-gram shingles are contamination hits with the bench doc's
@@ -1825,6 +1860,51 @@ object SparkEntry {
       (s, d) => ivfPqIndex(s, d).topKJoin(Tables.embeddings(s, d), 5, nProbe = 2),
       None),
 
+    // ---- ANN retrieval-quality gate: IVF recall@10 vs the exact
+    // brute-force top-k, held to per-nProbe floors by the same machinery
+    // as correctness (the sketch-gate pattern: the engine emits the
+    // bound CHECK as a boolean, the oracle emits the exact denominator
+    // plus literal TRUE — a recall regression flips the boolean and
+    // fails the hash compare). Floors are evidence-based loose lower
+    // bounds (tools/RecallProbe at sf0.001/0.01/0.1: nProbe=1 measures
+    // 0.19-0.28, nProbe=4 0.46-0.66, nProbe=8 0.63-0.88 — the synthetic
+    // embeddings are near-uniform, the hard case for IVF; a broken
+    // assignment path lands at ~nProbe/nCells ≈ 0.01-0.1); the per-run
+    // recall VALUE is deterministic (seeded k-means) but tier-specific,
+    // so it rides in probe records, not the cross-engine hash.
+    Q("sim_ivf_recall",
+      (s, d) => {
+        val emb = Tables.embeddings(s, d)
+        val probes = emb.filter(col("vec_id") < 50)
+        val exact = graft.core.CacheScope.cached(
+          Similarity.bruteForceTopK(emb, probes, 10)
+            .select(col("probe_id"), col("neighbor_id")))
+        val nExact = exact.agg(count(lit(1)).as("n_exact"))
+        Seq(1 -> 0.10, 4 -> 0.30, 8 -> 0.45).map { case (np, floor) =>
+          val hits = ivfIndex(s, d).topK(probes, 10, nProbe = np)
+            .select(col("probe_id"), col("neighbor_id"))
+            .join(exact, Seq("probe_id", "neighbor_id"), "left_semi")
+            .agg(count(lit(1)).cast("double").as("_hits"))
+          nExact.crossJoin(hits).select(
+            lit(10).as("k"), lit(np).as("n_probe"), col("n_exact"),
+            (col("_hits") / col("n_exact").cast("double") >= floor)
+              .as("recall_ok"))
+        }.reduce(_.unionByName(_)).orderBy("n_probe")
+      },
+      Some("""WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+             |s AS (SELECT p.vec_id AS probe_id, c.vec_id AS neighbor_id,
+             |        list_dot_product(p.e, c.e) /
+             |          (sqrt(list_dot_product(p.e, p.e)) * sqrt(list_dot_product(c.e, c.e))) AS cos
+             |      FROM v p JOIN v c ON c.vec_id <> p.vec_id
+             |      WHERE p.vec_id < 50),
+             |r AS (SELECT probe_id,
+             |        row_number() OVER (PARTITION BY probe_id ORDER BY cos DESC, neighbor_id) AS rank
+             |      FROM s),
+             |n AS (SELECT CAST(count(*) AS BIGINT) AS n_exact FROM r WHERE rank <= 10)
+             |SELECT CAST(10 AS INT) AS k, CAST(np AS INT) AS n_probe, n_exact,
+             |       TRUE AS recall_ok
+             |FROM n, (VALUES (1), (4), (8)) AS t(np) ORDER BY n_probe""".stripMargin)),
+
     // ---- embedding quantization (storage compression for ANN corpora)
     // Terminal projection is scalar-only: the driver's gate cannot sort
     // array columns, so the int8 vector rides as a canonical CSV string
@@ -2001,8 +2081,8 @@ object SparkEntry {
              |        CAST(sum(CAST(ln(rn) * ln(c) AS DECIMAL(28,18))) AS DOUBLE) AS sxy
              |      FROM r)
              |SELECT n_terms,
-             |  round((n_terms * sxy - sx * sy) / (n_terms * sxx - sx * sx), 6) AS slope,
-             |  round((sy - ((n_terms * sxy - sx * sy) / (n_terms * sxx - sx * sx)) * sx)
+             |  round((n_terms * sxy - sx * sy) / NULLIF(n_terms * sxx - sx * sx, 0), 6) AS slope,
+             |  round((sy - ((n_terms * sxy - sx * sy) / NULLIF(n_terms * sxx - sx * sx, 0)) * sx)
              |        / n_terms, 6) AS intercept
              |FROM s""".stripMargin)),
 
@@ -2022,7 +2102,7 @@ object SparkEntry {
              |SELECT n_docs, total_tokens,
              |  round((2.0 * CAST(srx AS DOUBLE)
              |         - (CAST(n_docs AS DOUBLE) + 1) * CAST(total_tokens AS DOUBLE))
-             |        / (CAST(n_docs AS DOUBLE) * CAST(total_tokens AS DOUBLE)), 6) AS gini
+             |        / NULLIF(CAST(n_docs AS DOUBLE) * CAST(total_tokens AS DOUBLE), 0), 6) AS gini
              |FROM s""".stripMargin)),
 
     // ---- sketch gates: the approximate operators held to their ERROR

@@ -65,8 +65,21 @@ case class NearestCenter(child: Expression, centers: Array[Array[Double]],
       val score = d * 2 - cNorm2(c)
       // tieHigh replicates array_max over struct(score, cell): among
       // equal scores the HIGHEST cell index wins (lexicographic struct
-      // max); the default keeps the original smaller-index rule
-      if (score > bestScore || (tieHigh && score == bestScore)) {
+      // max); the default keeps the original smaller-index rule.
+      // NaN arm: a NaN-poisoned vector makes every score NaN, and IEEE
+      // `>`/`==` are always false on NaN — without it the loop would
+      // silently return cell 0 while Spark's struct ordering (array_max)
+      // treats NaN as GREATER than everything and NaN == NaN for ties.
+      // Double.compare implements exactly that total order, but is only
+      // consulted when a NaN is actually present: for finite scores the
+      // IEEE operators are kept so -0.0 == 0.0 stays a tie (Double
+      // .compare would rank them, silently changing finite tie-breaks).
+      val better =
+        if (java.lang.Double.isNaN(score) || java.lang.Double.isNaN(bestScore)) {
+          val cmp = java.lang.Double.compare(score, bestScore)
+          cmp > 0 || (tieHigh && cmp == 0)
+        } else score > bestScore || (tieHigh && score == bestScore)
+      if (better) {
         bestScore = score; bestCell = c; bestDot = d
       }
       c += 1

@@ -77,11 +77,20 @@ object ProductUnscaled18 {
     * aggregate, so the expression cannot be staged once in the plan
     * either. This per-thread last-input memo collapses those
     * same-row re-evaluations to one BigDecimal compute: the key is the
-    * raw (weight, value-bits) pair, every slot expression runs on the
-    * same thread within a row, and the returned row is read-only
-    * (consumers extract primitive longs immediately). Measured: the
-    * unmemoized form was ~10% SLOWER than the boxed decimal chain it
-    * replaces at the 100x tier; memoized it wins (SCALE_STRESS r14).
+    * raw (weight, value-bits) pair and every slot expression runs on
+    * the same thread within a row. Measured: the unmemoized form was
+    * ~10% SLOWER than the boxed decimal chain it replaces at the 100x
+    * tier; memoized it wins (SCALE_STRESS r14).
+    *
+    * The memo caches the two RESULT LONGS, never a row object: each
+    * call allocates a fresh GenericInternalRow (nursery-cheap next to
+    * the BigDecimal setScale the memo exists to skip), so a consumer
+    * that retains or defers reading the struct (sort buffering,
+    * collect of the raw struct) can never observe a later row's values
+    * through an aliased buffer. The expression is also deliberately
+    * unregistered in SQL and only reachable through
+    * GraftBridge.sum128Product, whose Sum128Pair reads the two fields
+    * immediately.
     */
   private val memo = new ThreadLocal[Memo] {
     override def initialValue(): Memo = new Memo
@@ -90,7 +99,9 @@ object ProductUnscaled18 {
     var has = false
     var w = 0L
     var bits = 0L
-    var r: InternalRow = _
+    var isNull = false
+    var hi = 0L
+    var lo = 0L
   }
 
   /** Static target for both eval and generated code; null mirrors the
@@ -98,18 +109,20 @@ object ProductUnscaled18 {
   def prod(w: Long, x: Double): InternalRow = {
     val m = memo.get()
     val bits = java.lang.Double.doubleToRawLongBits(x)
-    if (m.has && m.w == w && m.bits == bits) return m.r
-    val r = compute(w, x)
-    m.has = true; m.w = w; m.bits = bits; m.r = r
-    r
+    if (!(m.has && m.w == w && m.bits == bits)) {
+      m.has = true; m.w = w; m.bits = bits
+      compute(w, x, m)
+    }
+    if (m.isNull) null else new GenericInternalRow(Array[Any](m.hi, m.lo))
   }
 
-  private def compute(w: Long, x: Double): InternalRow = {
-    if (w <= -1000000000L || w >= 1000000000L) return null
-    if (java.lang.Double.isNaN(x) || java.lang.Double.isInfinite(x)) return null
+  private def compute(w: Long, x: Double, m: Memo): Unit = {
+    m.isNull = true
+    if (w <= -1000000000L || w >= 1000000000L) return
+    if (java.lang.Double.isNaN(x) || java.lang.Double.isInfinite(x)) return
     val bd = java.math.BigDecimal.valueOf(x)
       .setScale(18, java.math.RoundingMode.HALF_UP)
-    if (bd.precision > 28) return null
+    if (bd.precision > 28) return
     val u = bd.unscaledValue()
     // int128 of unscaled18(value), two's complement (arithmetic shift
     // sign-extends the high word for negative values)
@@ -121,7 +134,7 @@ object ProductUnscaled18 {
     val lo = lo0 * w
     var hi = hi0 * w + Math.multiplyHigh(w, lo0)
     if (lo0 < 0) hi += w
-    new GenericInternalRow(Array[Any](hi, lo))
+    m.isNull = false; m.hi = hi; m.lo = lo
   }
 }
 

@@ -222,6 +222,15 @@ object Stats {
     *    partitioning; the final fit is one scalar double computation
     *    over those exact sums, identical in any engine.
     *
+    * Collision caveat: the vocabulary is keyed on the 64-bit token hash
+    * (tokenTfs.h) while an external string-keyed engine groups by the
+    * term itself, so a hash collision merges two terms and shifts
+    * `n_terms` — a DIRECTLY gate-compared output, not just a rounded
+    * aggregate — plus every OLS sum. Accepted under the repo's
+    * documented ~V²/2^65 collision budget (cf. the other unigram
+    * operators), but unlike those, a collision here is visible as an
+    * integer mismatch, not a sixth-decimal wobble.
+    *
     * Scale shape: one vocabulary-sized shuffle (term-hash groupBy, the
     * same 8-byte keys as the other unigram operators), one
     * counts-of-counts census shuffle (distinct frequency VALUES — e.g.
@@ -249,8 +258,14 @@ object Stats {
       s128(x * x).as("sxx"), s128(x * y).as("sxy"))
     val nD = col("n_terms").cast("double")
     def d(c: String) = col(c).cast("double")
-    val slope = (nD * d("sxy") - d("sx") * d("sy")) /
-      (nD * d("sxx") - d("sx") * d("sx"))
+    // degenerate-corpus guard: a single frequency class (every term
+    // equally frequent) zeroes the OLS denominator; IEEE division would
+    // yield NaN here while an external engine may yield NULL or error —
+    // both sides of the gate agree on NULL (the oracle mirrors with
+    // NULLIF). An empty corpus is already NULL through the null sums.
+    val denom = nD * d("sxx") - d("sx") * d("sx")
+    val slope = when(denom === 0.0, lit(null).cast("double"))
+      .otherwise((nD * d("sxy") - d("sx") * d("sy")) / denom)
     sums.select(col("n_terms"),
       round(slope, 6).as("slope"),
       round((d("sy") - slope * d("sx")) / nD, 6).as("intercept"))
@@ -287,9 +302,13 @@ object Stats {
       br.sum128Long(col("rn") * col("c"), 0).as("_srx"))
     val nD = col("n_docs").cast("double")
     val sxD = col("total_tokens").cast("double")
+    // degenerate-corpus guard (see zipfSlope): all-empty docs make
+    // total_tokens 0 and G undefined — NULL on both gate sides instead
+    // of engine-dependent NaN/NULL/error division semantics
     sums.select(col("n_docs"), col("total_tokens"),
-      round((lit(2.0) * col("_srx").cast("double") - (nD + 1) * sxD)
-        / (nD * sxD), 6).as("gini"))
+      when(nD * sxD === 0.0, lit(null).cast("double"))
+        .otherwise(round((lit(2.0) * col("_srx").cast("double") - (nD + 1) * sxD)
+          / (nD * sxD), 6)).as("gini"))
   }
 
   /** Exact global ranks for a value census `(c, m)` — one output row

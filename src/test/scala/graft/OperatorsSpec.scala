@@ -483,6 +483,22 @@ class OperatorsSpec extends SparkSpec {
     assert(base === shuffled)
   }
 
+  test("stats degenerate corpora: zero denominators yield NULL, not NaN") {
+    val s = spark
+    import s.implicits._
+    // single distinct term → one rank class → zero OLS denominator
+    val mono = (0 until 8).map(i => (i.toLong, "same same")).toDF("doc_id", "text")
+    val rz = operators.Stats.zipfSlope(mono).collect().head
+    assert(rz.getAs[Long]("n_terms") === 1L)
+    assert(rz.isNullAt(rz.fieldIndex("slope")), "slope must be NULL")
+    assert(rz.isNullAt(rz.fieldIndex("intercept")), "intercept must be NULL")
+    // all-empty docs → total_tokens 0 → Gini undefined
+    val empty = (0 until 5).map(i => (i.toLong, "")).toDF("doc_id", "text")
+    val rg = operators.Stats.giniLengths(empty).collect().head
+    assert(rg.getAs[Long]("total_tokens") === 0L)
+    assert(rg.isNullAt(rg.fieldIndex("gini")), "gini must be NULL")
+  }
+
   test("corpus mixture: per-stratum token shares and cumulative share") {
     val s = spark
     import s.implicits._

@@ -217,6 +217,58 @@ class ScaleTechniquesSpec extends SparkSpec {
     }
   }
 
+  test("Layout v2 accelerate: unscaled columns bit-identical to the per-row cast; q1 zero-diff through the layout; version fence rejects pre-v2 manifests") {
+    val sf = "/root/testdata/sf0.001"
+    val dir = java.nio.file.Files.createTempDirectory("layout_v2").toString
+    val br = org.apache.spark.sql.GraftBridge
+    val li = graft.core.Tables.lineitem(spark, sf)
+    val acc = graft.core.Layout.accelerate(li, "lineitem")
+    // each derived column equals the query-side cast it replaces, bit for
+    // bit (null-safe compare: dec(4,2) nulls on |x| >= 100 by design)
+    for ((name, p) <- graft.core.Layout.unscaledCols("lineitem")) {
+      val bad = acc.select(col(s"${name}_u2").as("a"),
+        br.unscaled(col(name).cast(org.apache.spark.sql.types.DecimalType(p, 2))).as("b"))
+        .filter(!(col("a") <=> col("b")))
+      assert(bad.isEmpty, s"derived ${name}_u2 diverges from the cast")
+    }
+    // identity for tables with no derived columns
+    assert(graft.core.Layout.accelerate(li, "nation").schema === li.schema)
+    // full circle: q1 through an accelerated layout == q1 flat
+    val ord = graft.core.Tables.orders(spark, sf)
+    graft.core.Layout.writeBucketed(acc, "t_v2_lineitem", s"$dir/b_lineitem",
+      "l_orderkey", 4, srcFingerprint = Some(graft.core.Layout.fingerprint(
+        new java.io.File(s"$sf/lineitem.parquet"))))
+    graft.core.Layout.writeBucketed(
+      graft.core.Layout.accelerate(ord, "orders"), "t_v2_orders",
+      s"$dir/b_orders", "o_orderkey", 4,
+      srcFingerprint = Some(graft.core.Layout.fingerprint(
+        new java.io.File(s"$sf/orders.parquet"))))
+    def run(name: String) = SparkEntry.queries(name)(spark, sf)
+      .collect().map(_.toString).sorted.toSeq
+    val flat = Seq("q1_pricing_summary", "q5_region_rollup").map(run)
+    spark.conf.set("spark.graft.layout.dir", dir)
+    spark.conf.set("spark.graft.layout.src", sf)
+    try {
+      // the redirect must actually serve the derived column to q1
+      assert(graft.core.Tables.lineitem(spark, sf).columns
+        .contains("l_extendedprice_u2"), "redirect lost the derived columns")
+      val lay = Seq("q1_pricing_summary", "q5_region_rollup").map(run)
+      assert(lay === flat, "layout path must be zero-diff vs flat")
+    } finally {
+      spark.conf.unset("spark.graft.layout.dir")
+      spark.conf.unset("spark.graft.layout.src")
+    }
+    // version fence: a manifest without the current "v" is STALE
+    val mPath = java.nio.file.Paths.get(s"$dir/b_lineitem", "_layout.json")
+    val m = new String(java.nio.file.Files.readAllBytes(mPath))
+    java.nio.file.Files.write(mPath,
+      m.replace(s""""v":${graft.core.Layout.version},""", "").getBytes)
+    assert(graft.core.Layout.bucketedFromManifest(spark, "t_v2_stale",
+      s"$dir/b_lineitem").isEmpty, "pre-v2 manifest must be rejected")
+    spark.sql("DROP TABLE IF EXISTS t_v2_lineitem")
+    spark.sql("DROP TABLE IF EXISTS t_v2_orders")
+  }
+
   test("graft_dot is SQL-callable on a configured session") {
     // GraftSession.configure registered the function on the shared session
     val r = spark.sql(
@@ -860,6 +912,34 @@ class ScaleTechniquesSpec extends SparkSpec {
       org.apache.spark.sql.GraftBridge.nearestCenter(col("v"), centers)
         .getField("cell"))
     assert(low.filter(col("cell") >= 7).isEmpty, "default tie rule changed")
+    // NaN-poisoned vectors: every score is NaN, which Spark's struct
+    // ordering treats as GREATER than everything with NaN == NaN — so
+    // array_max picks the HIGHEST cell. The native NaN arm must agree
+    // (it used to fall through to cell 0 because IEEE > / == are false).
+    // poison IN PLACE (same length — a length change would null-pad the
+    // composable zip_with and test null scores, not NaN scores)
+    val poisoned = emb.limit(3).withColumn("v",
+      transform(col("v"), (x, i) => when(i === 0, lit(Double.NaN)).otherwise(x)))
+    val nanComposable = poisoned.withColumn("cell",
+      array_max(array(centers.zipWithIndex.map { case (ctr, i) =>
+        val n2 = ctr.map(x => x * x).sum
+        struct((dotC(col("v"), array(ctr.map(lit(_)): _*)) * 2 - n2).as("score"),
+          lit(i).as("cell"))
+      }: _*)).getField("cell")).select("vec_id", "cell")
+    val nanNative = poisoned.withColumn("cell",
+      org.apache.spark.sql.GraftBridge.nearestCenter(col("v"), centers,
+        tieHigh = true).getField("cell")).select("vec_id", "cell")
+    assert(nanNative.except(nanComposable).isEmpty &&
+      nanComposable.except(nanNative).isEmpty,
+      "tieHigh NaN arm must equal the composable struct-max")
+    assert(nanNative.filter(col("cell") =!= centers.length - 1).isEmpty,
+      "NaN scores must rank greatest (highest tied cell wins under tieHigh)")
+    // default rule on NaN keeps the smallest cell — same winner as the
+    // pre-NaN-arm behavior, now by the documented tie rule
+    val nanLow = poisoned.withColumn("cell",
+      org.apache.spark.sql.GraftBridge.nearestCenter(col("v"), centers)
+        .getField("cell"))
+    assert(nanLow.filter(col("cell") =!= 0).isEmpty, "default NaN tie rule")
   }
 
   test("GraftExtensions injects its registrations into a fresh extension set") {
