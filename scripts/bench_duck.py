@@ -4,52 +4,67 @@
 Dev tool only (driver-side python). Prints per-query best-of-N seconds and
 the total, as one JSON line.
 
-Usage: bench_duck.py <sf_dir> <verify_out_dir> [reps=3] [threads=32]
+Each query runs in its OWN subprocess: a DuckDB out-of-memory error
+poisons the whole process allocator (observed at the sf10 tier: after one
+OOM even a fresh connection fails 2 KiB allocations), so in-process
+failure isolation is not enough — the child dies alone and the sweep
+continues.
+
+Usage: bench_duck.py <sf_dir> <verify_out_dir> [reps=3] [threads=32] [mem=80GB]
+  mem: DuckDB memory_limit — lower it when another process (e.g. a large
+  idle JVM) holds a chunk of the box.
 """
 import json
+import multiprocessing as mp
 import sys
 import time
-
-import duckdb
 
 TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings"]
 
 
-def main(sf_dir, out_dir, reps=3, threads=32):
-    def fresh_con():
-        con = duckdb.connect()
-        con.sql(f"SET threads={threads}")
-        # big-tier hygiene: bound the allocator below the box and give
-        # the spill a directory, so a heavy oracle degrades to disk
-        # instead of dying mid-allocation
-        con.sql("SET memory_limit='80GB'")
-        con.sql("SET temp_directory='/tmp/duck_spill'")
-        for t in TABLES:
-            con.sql(f"CREATE OR REPLACE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
-        return con
+def run_one(sf_dir, sql, reps, threads, mem, out):
+    """Child: time one oracle SQL, best of reps. Exits nonzero on error."""
+    import duckdb
+    con = duckdb.connect()
+    con.sql(f"SET threads={threads}")
+    # big-tier hygiene: bound the allocator below the box and give the
+    # spill a directory, so a heavy oracle degrades to disk instead of
+    # dying mid-allocation
+    con.sql(f"SET memory_limit='{mem}'")
+    con.sql("SET temp_directory='/tmp/duck_spill'")
+    for t in TABLES:
+        con.sql(f"CREATE OR REPLACE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+    best = float("inf")
+    try:
+        for _ in range(reps):
+            t0 = time.monotonic()
+            con.sql(sql).fetchall()
+            best = min(best, time.monotonic() - t0)
+    except Exception as e:
+        out.put(("err", f"{type(e).__name__}: {e}"[:200]))
+        return
+    out.put(("ok", best))
 
-    con = fresh_con()
+
+def main(sf_dir, out_dir, reps=3, threads=32, mem="80GB"):
     oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
     best = {}
     failed = {}
+    ctx = mp.get_context("fork")
     for name, sql in sorted(oracle.items()):
-        for _ in range(reps):
-            t0 = time.monotonic()
-            try:
-                con.sql(sql).fetchall()
-            except Exception as e:  # record, keep benching the rest —
-                # on a FRESH connection: an OOM'd one keeps failing tiny
-                # allocations for every later query (observed cascade)
-                failed[name] = f"{type(e).__name__}: {e}"[:200]
-                print(f"[duck] FAIL {name}: {failed[name]}", file=sys.stderr)
-                con.close()
-                con = fresh_con()
-                break
-            dt = time.monotonic() - t0
-            best[name] = min(best.get(name, float("inf")), dt)
-        else:
+        out = ctx.Queue()
+        p = ctx.Process(target=run_one,
+                        args=(sf_dir, sql, reps, threads, mem, out))
+        p.start()
+        p.join()
+        res = out.get() if not out.empty() else None
+        if res and res[0] == "ok":
+            best[name] = res[1]
             print(f"[duck] {name} {best[name]:.3f}s", file=sys.stderr)
+        else:
+            failed[name] = res[1] if res else f"child died rc={p.exitcode}"
+            print(f"[duck] FAIL {name}: {failed[name]}", file=sys.stderr)
     total = sum(best.values())
     print(json.dumps({
         "metric": "duckdb_total", "value": round(total, 3), "unit": "sec",
@@ -60,4 +75,5 @@ def main(sf_dir, out_dir, reps=3, threads=32):
 if __name__ == "__main__":
     main(sys.argv[1], sys.argv[2],
          int(sys.argv[3]) if len(sys.argv) > 3 else 3,
-         int(sys.argv[4]) if len(sys.argv) > 4 else 32)
+         int(sys.argv[4]) if len(sys.argv) > 4 else 32,
+         sys.argv[5] if len(sys.argv) > 5 else "80GB")

@@ -21,9 +21,16 @@ object Bench {
       // is no network hop, so compression is pure CPU overhead, and
       // locality wait only delays task launch (everything is
       // PROCESS_LOCAL). A cluster deployment keeps the defaults.
-      .config("spark.shuffle.compress", "false")
-      .config("spark.shuffle.spill.compress", "false")
-      .config("spark.broadcast.compress", "false")
+      // SPARK_GRAFT_COMPRESS=true re-enables compression for stress
+      // tiers whose UNCOMPRESSED shuffle exceeds local disk (the sf100
+      // dedup sweep's shingle self-join filled a 75 GB /tmp; compressed
+      // it fits) — the same trade a real cluster makes by default.
+      .config("spark.shuffle.compress",
+        sys.env.getOrElse("SPARK_GRAFT_COMPRESS", "false"))
+      .config("spark.shuffle.spill.compress",
+        sys.env.getOrElse("SPARK_GRAFT_COMPRESS", "false"))
+      .config("spark.broadcast.compress",
+        sys.env.getOrElse("SPARK_GRAFT_COMPRESS", "false"))
       .config("spark.locality.wait", "0")
       // static conf: the generated-class cache defaults to 100 entries,
       // but the full suite compiles several hundred distinct codegen
@@ -88,23 +95,35 @@ object Bench {
     * (driver-side python, like check_local.py); the engine library never
     * depends on it.
     */
-  private def duckBaseline(spark: SparkSession, sfDir: String,
+  /** Dump the full oracle map (static + per-dataset dynamic) for the
+    * baseline subprocess — the one step that still needs the live
+    * session. Returns the directory holding oracle_sql.json.
+    */
+  private def dumpOracle(spark: SparkSession, sfDir: String): java.nio.file.Path = {
+    val tmp = java.nio.file.Files.createTempDirectory("bench_duck")
+    val dynamic =
+      try SparkEntry.dynamicOracleSql(spark, sfDir)
+      catch { case scala.util.control.NonFatal(e) =>
+        System.err.println(s"[bench] dynamic oracle generation failed: ${e.getMessage}")
+        Map.empty[String, String]
+      }
+    import graft.serving.JsonOut
+    val json = (SparkEntry.oracleSql ++ dynamic)
+      .map { case (k, v) => s"${JsonOut.str(k)}: ${JsonOut.str(v)}" }
+      .mkString("{", ",", "}")
+    java.nio.file.Files.writeString(tmp.resolve("oracle_sql.json"), json)
+    tmp
+  }
+
+  private def duckBaseline(oracleDir: java.nio.file.Path, sfDir: String,
                            reps: Int): Option[(Double, String)] =
     try {
-      val tmp = java.nio.file.Files.createTempDirectory("bench_duck")
-      val dynamic =
-        try SparkEntry.dynamicOracleSql(spark, sfDir)
-        catch { case scala.util.control.NonFatal(e) =>
-          System.err.println(s"[bench] dynamic oracle generation failed: ${e.getMessage}")
-          Map.empty[String, String]
-        }
-      import graft.serving.JsonOut
-      val json = (SparkEntry.oracleSql ++ dynamic)
-        .map { case (k, v) => s"${JsonOut.str(k)}: ${JsonOut.str(v)}" }
-        .mkString("{", ",", "}")
-      java.nio.file.Files.writeString(tmp.resolve("oracle_sql.json"), json)
+      // headroom note: this runs AFTER spark.stop(), but the JVM may not
+      // return heap to the OS — cap DuckDB below the default so its
+      // allocator never claims memory the resident JVM still maps
+      val mem = sys.env.getOrElse("SPARK_GRAFT_DUCK_MEM", "48GB")
       val pb = new ProcessBuilder("python3", "scripts/bench_duck.py",
-        sfDir, tmp.toString, reps.toString)
+        sfDir, oracleDir.toString, reps.toString, "32", mem)
       pb.redirectError(ProcessBuilder.Redirect.INHERIT)
       val p = pb.start()
       // stdout is one JSON line (plus nothing else); read to EOF then reap
@@ -310,14 +329,23 @@ object Bench {
     def fmt(v: Double): String = String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
     val total = results.collect { case (_, v) if v >= 0 => v }.sum
     // same-window baseline (see duckBaseline): runs AFTER the engine's
-    // timed passes, while the Spark JVM is idle, so both totals measure
-    // the same host window and the line is self-interpreting. Explicit
-    // nulls when the helper can't run — a silent absence would read as
-    // "not attempted".
+    // timed passes — with the Spark context STOPPED first, so the
+    // baseline isn't memory-starved by a 64g idle JVM (measured at the
+    // sf10 tier: in-flight duck OOM'd at a 256 KiB allocation while the
+    // engine JVM held its heap) — both totals still measure the same
+    // host window back to back. Explicit nulls when the helper can't
+    // run — a silent absence would read as "not attempted".
     val duck =
       if (sys.env.get("SPARK_GRAFT_DUCK").contains("off")) None
-      else duckBaseline(spark, sfDir,
-        sys.env.getOrElse("SPARK_GRAFT_DUCK_REPS", "2").toInt)
+      else {
+        val oracleDir = dumpOracle(spark, sfDir)
+        spark.stop()
+        // full GC returns freed regions to the OS under G1 — gives the
+        // subprocess real headroom, not just un-referenced JVM heap
+        System.gc()
+        duckBaseline(oracleDir, sfDir,
+          sys.env.getOrElse("SPARK_GRAFT_DUCK_REPS", "2").toInt)
+      }
     val duckExtra =
       if (sys.env.get("SPARK_GRAFT_DUCK").contains("off")) ""
       else duck match {

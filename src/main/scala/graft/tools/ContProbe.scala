@@ -81,11 +81,42 @@ object ContProbe {
       println(s"[cont] prefix+verify pairs=$n")
       graft.core.CacheScope.release()
     }
+    // Round-15 arm (VERDICT r14 task 3): GROUP-LOCAL pair counting —
+    // one exchange on shingle, per-shingle doc runs collected to in-row
+    // sorted arrays, pairs generated in-row with HOFs (no join node, no
+    // SMJ sort of the row-expanded stream). Same pair multiset as the
+    // self-join by construction (sort_array orders by doc, pairing each
+    // element with its strict successors = a.doc < b.doc).
+    def runGroupLocal(wide: Int): Unit = {
+      val sh = graft.operators.Dedup.shinglesN(docs, "text", "doc_id", 3)
+        .cache()
+      sh.count()
+      val runs = sh.repartition(wide, col("shingle"))
+        .groupBy(col("shingle"))
+        .agg(sort_array(collect_list(struct(col("doc"), col("n")))).as("ds"))
+        .filter(size(col("ds")) > 1)
+      val pairs = runs.select(explode(flatten(transform(col("ds"), (a, i) =>
+        transform(slice(col("ds"), i + 2, size(col("ds")) - i - 1),
+          b => struct(a.getField("doc").as("doc_a"),
+            b.getField("doc").as("doc_b"),
+            a.getField("n").as("na"), b.getField("n").as("nb")))))).as("p"))
+      val agg = pairs
+        .groupBy(col("p.doc_a").as("doc_a"), col("p.doc_b").as("doc_b"),
+          col("p.na").as("na"), col("p.nb").as("nb"))
+        .agg(count(lit(1)).as("i"))
+        .withColumn("c_ab", round(col("i").cast("double") / col("na"), 6))
+        .withColumn("c_ba", round(col("i").cast("double") / col("nb"), 6))
+        .filter(col("c_ab") >= 0.8 || col("c_ba") >= 0.8)
+      val n = time(s"group-local p=$wide")(agg.count())
+      println(s"[cont] group-local p=$wide pairs=$n")
+      sh.unpersist()
+    }
     (1 to reps).foreach { rep =>
       println(s"--- rep $rep")
       runPrefix()
       partList.foreach { p =>
         run("merge", p)
+        runGroupLocal(p)
       }
     }
     spark.stop()

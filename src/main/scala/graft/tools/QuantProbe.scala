@@ -48,7 +48,7 @@ object QuantProbe {
     // un-multiplied pass of 9 conditional sums
     def collectedGate() = {
       val qs = graft.operators.Stats.approxQuantiles(li, "v", "g", probs, 1000)
-        .collect().map(r => (r.getString(0), r.getLong(1).toInt, r.getDouble(2)))
+        .collect().map(r => (r.getString(0), r.get(1).toString.toInt, r.getDouble(2)))
       val sums = qs.flatMap { case (g, w, q) => Seq(
         sum(when(col("g") === g && col("v") <= q, 1L).otherwise(0L)).as(s"le_${g}_$w"),
         sum(when(col("g") === g && col("v") < q, 1L).otherwise(0L)).as(s"lt_${g}_$w")) }
