@@ -1519,8 +1519,13 @@ object SparkEntry {
              |sh AS (SELECT DISTINCT doc_id, concat_ws(' ', t[i], t[i+1], t[i+2]) AS s
              |       FROM (SELECT doc_id, t, unnest(range(1, len(t) - 1)) AS i FROM toks)
              |       WHERE len(t) >= 3),
-             |hot AS (SELECT s FROM sh WHERE doc_id % 8 = 0 GROUP BY s
-             |        HAVING count(*) > ceil(0.05 * (SELECT count(*) FROM documents WHERE doc_id % 8 = 0))),
+             |ns AS (SELECT count(*) AS n FROM documents WHERE doc_id % 8 = 0),
+             |hot AS (SELECT s FROM sh
+             |        WHERE (SELECT n FROM ns) < 32 OR doc_id % 8 = 0
+             |        GROUP BY s
+             |        HAVING count(*) > ceil(0.05 * (CASE WHEN (SELECT n FROM ns) < 32
+             |                                            THEN (SELECT count(*) FROM documents)
+             |                                            ELSE (SELECT n FROM ns) END))),
              |f AS (SELECT * FROM sh WHERE s NOT IN (SELECT s FROM hot)),
              |sz AS (SELECT doc_id, count(*) AS n FROM f GROUP BY 1),
              |inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i

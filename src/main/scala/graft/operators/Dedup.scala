@@ -344,21 +344,38 @@ object Dedup {
     * Deterministic and engine-reproducible by construction (an id-mod
     * subset, not RNG — cf. [[graft.operators.Sampling.deterministic]]),
     * so the gate's external oracle replays the same census in SQL.
+    *
+    * DEGENERATE-SAMPLE GUARD (r15 verdict task 2): an id-mod subset is
+    * only a census when the id space actually strides through the mod
+    * classes — a corpus whose ids are stride/offset-correlated (every id
+    * ≡ 1 mod 8 after an upstream filter or key-space offset) yields an
+    * EMPTY sample, `_nd` = 0, every shingle clears `ceil(0)` and is
+    * marked hot, and the operator silently returns zero pairs. The
+    * sample size is therefore counted up front (one id-pruned count job
+    * — no text bytes read; its result doubles as the census denominator
+    * literal, replacing the old scalar cross join) and the operator
+    * falls back to the EXACT census below `minSample` docs — correct by
+    * construction, and the census premium it re-pays is only ever paid
+    * on corpora too small for the premium to matter.
     */
   def containmentPairsCappedApprox(df: DataFrame, textCol: String,
                                    idCol: String, w: Int = 3,
                                    threshold: Double = 0.8,
                                    maxDfFrac: Double = 0.05,
-                                   sampleMod: Int = 8): DataFrame = {
-    val sh = graft.core.CacheScope.cached(shinglesN(df, textCol, idCol, w))
+                                   sampleMod: Int = 8,
+                                   minSample: Long = 32L): DataFrame = {
     val nSamp = df.filter(col(idCol) % sampleMod === 0)
-      .select(count(lit(1)).cast("double").as("_nd"))
-    val hot = sh.filter(col("doc") % sampleMod === 0)
-      .groupBy(col("shingle")).agg(count(lit(1)).as("_df"))
-      .crossJoin(nSamp)
-      .filter(col("_df") > ceil(lit(maxDfFrac) * col("_nd")))
-      .select("shingle")
-    cappedTail(sh, hot, wideShufflePartitions(df), threshold)
+      .select(col(idCol)).count()
+    if (nSamp < minSample)
+      containmentPairsCapped(df, textCol, idCol, w, threshold, maxDfFrac)
+    else {
+      val sh = graft.core.CacheScope.cached(shinglesN(df, textCol, idCol, w))
+      val hot = sh.filter(col("doc") % sampleMod === 0)
+        .groupBy(col("shingle")).agg(count(lit(1)).as("_df"))
+        .filter(col("_df") > ceil(lit(maxDfFrac) * lit(nSamp.toDouble)))
+        .select("shingle")
+      cappedTail(sh, hot, wideShufflePartitions(df), threshold)
+    }
   }
 
   /** Shared pair stage of the capped-containment family: anti/semi-join

@@ -157,6 +157,34 @@ class OperatorsSpec extends SparkSpec {
     assert(Dedup.ngramJaccardPairs(d, "text", "doc_id", 3, 0.9).count() === 0)
   }
 
+  test("capped-approx census guard: stride-correlated ids fall back to the exact census") {
+    val s = spark
+    import s.implicits._
+    // every id ≡ 1 (mod 8): the 1-in-8 id-mod census sample is EMPTY
+    // (the r15 degenerate — an upstream filter or key-space offset can
+    // leave the id space stride-correlated). Pre-guard, an empty sample
+    // produced an empty hot list, silently DISABLING the df cap — the
+    // exact quadratic candidate blow-up the cap exists to prevent.
+    // Corpus: 12 pairs of docs; every doc shares an 8-shingle hot
+    // phrase (df=24, must be capped) and each pair a 2-shingle unique
+    // tail (df=2, must survive).
+    val common = (1 to 10).map(i => s"c$i").mkString(" ")
+    val d = (0 until 24).map { i =>
+      (i * 8L + 1, s"$common u${i / 2}a u${i / 2}b")
+    }.toDF("doc_id", "text")
+    val exact = Dedup.containmentPairsCapped(d, "text", "doc_id", 3, 0.6, 0.2)
+      .orderBy("doc_a", "doc_b").collect().toSeq
+    assert(exact.size === 12) // cap active: only the per-pair tails match
+    val approx = Dedup.containmentPairsCappedApprox(d, "text", "doc_id", 3, 0.6, 0.2, 8)
+      .orderBy("doc_a", "doc_b").collect().toSeq
+    assert(approx === exact) // guard fell back to the exact census
+    // un-capped containment at the same bar sees all C(24,2) cross-pair
+    // matches through the hot phrase — what the pre-guard empty census
+    // silently degraded to
+    assert(Dedup.containmentPairs(d, "text", "doc_id", 3, 0.6).count() === 276L)
+    graft.core.CacheScope.release()
+  }
+
   test("int8 quantization: dequantized error bounded by scale/2 per component") {
     val s = spark
     import s.implicits._
