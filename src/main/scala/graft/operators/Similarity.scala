@@ -47,10 +47,51 @@ object Similarity {
 
   /** Brute-force cosine top-k: for each probe vector, the k nearest corpus
     * vectors (excluding itself). The probe side is broadcast — the corpus
-    * is scanned exactly once regardless of probe count.
+    * is scanned exactly once regardless of probe count — and the per-probe
+    * top-k rides the bounded aggregate ([[graft.functions.BoundedTopK]]),
+    * not a window: the window form shuffles every scored pair
+    * (|corpus| × |probes| rows — the operator's entire bulk) to sort it,
+    * while the bounded aggregate's map-side combine ships at most
+    * k × |probes| pairs per task into the exchange. Ordering key is
+    * (−cosine asc, id asc) ≡ (cosine desc, id asc); negation is an exact
+    * sign-bit flip, so scores and ties are bit-identical to the window
+    * form (spec: "brute-force bounded top-k ≡ window form").
     */
   def bruteForceTopK(corpus: DataFrame, probes: DataFrame, k: Int,
                      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    // norms hoisted into the pre-join projections: cosine(a,b) inline
+    // would recompute norm(c) once per (probe, corpus) PAIR — 3 dot
+    // products per pair instead of 1 (+ one per row). Same expression
+    // values in the same order (dot / (norm(p) * norm(c))), so results
+    // are bit-identical to the inline form.
+    val c = spread(corpus).select(col(idCol).as("neighbor_id"), asDouble(col(vecCol)).as("_cv"))
+      .withColumn("_cn", norm(col("_cv")))
+    val p = probes.select(col(idCol).as("probe_id"), asDouble(col(vecCol)).as("_pv"))
+      .withColumn("_pn", norm(col("_pv")))
+    c.join(broadcast(p), col("probe_id") =!= col("neighbor_id"))
+      .select(col("probe_id"),
+        (-(dot(col("_pv"), col("_cv")) / (col("_pn") * col("_cn")))).as("_ns"),
+        col("neighbor_id"))
+      .groupBy(col("probe_id"))
+      // assertNotNull: value-non-null by construction (dot over non-null
+      // arrays; corpus key), but parquet schemas say nullable — same
+      // handshake as topKJoin
+      .agg(org.apache.spark.sql.GraftBridge.boundedTopK(
+        org.apache.spark.sql.GraftBridge.assertNotNull(col("_ns")),
+        org.apache.spark.sql.GraftBridge.assertNotNull(
+          col("neighbor_id").cast("long")), k).as("_top"))
+      .select(col("probe_id"), posexplode(col("_top")))
+      .select(col("probe_id"), col("col.id").as("neighbor_id"),
+        round(-col("col.score"), 6).as("cosine"),
+        (col("pos") + 1).cast("int").as("rank"))
+  }
+
+  /** Window formulation of [[bruteForceTopK]] — reference semantics for
+    * the bounded-aggregate form's equivalence spec only.
+    */
+  private[graft] def bruteForceTopKWindow(corpus: DataFrame, probes: DataFrame, k: Int,
+                                          idCol: String = "vec_id",
+                                          vecCol: String = "embedding"): DataFrame = {
     val c = spread(corpus).select(col(idCol).as("neighbor_id"), asDouble(col(vecCol)).as("_cv"))
     val p = probes.select(col(idCol).as("probe_id"), asDouble(col(vecCol)).as("_pv"))
     val scored = c.join(broadcast(p), col("probe_id") =!= col("neighbor_id"))
@@ -397,6 +438,37 @@ object Similarity {
         .filter(col("_rn") <= k)
         .select(col("probe_id"), col("neighbor_id"),
           round(col("cosine"), 6).as("cosine"), col("_rn").cast("int").as("rank"))
+    }
+
+    /** Exactly-scored candidates from each probe's `maxProbe` nearest
+      * cells, with the cell's rank (1 = nearest) riding every row.
+      * IVF probe sets NEST by construction — the nProbe=n candidate set
+      * is precisely `cell_rank <= n` of the nProbe=maxProbe set — so a
+      * recall/parameter sweep computes the cell assignment and the
+      * corpus join ONCE and derives each configuration by filtering this
+      * frame, instead of paying a full assignment + scan per nProbe
+      * (the sim_ivf_recall gate's three configs share one pass).
+      * `cosine` is unrounded (the same ranking key [[topK]] uses); a
+      * downstream top-k over `cell_rank <= n` reproduces `topK(_, k, n)`
+      * row-for-row (pinned by spec).
+      */
+    def rankedCandidates(probes: DataFrame, maxProbe: Int): DataFrame = {
+      val p = probes
+        .select(col(idCol).as("probe_id"), asDouble(col(vecCol)).as("_pv"))
+        .select(col("probe_id"), col("_pv"), norm(col("_pv")).as("_pn"),
+          posexplode(transform(
+            slice(reverse(array_sort(cellScores(col("_pv")))), 1, maxProbe),
+            s => s.getField("cell"))).as(Seq("_pos", "cell")))
+      // probe norm hoisted before the join (bit-identical — see
+      // bruteForceTopK); the corpus norm stays inline: candidates touch
+      // ~nProbe/nCells of the corpus, so a per-candidate norm is cheaper
+      // than a norm column over every cell row
+      cells.join(broadcast(p), Seq("cell"))
+        .filter(col("probe_id") =!= col("neighbor_id"))
+        .select(col("probe_id"), col("neighbor_id"),
+          (dot(col("_pv"), col("_cv")) / (col("_pn") * norm(col("_cv"))))
+            .as("cosine"),
+          (col("_pos") + 1).cast("int").as("cell_rank"))
     }
   }
 

@@ -794,6 +794,48 @@ class OperatorsSpec extends SparkSpec {
     idx.cells.unpersist()
   }
 
+  test("brute-force bounded top-k ≡ window form (scores, ties, ranks)") {
+    // bruteForceTopK's BoundedTopK aggregate must be bit-identical to
+    // the full-shuffle window it replaced: same (cosine desc, id) order
+    // via the exact sign-bit flip, same rounded scores, same ranks
+    val emb = graft.core.Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val probes = emb.filter(col("vec_id") < 8)
+    val bounded = Similarity.bruteForceTopK(emb, probes, 7)
+      .orderBy("probe_id", "rank").collect().toSeq
+      .map(r => (r.getAs[Long]("probe_id"), r.getAs[Long]("neighbor_id"),
+        r.getAs[Double]("cosine"), r.getAs[Int]("rank")))
+    val window = Similarity.bruteForceTopKWindow(emb, probes, 7)
+      .orderBy("probe_id", "rank").collect().toSeq
+      .map(r => (r.getAs[Long]("probe_id"), r.getAs[Long]("neighbor_id"),
+        r.getAs[Double]("cosine"), r.getAs[Int]("rank")))
+    assert(bounded === window)
+  }
+
+  test("IVF rankedCandidates: cell_rank filter + top-k reproduces topK row-for-row per nProbe") {
+    // the sweep-sharing contract (r15 verdict task 3): one assignment
+    // pass + one corpus join, each nProbe config derived by filtering
+    // the nested candidate frame — must be byte-identical to the
+    // per-config topK it replaces
+    val emb = graft.core.Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val probes = emb.filter(col("vec_id") < 5)
+    val idx = Similarity.buildIvf(emb, nCells = 8, cache = false)
+    val cand = idx.rankedCandidates(probes, maxProbe = 8).cache()
+    try {
+      Seq(1, 2, 4, 8).foreach { np =>
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("probe_id")).orderBy(col("cosine").desc, col("neighbor_id"))
+        val derived = cand.filter(col("cell_rank") <= np)
+          .withColumn("_rn", row_number().over(w)).filter(col("_rn") <= 3)
+          .select(col("probe_id"), col("neighbor_id"),
+            round(col("cosine"), 6).as("cosine"), col("_rn").cast("int").as("rank"))
+          .orderBy("probe_id", "rank").collect().toSeq
+        val direct = idx.topK(probes, 3, nProbe = np)
+          .orderBy("probe_id", "rank").collect().toSeq
+        assert(derived === direct, s"nProbe=$np")
+      }
+    } finally cand.unpersist()
+  }
+
   test("IVF index round-trips through save/load with identical results") {
     val emb = graft.core.Tables.embeddings(spark, "/root/testdata/sf0.001")
     val probes = emb.filter(col("vec_id") < 5)
