@@ -16,6 +16,7 @@ Usage: bench_duck.py <sf_dir> <verify_out_dir> [reps=3] [threads=32] [mem=80GB]
 """
 import json
 import multiprocessing as mp
+import queue
 import sys
 import time
 
@@ -58,7 +59,13 @@ def main(sf_dir, out_dir, reps=3, threads=32, mem="80GB"):
                         args=(sf_dir, sql, reps, threads, mem, out))
         p.start()
         p.join()
-        res = out.get() if not out.empty() else None
+        # Queue.empty() right after join() is unreliable (the feeder
+        # thread may not have flushed); a bounded get() is the
+        # documented-safe way to drain a possibly-present result
+        try:
+            res = out.get(timeout=5)
+        except queue.Empty:
+            res = None
         if res and res[0] == "ok":
             best[name] = res[1]
             print(f"[duck] {name} {best[name]:.3f}s", file=sys.stderr)

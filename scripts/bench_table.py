@@ -29,11 +29,14 @@ def main(bench_path, duck_path, min_wall=0.0):
     print("| gate | engine s | engine task_sec | duck s | ratio |")
     print("|---|---|---|---|---|")
     for name, es, ts, ds, ratio in rows:
-        print(f"| {name} | {es:.3f} | {ts:.1f} | {ds:.3f} | {ratio:.2f}x |")
+        ts_s = f"{ts:.1f}" if ts is not None else "-"
+        ratio_s = f"{ratio:.2f}x" if ratio is not None else "-"
+        print(f"| {name} | {es:.3f} | {ts_s} | {ds:.3f} | {ratio_s} |")
     et = sum(r[1] for r in rows)
     dt = sum(r[3] for r in rows)
+    ratio_t = f"{et / dt:.2f}x" if dt > 0 else "-"
     print(f"\ntotals over {len(rows)} shared gates: engine {et:.1f} s, "
-          f"duck {dt:.1f} s, ratio {et / dt:.2f}x")
+          f"duck {dt:.1f} s, ratio {ratio_t}")
     if duck_line.get("failed"):
         print("duck-infeasible/failed:", ", ".join(sorted(duck_line["failed"])))
 

@@ -125,12 +125,17 @@ object Bench {
       val pb = new ProcessBuilder("python3", "scripts/bench_duck.py",
         sfDir, oracleDir.toString, reps.toString, "32", mem)
       pb.redirectError(ProcessBuilder.Redirect.INHERIT)
+      // capture stdout via a file, NOT readAllBytes on the pipe: a hung
+      // child would block the read forever and the waitFor timeout below
+      // could never fire (the pipe also can't fill — no deadlock risk)
+      val outFile = java.nio.file.Files.createTempFile("bench_duck_out", ".json")
+      pb.redirectOutput(outFile.toFile)
       val p = pb.start()
-      // stdout is one JSON line (plus nothing else); read to EOF then reap
-      val out = new String(p.getInputStream.readAllBytes(),
-        java.nio.charset.StandardCharsets.UTF_8)
-      val ok = p.waitFor(30, java.util.concurrent.TimeUnit.MINUTES) &&
-        p.exitValue() == 0
+      val done = p.waitFor(30, java.util.concurrent.TimeUnit.MINUTES)
+      if (!done) p.destroyForcibly().waitFor()
+      val ok = done && p.exitValue() == 0
+      val out = java.nio.file.Files.readString(outFile)
+      java.nio.file.Files.deleteIfExists(outFile)
       if (!ok) { System.err.println("[bench] duck baseline failed (rc!=0)"); None }
       // python json.dumps spaces its separators — match structurally,
       // not byte-for-byte

@@ -93,14 +93,27 @@ object Layout {
     val path = new java.io.File(rawPath).getAbsolutePath
     // REBUILD case (stale fingerprint or a pre-[[version]] layout): CTAS
     // refuses a non-empty location, so clear it — but only a directory
-    // that is provably a layout of ours (it carries _layout.json) or
-    // holds nothing but write debris; anything else is someone's data
-    // and aborting is the right failure.
+    // that is provably a layout of ours (a _layout.json that PARSES as
+    // one — a stray foreign file of that name doesn't license deleting
+    // someone's data), an interrupted build (our _layout.building
+    // marker), or nothing but Spark write debris; anything else is
+    // someone's data and aborting is the right failure.
     val dir = new java.io.File(path)
     if (dir.exists()) {
       val contents = Option(dir.listFiles()).toSeq.flatten
-      val isLayout = contents.exists(_.getName == "_layout.json")
-      require(isLayout || contents.isEmpty,
+      val isLayout = contents.find(_.getName == "_layout.json").exists { f =>
+        val m = new String(java.nio.file.Files.readAllBytes(f.toPath),
+          java.nio.charset.StandardCharsets.UTF_8)
+        Seq("\"v\":(\\d+)", "\"key\":\"[^\"]+\"", "\"buckets\":(\\d+)")
+          .forall(_.r.findFirstIn(m).isDefined)
+      }
+      val isInterrupted =
+        java.nio.file.Files.exists(java.nio.file.Paths.get(path + ".building"))
+      def isDebris(n: String): Boolean =
+        n == "_SUCCESS" || n == "_temporary" || n.startsWith("part-") ||
+          n.endsWith(".crc") || n.startsWith("_started_") ||
+          n.startsWith("_committed_")
+      require(isLayout || isInterrupted || contents.forall(f => isDebris(f.getName)),
         s"refusing to clear non-layout directory $path")
       def rm(f: java.io.File): Unit = {
         if (f.isDirectory) Option(f.listFiles()).toSeq.flatten.foreach(rm)
@@ -108,6 +121,14 @@ object Layout {
       }
       contents.foreach(rm)
     }
+    // build-started marker (a SIBLING of the location — CTAS refuses a
+    // non-empty directory): a crash between here and the manifest write
+    // leaves the marker behind, so the next build recognizes the debris
+    // as an interrupted layout and clears it instead of aborting
+    val buildingMarker = java.nio.file.Paths.get(path + ".building")
+    Option(buildingMarker.getParent)
+      .foreach(java.nio.file.Files.createDirectories(_))
+    java.nio.file.Files.write(buildingMarker, Array.emptyByteArray)
     spark.sql(s"DROP TABLE IF EXISTS $table")
     // repartition by the bucket key FIRST, with the bucket count:
     // repartition's HashPartitioning uses the same murmur3-pmod hash as
@@ -133,6 +154,7 @@ object Layout {
     java.nio.file.Files.write(
       java.nio.file.Paths.get(path, "_layout.json"),
       manifest.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    java.nio.file.Files.deleteIfExists(buildingMarker)
   }
 
   /** Register-and-read a layout directory written by [[writeBucketed]],

@@ -269,6 +269,57 @@ class ScaleTechniquesSpec extends SparkSpec {
     spark.sql("DROP TABLE IF EXISTS t_v2_orders")
   }
 
+  test("Layout rebuild guard: clears write debris and interrupted builds, refuses foreign data and foreign _layout.json") {
+    val sf = "/root/testdata/sf0.001"
+    val dir = java.nio.file.Files.createTempDirectory("layoutguard").toString
+    val nat = spark.read.parquet(s"$sf/nation.parquet")
+    def files(p: String) = new java.io.File(p).listFiles().map(_.getName).toSet
+
+    // 1. debris-only directory (crashed write, no marker): clearable
+    val p1 = s"$dir/debris"
+    new java.io.File(s"$p1/_temporary").mkdirs()
+    java.nio.file.Files.write(java.nio.file.Paths.get(p1, "part-00000.parquet"), Array[Byte](1))
+    java.nio.file.Files.write(java.nio.file.Paths.get(p1, ".part-00000.crc"), Array[Byte](1))
+    graft.core.Layout.writeBucketed(nat, "t_guard1", p1, "n_nationkey", 2)
+    assert(files(p1).contains("_layout.json"))
+    assert(!java.nio.file.Files.exists(java.nio.file.Paths.get(p1 + ".building")),
+      "marker must be removed after a committed build")
+
+    // 2. foreign data: refused
+    val p2 = s"$dir/foreign"
+    new java.io.File(p2).mkdirs()
+    java.nio.file.Files.write(java.nio.file.Paths.get(p2, "somebody.csv"), "x".getBytes)
+    intercept[IllegalArgumentException](
+      graft.core.Layout.writeBucketed(nat, "t_guard2", p2, "n_nationkey", 2))
+    assert(files(p2) === Set("somebody.csv"), "foreign data must survive the refusal")
+
+    // 3. a stray _layout.json that is NOT our manifest shape doesn't
+    //    license deleting the rest of the directory
+    val p3 = s"$dir/stray"
+    new java.io.File(p3).mkdirs()
+    java.nio.file.Files.write(java.nio.file.Paths.get(p3, "_layout.json"), """{"foo":1}""".getBytes)
+    java.nio.file.Files.write(java.nio.file.Paths.get(p3, "somebody.csv"), "x".getBytes)
+    intercept[IllegalArgumentException](
+      graft.core.Layout.writeBucketed(nat, "t_guard3", p3, "n_nationkey", 2))
+    assert(files(p3) === Set("_layout.json", "somebody.csv"))
+
+    // 4. interrupted build (sibling .building marker, arbitrary partial
+    //    contents, NO manifest): recognized as ours and rebuilt
+    val p4 = s"$dir/interrupted"
+    new java.io.File(p4).mkdirs()
+    java.nio.file.Files.write(java.nio.file.Paths.get(p4 + ".building"), Array.emptyByteArray)
+    java.nio.file.Files.write(java.nio.file.Paths.get(p4, "half-written.bin"), Array[Byte](1))
+    graft.core.Layout.writeBucketed(nat, "t_guard4", p4, "n_nationkey", 2)
+    assert(files(p4).contains("_layout.json") && !files(p4).contains("half-written.bin"))
+    assert(graft.core.Layout.bucketedFromManifest(spark, "t_guard4m", p4).get.count() === nat.count())
+
+    // 5. a committed layout (valid manifest) rebuilds in place
+    graft.core.Layout.writeBucketed(nat, "t_guard5", p4, "n_nationkey", 2)
+    assert(files(p4).contains("_layout.json"))
+    Seq("t_guard1", "t_guard4", "t_guard4m", "t_guard5")
+      .foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+  }
+
   test("graft_dot is SQL-callable on a configured session") {
     // GraftSession.configure registered the function on the shared session
     val r = spark.sql(
