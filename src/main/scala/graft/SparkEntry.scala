@@ -1932,6 +1932,68 @@ object SparkEntry {
              |       TRUE AS recall_ok
              |FROM n, (VALUES (1), (4), (8)) AS t(np) ORDER BY n_probe""".stripMargin)),
 
+    // ---- IVF-PQ retrieval-quality gate (r15 verdict task 6): the
+    // sim_ivf_recall machinery carried to the PQ path, now also bounding
+    // the QUANTIZATION error ADC stacks on top of cell pruning. One
+    // [[Similarity.IvfPqIndex.rankedCandidates]] pass (cell ranking +
+    // code join + ADC sums) serves every nProbe config via the nested
+    // cell_rank filter; floors are RecallProbe-derived loose lower
+    // bounds at m=8, k=10 (pq mode, measured sf0.001/0.01/0.1:
+    // nProbe=1 0.084-0.172, nProbe=2 0.108-0.214, nProbe=4
+    // 0.124-0.238 — the seed codebooks quantize near-uniform synthetic
+    // residuals coarsely, and recall declines with corpus size as
+    // cells grow; floors sit at ~60% of the measured minimum. A broken
+    // ADC/code path ranks ~randomly within the probed-cell pool
+    // (thousands of candidates per probe at sf0.1), landing at
+    // effectively zero recall@10 — far below any floor). Self-pairs
+    // are excluded before ranking: the exact side excludes them, so
+    // burning a slot on the identity match would understate recall.
+    Q("sim_ivfpq_recall",
+      (s, d) => {
+        val emb = Tables.embeddings(s, d)
+        val probes = emb.filter(col("vec_id") < 50)
+        val exact = Similarity.bruteForceTopK(emb, probes, 10)
+          .select(col("probe_id"), col("neighbor_id"))
+        val idx = ivfPqIndex(s, d)
+        val cand = idx.rankedCandidates(probes, maxProbe = 4)
+          .filter(col("probe_id") =!= col("neighbor_id"))
+        val w = Window.partitionBy(col("probe_id"))
+          .orderBy(col("approx_dist"), col("neighbor_id"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val configs = Seq((1, 0.05, "_h1"), (2, 0.07, "_h2"), (4, 0.08, "_h4"))
+        val ranked = configs.foldLeft(cand) { case (df, (np, _, h)) =>
+          df.withColumn(h + "r",
+            sum(when(col("cell_rank") <= np, 1).otherwise(0)).over(w))
+        }
+        val hitCols = configs.map { case (np, _, h) =>
+          sum(when(col("cell_rank") <= np && col(h + "r") <= 10, 1.0)
+            .otherwise(0.0)).as(h)
+        }
+        exact.join(ranked, Seq("probe_id", "neighbor_id"), "left")
+          .agg(count(lit(1)).as("n_exact"), hitCols: _*)
+          .select(explode(array(configs.map { case (np, floor, h) =>
+            struct(
+              lit(10).as("k"), lit(np).as("n_probe"),
+              lit(idx.codebooks.length).as("m"), col("n_exact"),
+              (col(h) / col("n_exact").cast("double") >= floor)
+                .as("recall_ok"))
+          }: _*)).as("_r"))
+          .select(col("_r.*")).orderBy("n_probe")
+      },
+      Some("""WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+             |s AS (SELECT p.vec_id AS probe_id, c.vec_id AS neighbor_id,
+             |        list_dot_product(p.e, c.e) /
+             |          (sqrt(list_dot_product(p.e, p.e)) * sqrt(list_dot_product(c.e, c.e))) AS cos
+             |      FROM v p JOIN v c ON c.vec_id <> p.vec_id
+             |      WHERE p.vec_id < 50),
+             |r AS (SELECT probe_id,
+             |        row_number() OVER (PARTITION BY probe_id ORDER BY cos DESC, neighbor_id) AS rank
+             |      FROM s),
+             |n AS (SELECT CAST(count(*) AS BIGINT) AS n_exact FROM r WHERE rank <= 10)
+             |SELECT CAST(10 AS INT) AS k, CAST(np AS INT) AS n_probe,
+             |       CAST(8 AS INT) AS m, n_exact, TRUE AS recall_ok
+             |FROM n, (VALUES (1), (2), (4)) AS t(np) ORDER BY n_probe""".stripMargin)),
+
     // ---- embedding quantization (storage compression for ANN corpora)
     // Terminal projection is scalar-only: the driver's gate cannot sort
     // array columns, so the int8 vector rides as a canonical CSV string

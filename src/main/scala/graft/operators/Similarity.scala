@@ -564,6 +564,27 @@ object Similarity {
     def topK(probes: DataFrame, kNN: Int, nProbe: Int = 2,
              probeIdCol: String = "vec_id",
              probeVecCol: String = "embedding"): DataFrame = {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("probe_id")).orderBy(col("approx_dist"), col("neighbor_id"))
+      rankedCandidates(probes, nProbe, probeIdCol, probeVecCol)
+        .withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= kNN)
+        .select(col("probe_id"), col("neighbor_id"), col("approx_dist"), col("rank"))
+    }
+
+    /** ADC-scored candidates from each probe's `maxProbe` nearest cells,
+      * with the cell's rank (1 = nearest) riding every row. Probe sets
+      * NEST (the coarse quantizer is the same as IVF-flat's), so a
+      * (nProbe, recall) sweep computes the cell ranking, the code join,
+      * and the ADC sums ONCE and derives each configuration as
+      * `cell_rank <= n` — [[IvfIndex.rankedCandidates]]'s contract
+      * carried to the PQ path. [[topK]] IS the maxProbe = nProbe special
+      * case of this frame, so filter + top-k reproduces it row-for-row
+      * by construction (still pinned by spec).
+      */
+    def rankedCandidates(probes: DataFrame, maxProbe: Int,
+                         probeIdCol: String = "vec_id",
+                         probeVecCol: String = "embedding"): DataFrame = {
       val spark = codes.sparkSession
       import spark.implicits._
       val pv = probes.select(col(probeIdCol).cast("long").as("probe_id"),
@@ -573,12 +594,13 @@ object Similarity {
         (pid, p) <- pv.toSeq
         // cell ranking mirrors assignment: max 2·c·p − ||c||², ties to
         // the smaller index
-        cell <- centers.indices
+        (cell, cellRank) <- centers.indices
           .map(i => (centers(i).zipWithIndex.map { case (x, j) =>
             2 * x * (if (j < p.length) p(j) else 0.0) }.sum
             - centers(i).map(x => x * x).sum, i))
           .sortBy { case (score, i) => (-score, i) }
-          .take(nProbe).map(_._2)
+          .take(maxProbe).zipWithIndex
+          .map { case ((_, c), r0) => (c, r0 + 1) }
         s <- codebooks.indices
         (ctr, code) <- codebooks(s).zipWithIndex
       } yield {
@@ -593,17 +615,17 @@ object Similarity {
           dist += diff * diff
           j += 1
         }
-        (pid, cell, s, code, dist)
+        (pid, cell, cellRank, s, code, dist)
       }
-      val t = broadcast(table.toDF("probe_id", "cell", "subspace", "code", "pd"))
-      val w = org.apache.spark.sql.expressions.Window
-        .partitionBy(col("probe_id")).orderBy(col("approx_dist"), col("neighbor_id"))
+      val t = broadcast(table.toDF(
+        "probe_id", "cell", "cell_rank", "subspace", "code", "pd"))
       // rounded before ranking — the shuffle-sum tie-determinism rule
       codes.join(t, Seq("cell", "subspace", "code"))
         .groupBy(col("probe_id"), col("neighbor_id"))
-        .agg(round(sum(col("pd")), 6).as("approx_dist"))
-        .withColumn("rank", row_number().over(w))
-        .filter(col("rank") <= kNN)
+        .agg(round(sum(col("pd")), 6).as("approx_dist"),
+          // each corpus vector lives in exactly one cell, so the rank is
+          // constant within the group; min is the deterministic pick
+          min(col("cell_rank")).as("cell_rank"))
     }
 
     /** Corpus packed one row per vector: (neighbor_id, cell,

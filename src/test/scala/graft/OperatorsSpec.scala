@@ -836,6 +836,37 @@ class OperatorsSpec extends SparkSpec {
     } finally cand.unpersist()
   }
 
+  test("IVF-PQ rankedCandidates: one pass nests per-nProbe configs; filter + top-k reproduces topK") {
+    // the PQ side of the sweep-sharing contract (r16 sim_ivfpq_recall):
+    // filtering the maxProbe frame by cell_rank must equal an
+    // independently-built per-nProbe frame AND reproduce topK
+    val emb = graft.core.Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val probes = emb.filter(col("vec_id") < 5)
+    val idx = Similarity.buildIvfPq(emb, nCells = 8, cache = false)
+    val cand = idx.rankedCandidates(probes, maxProbe = 4).cache()
+    def rows(df: org.apache.spark.sql.DataFrame) = df
+      .orderBy("probe_id", "neighbor_id").collect().toSeq
+      .map(r => (r.getAs[Long]("probe_id"), r.getAs[Long]("neighbor_id"),
+        r.getAs[Double]("approx_dist"), r.getAs[Int]("cell_rank")))
+    try {
+      Seq(1, 2, 4).foreach { np =>
+        // nesting: the cell_rank filter IS the smaller-maxProbe frame
+        assert(rows(cand.filter(col("cell_rank") <= np)) ===
+          rows(idx.rankedCandidates(probes, maxProbe = np)), s"nest nProbe=$np")
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("probe_id"))
+          .orderBy(col("approx_dist"), col("neighbor_id"))
+        val derived = cand.filter(col("cell_rank") <= np)
+          .withColumn("rank", row_number().over(w)).filter(col("rank") <= 3)
+          .select(col("probe_id"), col("neighbor_id"), col("approx_dist"), col("rank"))
+          .orderBy("probe_id", "rank").collect().toSeq
+        val direct = idx.topK(probes, 3, nProbe = np)
+          .orderBy("probe_id", "rank").collect().toSeq
+        assert(derived === direct, s"topK nProbe=$np")
+      }
+    } finally cand.unpersist()
+  }
+
   test("IVF index round-trips through save/load with identical results") {
     val emb = graft.core.Tables.embeddings(spark, "/root/testdata/sf0.001")
     val probes = emb.filter(col("vec_id") < 5)
