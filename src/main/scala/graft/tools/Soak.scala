@@ -36,17 +36,91 @@ object Soak {
   }
 
   private def podpingOp(spark: SparkSession, id: Long): DataFrame = {
-    val url = s"https://example.test/feed$id"
+    val url = s"https://example.test/feed${id % 100000}"
     val payload =
       s"""{\\"version\\": \\"0.3\\", \\"num_urls\\": 1, \\"reason\\": \\"feed_update\\", \\"urls\\": [\\"$url\\"]}"""
     val body =
       s"""{"value": {"required_auths": [], "required_posting_auths": ["alice"], "id": "podping", "json": "$payload"}}"""
     spark.createDataFrame(
       spark.sparkContext.parallelize(Seq(Row(
-        id, graft.core.OpLog.CustomJsonOpType.toShort, (100 + id).toInt,
+        id, graft.core.OpLog.CustomJsonOpType.toShort, id.toInt,
         java.sql.Timestamp.valueOf("2024-01-01 00:00:00"), 0,
         Array.fill[Byte](4)((id % 127).toByte), body)), 1),
       graft.core.OpLog.schema)
+  }
+
+  /** The reference's three shipped plug definitions, VERBATIM
+    * (haf_plug_play/plugs/{podping,polls,hive_engine}/defs.json) — the
+    * soak boots its runner through [[graft.plugs.PlugDefs.boot]] over
+    * these files so the 1000-batch lifecycle guarantees cover the
+    * DISCOVERY path (enabled=false skip, start_block honored, bad defs
+    * rejected at boot), not just compiled plug objects.
+    */
+  private val referenceDefs = Map(
+    "podping" ->
+      """{
+        |    "name": "podping",
+        |    "props":{
+        |        "enabled": true,
+        |        "schema": "podping",
+        |        "context": "podping",
+        |        "start_block": 53690004
+        |    },
+        |    "ops": {"18": "podping.process_cjop"}
+        |}""".stripMargin,
+    "polls" ->
+      """{
+        |    "name": "polls",
+        |    "props":{
+        |        "enabled": false,
+        |        "schema": "polls",
+        |        "context": "polls",
+        |        "start_block": 59594882
+        |    },
+        |    "ops": {"18": "polls.process_cjop"}
+        |}""".stripMargin,
+    "hive_engine" ->
+      """{
+        |    "name": "hive_engine",
+        |    "props":{
+        |        "enabled": true,
+        |        "schema": "hive_engine",
+        |        "context": "hive_engine",
+        |        "start_block": 60100000
+        |    },
+        |    "ops": {"18": "hive_engine.process_cjop"}
+        |}""".stripMargin)
+
+  /** Boot the plug set from the verbatim reference defs files and return
+    * the podping plug, after checking the boot-path contracts the soak
+    * depends on: polls (shipped disabled) is skipped, identity comes from
+    * the JSON, and a malformed defs file rejects AT BOOT — before any
+    * stream starts.
+    */
+  private def bootPodping(base: String): graft.plugs.Plug = {
+    val defsDir = new java.io.File(s"$base/plugdefs")
+    referenceDefs.foreach { case (name, json) =>
+      val d = new java.io.File(defsDir, name); d.mkdirs()
+      java.nio.file.Files.writeString(new java.io.File(d, "defs.json").toPath, json)
+    }
+    val booted = graft.plugs.PlugDefs.boot(defsDir)
+    if (booted.map(_.name).sorted != Seq("hive_engine", "podping"))
+      fail(s"boot must yield the two enabled plugs, got ${booted.map(_.name)}")
+    val podping = booted.find(_.name == "podping").get
+    if (podping.startBlock != 53690004)
+      fail(s"start_block not honored from defs.json: ${podping.startBlock}")
+    if (podping.opTypeIds != Set(18))
+      fail(s"op ids not honored from defs.json: ${podping.opTypeIds}")
+    // bad defs reject at boot, not mid-stream
+    val bad = new java.io.File(defsDir, "broken"); bad.mkdirs()
+    java.nio.file.Files.writeString(new java.io.File(bad, "defs.json").toPath,
+      """{"name": "broken", "props": {"enabled": true}}""")
+    val rejected =
+      try { graft.plugs.PlugDefs.boot(defsDir); false }
+      catch { case _: IllegalArgumentException => true }
+    if (!rejected) fail("malformed defs.json must reject at boot")
+    new java.io.File(bad, "defs.json").delete(); bad.delete()
+    podping
   }
 
   def main(args: Array[String]): Unit = {
@@ -56,17 +130,23 @@ object Soak {
     val base = java.nio.file.Files.createTempDirectory("graft-soak").toString
     println(s"[soak] $batches batches under $base")
 
-    // ---- 1. PlugRunner + 2. OpLogTail, fed through the real tail loop
-    val runner = new graft.streaming.PlugRunner(graft.plugs.Podping, s"$base/plug") {
+    // ---- 1. PlugRunner + 2. OpLogTail, fed through the real tail loop.
+    // The plug comes from PlugDefs.boot over the reference's verbatim
+    // defs.json files (not the compiled object), and the tail starts at
+    // the defs-declared start_block — the whole 1000-batch lifecycle
+    // runs on the discovery path.
+    val podping = bootPodping(base)
+    val runner = new graft.streaming.PlugRunner(podping, s"$base/plug") {
       override val CompactEvery = 8
     }
+    val start = podping.startBlock.toLong - 1 // cursor base: first block = start_block
     var produced = 0L
     val tail = new graft.sources.OpLogTail(
       spark, s"$base/ckpt",
-      head = () => produced,
+      head = () => start + produced,
       readRange = (from, to) =>
         (from to to).map(b => podpingOp(spark, b)).reduce(_.unionByName(_)),
-      step = 1L)
+      step = 1L, startAfterBlock = start)
     val plugDir = new java.io.File(s"$base/plug/podping/updates")
     val ckptDir = new java.io.File(s"$base/ckpt")
     def plugEntries(): Seq[String] =
@@ -157,7 +237,8 @@ object Soak {
       if (!idx.awaitCurrent(60000)) fail(s"index build $r never landed (staleness unbounded)")
       (1 to 200).foreach { k =>
         val s = System.nanoTime()
-        idx.lookup(s"https://example.test/feed${(r * 7 + k) % batches}")
+        idx.lookup(s"https://example.test/feed${
+          (start + 1 + (r * 7 + k) % batches) % 100000}")
         lat += (System.nanoTime() - s) / 1e6
       }
     }

@@ -332,6 +332,69 @@ class StreamingSpec extends SparkSpec {
     sup.shutdown()
   }
 
+  test("supervisor lifecycle runs on a defs.json-booted plug (verbatim reference files)") {
+    // same relaunch lifecycle as above, but the plug comes from
+    // PlugDefs.boot over the reference's SHIPPED defs.json content
+    // (haf_plug_play/plugs/{podping,polls}/defs.json verbatim) — the
+    // discovery path must carry the same guarantees as a compiled
+    // object: polls (shipped disabled) never launches, identity comes
+    // from the JSON, fixture blocks sit above the declared start_block
+    val defsDir = java.nio.file.Files.createTempDirectory("defs_boot").toFile
+    def write(sub: String, json: String): Unit = {
+      val d = new java.io.File(defsDir, sub); d.mkdirs()
+      java.nio.file.Files.writeString(new java.io.File(d, "defs.json").toPath, json)
+    }
+    write("podping",
+      """{
+        |    "name": "podping",
+        |    "props":{
+        |        "enabled": true,
+        |        "schema": "podping",
+        |        "context": "podping",
+        |        "start_block": 53690004
+        |    },
+        |    "ops": {"18": "podping.process_cjop"}
+        |}""".stripMargin)
+    write("polls",
+      """{
+        |    "name": "polls",
+        |    "props":{
+        |        "enabled": false,
+        |        "schema": "polls",
+        |        "context": "polls",
+        |        "start_block": 59594882
+        |    },
+        |    "ops": {"18": "polls.process_cjop"}
+        |}""".stripMargin)
+    val booted = graft.plugs.PlugRegistry.fromDefs(defsDir)
+    assert(booted.map(_.name) === Seq("podping"), "polls ships disabled and must not boot")
+    val plug = booted.head
+    assert(plug.startBlock === 53690004 && plug.opTypeIds === Set(18))
+
+    val src = tmp(); val out = tmp(); val ckpt = tmp()
+    val b0 = plug.startBlock
+    writeBatch(src, 1, Seq(
+      op(1, b0 + 1, 0, "2024-01-01 00:00:00", "podping", podpingV03(Seq("u1")))))
+    val runner = new PlugRunner(plug, out)
+    val sup = new graft.streaming.PlugSupervisor(baseBackoffMs = 0)
+    val sv = sup.register(plug.name, () => runner.start(stream(src), ckpt))
+    sup.tick()
+    while (sv.isActive) Thread.sleep(50)
+    assert(runner.table(spark, "updates").count() === 1)
+    val cursor1 = graft.streaming.PlugState.latest(spark, out, "podping").get
+    assert(cursor1._2 === (b0 + 1).toLong, "cursor must carry the defs-era block range")
+
+    writeBatch(src, 2, Seq(
+      op(2, b0 + 2, 0, "2024-01-02 00:00:00", "podping", podpingV03(Seq("u2")))))
+    sup.tick(); sup.tick() // observe termination, relaunch (backoff 0)
+    while (sv.isActive) Thread.sleep(50)
+    assert(sv.restarts >= 1)
+    assert(runner.table(spark, "updates").count() === 2)
+    val cursor2 = graft.streaming.PlugState.latest(spark, out, "podping").get
+    assert(cursor2._2 > cursor1._2)
+    sup.shutdown()
+  }
+
   test("supervisor kills a stalled query and relaunches it") {
     @volatile var launches = 0
     val sup = new graft.streaming.PlugSupervisor(
