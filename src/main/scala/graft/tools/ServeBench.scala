@@ -15,7 +15,7 @@ import java.net.http.{HttpClient, HttpRequest, HttpResponse}
   * every handler tags its jobs into the `serving` pool — one heavy
   * request must not convoy every light one behind it in the FIFO queue.
   *
-  * Usage: runMain graft.tools.ServeBench [sfDir] [clients] [reqsPerClient] [mix|uniq] [rollEveryMs]
+  * Usage: runMain graft.tools.ServeBench [sfDir] [clients] [reqsPerClient] [mix|uniq] [rollEveryMs] [ingest]
   * `uniq` makes every latest-feed request carry a distinct url, so the
   * result micro-cache and the per-params plan cache both miss — the
   * execution-path envelope, vs the default repeated-request mix.
@@ -26,6 +26,14 @@ import java.net.http.{HttpClient, HttpRequest, HttpResponse}
   * the rolls (the inline-rebuild design convoyed every keyed request,
   * and through the shared admission gate every OTHER route, behind one
   * distributed build per roll).
+  * `ingest` runs a REAL PlugRunner micro-batch stream (podping booted
+  * from the reference's verbatim defs.json, fed through OpLogTail,
+  * back-to-back batches, no pacing) on a background thread for the
+  * whole client run — the reference's actual deployment shape, 50 API
+  * workers sharing a host with per-plug sync. The ingest jobs run in
+  * the DEFAULT scheduler pool; handlers tag into the `serving` FAIR
+  * pool, which is precisely the isolation this mode measures (p99
+  * under ingest must stay within 2× of idle, zero sheds).
   */
 object ServeBench {
   def main(args: Array[String]): Unit = {
@@ -34,6 +42,7 @@ object ServeBench {
     val perClient = args.lift(2).map(_.toInt).getOrElse(20)
     val uniq = args.lift(3).contains("uniq")
     val rollEveryMs = args.lift(4).map(_.toLong).getOrElse(0L)
+    val ingest = args.lift(5).contains("ingest")
 
     val spark = org.apache.spark.sql.SparkSession.builder()
       .master("local[32]")
@@ -77,6 +86,32 @@ object ServeBench {
       } catch { case _: InterruptedException => }
     }, "serve-bench-epoch-roller")
     if (rollEveryMs > 0) { roller.setDaemon(true); roller.start() }
+    // live-ingest thread: a real plug stream, back-to-back micro-batches
+    // for the whole run, competing for the same executor threads
+    val ingestBatches = new java.util.concurrent.atomic.AtomicLong
+    @volatile var ingestStop = false
+    val ingestThread = new Thread(() => {
+      val base = java.nio.file.Files.createTempDirectory("serve-ingest").toString
+      val plug = Soak.bootPodping(base)
+      val runner = new graft.streaming.PlugRunner(plug, s"$base/plug") {
+        override val CompactEvery = 8
+      }
+      val startB = plug.startBlock.toLong - 1
+      var produced = 0L
+      val tail = new graft.sources.OpLogTail(
+        spark, s"$base/ckpt",
+        head = () => startB + produced,
+        readRange = (from, to) =>
+          (from to to).map(b => Soak.podpingOp(spark, b)).reduce(_.unionByName(_)),
+        step = 1L, startAfterBlock = startB)
+      while (!ingestStop) {
+        produced += 1
+        tail.runOnce((df, _, to) => runner.processBatch(df, to))
+        ingestBatches.incrementAndGet()
+        graft.core.CacheScope.release()
+      }
+    }, "serve-bench-ingest")
+    if (ingest) { ingestThread.setDaemon(true); ingestThread.start() }
     val t0 = System.nanoTime()
     val threads = (0 until clients).map { c =>
       new Thread(() => {
@@ -102,6 +137,12 @@ object ServeBench {
     threads.foreach(_.start()); threads.foreach(_.join())
     val wallS = (System.nanoTime() - t0) / 1e9
     if (rollEveryMs > 0) { roller.interrupt(); roller.join(1000) }
+    if (ingest) {
+      ingestStop = true
+      ingestThread.join(30000)
+      println(f"[serve] live ingest: ${ingestBatches.get} micro-batches during the run " +
+        f"(${ingestBatches.get / wallS}%.1f batches/s)")
+    }
     if (rolls.get > 0) println(s"[serve] epoch rolls during run: ${rolls.get}")
     api.stop()
 
