@@ -574,7 +574,7 @@ object Dedup {
   /** LSH band buckets (doc, band, bucket) from a shingle table — the
     * corpus-side hash tables of MinHash-LSH.
     */
-  private def bandBuckets(sig: DataFrame, numPerm: Int, bands: Int): DataFrame = {
+  private[graft] def bandBuckets(sig: DataFrame, numPerm: Int, bands: Int): DataFrame = {
     val r = numPerm / bands
     val bandCols = (0 until bands).map { b =>
       struct(lit(b).as("band"),
@@ -1638,7 +1638,7 @@ object Dedup {
     v.orderBy("vid").limit(k).collect()
       .map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
 
-  private def assignToSeeds(v: DataFrame,
+  private[graft] def assignToSeeds(v: DataFrame,
                             seeds: Array[(Long, Array[Double])]): DataFrame = {
     // fused native argmax (NearestSeed): the composable array-of-structs
     // + array_max formulation paid ~0.9 ms/row of literal-array and
