@@ -131,7 +131,10 @@ object Bench {
       val outFile = java.nio.file.Files.createTempFile("bench_duck_out", ".json")
       pb.redirectOutput(outFile.toFile)
       val p = pb.start()
-      val done = p.waitFor(30, java.util.concurrent.TimeUnit.MINUTES)
+      // default 30 min covers sf0.1; a big-tier sweep with spill-heavy
+      // oracles needs more (the sf10 run died here at exactly 30:00)
+      val timeoutMin = sys.env.getOrElse("SPARK_GRAFT_DUCK_TIMEOUT_MIN", "30").toLong
+      val done = p.waitFor(timeoutMin, java.util.concurrent.TimeUnit.MINUTES)
       if (!done) p.destroyForcibly().waitFor()
       val ok = done && p.exitValue() == 0
       val out = java.nio.file.Files.readString(outFile)
