@@ -35,7 +35,7 @@ object Soak {
     sys.exit(1)
   }
 
-  private def podpingOp(spark: SparkSession, id: Long): DataFrame = {
+  private[tools] def podpingOp(spark: SparkSession, id: Long): DataFrame = {
     val url = s"https://example.test/feed${id % 100000}"
     val payload =
       s"""{\\"version\\": \\"0.3\\", \\"num_urls\\": 1, \\"reason\\": \\"feed_update\\", \\"urls\\": [\\"$url\\"]}"""
@@ -97,7 +97,7 @@ object Soak {
     * the JSON, and a malformed defs file rejects AT BOOT — before any
     * stream starts.
     */
-  private def bootPodping(base: String): graft.plugs.Plug = {
+  private[tools] def bootPodping(base: String): graft.plugs.Plug = {
     val defsDir = new java.io.File(s"$base/plugdefs")
     referenceDefs.foreach { case (name, json) =>
       val d = new java.io.File(defsDir, name); d.mkdirs()
