@@ -1520,11 +1520,14 @@ object SparkEntry {
              |       FROM (SELECT doc_id, t, unnest(range(1, len(t) - 1)) AS i FROM toks)
              |       WHERE len(t) >= 3),
              |ns AS (SELECT count(*) AS n FROM documents WHERE doc_id % 8 = 0),
+             |nt AS (SELECT count(*) AS n FROM documents),
+             |fb AS (SELECT ((SELECT n FROM ns) < 32
+             |            OR (SELECT n FROM ns) * 16 < (SELECT n FROM nt)) AS f),
              |hot AS (SELECT s FROM sh
-             |        WHERE (SELECT n FROM ns) < 32 OR doc_id % 8 = 0
+             |        WHERE (SELECT f FROM fb) OR doc_id % 8 = 0
              |        GROUP BY s
-             |        HAVING count(*) > ceil(0.05 * (CASE WHEN (SELECT n FROM ns) < 32
-             |                                            THEN (SELECT count(*) FROM documents)
+             |        HAVING count(*) > ceil(0.05 * (CASE WHEN (SELECT f FROM fb)
+             |                                            THEN (SELECT n FROM nt)
              |                                            ELSE (SELECT n FROM ns) END))),
              |f AS (SELECT * FROM sh WHERE s NOT IN (SELECT s FROM hot)),
              |sz AS (SELECT doc_id, count(*) AS n FROM f GROUP BY 1),

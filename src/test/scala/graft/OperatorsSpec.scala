@@ -185,6 +185,54 @@ class OperatorsSpec extends SparkSpec {
     graft.core.CacheScope.release()
   }
 
+  test("capped-approx census guard: a PARTIALLY stride-correlated id space trips the ratio floor") {
+    val s = spark
+    import s.implicits._
+    // 1000 docs, only 40 with id ≡ 0 (mod 8): clears the absolute
+    // `minSample` floor (40 ≥ 32) but carries 4% of the corpus where a
+    // striding id space would carry 12.5% — the r16-verdict case where
+    // the old guard ran the census on a silently biased sample. The 40
+    // sampled docs are unique text; the other 960 share a 10-token hot
+    // phrase (df = 960 ≫ ceil(0.05·1000)) plus a per-pair tail, so a
+    // biased census would see NO hot shingles, disable the cap, and
+    // emit all C(960,2) cross-pairs. The ratio floor must fall back to
+    // the exact census instead: phrase capped, only the 480 tail pairs.
+    val common = (1 to 10).map(i => s"c$i").mkString(" ")
+    val d = (0 until 1000).map { i =>
+      if (i < 40) (i * 8L, s"x${i}a x${i}b x${i}c x${i}d")
+      else (i * 8L + 1, s"$common u${(i - 40) / 2}a u${(i - 40) / 2}b")
+    }.toDF("doc_id", "text")
+    val exact = Dedup.containmentPairsCapped(d, "text", "doc_id", 3, 0.6)
+      .orderBy("doc_a", "doc_b").collect().toSeq
+    assert(exact.size === 480)
+    val approx = Dedup.containmentPairsCappedApprox(d, "text", "doc_id", 3, 0.6)
+      .orderBy("doc_a", "doc_b").collect().toSeq
+    assert(approx === exact) // ratio floor fell back to the exact census
+    graft.core.CacheScope.release()
+  }
+
+  test("capped-approx census guard: a well-mixed id space passes the ratio floor and runs the sampled census") {
+    val s = spark
+    import s.implicits._
+    // Consecutive ids 0..999: nSamp = 125 = N/8, well above both floors
+    // — the guard must NOT fall back. Observable: the 125 sampled docs
+    // all share a phrase (sample df = 125 > ceil(0.5·125), so the
+    // SAMPLED census caps it) that sits far below the EXACT ceiling
+    // (125 < ceil(0.5·1000)). Sampled census ⇒ phrase capped ⇒ 0 pairs;
+    // a fallback to the exact census would keep the phrase and emit all
+    // C(125,2) pairs.
+    val common = (1 to 10).map(i => s"c$i").mkString(" ")
+    val d = (0 until 1000).map { i =>
+      if (i % 8 == 0) (i.toLong, s"$common v${i}a v${i}b")
+      else (i.toLong, s"y${i}a y${i}b y${i}c y${i}d")
+    }.toDF("doc_id", "text")
+    assert(Dedup.containmentPairsCapped(d, "text", "doc_id", 3, 0.6, 0.5)
+      .count() === 7750L) // C(125,2): the phrase survives the exact census
+    assert(Dedup.containmentPairsCappedApprox(d, "text", "doc_id", 3, 0.6, 0.5)
+      .count() === 0L) // sampled census ran and capped it
+    graft.core.CacheScope.release()
+  }
+
   test("int8 quantization: dequantized error bounded by scale/2 per component") {
     val s = spark
     import s.implicits._

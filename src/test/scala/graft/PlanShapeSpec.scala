@@ -187,6 +187,59 @@ class PlanShapeSpec extends SparkSpec {
     assert(p.contains("partial_count"), "pair aggregation lost its map-side partial")
   }
 
+  test("capped containment: an empty hot census elides the whole hot machinery at plan time") {
+    // r16 verdict task 1: the clean-corpus (empty-census) plan must be
+    // structurally identical to the exact operator's — ONE shingle
+    // self-join, no anti join, no semi-join dropped census, no
+    // adjustment outer joins. Under static planning the old
+    // always-built adjustment joins SMJ'd against provably-empty frames
+    // and exchanged the 1.27B-row pair frame twice at the sf100sub tier
+    // (SCALE_STRESS round 16); the shape below cannot regress that way
+    // under ANY planner because the joins no longer exist. The approx
+    // gate is pinned on an ad-hoc corpus instead of the sf0.001 tier:
+    // its SAMPLED ceiling there is tiny (ceil(0.05·~60) = 3), so the
+    // tier's census is legitimately non-empty at that scale.
+    val gate = plan("dedup_containment_capped")
+    assert("SortMergeJoin".r.findAllIn(gate).size === 1,
+      "expected exactly the one shingle self-join")
+    assert(!gate.contains("LeftAnti") && !gate.contains("LeftSemi") &&
+      !gate.contains("LeftOuter"),
+      "hot machinery must be elided on an empty census")
+    import spark.implicits._
+    val d = (0 until 256).map(i => (i.toLong, s"w${i}a w${i}b w${i}c w${i}d w${i}e"))
+      .toDF("doc_id", "text")
+    val pa = graft.operators.Dedup
+      .containmentPairsCappedApprox(d, "text", "doc_id", 3, 0.6)
+      .queryExecution.executedPlan.toString
+    assert("SortMergeJoin".r.findAllIn(pa).size === 1 &&
+      !pa.contains("LeftAnti") && !pa.contains("LeftSemi") &&
+      !pa.contains("LeftOuter"),
+      "approx: hot machinery must be elided on an empty sampled census")
+    graft.core.CacheScope.release()
+  }
+
+  test("capped containment: a non-empty hot census broadcasts the dropped frames") {
+    import spark.implicits._
+    // every doc shares a hot phrase -> non-empty census: the anti/semi
+    // joins against the (dimension-sized, driver-counted) hot list must
+    // broadcast, and BOTH per-doc dropped-count adjustment joins must be
+    // broadcast outer joins — the aggregated pair frame is never
+    // exchanged for them, under static planning included
+    val common = (1 to 10).map(i => s"c$i").mkString(" ")
+    val d = (0 until 24).map(i => (i.toLong, s"$common u${i / 2}a u${i / 2}b"))
+      .toDF("doc_id", "text")
+    val q = graft.operators.Dedup.containmentPairsCapped(d, "text", "doc_id", 3, 0.6, 0.2)
+    val p = q.queryExecution.executedPlan.toString
+    assert("SortMergeJoin".r.findAllIn(p).size === 1,
+      "expected exactly the one shingle self-join")
+    assert("BroadcastHashJoin.*LeftOuter".r.findAllIn(p).size === 2,
+      "both dropped-count adjustment joins must broadcast")
+    assert(!p.contains("SortMergeJoin LeftOuter") && !p.contains("ShuffledHashJoin"),
+      "adjustment joins must never exchange the pair frame")
+    assert(q.orderBy("doc_a", "doc_b").count() === 12L) // shape change, same result
+    graft.core.CacheScope.release()
+  }
+
   test("embedding cosine above the size cutoff: merge joins, no corpus broadcast") {
     import spark.implicits._
     // 20k rows > directPairCutoff (16384) -> the sizing pass runs and the
