@@ -101,11 +101,16 @@ object Layout {
     val dir = new java.io.File(path)
     if (dir.exists()) {
       val contents = Option(dir.listFiles()).toSeq.flatten
+      // an unreadable/unparseable manifest (a directory named
+      // _layout.json, permissions) is NOT ours — fall through to the
+      // refusal below instead of escaping as a raw IOException
       val isLayout = contents.find(_.getName == "_layout.json").exists { f =>
-        val m = new String(java.nio.file.Files.readAllBytes(f.toPath),
-          java.nio.charset.StandardCharsets.UTF_8)
-        Seq("\"v\":(\\d+)", "\"key\":\"[^\"]+\"", "\"buckets\":(\\d+)")
-          .forall(_.r.findFirstIn(m).isDefined)
+        scala.util.Try {
+          val m = new String(java.nio.file.Files.readAllBytes(f.toPath),
+            java.nio.charset.StandardCharsets.UTF_8)
+          Seq("\"v\":(\\d+)", "\"key\":\"[^\"]+\"", "\"buckets\":(\\d+)")
+            .forall(_.r.findFirstIn(m).isDefined)
+        }.getOrElse(false)
       }
       val isInterrupted =
         java.nio.file.Files.exists(java.nio.file.Paths.get(path + ".building"))
@@ -113,7 +118,16 @@ object Layout {
         n == "_SUCCESS" || n == "_temporary" || n.startsWith("part-") ||
           n.endsWith(".crc") || n.startsWith("_started_") ||
           n.startsWith("_committed_")
-      require(isLayout || isInterrupted || contents.forall(f => isDebris(f.getName)),
+      // _SUCCESS + part-* with no _temporary is exactly the shape of a
+      // COMMITTED foreign df.write.parquet() dataset — someone's data,
+      // not write debris; only our own manifest or .building marker
+      // licenses clearing that shape
+      val committedForeign =
+        contents.exists(_.getName == "_SUCCESS") &&
+          contents.exists(_.getName.startsWith("part-")) &&
+          !contents.exists(_.getName == "_temporary")
+      require(isLayout || isInterrupted ||
+        (contents.forall(f => isDebris(f.getName)) && !committedForeign),
         s"refusing to clear non-layout directory $path")
       def rm(f: java.io.File): Unit = {
         if (f.isDirectory) Option(f.listFiles()).toSeq.flatten.foreach(rm)

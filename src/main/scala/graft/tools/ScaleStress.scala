@@ -56,11 +56,27 @@ object ScaleStress {
           taskMs.addAndGet(m.executorRunTime): Unit
         }
     })
+    // TaskEnd events arrive asynchronously on the listener bus; snapshotting
+    // right after an action returns can miss late events or attribute them
+    // to the next phase. The bus itself is private[spark], so settle by
+    // polling the counters until they hold still for two consecutive reads.
+    def settle(): Unit = {
+      var prev = (shufWB.get, shufWR.get, shufRB.get, taskMs.get)
+      var stable = 0
+      val deadline = System.nanoTime() + 3L * 1000 * 1000 * 1000
+      while (stable < 2 && System.nanoTime() < deadline) {
+        Thread.sleep(50)
+        val cur = (shufWB.get, shufWR.get, shufRB.get, taskMs.get)
+        if (cur == prev) stable += 1 else { stable = 0; prev = cur }
+      }
+    }
     def phase[T](fam: String, tag: String)(f: => T): T = {
+      settle()
       val (w0, r0, b0, t0) = (shufWB.get, shufWR.get, shufRB.get, taskMs.get)
       val n0 = System.nanoTime()
       val res = f
       val wall = (System.nanoTime() - n0) / 1e9
+      settle()
       println(f"[stress] tier=$tier family=$fam run=$tag wall=${wall}%.1fs " +
         f"coreS=${(taskMs.get - t0) / 1e3}%.1f " +
         f"shufWriteMB=${(shufWB.get - w0) / 1e6}%.1f " +

@@ -90,26 +90,31 @@ object ServeBench {
     // for the whole run, competing for the same executor threads
     val ingestBatches = new java.util.concurrent.atomic.AtomicLong
     @volatile var ingestStop = false
+    // a dead ingest stream silently turns an "under live ingest" report
+    // into an idle one — record the failure and FLAG the report below
+    @volatile var ingestDied: Option[Throwable] = None
     val ingestThread = new Thread(() => {
-      val base = java.nio.file.Files.createTempDirectory("serve-ingest").toString
-      val plug = Soak.bootPodping(base)
-      val runner = new graft.streaming.PlugRunner(plug, s"$base/plug") {
-        override val CompactEvery = 8
-      }
-      val startB = plug.startBlock.toLong - 1
-      var produced = 0L
-      val tail = new graft.sources.OpLogTail(
-        spark, s"$base/ckpt",
-        head = () => startB + produced,
-        readRange = (from, to) =>
-          (from to to).map(b => Soak.podpingOp(spark, b)).reduce(_.unionByName(_)),
-        step = 1L, startAfterBlock = startB)
-      while (!ingestStop) {
-        produced += 1
-        tail.runOnce((df, _, to) => runner.processBatch(df, to))
-        ingestBatches.incrementAndGet()
-        graft.core.CacheScope.release()
-      }
+      try {
+        val base = java.nio.file.Files.createTempDirectory("serve-ingest").toString
+        val plug = Soak.bootPodping(base)
+        val runner = new graft.streaming.PlugRunner(plug, s"$base/plug") {
+          override val CompactEvery = 8
+        }
+        val startB = plug.startBlock.toLong - 1
+        var produced = 0L
+        val tail = new graft.sources.OpLogTail(
+          spark, s"$base/ckpt",
+          head = () => startB + produced,
+          readRange = (from, to) =>
+            (from to to).map(b => Soak.podpingOp(spark, b)).reduce(_.unionByName(_)),
+          step = 1L, startAfterBlock = startB)
+        while (!ingestStop) {
+          produced += 1
+          tail.runOnce((df, _, to) => runner.processBatch(df, to))
+          ingestBatches.incrementAndGet()
+          graft.core.CacheScope.release()
+        }
+      } catch { case t: Throwable => ingestDied = Some(t) }
     }, "serve-bench-ingest")
     if (ingest) { ingestThread.setDaemon(true); ingestThread.start() }
     val t0 = System.nanoTime()
@@ -142,6 +147,15 @@ object ServeBench {
       ingestThread.join(30000)
       println(f"[serve] live ingest: ${ingestBatches.get} micro-batches during the run " +
         f"(${ingestBatches.get / wallS}%.1f batches/s)")
+      // an "under live ingest" report is only honest if the stream ran
+      // the whole time — a dead or stalled ingest measured idle latencies
+      ingestDied.foreach { t =>
+        println(s"[serve] INGEST DIED mid-run: $t — latencies above were (partly) idle")
+      }
+      if (ingestDied.nonEmpty || ingestBatches.get < 1) {
+        api.stop()
+        sys.error("serve-bench: ingest stream failed before the client run finished")
+      }
     }
     if (rolls.get > 0) println(s"[serve] epoch rolls during run: ${rolls.get}")
     api.stop()

@@ -316,6 +316,28 @@ class ScaleTechniquesSpec extends SparkSpec {
     // 5. a committed layout (valid manifest) rebuilds in place
     graft.core.Layout.writeBucketed(nat, "t_guard5", p4, "n_nationkey", 2)
     assert(files(p4).contains("_layout.json"))
+
+    // 6. a COMMITTED foreign parquet dataset (_SUCCESS + part-*, no
+    //    _temporary, no marker, no manifest) is someone's data, not
+    //    debris — refused even though every name matches the debris set
+    val p6 = s"$dir/committed_foreign"
+    new java.io.File(p6).mkdirs()
+    java.nio.file.Files.write(java.nio.file.Paths.get(p6, "_SUCCESS"), Array.emptyByteArray)
+    java.nio.file.Files.write(java.nio.file.Paths.get(p6, "part-00000.parquet"), Array[Byte](1))
+    intercept[IllegalArgumentException](
+      graft.core.Layout.writeBucketed(nat, "t_guard6", p6, "n_nationkey", 2))
+    assert(files(p6) === Set("_SUCCESS", "part-00000.parquet"),
+      "committed foreign dataset must survive the refusal")
+
+    // 7. an UNREADABLE manifest (a directory named _layout.json) must
+    //    hit the clean refusal, not escape as a raw IOException
+    val p7 = s"$dir/unreadable"
+    new java.io.File(s"$p7/_layout.json").mkdirs()
+    java.nio.file.Files.write(java.nio.file.Paths.get(p7, "somebody.csv"), "x".getBytes)
+    intercept[IllegalArgumentException](
+      graft.core.Layout.writeBucketed(nat, "t_guard7", p7, "n_nationkey", 2))
+    assert(files(p7) === Set("_layout.json", "somebody.csv"))
+
     Seq("t_guard1", "t_guard4", "t_guard4m", "t_guard5")
       .foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
   }
