@@ -38,6 +38,14 @@ def run_one(sf_dir, sql, reps, threads, mem, out):
         con.sql(f"CREATE OR REPLACE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
     best = float("inf")
     try:
+        # warm pass, recorded but DISCARDED from best: the first touch pays
+        # parquet page-cache population + metadata, which swings the sweep
+        # total up to 1.5x with host cache state (SCALE_STRESS round 16's
+        # self-paired triplet). Timing only warmed reps makes duck_total
+        # comparable round-over-round; the cold time still rides along.
+        t0 = time.monotonic()
+        con.sql(sql).fetchall()
+        cold = time.monotonic() - t0
         for _ in range(reps):
             t0 = time.monotonic()
             con.sql(sql).fetchall()
@@ -45,12 +53,13 @@ def run_one(sf_dir, sql, reps, threads, mem, out):
     except Exception as e:
         out.put(("err", f"{type(e).__name__}: {e}"[:200]))
         return
-    out.put(("ok", best))
+    out.put(("ok", best, cold))
 
 
 def main(sf_dir, out_dir, reps=3, threads=32, mem="80GB"):
     oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
     best = {}
+    cold = {}
     failed = {}
     ctx = mp.get_context("fork")
     for name, sql in sorted(oracle.items()):
@@ -68,14 +77,18 @@ def main(sf_dir, out_dir, reps=3, threads=32, mem="80GB"):
             res = None
         if res and res[0] == "ok":
             best[name] = res[1]
-            print(f"[duck] {name} {best[name]:.3f}s", file=sys.stderr)
+            cold[name] = res[2]
+            print(f"[duck] {name} {best[name]:.3f}s (cold {cold[name]:.3f}s)",
+                  file=sys.stderr)
         else:
             failed[name] = res[1] if res else f"child died rc={p.exitcode}"
             print(f"[duck] FAIL {name}: {failed[name]}", file=sys.stderr)
     total = sum(best.values())
     print(json.dumps({
         "metric": "duckdb_total", "value": round(total, 3), "unit": "sec",
-        "sf": sf_dir, "reps": reps, "failed": failed,
+        "sf": sf_dir, "reps": reps,
+        "protocol": f"warm1-discarded+best-of-{reps}",
+        "cold_total": round(sum(cold.values()), 3), "failed": failed,
         "queries": {k: round(v, 3) for k, v in best.items()}}))
 
 

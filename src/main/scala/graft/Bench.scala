@@ -358,7 +358,10 @@ object Bench {
       if (sys.env.get("SPARK_GRAFT_DUCK").contains("off")) ""
       else duck match {
         case Some((dt, _)) if dt > 0 =>
-          s""","engine_total":${fmt(total)},"duck_total":${fmt(dt)},"ratio":${fmt(total / dt)}"""
+          // duck_total is the WARMED denominator (each query's first touch
+          // is run and discarded in-child — see bench_duck.py), so the
+          // ratio no longer swings with page-cache state between rounds
+          s""","engine_total":${fmt(total)},"duck_total":${fmt(dt)},"duck_warmed":true,"ratio":${fmt(total / dt)}"""
         case _ => ""","engine_total":null,"duck_total":null,"ratio":null"""
       }
     def render(rs: Seq[(String, Double)], extra: String): String = {
