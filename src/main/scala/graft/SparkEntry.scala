@@ -93,6 +93,43 @@ object SparkEntry {
     * lifecycle: KMeans centroid training and cell assignment happen once
     * at index-build time, `topK` only reads nProbe cells per query.
     */
+  /** Fallback arm of the `sketch_quantiles` gate, used only when parquet
+    * footer stats can't prove the value range for the census path:
+    * approx_percentile(accuracy=1000) collected as a 9-row threshold
+    * table (the bounded dimension-collect pattern), verified in ONE
+    * un-multiplied codegen'd pass — per-(group, prob) thresholds become
+    * CASE-on-group literal columns and each prob contributes two
+    * conditional sums. (The prior broadcast-join check multiplied every
+    * row by |probs| before aggregating: ~180 vs ~50 core-s at sf10.)
+    */
+  private def sketchQuantilesViaApprox(li: DataFrame, probs: Seq[Double],
+                                       eps: Double): DataFrame = {
+    val qs = operators.Stats.approxQuantiles(li, "v", "g", probs, 1000)
+      .collect().map(r => (r.getString(0), r.get(1).toString.toInt, r.getDouble(2)))
+    def thresholdFor(w: Int): org.apache.spark.sql.Column =
+      qs.filter(_._2 == w).foldLeft(lit(Double.NaN)) {
+        case (acc, (g, _, q)) => when(col("g") === g, q).otherwise(acc)
+      }
+    val sums = probs.indices.flatMap { i =>
+      val w = i + 1
+      Seq(sum(when(col("v") <= thresholdFor(w), 1L).otherwise(0L)).as(s"_le$w"),
+        sum(when(col("v") < thresholdFor(w), 1L).otherwise(0L)).as(s"_lt$w"))
+    }
+    val aggs = (count(lit(1)).as("n") +: sums)
+    val perW = probs.indices.map { i =>
+      val w = i + 1
+      struct(lit(w.toLong).as("which"), lit(probs(i)).as("p"),
+        col(s"_le$w").as("r_le"), col(s"_lt$w").as("r_lt"))
+    }
+    li.groupBy(col("g"))
+      .agg(aggs.head, aggs.tail: _*)
+      .select(col("g"), col("n"), explode(array(perW: _*)).as("w"))
+      .select(col("g"), col("w.which").as("which"), col("n"),
+        (col("w.r_lt") <= (col("w.p") + eps) * col("n") + 1 &&
+          col("w.r_le") >= (col("w.p") - eps) * col("n") - 1).as("within_bound"))
+      .orderBy("g", "which")
+  }
+
   private val annCache =
     scala.collection.concurrent.TrieMap[(String, String), Similarity.IvfIndex]()
 
@@ -2241,53 +2278,32 @@ object SparkEntry {
 
     Q("sketch_quantiles",
       (s, d) => {
-        // rank-error bound: approx_percentile(accuracy=1000) returns an
-        // ELEMENT whose rank is within ~n/1000 of the target rank p*n;
-        // the gate VERIFIES that rank membership against the data with
-        // eps=0.01 (a 10x margin; +/-1 rank slack for ties). The exact
-        // `percentile` was rejected first (per-group value->count map —
-        // the cardinality class its scaladoc warns about), and a
-        // histogram-census exact formulation (Stats.histogramQuantiles)
-        // was built and measured SLOWER than the sketch at sf10
-        // (~130-170 vs ~30-40 core-s — its exactness needs two full
-        // scans); it ships as the exact-at-scale OPERATOR, the gate
-        // keeps the sketch.
+        // rank-error bound: the quantile sketch returns an ELEMENT whose
+        // rank the gate VERIFIES against the data with eps=0.01 (+/-1
+        // rank slack for ties). Primary path: the one-scan histogram
+        // census (Stats.censusQuantileBoundCheck) — the census IS both
+        // the sketch and the verification (~10 vs ~47 core-s for
+        // sketch+check at sf10, tools/QuantProbe), with the bin range
+        // proved by parquet footers (zero jobs). Fallback when footer
+        // stats are untrustworthy: approx_percentile(accuracy=1000) +
+        // one verification scan — the prior gate form, kept verbatim.
+        // (The exact `percentile` was rejected first — per-group
+        // value->count map, the cardinality class its scaladoc warns
+        // about — and the exact two-scan Stats.histogramQuantiles
+        // measured ~130-170 core-s; it ships as the exact-at-scale
+        // OPERATOR, the gate wants the bounded sketch.)
         val probs = Seq(0.25, 0.5, 0.95)
         val eps = 0.01
-        val li = Tables.lineitem(s, d).select(col("l_returnflag").as("g"),
+        val liRaw = Tables.lineitem(s, d)
+        val li = liRaw.select(col("l_returnflag").as("g"),
           col("l_extendedprice").cast("double").as("v"))
-        // the sketch lands as a COLLECTED 9-row threshold table (the
-        // bounded dimension-collect pattern, like the DSIR bucket model):
-        // the check then runs as ONE un-multiplied codegen'd pass —
-        // per-(group, prob) thresholds become CASE-on-group literal
-        // columns and each prob contributes two conditional sums. The
-        // prior broadcast-join check multiplied every row by |probs|
-        // before aggregating (3x the scan width; measured ~180 vs ~50
-        // core-s for the whole gate at sf10).
-        val qs = operators.Stats.approxQuantiles(li, "v", "g", probs, 1000)
-          .collect().map(r => (r.getString(0), r.get(1).toString.toInt, r.getDouble(2)))
-        def thresholdFor(w: Int): org.apache.spark.sql.Column =
-          qs.filter(_._2 == w).foldLeft(lit(Double.NaN)) {
-            case (acc, (g, _, q)) => when(col("g") === g, q).otherwise(acc)
-          }
-        val sums = probs.indices.flatMap { i =>
-          val w = i + 1
-          Seq(sum(when(col("v") <= thresholdFor(w), 1L).otherwise(0L)).as(s"_le$w"),
-            sum(when(col("v") < thresholdFor(w), 1L).otherwise(0L)).as(s"_lt$w"))
+        core.RowCounts.columnRange(liRaw, "l_extendedprice") match {
+          case Some((lo, hi)) =>
+            operators.Stats
+              .censusQuantileBoundCheck(li, "v", "g", probs, eps, lo, hi)
+              .orderBy("g", "which")
+          case None => sketchQuantilesViaApprox(li, probs, eps)
         }
-        val aggs = (count(lit(1)).as("n") +: sums)
-        val perW = probs.indices.map { i =>
-          val w = i + 1
-          struct(lit(w.toLong).as("which"), lit(probs(i)).as("p"),
-            col(s"_le$w").as("r_le"), col(s"_lt$w").as("r_lt"))
-        }
-        li.groupBy(col("g"))
-          .agg(aggs.head, aggs.tail: _*)
-          .select(col("g"), col("n"), explode(array(perW: _*)).as("w"))
-          .select(col("g"), col("w.which").as("which"), col("n"),
-            (col("w.r_lt") <= (col("w.p") + eps) * col("n") + 1 &&
-              col("w.r_le") >= (col("w.p") - eps) * col("n") - 1).as("within_bound"))
-          .orderBy("g", "which")
       },
       Some("""SELECT l_returnflag AS g, v.i AS which,
              |       CAST(count(*) AS BIGINT) AS n, TRUE AS within_bound

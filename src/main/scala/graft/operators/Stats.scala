@@ -163,6 +163,107 @@ object Stats {
     q2.select(col(groupCol), col("which").cast("long").as("which"), col("q"))
   }
 
+  /** Quantile bound-check in ONE scan: the histogram census as a quantile
+    * SKETCH, with the rank verification derived from the census itself
+    * instead of a second full pass.
+    *
+    * `approxQuantiles` + a verification scan costs sketch + check
+    * (~47 core-s at sf10, tools/QuantProbe); the census at 1024 bins is
+    * ~10 core-s and already CONTAINS the verification: for the chosen
+    * element q = max(crossing bin b*), rank_le(q) = cum(b*) exactly, and
+    * rank_lt(q) is exact when the bin is single-valued (mn == mx) and
+    * upper-bounded by cum(b*) - 1 otherwise — a CONSERVATIVE check (an
+    * upper bound passing implies the true rank passes). The conservative
+    * arm can only fail when the crossing bin holds > eps*n rows; those
+    * rare (group, prob) pairs get a targeted second pass of conditional
+    * sums — never the common case, and a tier either needs it always or
+    * never (deterministic).
+    *
+    * Contract mirrors the sketch gate it replaces: one row per
+    * (group, prob) with the group's total row count and a boolean
+    * attesting |rank(q) - p*n| <= eps*n (+/-1 slack for ties), where n
+    * counts NON-NULL values for the rank math (quantiles ignore nulls)
+    * and the emitted `n` counts all rows (what a `count(*)` oracle sees).
+    * A group with zero non-null values has no quantile to bound —
+    * vacuously true. Bin edges ride in as parameters (footer range via
+    * [[graft.core.RowCounts.columnRange]], zero jobs). Eager: collects
+    * the dimension-sized census (<= groups x bins rows) on the driver,
+    * like the collected-threshold form before it.
+    */
+  def censusQuantileBoundCheck(df: DataFrame, valueCol: String,
+                               groupCol: String, probs: Seq[Double],
+                               eps: Double, lo: Double, hi: Double,
+                               bins: Int = 1024): DataFrame = {
+    require(probs.nonEmpty && probs.forall(p => p >= 0.0 && p <= 1.0))
+    require(hi >= lo && bins > 0 && eps > 0)
+    val spark = df.sparkSession
+    val width = math.max((hi - lo) / bins, java.lang.Double.MIN_NORMAL)
+    val v = col(valueCol).cast("double")
+    // null v -> null bin key: the null-bin row keeps the TOTAL count
+    // honest while staying out of the rank walk below. The null arm must
+    // be EXPLICIT — greatest/least skip null operands, so a bare
+    // greatest(0, floor(null)) would silently file nulls under bin 0
+    val binCol = when(v.isNull, lit(null).cast("int"))
+      .otherwise(least(lit(bins - 1), greatest(lit(0),
+        floor((v - lit(lo)) / lit(width)).cast("int"))))
+    val censusDf = df.groupBy(col(groupCol), binCol.as("_bin"))
+      .agg(count(lit(1)).as("_c"), min(v).as("_mn"), max(v).as("_mx"))
+    val gType = censusDf.schema(groupCol).dataType
+    val census = censusDf.collect()
+    final case class Pend(g: Any, which: Int, thr: Double, rLe: Long,
+                          nn: Long, nTotal: Long, p: Double)
+    val done = scala.collection.mutable.ArrayBuffer[(Any, Int, Long, Boolean)]()
+    val pending = scala.collection.mutable.ArrayBuffer[Pend]()
+    census.groupBy(_.get(0)).foreach { case (g, rows) =>
+      val nTotal = rows.map(_.getLong(2)).sum
+      val binsSorted = rows.filter(!_.isNullAt(1)).sortBy(_.getInt(1))
+      val nn = binsSorted.map(_.getLong(2)).sum
+      probs.zipWithIndex.foreach { case (p, i) =>
+        val which = i + 1
+        if (nn == 0L) done += ((g, which, nTotal, true))
+        else {
+          val k = math.max(1L, math.ceil(p * nn).toLong)
+          var cum = 0L
+          var j = 0
+          while (cum < k) { cum += binsSorted(j).getLong(2); j += 1 }
+          val b = binsSorted(j - 1)
+          val (c, mn, mx) = (b.getLong(2), b.getDouble(3), b.getDouble(4))
+          val rLe = cum
+          val lowOk = rLe >= (p - eps) * nn - 1
+          if (mn == mx) // single-valued bin: rank_lt exact
+            done += ((g, which, nTotal, lowOk && (cum - c) <= (p + eps) * nn + 1))
+          else if (cum - 1 <= (p + eps) * nn + 1) // conservative upper bound
+            done += ((g, which, nTotal, lowOk))
+          else pending += Pend(g, which, mx, rLe, nn, nTotal, p)
+        }
+      }
+    }
+    // rare arm: exact rank_lt for the (group, prob) pairs whose crossing
+    // bin was too heavy for the conservative bound — one scan of
+    // |pending| conditional sums, never row-multiplied
+    if (pending.nonEmpty) {
+      val sums = pending.zipWithIndex.map { case (pe, idx) =>
+        sum(when(col(groupCol) === lit(pe.g) && v < pe.thr, 1L)
+          .otherwise(0L)).as(s"_f$idx")
+      }.toSeq
+      val row = df.agg(sums.head, sums.tail: _*).collect()(0)
+      pending.zipWithIndex.foreach { case (pe, idx) =>
+        val rLt = row.getLong(idx)
+        done += ((pe.g, pe.which, pe.nTotal,
+          rLt <= (pe.p + eps) * pe.nn + 1 && pe.rLe >= (pe.p - eps) * pe.nn - 1))
+      }
+    }
+    import org.apache.spark.sql.{Row => SRow}
+    import org.apache.spark.sql.types.{StructType, StructField, LongType, BooleanType}
+    spark.createDataFrame(
+      java.util.Arrays.asList(done.sortBy(r => (String.valueOf(r._1), r._2)).map {
+        case (g, w, n, ok) => SRow(g, w.toLong, n, ok) }.toSeq: _*),
+      StructType(Seq(StructField(groupCol, gType, nullable = true),
+        StructField("which", LongType, nullable = false),
+        StructField("n", LongType, nullable = false),
+        StructField("within_bound", BooleanType, nullable = false))))
+  }
+
   /** Corpus composition report: per stratum (e.g. language × source) the
     * document count, token total, share of all corpus tokens, and the
     * cumulative share in descending-size order — the table a data-mixing

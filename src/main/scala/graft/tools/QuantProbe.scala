@@ -70,10 +70,12 @@ object QuantProbe {
         graft.operators.Stats.approxQuantiles(li, "v", "g", probs, 1000))
       time("histogram")(
         graft.operators.Stats.histogramQuantiles(li, "v", "g", probs, range._1, range._2))
-      time("census only")(
-        li.groupBy(col("g"), least(lit(65535), greatest(lit(0),
-          floor((col("v") - lit(range._1)) / lit((range._2 - range._1) / 65536)).cast("int"))).as("b"))
-          .agg(count(lit(1)).as("c"), min("v").as("mn"), max("v").as("mx")))
+      Seq(65536, 8192, 1024).foreach { nb =>
+        time(s"census only $nb")(
+          li.groupBy(col("g"), least(lit(nb - 1), greatest(lit(0),
+            floor((col("v") - lit(range._1)) / lit((range._2 - range._1) / nb)).cast("int"))).as("b"))
+            .agg(count(lit(1)).as("c"), max("v").as("mx")))
+      }
       time("check pass only")(
         li.groupBy(col("g")).agg(count(lit(1)).as("n"),
           sum(when(col("v") <= 50000.0, 1L).otherwise(0L)).as("r_le")))

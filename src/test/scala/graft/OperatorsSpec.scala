@@ -691,6 +691,52 @@ class OperatorsSpec extends SparkSpec {
     assert(clamped === got, "clamped-range histogram must return identical elements")
   }
 
+  test("census quantile bound-check: verifies honestly across conservative, exact-tie, fallback, null, and vacuous arms") {
+    val s = spark
+    import s.implicits._
+    val probs = Seq(0.25, 0.5, 0.95)
+    // arm 1 (conservative pass): smooth 1..1000 across many bins — every
+    // crossing bin is light, bound holds without the exact second pass
+    val smooth = (1L to 1000L).map(i => (Some(i.toDouble), "a")).toDF("v", "g")
+    val got = Stats.censusQuantileBoundCheck(smooth, "v", "g", probs, 0.01, 1.0, 1000.0)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getBoolean(3)))
+    assert(got.toSeq === probs.indices.map(i => ("a", (i + 1).toLong, 1000L, true)))
+
+    // arm 2 (exact ties, mn == mx): all values equal land in ONE bin, but
+    // the single-valued bin gives rank_lt exactly — true, not a false fail
+    val ties = Seq.fill(500)((Some(42.0), "t")).toDF("v", "g")
+    val tiesGot = Stats.censusQuantileBoundCheck(ties, "v", "g", probs, 0.01, 0.0, 100.0, bins = 4)
+      .collect().map(r => r.getBoolean(3))
+    assert(tiesGot.forall(identity), "single-valued crossing bin must verify exactly")
+
+    // arm 3 (exact fallback, honest NEGATIVE): distinct values crammed
+    // into one of two bins — the census element's true rank violates the
+    // bound and the targeted exact pass must REPORT that, not mask it
+    val crammed = (1L to 400L).map(i => (Some(i / 10.0), "c")).toDF("v", "g")
+    val crGot = Stats.censusQuantileBoundCheck(crammed, "v", "g", Seq(0.5), 0.01, 0.0, 1000.0, bins = 2)
+      .collect().map(r => r.getBoolean(3))
+    assert(crGot === Array(false), "over-coarse census must fail its bound honestly")
+    // ...and with enough bins the same data passes
+    val fineGot = Stats.censusQuantileBoundCheck(crammed, "v", "g", Seq(0.5), 0.01, 0.0, 1000.0, bins = 4096)
+      .collect().map(r => r.getBoolean(3))
+    assert(fineGot === Array(true))
+
+    // arm 4 (nulls + vacuous group): null v counts toward the emitted n
+    // (what a count(*) oracle sees) but not the rank math; a group with
+    // zero non-null values is vacuously within bound
+    val withNulls = ((1L to 100L).map(i => (Some(i.toDouble), "n")) ++
+      Seq.fill(20)((Option.empty[Double], "n")) ++
+      Seq.fill(5)((Option.empty[Double], "z"))).toDF("v", "g")
+    val nGot = Stats.censusQuantileBoundCheck(withNulls, "v", "g", Seq(0.5), 0.01, 1.0, 100.0)
+      .collect().map(r => (r.getString(0), r.getLong(2), r.getBoolean(3))).toSet
+    assert(nGot === Set(("n", 120L, true), ("z", 5L, true)))
+
+    // the census path agrees with the sketch+check gate shape: same
+    // columns, same row count per (group, prob)
+    val cols = Stats.censusQuantileBoundCheck(smooth, "v", "g", probs, 0.01, 1.0, 1000.0).columns
+    assert(cols === Array("g", "which", "n", "within_bound"))
+  }
+
   test("stratified sampling: per-stratum rates, deterministic, default applies") {
     val s = spark
     import s.implicits._
