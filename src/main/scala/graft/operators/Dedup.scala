@@ -1730,23 +1730,41 @@ object Dedup {
     * at 100 TB train on a sample and assign the full corpus map-side —
     * assignment never shuffles.
     */
+  /** Fixed-seed k-means centroids over prepped vectors (vid, vec) — the
+    * trained-quantizer arm shared by [[semanticDedupKMeans]] and the
+    * scale-stress census (which measures the production path's cluster
+    * balance, not the min-id seed fixture's).
+    */
+  private[graft] def trainCenters(v: DataFrame, k: Int,
+                                  seed: Long = 42): Array[Array[Double]] = {
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.functions.array_to_vector
+    new KMeans().setK(k).setMaxIter(5).setSeed(seed)
+      .setFeaturesCol("features")
+      .fit(v.withColumn("features", array_to_vector(col("vec"))))
+      .clusterCenters.map(_.toArray)
+  }
+
+  /** Map-side nearest-centroid assignment of prepped vectors — the fused
+    * native argmax (NearestCenter); adds `cluster` and keeps `_best`
+    * (cell + cosine-to-centroid) for rank construction.
+    */
+  private[graft] def assignToCenters(v: DataFrame,
+                                     centers: Array[Array[Double]]): DataFrame =
+    v.withColumn("_best",
+        org.apache.spark.sql.GraftBridge.nearestCenter(col("vec"), centers))
+      .withColumn("cluster", col("_best.cell"))
+
   def semanticDedupKMeans(emb: DataFrame, idCol: String, vecCol: String,
                           nClusters: Int = 16, threshold: Double = 0.35,
                           keepFarthest: Boolean = false,
                           seed: Long = 42): DataFrame = {
-    import org.apache.spark.ml.clustering.KMeans
-    import org.apache.spark.ml.functions.array_to_vector
     val v = spread(emb).select(col(idCol).as("vid"),
       transform(col(vecCol), x => x.cast("double")).as("vec")).cache()
-    val model = new KMeans().setK(nClusters).setMaxIter(5).setSeed(seed)
-      .setFeaturesCol("features")
-      .fit(v.withColumn("features", array_to_vector(col("vec"))))
-    val centers = model.clusterCenters.map(_.toArray)
+    val centers = trainCenters(v, nClusters, seed)
     // fused native nearest-centroid (NearestCenter) — same ~100x
     // literal-array/struct-ordering overhead class NearestSeed removes
-    val assigned = v.withColumn("_best",
-        org.apache.spark.sql.GraftBridge.nearestCenter(col("vec"), centers))
-      .withColumn("cluster", col("_best.cell"))
+    val assigned = assignToCenters(v, centers)
     val ranked =
       if (!keepFarthest) assigned.withColumn("rank", struct(col("vid")))
       else

@@ -27,7 +27,7 @@ import graft.operators.Dedup
   * (census only — never materialized).
   *
   * Usage: runMain graft.tools.ScaleStress <tierDir> [families] [semanticK]
-  *   families: csv of containment,minhash,span,semantic (default all)
+  *   families: csv of containment,minhash,span,semantic,ann (default all)
   *   semanticK: cluster count for the semantic run (default 32 — the
   *   gate's k; pass 320 at a 10× tier to hold cluster population fixed)
   */
@@ -36,7 +36,7 @@ object ScaleStress {
   def main(args: Array[String]): Unit = {
     val tier = args.headOption.getOrElse("/root/repo/target/sf10sub")
     val fams = args.lift(1).map(_.split(",").toSet)
-      .getOrElse(Set("containment", "minhash", "span", "semantic"))
+      .getOrElse(Set("containment", "minhash", "span", "semantic", "ann"))
     val semanticK = args.lift(2).map(_.toInt).getOrElse(32)
     val spark = graft.Bench.session("32")
     spark.sparkContext.setLogLevel("ERROR")
@@ -190,14 +190,17 @@ object ScaleStress {
       val corpus = emb.filter(col("vec_id") % 5 =!= 0)
       counter("semantic", "batch_rows", batch.count())
       counter("semantic", "corpus_rows", corpus.count())
-      for (k <- Seq(32, semanticK).distinct) {
-        val cc = phase("semantic", s"cluster_census_k$k") {
-          val vC = Dedup.prepVecs(corpus, "vec_id", "embedding")
-          val seeds = Dedup.collectSeeds(vC, k)
-          val aC = Dedup.assignToSeeds(vC, seeds)
+      // census under BOTH quantizers: min-id seeds (the oracle-expressible
+      // gate fixture — id-skewed at high copy counts, all k seeds land in
+      // copy 0) and trained k-means centroids (the production path,
+      // semanticDedupKMeans) — so max-cell growth measures real balance,
+      // not the fixture artifact
+      def censusOf(assignCorpus: org.apache.spark.sql.DataFrame =>
+          org.apache.spark.sql.DataFrame, tag: String, k: Int): Unit = {
+        val cc = phase("semantic", s"cluster_census_$tag$k") {
+          val aC = assignCorpus(Dedup.prepVecs(corpus, "vec_id", "embedding"))
             .groupBy(col("cluster")).agg(count(lit(1)).as("nc"))
-          val aB = Dedup.assignToSeeds(
-              Dedup.prepVecs(batch, "vec_id", "embedding"), seeds)
+          val aB = assignCorpus(Dedup.prepVecs(batch, "vec_id", "embedding"))
             .groupBy(col("cluster")).agg(count(lit(1)).as("nb"))
           aC.join(aB, Seq("cluster"), "full")
             .select(coalesce(col("nc"), lit(0L)).as("nc"),
@@ -208,9 +211,17 @@ object ScaleStress {
             .collect().head
         }
         graft.core.CacheScope.release()
-        counter("semantic", s"cells_k$k", cc.getAs[Long]("cells"))
-        counter("semantic", s"max_corpus_cell_k$k", cc.getAs[Long]("max_corpus_cell"))
-        counter("semantic", s"pair_bound_k$k", cc.getAs[Long]("pair_bound"))
+        counter("semantic", s"cells_$tag$k", cc.getAs[Long]("cells"))
+        counter("semantic", s"max_corpus_cell_$tag$k", cc.getAs[Long]("max_corpus_cell"))
+        counter("semantic", s"pair_bound_$tag$k", cc.getAs[Long]("pair_bound"))
+      }
+      for (k <- Seq(32, semanticK).distinct) {
+        censusOf(vC => Dedup.assignToSeeds(vC, Dedup.collectSeeds(
+          Dedup.prepVecs(corpus, "vec_id", "embedding"), k)), "k", k)
+        val centers = phase("semantic", s"train_centers_k$k") {
+          Dedup.trainCenters(Dedup.prepVecs(corpus, "vec_id", "embedding"), k)
+        }
+        censusOf(vC => Dedup.assignToCenters(vC, centers), "trained_k", k)
       }
       val dups = phase("semantic", s"incremental_k$semanticK") {
         Dedup.semanticDedupIncremental(batch, corpus, "vec_id", "embedding",
@@ -219,6 +230,69 @@ object ScaleStress {
       }
       graft.core.CacheScope.release()
       counter("semantic", "result_dups", dups)
+      // the production operator end-to-end at the scaled k: trained
+      // centroids, full corpus (batch ∪ corpus), min-id survivor rule
+      val kmDups = phase("semantic", s"kmeans_e2e_k$semanticK") {
+        Dedup.semanticDedupKMeans(emb, "vec_id", "embedding", semanticK, 0.35)
+          .filter(col("keep") === 0L).count()
+      }
+      graft.core.CacheScope.release()
+      counter("semantic", "kmeans_result_dups", kmDups)
+    }
+
+    if (fams("ann")) {
+      // ANN at the stress tier: cells = autoCells(n) ≈ √n, so per-probe
+      // candidates grow ~√10 per 10× (avg cell = n/√n = √n) — the
+      // comparable the cross-tier table checks. Probe count is pinned
+      // ~512 per tier (stride over the id space) so totals divide out.
+      import graft.operators.Similarity
+      val emb = Tables.embeddings(spark, tier)
+      val n = emb.count()
+      counter("ann", "n_vecs", n)
+      counter("ann", "auto_cells", Similarity.autoCells(n))
+      val stride = math.max(1L, n / 512L)
+      val probes = emb.filter(col("vec_id") % stride === 0)
+      val nProbes = probes.count()
+      counter("ann", "n_probes", nProbes)
+      val idx = phase("ann", "build_ivf") {
+        val i = Similarity.buildIvf(emb)
+        i.cells.count() // materialize the inverted file inside the phase
+        i
+      }
+      val cs = phase("ann", "cell_census") {
+        idx.cells.groupBy(col("cell")).agg(count(lit(1)).as("c"))
+          .agg(count(lit(1)).as("cells"), max(col("c")).as("max_cell"),
+            sum(col("c")).as("rows"))
+          .collect().head
+      }
+      counter("ann", "ivf_cells", cs.getAs[Long]("cells"))
+      counter("ann", "ivf_max_cell", cs.getAs[Long]("max_cell"))
+      counter("ann", "ivf_rows", cs.getAs[Long]("rows"))
+      for (nProbe <- Seq(1, 4)) {
+        val cand = phase("ann", s"ivf_candidates_nprobe$nProbe") {
+          idx.rankedCandidates(probes, nProbe).count()
+        }
+        counter("ann", s"ivf_candidates_nprobe$nProbe", cand)
+        counter("ann", s"ivf_cand_per_probe_nprobe$nProbe",
+          if (nProbes > 0) cand / nProbes else 0L)
+      }
+      val tk = phase("ann", "ivf_topk_e2e") { idx.topK(probes, 10, 4).count() }
+      counter("ann", "ivf_topk_rows", tk)
+      idx.cells.unpersist()
+      val pq = phase("ann", "build_ivfpq") {
+        val i = Similarity.buildIvfPq(emb)
+        i.codes.count()
+        i
+      }
+      val adc = phase("ann", "pq_adc_rows_nprobe2") {
+        pq.rankedCandidates(probes, 2).count()
+      }
+      counter("ann", "pq_adc_rows_nprobe2", adc)
+      counter("ann", "pq_adc_per_probe_nprobe2",
+        if (nProbes > 0) adc / nProbes else 0L)
+      val tk2 = phase("ann", "ivfpq_topk_e2e") { pq.topK(probes, 10, 2).count() }
+      counter("ann", "ivfpq_topk_rows", tk2)
+      pq.codes.unpersist()
     }
 
     spark.stop()
