@@ -10,13 +10,20 @@ OOM even a fresh connection fails 2 KiB allocations), so in-process
 failure isolation is not enough — the child dies alone and the sweep
 continues.
 
-Usage: bench_duck.py <sf_dir> <verify_out_dir> [reps=3] [threads=32] [mem=80GB]
+Usage: bench_duck.py <sf_dir> <verify_out_dir> [reps=3] [threads=32] [mem=80GB] [timeout_s=900]
   mem: DuckDB memory_limit — lower it when another process (e.g. a large
   idle JVM) holds a chunk of the box.
+  timeout_s: per-QUERY kill timer. The known-infeasible oracles at big
+  tiers (recursive-CTE connected components, literal-replication ANN)
+  grind until they fill the spill disk — tens of minutes each before
+  dying on an IOException anyway; the timer bounds them and records an
+  honest FAIL instead. Sized ~10x the slowest legitimate oracle.
 """
 import json
 import multiprocessing as mp
+import os
 import queue
+import shutil
 import sys
 import time
 
@@ -56,7 +63,21 @@ def run_one(sf_dir, sql, reps, threads, mem, out):
     out.put(("ok", best, cold))
 
 
-def main(sf_dir, out_dir, reps=3, threads=32, mem="80GB"):
+def clear_spill():
+    """Drop orphaned spill files between queries: a killed or crashed
+    child leaves multi-GB temp storage behind, which starves every later
+    query of spill headroom."""
+    try:
+        for f in os.listdir("/tmp/duck_spill"):
+            try:
+                os.unlink(os.path.join("/tmp/duck_spill", f))
+            except OSError:
+                pass
+    except OSError:
+        pass
+
+
+def main(sf_dir, out_dir, reps=3, threads=32, mem="80GB", timeout_s=900):
     oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
     best = {}
     cold = {}
@@ -67,7 +88,15 @@ def main(sf_dir, out_dir, reps=3, threads=32, mem="80GB"):
         p = ctx.Process(target=run_one,
                         args=(sf_dir, sql, reps, threads, mem, out))
         p.start()
-        p.join()
+        p.join(timeout_s)
+        timed_out = p.is_alive()
+        if timed_out:
+            p.terminate()
+            p.join(30)
+            if p.is_alive():
+                p.kill()
+                p.join()
+            clear_spill()
         # Queue.empty() right after join() is unreliable (the feeder
         # thread may not have flushed); a bounded get() is the
         # documented-safe way to drain a possibly-present result
@@ -81,8 +110,11 @@ def main(sf_dir, out_dir, reps=3, threads=32, mem="80GB"):
             print(f"[duck] {name} {best[name]:.3f}s (cold {cold[name]:.3f}s)",
                   file=sys.stderr)
         else:
-            failed[name] = res[1] if res else f"child died rc={p.exitcode}"
+            failed[name] = (f"timeout after {timeout_s}s" if timed_out
+                            else res[1] if res else f"child died rc={p.exitcode}")
             print(f"[duck] FAIL {name}: {failed[name]}", file=sys.stderr)
+            if not timed_out:
+                clear_spill()
     total = sum(best.values())
     print(json.dumps({
         "metric": "duckdb_total", "value": round(total, 3), "unit": "sec",
@@ -96,4 +128,5 @@ if __name__ == "__main__":
     main(sys.argv[1], sys.argv[2],
          int(sys.argv[3]) if len(sys.argv) > 3 else 3,
          int(sys.argv[4]) if len(sys.argv) > 4 else 32,
-         sys.argv[5] if len(sys.argv) > 5 else "80GB")
+         sys.argv[5] if len(sys.argv) > 5 else "80GB",
+         int(sys.argv[6]) if len(sys.argv) > 6 else 900)

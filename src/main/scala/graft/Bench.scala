@@ -122,8 +122,12 @@ object Bench {
       // return heap to the OS — cap DuckDB below the default so its
       // allocator never claims memory the resident JVM still maps
       val mem = sys.env.getOrElse("SPARK_GRAFT_DUCK_MEM", "48GB")
+      // per-QUERY kill timer (seconds): bounds the known-infeasible
+      // oracles at big tiers, which otherwise grind until the spill
+      // disk fills — see bench_duck.py's header
+      val qTimeout = sys.env.getOrElse("SPARK_GRAFT_DUCK_QTIMEOUT_S", "900")
       val pb = new ProcessBuilder("python3", "scripts/bench_duck.py",
-        sfDir, oracleDir.toString, reps.toString, "32", mem)
+        sfDir, oracleDir.toString, reps.toString, "32", mem, qTimeout)
       pb.redirectError(ProcessBuilder.Redirect.INHERIT)
       // capture stdout via a file, NOT readAllBytes on the pipe: a hung
       // child would block the read forever and the waitFor timeout below

@@ -104,8 +104,11 @@ object ScaleStress {
           .agg(count(lit(1)).as("keys"), sum(col("df")).as("rows"),
             max(col("df")).as("max_df"),
             sum(when(col("df") > cap, 1L).otherwise(0L)).as("hot"),
+            // n*(n-1) is even, so the double division is exact below
+            // 2^53 — cast back to long so counters print as integers
             sum(when(col("df") <= cap,
-              col("df") * (col("df") - 1) / 2).otherwise(0L)).as("cand"))
+              col("df") * (col("df") - 1) / 2).otherwise(0L))
+              .cast("long").as("cand"))
           .collect().head
       }
       counter("containment", "shingle_keys", dfc.getAs[Long]("keys"))
@@ -139,7 +142,7 @@ object ScaleStress {
           .groupBy(col("band"), col("bucket")).agg(count(lit(1)).as("sz"))
           .agg(count(lit(1)).as("keys"), sum(col("sz")).as("rows"),
             max(col("sz")).as("max_bucket"),
-            sum(col("sz") * (col("sz") - 1) / 2).as("cand"))
+            sum(col("sz") * (col("sz") - 1) / 2).cast("long").as("cand"))
           .collect().head
       }
       counter("minhash", "bucket_keys", bc.getAs[Long]("keys"))
@@ -207,7 +210,7 @@ object ScaleStress {
               coalesce(col("nb"), lit(0L)).as("nb"))
             .agg(count(lit(1)).as("cells"), max(col("nc")).as("max_corpus_cell"),
               sum(col("nb") * col("nc") + col("nb") * (col("nb") - 1) / 2)
-                .as("pair_bound"))
+                .cast("long").as("pair_bound"))
             .collect().head
         }
         graft.core.CacheScope.release()
