@@ -127,7 +127,9 @@ object SparkEntry {
       .select(col("g"), col("w.which").as("which"), col("n"),
         (col("w.r_lt") <= (col("w.p") + eps) * col("n") + 1 &&
           col("w.r_le") >= (col("w.p") - eps) * col("n") - 1).as("within_bound"))
-      .orderBy("g", "which")
+      // dimension-sized (|groups| x |probs| rows): single-partition sort,
+      // no rangepartitioning exchange or boundary-sampling job
+      .coalesce(1).orderBy("g", "which")
   }
 
   private val annCache =
@@ -2299,9 +2301,15 @@ object SparkEntry {
           col("l_extendedprice").cast("double").as("v"))
         core.RowCounts.columnRange(liRaw, "l_extendedprice") match {
           case Some((lo, hi)) =>
+            // coalesce(1) before the total sort: the census result is a
+            // driver-built dimension-sized frame (|groups| x |probs|
+            // rows); SinglePartition satisfies the sort's required
+            // distribution, so the plan drops the rangepartitioning
+            // Exchange AND its boundary-sampling job (guide §2.4 —
+            // an orderBy "used only to make output deterministic")
             operators.Stats
               .censusQuantileBoundCheck(li, "v", "g", probs, eps, lo, hi)
-              .orderBy("g", "which")
+              .coalesce(1).orderBy("g", "which")
           case None => sketchQuantilesViaApprox(li, probs, eps)
         }
       },

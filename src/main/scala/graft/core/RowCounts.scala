@@ -28,6 +28,36 @@ object RowCounts {
 
   private val maxFooterFiles = 256
 
+  /** Parsed-footer memo, keyed by (path, length, modification time) — the
+    * same invalidation rule Spark's own file-status caches use: a
+    * rewritten file changes length or mtime and misses. Footer METADATA
+    * only (a few KB per file), never data or results: every consumer
+    * still derives its answer from the current file set per call, this
+    * just stops a query that sizes itself from footers from re-parsing
+    * the identical bytes on every plan construction (a 32-file bucketed
+    * table costs 64 footer opens per [[columnRange]] call otherwise —
+    * pure driver latency on the query path). Bounded: cleared wholesale
+    * past [[maxFooterCacheEntries]] (footers of live tables are re-read
+    * on the next call; correctness is untouched).
+    */
+  private val maxFooterCacheEntries = 4096
+  private val footerCache = scala.collection.concurrent.TrieMap[
+    (String, Long, Long), org.apache.parquet.hadoop.metadata.ParquetMetadata]()
+
+  private def footerOf(f: String, conf: org.apache.hadoop.conf.Configuration)
+      : org.apache.parquet.hadoop.metadata.ParquetMetadata = {
+    import org.apache.hadoop.fs.Path
+    import org.apache.parquet.hadoop.ParquetFileReader
+    import org.apache.parquet.hadoop.util.HadoopInputFile
+    val p = new Path(f)
+    val st = p.getFileSystem(conf).getFileStatus(p)
+    if (footerCache.size > maxFooterCacheEntries) footerCache.clear()
+    footerCache.getOrElseUpdate((f, st.getLen, st.getModificationTime), {
+      val r = ParquetFileReader.open(HadoopInputFile.fromPath(p, conf))
+      try r.getFooter finally r.close()
+    })
+  }
+
   /** Exact row count of `df`: parquet footer metadata when the optimized
     * plan is a bare (possibly column-pruned) parquet scan, else
     * `df.count()`. Always current — footers are re-read per call (they are
@@ -66,13 +96,10 @@ object RowCounts {
     val files = rel.location.inputFiles
     if (files.isEmpty || files.length > maxFooterFiles) None
     else {
-      import org.apache.hadoop.fs.Path
-      import org.apache.parquet.hadoop.ParquetFileReader
-      import org.apache.parquet.hadoop.util.HadoopInputFile
+      import scala.jdk.CollectionConverters._
       val conf = df.sparkSession.sessionState.newHadoopConf()
       try Some(files.iterator.map { f =>
-        val r = ParquetFileReader.open(HadoopInputFile.fromPath(new Path(f), conf))
-        try r.getRecordCount finally r.close()
+        footerOf(f, conf).getBlocks.asScala.iterator.map(_.getRowCount).sum
       }.sum)
       catch { case scala.util.control.NonFatal(_) => None } // unreadable footer -> scan job
     }
@@ -125,20 +152,15 @@ object RowCounts {
     val files = rel.location.inputFiles
     if (files.isEmpty || files.length > maxFooterFiles) None
     else {
-      import org.apache.hadoop.fs.Path
-      import org.apache.parquet.hadoop.ParquetFileReader
-      import org.apache.parquet.hadoop.util.HadoopInputFile
       import scala.jdk.CollectionConverters._
       val conf = df.sparkSession.sessionState.newHadoopConf()
       try {
         val bounds = files.iterator.flatMap { f =>
-          val r = ParquetFileReader.open(HadoopInputFile.fromPath(new Path(f), conf))
-          try r.getFooter.getBlocks.asScala.iterator.map { block =>
+          footerOf(f, conf).getBlocks.asScala.iterator.map { block =>
             block.getColumns.asScala
               .find(_.getPath.toDotString == column)
               .flatMap(chunkAbsBound)
           }.toVector
-          finally r.close()
         }.toVector
         // every row group must state a trustworthy bound; all-null chunks
         // contribute 0 (handled in chunkAbsBound)
@@ -192,9 +214,6 @@ object RowCounts {
     val files = rel.location.inputFiles
     if (files.isEmpty || files.length > maxFooterFiles) None
     else {
-      import org.apache.hadoop.fs.Path
-      import org.apache.parquet.hadoop.ParquetFileReader
-      import org.apache.parquet.hadoop.util.HadoopInputFile
       import scala.jdk.CollectionConverters._
       val conf = df.sparkSession.sessionState.newHadoopConf()
       try {
@@ -202,8 +221,7 @@ object RowCounts {
         var mx = Double.NegativeInfinity
         var any = false
         files.foreach { f =>
-          val r = ParquetFileReader.open(HadoopInputFile.fromPath(new Path(f), conf))
-          try r.getFooter.getBlocks.asScala.foreach { block =>
+          footerOf(f, conf).getBlocks.asScala.foreach { block =>
             block.getColumns.asScala
               .find(_.getPath.toDotString == column)
               .foreach { c =>
@@ -223,7 +241,7 @@ object RowCounts {
                   if (!lo.isNaN) { mn = math.min(mn, lo); mx = math.max(mx, hi); any = true }
                 }
               }
-          } finally r.close()
+          }
         }
         if (any && java.lang.Double.isFinite(mn) && java.lang.Double.isFinite(mx))
           Some((mn, mx))
@@ -271,21 +289,17 @@ object RowCounts {
     val files = rel.location.inputFiles
     if (files.isEmpty || files.length > maxFooterFiles) None
     else {
-      import org.apache.hadoop.fs.Path
-      import org.apache.parquet.hadoop.ParquetFileReader
-      import org.apache.parquet.hadoop.util.HadoopInputFile
       import scala.jdk.CollectionConverters._
       val conf = df.sparkSession.sessionState.newHadoopConf()
       try {
         var total = 0L
         var found = false
         files.foreach { f =>
-          val r = ParquetFileReader.open(HadoopInputFile.fromPath(new Path(f), conf))
-          try r.getFooter.getBlocks.asScala.foreach { block =>
+          footerOf(f, conf).getBlocks.asScala.foreach { block =>
             block.getColumns.asScala
               .find(_.getPath.toDotString == column)
               .foreach { c => total += c.getTotalUncompressedSize; found = true }
-          } finally r.close()
+          }
         }
         if (found) Some(total) else None
       } catch { case scala.util.control.NonFatal(_) => None }

@@ -374,9 +374,14 @@ object Dedup {
                                    maxDfFrac: Double = 0.05,
                                    sampleMod: Int = 8,
                                    minSample: Long = 32L): DataFrame = {
-    val nSamp = df.filter(col(idCol) % sampleMod === 0)
-      .select(col(idCol)).count()
-    val nTotal = df.select(col(idCol)).count()
+    // both guard counts in ONE job (r17): count(when(pred, 1)) counts
+    // exactly the rows the old filter().count() did (a null id makes the
+    // predicate null -> uncounted, same as the filter dropping it), and
+    // the fused agg reads the id column once instead of twice
+    val guardRow = df.agg(
+      count(when(col(idCol) % sampleMod === 0, lit(1))).as("_ns"),
+      count(lit(1)).as("_nt")).collect()(0)
+    val (nSamp, nTotal) = (guardRow.getLong(0), guardRow.getLong(1))
     if (nSamp < minSample || nSamp * 2L * sampleMod < nTotal)
       containmentPairsCapped(df, textCol, idCol, w, threshold, maxDfFrac)
     else {
@@ -1129,7 +1134,71 @@ object Dedup {
     * observes zero label changes.
     */
   def nearDupClusters(pairs: DataFrame, maxIter: Int = 25): DataFrame =
-    minLabelCc(pairs, maxIter)._1
+    smallGraphLabels(pairs).getOrElse(minLabelCc(pairs, maxIter)._1)
+
+  /** Edge cutoff for the driver-side union-find small path: 2^22 edges is
+    * ~64 MB of (long, long) rows on the driver — far inside any driver
+    * heap, far outside any real near-dup pair graph's per-epoch size at
+    * the tiers where round-trip latency (not shuffle volume) dominates.
+    */
+  private[operators] val DriverCcMaxEdges = 4L << 20
+
+  /** Driver union-find over a MATERIALIZED (persisted) pair graph — the
+    * small path of both CC formulations (r17 optimization; same result
+    * set, pinned by spec against both distributed paths).
+    *
+    * Why it exists: the distributed loops pay one localCheckpoint job +
+    * barrier per round (3+ rounds even on a converged-at-init graph).
+    * But the verified near-dup PAIR table is threshold-bounded and
+    * dimension-sized by construction (pair density is what the dedup
+    * threshold bounds — the r16 sf100sub census measured it linear in
+    * the corpus, ~50 pairs per 5k docs), so at every tier where it fits
+    * comfortably on the driver the fixed point is cheaper to compute
+    * there than to coordinate: one collect job + an O(E α(E)) local
+    * union-find replaces O(rounds) cluster barriers. At 100 TB a pair
+    * graph past [[DriverCcMaxEdges]] takes the distributed loops — the
+    * scale story is unchanged (and unconditionally exercised by the
+    * round-count specs, which call [[minLabelCc]]/[[starCc]] directly).
+    *
+    * Guarded on BOTH sides: only a persisted input qualifies (the count
+    * must read cached rows, never recompute an unbounded pair
+    * generation twice), and only below the edge cutoff. Anything else
+    * falls through to the distributed loops untouched.
+    */
+  private def smallGraphLabels(pairs: DataFrame): Option[DataFrame] = {
+    if (pairs.storageLevel == org.apache.spark.storage.StorageLevel.NONE) None
+    else if (pairs.count() > DriverCcMaxEdges) None
+    else {
+      val spark = pairs.sparkSession
+      val edges = pairs
+        .select(col("doc_a").cast("long"), col("doc_b").cast("long"))
+        .collect()
+      val parent = new scala.collection.mutable.LongMap[Long]()
+      def find(x0: Long): Long = {
+        var r = x0
+        while (parent(r) != r) r = parent(r)
+        var c = x0
+        while (parent(c) != r) { val nx = parent(c); parent(c) = r; c = nx }
+        r
+      }
+      edges.foreach { e =>
+        val (a, b) = (e.getLong(0), e.getLong(1))
+        if (!parent.contains(a)) parent(a) = a
+        if (!parent.contains(b)) parent(b) = b
+        val (ra, rb) = (find(a), find(b))
+        // union toward the smaller root: the component min IS the root,
+        // no relabel pass needed
+        if (ra < rb) parent(rb) = ra else if (rb < ra) parent(ra) = rb
+      }
+      import org.apache.spark.sql.{Row => SRow}
+      import org.apache.spark.sql.types.{LongType, StructField, StructType}
+      val out = parent.keys.toArray.sorted.map(n => SRow(n, find(n)))
+      Some(spark.createDataFrame(
+        java.util.Arrays.asList(out: _*),
+        StructType(Seq(StructField("doc", LongType, nullable = true),
+          StructField("cluster", LongType, nullable = true)))))
+    }
+  }
 
   /** [[nearDupClusters]] plus the number of label-propagation rounds the
     * loop ran (including the final round that observes zero changes) —
@@ -1253,7 +1322,10 @@ object Dedup {
     */
   def nearDupClustersStar(pairs: DataFrame, maxIter: Int = 25,
                           largeStars: Int = 2): DataFrame =
-    starCc(pairs, maxIter, largeStars)._1
+    // same small path as [[nearDupClusters]] — the two formulations share
+    // one output contract, so a persisted dimension-sized pair graph
+    // short-circuits identically (spec-pinned equal to the star loop)
+    smallGraphLabels(pairs).getOrElse(starCc(pairs, maxIter, largeStars)._1)
 
   private[graft] def starCc(pairs: DataFrame, maxIter: Int = 25,
                             largeStars: Int = 2): (DataFrame, Int) = {

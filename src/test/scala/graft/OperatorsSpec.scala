@@ -88,6 +88,43 @@ class OperatorsSpec extends SparkSpec {
     assert(r === Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 7L -> 7L, 9L -> 7L))
   }
 
+  test("driver union-find small path: persisted pair graphs label identically to both distributed loops") {
+    val s = spark
+    import s.implicits._
+    // random-ish multi-component graph incl. a chain, a hub, dup edges
+    // and an out-of-order pair (doc_a > doc_b never occurs upstream, but
+    // the UF must not care about edge orientation)
+    val raw = Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L), (11L, 10L),
+      (20L, 21L), (20L, 22L), (20L, 23L), (23L, 24L), (50L, 51L), (2L, 3L))
+    val pairs = raw.toDF("doc_a", "doc_b").persist()
+    try {
+      pairs.count()
+      val viaUf = Dedup.nearDupClusters(pairs).collect()
+        .map(x => x.getAs[Long]("doc") -> x.getAs[Long]("cluster")).toMap
+      val viaUfStar = Dedup.nearDupClustersStar(pairs).collect()
+        .map(x => x.getAs[Long]("doc") -> x.getAs[Long]("cluster")).toMap
+      // the distributed loops, forced (direct entry points bypass the gate)
+      val viaLabels = Dedup.minLabelCc(pairs)._1.collect()
+        .map(x => x.getAs[Long]("doc") -> x.getAs[Long]("cluster")).toMap
+      val viaStar = Dedup.starCc(pairs)._1.collect()
+        .map(x => x.getAs[Long]("doc") -> x.getAs[Long]("cluster")).toMap
+      assert(viaUf === viaLabels)
+      assert(viaUfStar === viaStar)
+      assert(viaLabels === viaStar)
+      val expected = Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
+        10L -> 10L, 11L -> 10L, 20L -> 20L, 21L -> 20L, 22L -> 20L,
+        23L -> 20L, 24L -> 20L, 50L -> 50L, 51L -> 50L)
+      assert(viaUf === expected)
+    } finally pairs.unpersist()
+    // un-persisted input NEVER takes the small path (the count would
+    // recompute an unbounded pair generation): same result either way,
+    // pinned here only for the guard's sake
+    val cold = raw.toDF("doc_a", "doc_b")
+    val viaCold = Dedup.nearDupClusters(cold).collect()
+      .map(x => x.getAs[Long]("doc") -> x.getAs[Long]("cluster")).toMap
+    assert(viaCold(4L) === 1L)
+  }
+
   test("star CC beats min-label propagation on an adversarial long chain, and matches it") {
     val s = spark
     import s.implicits._
