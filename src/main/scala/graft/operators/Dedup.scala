@@ -430,10 +430,18 @@ object Dedup {
                          threshold: Double): DataFrame = {
     val hot = graft.core.CacheScope.cached(hot0)
     val nHot = hot.count()
-    val filtered = graft.core.CacheScope.cached(
+    // NOT cached (r17): the self-join's two sides are the identical
+    // repartition subtree, so ReuseExchange materializes the exchange
+    // once and both sides read its shuffle output — the prior scoped
+    // cache wrote the whole filtered stream a second time (columnar
+    // cache build) to serve exactly the reads the shuffle files already
+    // serve (measured: ~2 task-s and one cache pass saved at sf0.1,
+    // plan now matches the exact operator's ReusedExchange shape).
+    // The anti-join sits BELOW the exchange, so it too runs once.
+    val filtered =
       (if (nHot == 0L) sh
        else sh.join(broadcast(hot), Seq("shingle"), "left_anti"))
-        .repartition(parts, col("shingle")))
+        .repartition(parts, col("shingle"))
     val agg = filtered.as("a").hint("merge")
       .join(filtered.as("b"),
         col("a.shingle") === col("b.shingle") && col("a.doc") < col("b.doc"))
@@ -1082,9 +1090,15 @@ object Dedup {
                           width: Int = 8): DataFrame = {
     require(width >= 2, "span width must be >= 2")
     val bridge = org.apache.spark.sql.GraftBridge
-    val base = spread(docs).select(col(idCol).as("doc"),
-      bridge.tokenChunks(col(textCol), 1, 1).as("_toks"),
-      bridge.tokenChunks(col(textCol), width, 1).as("_c"))
+    // cached (r17): three consumers derive from this projection — the
+    // token stream, the span stream, and the final per-doc token count —
+    // and each re-ran BOTH native tokenize passes without the cache
+    // (same two-passes-per-consumer shape the minhash family already
+    // caches away via its arrays frame)
+    val base = graft.core.CacheScope.cached(
+      spread(docs).select(col(idCol).as("doc"),
+        bridge.tokenChunks(col(textCol), 1, 1).as("_toks"),
+        bridge.tokenChunks(col(textCol), width, 1).as("_c")))
     val toks = base.select(col("doc"),
       posexplode(when(size(col("_toks")) > 0, col("_toks"))))
       .select(col("doc"), col("pos").as("tpos"), col("col").as("tok"))
