@@ -1946,12 +1946,35 @@ object SparkEntry {
           df.withColumn(h + "r",
             sum(when(col("cell_rank") <= np, 1).otherwise(0)).over(w))
         }
+        // exact ∪ ranked re-aggregated on the pair key instead of the
+        // old left join (r17): the join exchanged BOTH sides from their
+        // windows' probe_id partitioning to (probe_id, neighbor_id) and
+        // sorted each for the merge — the union pays ONE exchange of the
+        // same rows into a hash aggregate, no sorts (guide §2.4). Each
+        // side contributes at most one row per pair key, so max() picks
+        // the side's flag and the final sums are value-identical to the
+        // join form: n_exact counts exact rows, a hit is an exact pair
+        // that appeared in the candidate frame with the config's flags.
+        val exactCols = Seq(col("probe_id"), col("neighbor_id"),
+          lit(1).as("_e"), lit(null).cast("int").as("cell_rank")) ++
+          configs.map { case (_, _, h) => lit(null).cast("long").as(h + "r") }
+        val rankedCols = Seq(col("probe_id"), col("neighbor_id"),
+          lit(0).as("_e"), col("cell_rank")) ++
+          configs.map { case (_, _, h) => col(h + "r") }
+        val pairAggs = Seq(max(col("_e")).as("_e"),
+          max(col("cell_rank")).as("cell_rank")) ++
+          configs.map { case (_, _, h) => max(col(h + "r")).as(h + "r") }
+        val paired = exact.select(exactCols: _*)
+          .unionByName(ranked.select(rankedCols: _*))
+          .groupBy(col("probe_id"), col("neighbor_id"))
+          .agg(pairAggs.head, pairAggs.tail: _*)
         val hitCols = configs.map { case (np, _, h) =>
-          sum(when(col("cell_rank") <= np && col(h + "r") <= 10, 1.0)
+          sum(when(col("_e") === 1 &&
+              col("cell_rank") <= np && col(h + "r") <= 10, 1.0)
             .otherwise(0.0)).as(h)
         }
-        exact.join(ranked, Seq("probe_id", "neighbor_id"), "left")
-          .agg(count(lit(1)).as("n_exact"), hitCols: _*)
+        paired
+          .agg(sum(col("_e").cast("long")).as("n_exact"), hitCols: _*)
           .select(explode(array(configs.map { case (np, floor, h) =>
             struct(
               lit(10).as("k"), lit(np).as("n_probe"), col("n_exact"),
@@ -2007,12 +2030,29 @@ object SparkEntry {
           df.withColumn(h + "r",
             sum(when(col("cell_rank") <= np, 1).otherwise(0)).over(w))
         }
+        // same union + pair-key re-aggregation as sim_ivf_recall (r17):
+        // one exchange into a hash aggregate replaces the left join's
+        // two exchanges + two sorts; aggregate values identical
+        val exactCols = Seq(col("probe_id"), col("neighbor_id"),
+          lit(1).as("_e"), lit(null).cast("int").as("cell_rank")) ++
+          configs.map { case (_, _, h) => lit(null).cast("long").as(h + "r") }
+        val rankedCols = Seq(col("probe_id"), col("neighbor_id"),
+          lit(0).as("_e"), col("cell_rank")) ++
+          configs.map { case (_, _, h) => col(h + "r") }
+        val pairAggs = Seq(max(col("_e")).as("_e"),
+          max(col("cell_rank")).as("cell_rank")) ++
+          configs.map { case (_, _, h) => max(col(h + "r")).as(h + "r") }
+        val paired = exact.select(exactCols: _*)
+          .unionByName(ranked.select(rankedCols: _*))
+          .groupBy(col("probe_id"), col("neighbor_id"))
+          .agg(pairAggs.head, pairAggs.tail: _*)
         val hitCols = configs.map { case (np, _, h) =>
-          sum(when(col("cell_rank") <= np && col(h + "r") <= 10, 1.0)
+          sum(when(col("_e") === 1 &&
+              col("cell_rank") <= np && col(h + "r") <= 10, 1.0)
             .otherwise(0.0)).as(h)
         }
-        exact.join(ranked, Seq("probe_id", "neighbor_id"), "left")
-          .agg(count(lit(1)).as("n_exact"), hitCols: _*)
+        paired
+          .agg(sum(col("_e").cast("long")).as("n_exact"), hitCols: _*)
           .select(explode(array(configs.map { case (np, floor, h) =>
             struct(
               lit(10).as("k"), lit(np).as("n_probe"),
