@@ -211,6 +211,7 @@ object SparkEntry {
   def warm(s: SparkSession, d: String): Unit = {
     plugTables(s, d).values.foreach(_.count())
     ivfIndex(s, d).cells.count()
+    ivfPqIndex(s, d).codes.count()
     lshIndex(s, d).buckets.count()
     val ndi = nearDupIndex(s, d)
     ndi.arrays.count(); ndi.buckets.count()

@@ -251,22 +251,31 @@ object Sampling {
           struct((-col("log_weight")).as("nw"), col("doc").as("d")))
         .repartitionByRange(col("_k"))
         .withColumn("_pid", spark_partition_id()))
-    val counts = keyed.groupBy(col("_pid")).agg(count(lit(1)).as("c"))
-      .collect().map(r => (r.getInt(0), r.getLong(1))).sortBy(_._1)
-    // total scored docs = Σ shard counts — the keep threshold needs no
-    // separate count() action
-    val kKeep = math.floor(keepFraction * counts.map(_._2).sum).toLong
-    val offsets = {
-      var acc = 0L
-      counts.map { case (p, c) => val o = acc; acc += c; (p, o) }.toSeq
-    }
-    val offsetsDf = offsets.toDF("_pid", "_off")
+    // per-shard prefix offsets and the keep threshold, IN-PLAN (r17):
+    // the old form collected one count per shard to the driver and
+    // broadcast the offsets back — a full extra action + barrier per
+    // call. The offsets frame is shard-count-sized (= shuffle
+    // parallelism), so the cumulative window over it is trivia; the
+    // cache still pins the sampled range boundaries, and both consumers
+    // (offset subtree, output rows) read the same materialization, so
+    // partition ids stay consistent exactly as before. Arithmetic is
+    // unchanged: same long prefix sums, same floor(frac * total) on the
+    // same double multiply.
+    import org.apache.spark.sql.expressions.{Window => W}
+    val wOff = W.orderBy(col("_pid")).rowsBetween(W.unboundedPreceding, -1)
+    val wAll = W.orderBy(col("_pid"))
+      .rowsBetween(W.unboundedPreceding, W.unboundedFollowing)
+    val offsetsDf = keyed.groupBy(col("_pid")).agg(count(lit(1)).as("_c"))
+      .select(col("_pid"),
+        coalesce(sum(col("_c")).over(wOff), lit(0L)).as("_off"),
+        floor(lit(keepFraction) *
+          sum(col("_c")).over(wAll).cast("double")).as("_kk"))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("_pid")).orderBy(col("_k"))
-    keyed.join(offsetsDf, Seq("_pid"))
+    keyed.join(broadcast(offsetsDf), Seq("_pid"))
       .withColumn("_r", row_number().over(w).cast("long") + col("_off"))
       .select(col("doc").as(idCol), col("n_feats"), col("log_weight"),
-        when(col("_r") <= kKeep, lit(1L)).otherwise(lit(0L)).as("keep"))
+        when(col("_r") <= col("_kk"), lit(1L)).otherwise(lit(0L)).as("keep"))
   }
 
   /** Cluster-prototypicality pruning (SSL-prototypes, Sorscher et al.
