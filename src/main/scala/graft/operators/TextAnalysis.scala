@@ -530,16 +530,20 @@ object TextAnalysis {
     val withTok = docs
       .withColumn("n_tokens", org.apache.spark.sql.GraftBridge.tokenCount(col(textCol)))
       .withColumn("_shard", expr(s"CAST($idCol AS BIGINT) DIV $shardSize"))
-    val shardTotals = withTok.groupBy(col("_shard"))
+    // shard prefix offsets IN-PLAN (r17): the collected one-row-per-shard
+    // totals and the driver prefix sum become a window over the same
+    // grouped frame (shard count = N/shardSize — dimension-sized at any
+    // tier, ~15k rows per 10^9 docs), removing the extra action +
+    // barrier per call and making the whole plan lazy (prepared-plan
+    // reusable). Same long sums, same shard-order prefix. Broadcast is
+    // now explicit — the frame is no longer a LocalRelation the planner
+    // can size on its own.
+    val wOff = Window.orderBy(col("_shard"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsetsDf = broadcast(withTok.groupBy(col("_shard"))
       .agg(sum(col("n_tokens")).as("_t"))
-      .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
-    val offsets = {
-      var acc = 0L
-      shardTotals.map { case (s, t) => val o = acc; acc += t; (s, o) }.toSeq
-    }
-    // LocalRelation of one row per shard — the size-based planner
-    // broadcasts it; no hint needed.
-    val offsetsDf = offsets.toDF("_shard", "_offset")
+      .select(col("_shard"),
+        coalesce(sum(col("_t")).over(wOff), lit(0L)).as("_offset")))
     val w = Window.partitionBy(col("_shard")).orderBy(col(idCol))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     withTok
