@@ -269,13 +269,23 @@ class PlanShapeSpec extends SparkSpec {
     assert(!s.contains("Exchange hashpartitioning"), "sampling must not shuffle")
   }
 
-  test("pack: prefix sum is sharded — window keyed by shard, no single-partition funnel") {
+  test("pack: prefix sum is sharded — window keyed by shard, no corpus-sized funnel") {
     val p = plan("pack_token_budget")
     assert(p.contains("Window"))
     assert(p.contains("hashpartitioning(_shard"),
       "window cumsum must be partitioned by the shard key")
-    assert(!p.contains("Exchange SinglePartition"),
-      "an unpartitioned window would funnel the whole corpus through one task")
+    // r17: the shard prefix offsets moved in-plan — the ONE permitted
+    // single-partition exchange carries the AGGREGATED one-row-per-shard
+    // totals (dimension-sized: N/shardSize rows) into their prefix
+    // window inside the broadcast offsets subtree. The CORPUS window
+    // stays keyed by shard; a second single-partition exchange, or one
+    // outside the broadcast subtree, would be the funnel this pin exists
+    // to catch.
+    val sp = "Exchange SinglePartition".r.findAllIn(p).toSeq.size
+    assert(sp <= 1, s"unexpected single-partition exchanges: $sp")
+    if (sp == 1)
+      assert(p.indexOf("Exchange SinglePartition") > p.indexOf("BroadcastExchange"),
+        "the corpus side must never funnel through one partition")
   }
 
   test("sim_ivfpq_join: executor-side ADC, salted equi join, bounded top-k — no cross, no window") {
