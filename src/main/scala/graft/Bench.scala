@@ -383,8 +383,23 @@ object Bench {
     try java.nio.file.Files.writeString(java.nio.file.Paths.get("BENCH_LOCAL.json"), fullRecord + "\n")
     catch { case _: Throwable => () }
     val Budget = 1800 // 2000-char tail minus the sbt epilogue, with margin
+    // Deterministic per-query task-seconds for the slowest rows ride the
+    // printed line (r17 verdict task 5, additions-only): wall clock on a
+    // shared host swings with external load, while summed task time is
+    // plan-invariant — a PERF diff can then separate plan changes from
+    // host drift without the full BENCH_LOCAL record. Top 20 by wall,
+    // 2-decimal, ~600 chars of the tail budget; the full per-query map
+    // stays in BENCH_LOCAL.json.
+    def fmt2(v: Double): String = String.format(java.util.Locale.ROOT, "%.2f", Double.box(v))
+    val taskSecJson = {
+      val top = results.filter(_._2 >= 0).sortBy(-_._2).take(20)
+        .flatMap { case (n, _) =>
+          planMetrics.get(n).map(m => "\"" + n + "\":" + fmt2(m._3)) }
+      if (top.isEmpty) "" else s""","task_sec":${top.mkString("{", ",", "}")}"""
+    }
     val line =
-      if (fullLine.length <= Budget) fullLine
+      if (fullLine.length + taskSecJson.length <= Budget)
+        render(results, taskSecJson)
       else {
         // failures (sentinel -1) sort LAST, not as if they took 1 second:
         // they must be the first entries omitted so kept values are real
@@ -400,7 +415,7 @@ object Bench {
           // omitted-seconds sum (value == sum(queries) + omitted.sum must
           // hold) and surface them as an explicit count instead
           val omittedSecs = omitted.collect { case (_, v) if v >= 0 => v }.sum
-          val extra = s""","omitted":{"n":${omitted.length},"sum":${fmt(omittedSecs)},"failed":$timedFails,"full":"BENCH_LOCAL.json"}"""
+          val extra = s""","omitted":{"n":${omitted.length},"sum":${fmt(omittedSecs)},"failed":$timedFails,"full":"BENCH_LOCAL.json"}$taskSecJson"""
           out = render(bySlowest.take(keep), extra)
         }
         out

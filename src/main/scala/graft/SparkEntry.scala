@@ -1975,7 +1975,11 @@ object SparkEntry {
             .otherwise(0.0)).as(h)
         }
         paired
-          .agg(sum(col("_e").cast("long")).as("n_exact"), hitCols: _*)
+          // coalesce restores the old count(lit(1)) zero on an EMPTY
+          // exact set (r17 advice: sum over an empty/ranked-only frame is
+          // NULL, which would change the degenerate-case output)
+          .agg(coalesce(sum(col("_e").cast("long")), lit(0L)).as("n_exact"),
+            hitCols: _*)
           .select(explode(array(configs.map { case (np, floor, h) =>
             struct(
               lit(10).as("k"), lit(np).as("n_probe"), col("n_exact"),
@@ -2053,7 +2057,11 @@ object SparkEntry {
             .otherwise(0.0)).as(h)
         }
         paired
-          .agg(sum(col("_e").cast("long")).as("n_exact"), hitCols: _*)
+          // coalesce restores the old count(lit(1)) zero on an EMPTY
+          // exact set (r17 advice: sum over an empty/ranked-only frame is
+          // NULL, which would change the degenerate-case output)
+          .agg(coalesce(sum(col("_e").cast("long")), lit(0L)).as("n_exact"),
+            hitCols: _*)
           .select(explode(array(configs.map { case (np, floor, h) =>
             struct(
               lit(10).as("k"), lit(np).as("n_probe"),

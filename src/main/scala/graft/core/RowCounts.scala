@@ -60,8 +60,14 @@ object RowCounts {
 
   /** Exact row count of `df`: parquet footer metadata when the optimized
     * plan is a bare (possibly column-pruned) parquet scan, else
-    * `df.count()`. Always current — footers are re-read per call (they are
-    * a few KB each), so a rewritten table is never served a stale count.
+    * `df.count()`. Parsed footers are memoized per (path, length, mtime) —
+    * the same invalidation rule Spark's own file-status cache uses — so a
+    * rewritten table is re-read as soon as its length or mtime changes.
+    * Granularity caveat: a file rewritten with an IDENTICAL byte length
+    * within one mtime tick (filesystem timestamp resolution) would be
+    * served the memoized footer; no engine path rewrites tables in place
+    * like that (layout builds write fresh directories), and the entry
+    * falls out on the next wholesale clear.
     */
   def of(df: DataFrame): Long =
     bareParquetRelation(df.queryExecution.optimizedPlan)

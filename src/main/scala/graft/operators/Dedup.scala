@@ -1090,15 +1090,20 @@ object Dedup {
                           width: Int = 8): DataFrame = {
     require(width >= 2, "span width must be >= 2")
     val bridge = org.apache.spark.sql.GraftBridge
-    // cached (r17): three consumers derive from this projection — the
-    // token stream, the span stream, and the final per-doc token count —
-    // and each re-ran BOTH native tokenize passes without the cache
-    // (same two-passes-per-consumer shape the minhash family already
-    // caches away via its arrays frame)
-    val base = graft.core.CacheScope.cached(
+    // NOT cached (r18, closing the r17 open item): three consumers derive
+    // from this projection, but the r17 scoped cache of it never won the
+    // A/B it was shipped without — same-window sf10 interleaved mins are
+    // a dead heat (cache 11.5 s / 191 task-s vs none 11.9 s / 192) and
+    // sf0.1 is WORSE with the cache (min 9.9 vs 7.0 task-s): building a
+    // corpus-sized columnar cache of BOTH token arrays per doc costs more
+    // than two extra native tokenize passes over scan-local text, and at
+    // the 100x tier the cache is real memory pressure (guide §5) for
+    // nothing. The minhash family's arrays cache is different in kind:
+    // it feeds a SHUFFLING self-join, not three scan-aligned map passes.
+    val base =
       spread(docs).select(col(idCol).as("doc"),
         bridge.tokenChunks(col(textCol), 1, 1).as("_toks"),
-        bridge.tokenChunks(col(textCol), width, 1).as("_c")))
+        bridge.tokenChunks(col(textCol), width, 1).as("_c"))
     val toks = base.select(col("doc"),
       posexplode(when(size(col("_toks")) > 0, col("_toks"))))
       .select(col("doc"), col("pos").as("tpos"), col("col").as("tok"))
@@ -1150,10 +1155,17 @@ object Dedup {
   def nearDupClusters(pairs: DataFrame, maxIter: Int = 25): DataFrame =
     smallGraphLabels(pairs).getOrElse(minLabelCc(pairs, maxIter)._1)
 
-  /** Edge cutoff for the driver-side union-find small path: 2^22 edges is
-    * ~64 MB of (long, long) rows on the driver — far inside any driver
-    * heap, far outside any real near-dup pair graph's per-epoch size at
-    * the tiers where round-trip latency (not shuffle volume) dominates.
+  /** Edge cutoff for the driver-side union-find small path. Sized against
+    * what the driver actually holds, not the raw 16 B/edge payload: the
+    * primitive-encoder collect yields boxed (Long, Long) tuples
+    * (~40 B/edge ≈ 160 MB at the cutoff), the union-find LongMap opens to
+    * ~2x node capacity (≤ 2^23 nodes ≈ 256 MB), and the label output is
+    * one tuple per node — ~0.5-0.7 GB transient at the worst case, inside
+    * any driver that also builds broadcast relations, with the margin
+    * stated honestly (r17 advice: the old comment claimed 64 MB while
+    * collecting ~500 MB of GenericRows; the Row collect is gone too).
+    * Far outside any real near-dup pair graph's per-epoch size at the
+    * tiers where round-trip latency (not shuffle volume) dominates.
     */
   private[operators] val DriverCcMaxEdges = 4L << 20
 
@@ -1179,13 +1191,25 @@ object Dedup {
     * generation twice), and only below the edge cutoff. Anything else
     * falls through to the distributed loops untouched.
     */
-  private def smallGraphLabels(pairs: DataFrame): Option[DataFrame] = {
+  private[graft] def smallGraphLabels(pairs: DataFrame,
+                                      maxEdges: Long = DriverCcMaxEdges): Option[DataFrame] = {
     if (pairs.storageLevel == org.apache.spark.storage.StorageLevel.NONE) None
-    else if (pairs.count() > DriverCcMaxEdges) None
+    else if (pairs.count() > maxEdges) None
     else {
       val spark = pairs.sparkSession
+      // primitive tuple encoder, not Row collect (r18 hardening): a Row
+      // array costs ~120 B/edge of driver heap; tuples ~40 B/edge. Null
+      // ids are dropped BEFORE the collect (getLong on a null id NPE'd
+      // the driver where the distributed loops would not crash; upstream
+      // pair generation never emits them, so this is tolerance, not a
+      // semantic change).
+      val tupleEnc = org.apache.spark.sql.Encoders.tuple(
+        org.apache.spark.sql.Encoders.scalaLong,
+        org.apache.spark.sql.Encoders.scalaLong)
       val edges = pairs
         .select(col("doc_a").cast("long"), col("doc_b").cast("long"))
+        .filter(col("doc_a").isNotNull && col("doc_b").isNotNull)
+        .as(tupleEnc)
         .collect()
       val parent = new scala.collection.mutable.LongMap[Long]()
       def find(x0: Long): Long = {
@@ -1195,8 +1219,7 @@ object Dedup {
         while (parent(c) != r) { val nx = parent(c); parent(c) = r; c = nx }
         r
       }
-      edges.foreach { e =>
-        val (a, b) = (e.getLong(0), e.getLong(1))
+      edges.foreach { case (a, b) =>
         if (!parent.contains(a)) parent(a) = a
         if (!parent.contains(b)) parent(b) = b
         val (ra, rb) = (find(a), find(b))
@@ -1204,6 +1227,10 @@ object Dedup {
         // no relabel pass needed
         if (ra < rb) parent(rb) = ra else if (rb < ra) parent(ra) = rb
       }
+      // output keeps the distributed paths' exact schema (nullable longs —
+      // the join-derived cluster column is nullable there); node-count Rows
+      // are transient and half the old footprint now that the edge collect
+      // is tuple-encoded
       import org.apache.spark.sql.{Row => SRow}
       import org.apache.spark.sql.types.{LongType, StructField, StructType}
       val out = parent.keys.toArray.sorted.map(n => SRow(n, find(n)))
@@ -1657,17 +1684,27 @@ object Dedup {
         bit_count(col("x.simhash").bitwiseXOR(col("y.simhash"))).as("hamming"))
       .filter(col("hamming") <= maxHamming)
       .distinct()
-    val cross = fpPairs.hint("merge")
+    // hamming-0 doc pairs (same fingerprint) ride the SAME two expansion
+    // joins as the cross pairs (r18): each distinct fingerprint
+    // contributes its IDENTITY pair (fp, fp, 0), whose expansion is the
+    // full doc cross product of that fingerprint's group — filtered to
+    // _da < _db so every unordered pair survives exactly once. This
+    // replaces the separate fps-self-join stage (one SortMergeJoin, one
+    // Exchange + two Sorts of the corpus-proportional fingerprint frame)
+    // with |distinct fps| extra rows through joins that already exist.
+    // For cross rows (fp_a < fp_b) the _da < _db filter must NOT apply —
+    // each such doc pair appears once in arbitrary order and is
+    // canonicalized by least/greatest, exactly as before.
+    val allFpPairs = fpPairs.unionByName(
+      ufp.select(col("simhash").as("fp_a"), col("simhash").as("fp_b"),
+        bit_count(lit(0L)).as("hamming")))
+    allFpPairs.hint("merge")
       .join(fps.select(col("simhash").as("fp_a"), col("doc").as("_da")), "fp_a")
       .hint("merge")
       .join(fps.select(col("simhash").as("fp_b"), col("doc").as("_db")), "fp_b")
+      .filter(col("fp_a") =!= col("fp_b") || col("_da") < col("_db"))
       .select(least(col("_da"), col("_db")).as("doc_a"),
         greatest(col("_da"), col("_db")).as("doc_b"), col("hamming"))
-    val intra = fps.as("p").hint("merge").join(fps.as("q"),
-        col("p.simhash") === col("q.simhash") && col("p.doc") < col("q.doc"))
-      .select(col("p.doc").as("doc_a"), col("q.doc").as("doc_b"),
-        bit_count(lit(0L)).as("hamming"))
-    cross.unionByName(intra).select("doc_a", "doc_b", "hamming")
   }
 
   // --------------------------------------------------------- semantic dedup

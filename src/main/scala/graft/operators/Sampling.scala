@@ -187,11 +187,13 @@ object Sampling {
     * computed driver-side and folded back in as ONE array literal, and
     * scoring is then a second pure map over the cached arrays — zero
     * shuffles between the corpus scan and the ranking step. The
-    * top-fraction cut is an exact global rank computed the
-    * sharded-prefix-sum way (range partition on the key, one collected
-    * count per shard, shard-local window + offset) — no global window,
-    * no corpus-sized sort or driver-held top-K; the scored-row total n
-    * is Σ of the same shard counts, not a separate count() action.
+    * top-fraction cut is the exact K-th rank KEY (weight desc, id — a
+    * unique key, so rank <= K is a pure threshold compare) found via a
+    * bounded weight histogram + one threshold-bin collect, making keep a
+    * map-side flag with NO corpus exchange at all; a pathological tie
+    * mass in the threshold bin falls back to the sharded-prefix-sum
+    * exact rank (range partition on the key, in-plan shard offsets,
+    * shard-local window), which stays output-identical by spec.
     */
   def importanceResample(raw: DataFrame, target: DataFrame,
                          textCol: String, idCol: String,
@@ -238,45 +240,106 @@ object Sampling {
         org.apache.spark.sql.GraftBridge.dsirScore(col("_bc"), lrArr).as("_s"))
       .select(col("doc"), col("_s.n_feats").as("n_feats"),
         round(col("_s.raw_weight"), 6).as("log_weight"))
-    // exact global rank without a global window, corpus-sized sort, or a
-    // driver-held top-K: range-partition on the (weight desc, id) key,
-    // collect ONE COUNT PER SHARD for the prefix offsets (the
-    // packByTokenBudget pattern), then shard-local row_number + offset.
-    // The cache pins the sampled range boundaries so the counts job and
-    // the output job see identical partition ids; the global rank itself
-    // is boundary-independent (any range split of a total order ranks
-    // identically).
-    val keyed = graft.core.CacheScope.cached(
-      scored.withColumn("_k",
-          struct((-col("log_weight")).as("nw"), col("doc").as("d")))
-        .repartitionByRange(col("_k"))
-        .withColumn("_pid", spark_partition_id()))
-    // per-shard prefix offsets and the keep threshold, IN-PLAN (r17):
-    // the old form collected one count per shard to the driver and
-    // broadcast the offsets back — a full extra action + barrier per
-    // call. The offsets frame is shard-count-sized (= shuffle
-    // parallelism), so the cumulative window over it is trivia; the
-    // cache still pins the sampled range boundaries, and both consumers
-    // (offset subtree, output rows) read the same materialization, so
-    // partition ids stay consistent exactly as before. Arithmetic is
-    // unchanged: same long prefix sums, same floor(frac * total) on the
-    // same double multiply.
-    import org.apache.spark.sql.expressions.{Window => W}
-    val wOff = W.orderBy(col("_pid")).rowsBetween(W.unboundedPreceding, -1)
-    val wAll = W.orderBy(col("_pid"))
-      .rowsBetween(W.unboundedPreceding, W.unboundedFollowing)
-    val offsetsDf = keyed.groupBy(col("_pid")).agg(count(lit(1)).as("_c"))
-      .select(col("_pid"),
-        coalesce(sum(col("_c")).over(wOff), lit(0L)).as("_off"),
-        floor(lit(keepFraction) *
-          sum(col("_c")).over(wAll).cast("double")).as("_kk"))
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("_pid")).orderBy(col("_k"))
-    keyed.join(broadcast(offsetsDf), Seq("_pid"))
-      .withColumn("_r", row_number().over(w).cast("long") + col("_off"))
-      .select(col("doc").as(idCol), col("n_feats"), col("log_weight"),
-        when(col("_r") <= col("_kk"), lit(1L)).otherwise(lit(0L)).as("keep"))
+    // Exact top-K cut WITHOUT moving the corpus (r18, guide §2.4): the
+    // rank key (weight desc, doc asc) is UNIQUE per row (doc is unique),
+    // so "rank <= K" is equivalent to "key <= the K-th smallest key" —
+    // and that threshold key is computable from a weight histogram plus
+    // one bin's keys, never a corpus-wide range exchange + per-shard
+    // window sort. The weight domain is a plan-time literal interval
+    // ([min, max] of the log-ratio table — a weighted mean cannot leave
+    // it; round(,6) can nudge past an endpoint by <= 5e-7, clamped):
+    //   1. one aggregation over the cached per-doc arrays buckets the
+    //      rounded weights into 8192 bins (map-side partials; bin-count
+    //      rows cross the exchange),
+    //   2. the driver walks bins from the top until the cumulative count
+    //      reaches K = floor(keepFraction * total) — the SAME IEEE double
+    //      multiply + floor as the old in-plan formulation,
+    //   3. the threshold bin's (weight, doc) keys — expected N/8192, and
+    //      only ever large when weights are pathologically tied — come
+    //      back in one bounded collect; the exact K-th key is selected
+    //      locally under Spark's own comparison semantics (-0.0 == 0.0:
+    //      weights are normalized with + 0.0 before comparing),
+    //   4. keep = (w > w*) OR (w == w* AND doc <= d*) — a pure map over
+    //      the cached arrays. No exchange, no sort, no second
+    //      corpus-sized cache (the old `keyed` cache held every scored
+    //      row a second time — real memory at the 100x tier, guide §5).
+    // A threshold bin past [[histBinCollectMax]] (degenerate tie mass)
+    // falls back to the r17 sharded-prefix-sum exact rank, which remains
+    // the all-sizes-safe path and is spec-pinned output-identical.
+    val histBins = 8192
+    val lo = lrArr.min
+    val hi = lrArr.max
+    def exactRankKeep(): DataFrame = {
+      val keyed = graft.core.CacheScope.cached(
+        scored.withColumn("_k",
+            struct((-col("log_weight")).as("nw"), col("doc").as("d")))
+          .repartitionByRange(col("_k"))
+          .withColumn("_pid", spark_partition_id()))
+      import org.apache.spark.sql.expressions.{Window => W}
+      val wOff = W.orderBy(col("_pid")).rowsBetween(W.unboundedPreceding, -1)
+      val wAll = W.orderBy(col("_pid"))
+        .rowsBetween(W.unboundedPreceding, W.unboundedFollowing)
+      val offsetsDf = keyed.groupBy(col("_pid")).agg(count(lit(1)).as("_c"))
+        .select(col("_pid"),
+          coalesce(sum(col("_c")).over(wOff), lit(0L)).as("_off"),
+          floor(lit(keepFraction) *
+            sum(col("_c")).over(wAll).cast("double")).as("_kk"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("_pid")).orderBy(col("_k"))
+      keyed.join(broadcast(offsetsDf), Seq("_pid"))
+        .withColumn("_r", row_number().over(w).cast("long") + col("_off"))
+        .select(col("doc").as(idCol), col("n_feats"), col("log_weight"),
+          when(col("_r") <= col("_kk"), lit(1L)).otherwise(lit(0L)).as("keep"))
+    }
+    if (hi <= lo) exactRankKeep() // degenerate one-point weight domain
+    else {
+      // bin by rounded weight; clamp round()'s <=5e-7 endpoint spill
+      val binCol = least(lit(histBins - 1), greatest(lit(0),
+        floor((col("log_weight") - lit(lo)) / lit(hi - lo) * histBins)
+          .cast("int")))
+      val hist = scored.groupBy(binCol.as("_b")).agg(count(lit(1)).as("_c"))
+        .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+      val total = hist.valuesIterator.sum
+      val kk = math.floor(keepFraction * total.toDouble).toLong
+      if (kk <= 0L)
+        scored.select(col("doc").as(idCol), col("n_feats"),
+          col("log_weight"), lit(0L).as("keep"))
+      else {
+        // walk bins top-down (higher bin = higher weight = smaller rank
+        // key) to the bin holding the K-th key
+        var b = histBins - 1
+        var acc = 0L
+        while (acc + hist.getOrElse(b, 0L) < kk) { acc += hist.getOrElse(b, 0L); b -= 1 }
+        if (hist.getOrElse(b, 0L) > histBinCollectMax) exactRankKeep()
+        else {
+          val need = (kk - acc).toInt // in [1, hist(b)], bounded by the guard
+          val keyEnc = org.apache.spark.sql.Encoders.tuple(
+            org.apache.spark.sql.Encoders.scalaDouble,
+            org.apache.spark.sql.Encoders.scalaLong)
+          val binKeys = scored.filter(binCol === b)
+            // + 0.0 turns -0.0 into +0.0, making the driver's primitive
+            // double compare agree with Spark's (-0.0 == 0.0) semantics
+            .select((col("log_weight") + lit(0.0)).as("w"), col("doc"))
+            .as(keyEnc).collect()
+          java.util.Arrays.sort(binKeys, Ordering.Tuple2(
+            Ordering.Double.IeeeOrdering.reverse, Ordering.Long))
+          val (wStar, dStar) = binKeys(need - 1)
+          scored.select(col("doc").as(idCol), col("n_feats"),
+            col("log_weight"),
+            when(col("log_weight") + lit(0.0) > wStar ||
+              (col("log_weight") + lit(0.0) === wStar && col("doc") <= dStar),
+              lit(1L)).otherwise(lit(0L)).as("keep"))
+        }
+      }
+    }
   }
+
+  /** Threshold-bin collect bound for [[importanceResample]]'s histogram
+    * cut: past this many rows in ONE weight bin (pathological tie mass —
+    * expected occupancy is N/8192) the exact-rank fallback runs instead.
+    * ~32 B/key tuple ≈ 32 MB at the bound.
+    */
+  private[graft] var histBinCollectMax: Long = 1L << 20
 
   /** Cluster-prototypicality pruning (SSL-prototypes, Sorscher et al.
     * "Beyond neural scaling laws", 2022 — the pruning half of D4,

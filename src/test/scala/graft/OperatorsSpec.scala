@@ -78,6 +78,71 @@ class OperatorsSpec extends SparkSpec {
     assert(pairs === Set((5L, 6L)))
   }
 
+  test("simhash pairs: folded identity-pair expansion matches brute force on a template-heavy corpus") {
+    val s = spark
+    import s.implicits._
+    // template-heavy: a 3-doc and a 2-doc hamming-0 group (the folded
+    // identity-pair expansion must emit each unordered pair exactly
+    // once), one-word variants of a LONG base (many distinct tokens keep
+    // per-bit sums away from zero, so a one-word change flips only 1-3
+    // fingerprint bits — real cross pairs inside the threshold), and an
+    // unrelated doc
+    val base = "the quick brown fox jumps over the lazy dog near the river " +
+      "bank today and the weather is fine with clear skies over the green " +
+      "valley where birds sing all day long in summer"
+    val mix = Seq(
+      (0L, base),
+      (1L, base + " tonight"),
+      (2L, base + " tomorrow"),
+      (3L, base),
+      (4L, base),
+      (5L, base + " tonight"),
+      (6L, "completely different text about spark catalyst optimizer and shuffle exchange plans")
+    ).toDF("doc_id", "text")
+    val fps = Dedup.simhash(mix, "text", "doc_id").collect()
+      .map(r => r.getAs[Long]("doc") -> r.getAs[Long]("simhash")).toMap
+    // the operator's contract IS brute force at maxHamming <= 3: any pair
+    // within hamming 3 of a 60-bit/4-chunk fingerprint shares a chunk
+    // (pigeonhole), so candidates are a superset and the verify is exact
+    val expected = (for {
+      a <- fps.keys; b <- fps.keys if a < b
+      h = java.lang.Long.bitCount(fps(a) ^ fps(b)) if h <= 3
+    } yield (a, b, h)).toSet
+    val rows = Dedup.simhashPairs(mix, "text", "doc_id", 3).collect()
+    val got = rows
+      .map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"),
+        r.getAs[Int]("hamming"))).toSet
+    assert(got === expected)
+    assert(rows.length === expected.size, "a pair was emitted more than once")
+    // sanity: the fixture exercised BOTH expansion arms — multi-doc
+    // hamming-0 groups and nonzero cross pairs
+    assert(expected.exists(_._3 == 0) && expected.exists(_._3 > 0))
+  }
+
+  test("driver union-find guards: over-cutoff graphs fall through, null ids are dropped not NPE") {
+    val s = spark
+    import s.implicits._
+    val pairs = Seq((1L, 2L), (2L, 3L), (7L, 9L)).toDF("doc_a", "doc_b").persist()
+    try {
+      pairs.count()
+      // over the (parameterized) cutoff the small path must decline —
+      // the distributed loops own anything past the driver bound
+      assert(Dedup.smallGraphLabels(pairs, maxEdges = 2L).isEmpty)
+      assert(Dedup.smallGraphLabels(pairs, maxEdges = 3L).isDefined)
+    } finally pairs.unpersist()
+    // a null id must not NPE the driver path (r17 advice: Row.getLong on
+    // null threw where the distributed loops would not crash); the null
+    // edge is dropped, non-null edges label normally
+    val withNull = Seq((Option(1L), Option(2L)), (Option.empty[Long], Option(5L)),
+      (Option(2L), Option(3L))).toDF("doc_a", "doc_b").persist()
+    try {
+      withNull.count()
+      val r = Dedup.smallGraphLabels(withNull).get.collect()
+        .map(x => x.getAs[Long]("doc") -> x.getAs[Long]("cluster")).toMap
+      assert(r === Map(1L -> 1L, 2L -> 1L, 3L -> 1L))
+    } finally withNull.unpersist()
+  }
+
   test("near-dup clustering: chains collapse to min-id components") {
     val s = spark
     import s.implicits._
@@ -303,6 +368,51 @@ class OperatorsSpec extends SparkSpec {
       .groupBy("l").count().collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     assert(labels.values.sum === 2000L && labels.keySet === Set("train", "valid", "test"))
     assert(labels("train") > 1400) // ~80%
+  }
+
+  test("importance resample: histogram threshold cut equals the exact-rank fallback, ties included") {
+    val s = spark
+    import s.implicits._
+    // raw corpus with DELIBERATE weight ties: identical texts featurize
+    // to identical log_weights, so the K-th key lands inside a tied run
+    // and the doc-id tiebreak decides membership — exactly the case the
+    // histogram threshold must get right
+    val texts = Seq(
+      "alpha beta gamma delta epsilon zeta", // docs 0,1,2 tie
+      "alpha beta gamma delta epsilon zeta",
+      "alpha beta gamma delta epsilon zeta",
+      "spark shuffle exchange plan codegen whole stage",
+      "spark shuffle exchange plan codegen whole stage", // 3,4 tie
+      "quick brown fox lazy dog river bank",
+      "target like tokens appear here often often often",
+      "completely unrelated noise words zxq wvu tsr")
+    val raw = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+    val target = Seq((100L, "target like tokens appear here often"),
+      (101L, "alpha beta gamma appears in target too")).toDF("doc_id", "text")
+    def run(): Map[Long, (Long, Double, Long)] =
+      Sampling.importanceResample(raw, target, "text", "doc_id", 64, 0.5)
+        .collect().map(r => r.getAs[Long]("doc_id") ->
+          ((r.getAs[Long]("n_feats"), r.getAs[Double]("log_weight"),
+            r.getAs[Long]("keep")))).toMap
+    val viaHist = run()
+    // force the exact-rank fallback through the tie-mass guard
+    val saved = Sampling.histBinCollectMax
+    val viaRank =
+      try { Sampling.histBinCollectMax = 0L; run() }
+      finally { Sampling.histBinCollectMax = saved }
+    assert(viaHist === viaRank)
+    // the cut is exactly floor(0.5 * n) keeps
+    assert(viaHist.values.count(_._3 == 1L) ===
+      math.floor(0.5 * viaHist.size).toLong)
+    // tied docs at the boundary resolve by id: keeps among a tied run are
+    // a prefix of its doc ids
+    val byW = viaHist.toSeq.groupBy(_._2._2)
+    byW.values.foreach { grp =>
+      val sortedByDoc = grp.sortBy(_._1)
+      val keeps = sortedByDoc.map(_._2._3)
+      assert(!keeps.sliding(2).exists(p => p.length == 2 && p(0) == 0L && p(1) == 1L),
+        s"non-prefix keep inside a tied weight run: $sortedByDoc")
+    }
   }
 
   test("tf-idf: corpus-wide terms score zero, distinctive terms rank first") {

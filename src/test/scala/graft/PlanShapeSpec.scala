@@ -283,9 +283,16 @@ class PlanShapeSpec extends SparkSpec {
     // to catch.
     val sp = "Exchange SinglePartition".r.findAllIn(p).toSeq.size
     assert(sp <= 1, s"unexpected single-partition exchanges: $sp")
-    if (sp == 1)
+    if (sp == 1) {
+      // BroadcastExchange must EXIST for the index comparison to mean
+      // anything (r17 advice: indexOf on a missing marker returns -1 and
+      // any single-partition exchange — including a corpus funnel —
+      // would pass)
+      assert(p.contains("BroadcastExchange"),
+        "offsets subtree lost its broadcast — funnel guard would be vacuous")
       assert(p.indexOf("Exchange SinglePartition") > p.indexOf("BroadcastExchange"),
         "the corpus side must never funnel through one partition")
+    }
   }
 
   test("sim_ivfpq_join: executor-side ADC, salted equi join, bounded top-k — no cross, no window") {
