@@ -268,7 +268,42 @@ object Dedup {
     * scheduling/GC that an executor spread absorbs.
     */
   def containmentPairs(df: DataFrame, textCol: String, idCol: String,
-                       w: Int = 3, threshold: Double = 0.8): DataFrame = {
+                       w: Int = 3, threshold: Double = 0.8): DataFrame =
+    // Dispatch (r18), on BOTH corpus size and threshold — each leg is a
+    // measured crossover, not a guess:
+    //  - Below the footer-proven size cutoff the aggregation form wins:
+    //    the prefix form's candidate distinct + two array-fetch joins
+    //    are pure stage-floor cost on a dimension-sized corpus
+    //    (same-window sf0.1 A/B: agg 11.4 vs prefix 15.3 task-s).
+    //  - Above it the verdict is THRESHOLD-dependent, because each
+    //    side's prefix keeps ~(1-t) of its positions, so candidate
+    //    volume scales with (1-t)² of the full co-occurrence stream.
+    //    At the operator default t=0.8 the r13 rejection has INVERTED
+    //    under the sorted-array natives: a 10-rep alternated sf10 A/B
+    //    (tools/ContProbe, 4 sessions) has prefix winning 8 of 10 warm
+    //    comparisons, median 464 vs 778 task-s (guide §2.2/§2.3: fewer
+    //    rows into the wide exchange). At t=0.6 the SAME protocol has
+    //    prefix losing every rep (1651-2732 vs 931-1180 task-s) — the
+    //    longer prefixes regenerate most of the co-occurrence stream
+    //    AND pay the distinct + fetch joins on top. The prefix arm
+    //    therefore requires t >= 0.8, exactly where it is measured.
+    // Unknown size = NOT small (the scale-safe default lands on prefix
+    // only with a qualifying threshold). Both forms are spec-pinned
+    // output-identical (boundary pairs included) and verified equal
+    // row-for-row at sf10 at t = 0.6 AND 0.8 (tools/ContEq).
+    if (threshold < 0.8 ||
+        graft.core.RowCounts.upperBound(df).exists(_ <= wideCorpusCutoff))
+      containmentPairsAgg(df, textCol, idCol, w, threshold)
+    else containmentPairsPrefix(df, textCol, idCol, w, threshold)
+
+  /** Aggregation form of [[containmentPairs]] (the r12-r17 shipped
+    * shape): shingle self-join straight into the per-pair count
+    * aggregation — no candidate materialization, no fetch joins. The
+    * bench-tier winner (stage floors dominate dimension-sized corpora).
+    */
+  private[graft] def containmentPairsAgg(df: DataFrame, textCol: String,
+                                         idCol: String, w: Int,
+                                         threshold: Double): DataFrame = {
     val sh = graft.core.CacheScope.cached(shinglesN(df, textCol, idCol, w))
       .repartition(wideShufflePartitions(df), col("shingle"))
     sh.as("a").hint("merge")
@@ -277,6 +312,63 @@ object Dedup {
       .groupBy(col("a.doc").as("doc_a"), col("b.doc").as("doc_b"),
         col("a.n").as("na"), col("b.n").as("nb"))
       .agg(count(lit(1)).as("i"))
+      .withColumn("c_ab", round(col("i").cast("double") / col("na"), 6))
+      .withColumn("c_ba", round(col("i").cast("double") / col("nb"), 6))
+      .filter(col("c_ab") >= threshold || col("c_ba") >= threshold)
+      .select("doc_a", "doc_b", "c_ab", "c_ba")
+  }
+
+  /** Prefix-filtered form of [[containmentPairs]] (the at-scale shape):
+    * every shingle row carries its POSITION in the doc's sorted array,
+    * and the self-join applies the two-sided Bayardo prefix bound with
+    * the per-pair overlap requirement evaluated on the joined row —
+    * candidates then verify in-row against the fetched arrays
+    * ([[verifyPairsExactArrays]]'s shape, with the containment
+    * predicate).
+    *
+    * EXACTNESS of the candidate bound against the ROUNDED predicate:
+    * a qualifying pair satisfies max(c_ab, c_ba) = round(i/min(na,nb),
+    * 6) >= t (round is monotone and i/min is the larger ratio), which
+    * under HALF_UP rounding forces i >= (t - 5e-7)·min, hence
+    * i >= k := max(1, ceil((t - 5e-7)·min) - 1) (x >= ceil(x) - 1
+    * always; the extra -1 absorbs float evaluation-order slack — a
+    * looser k only ADDS candidates, never drops a qualifying pair).
+    * With overlap >= k and both arrays sorted by one global order, the
+    * pair must collide within each side's first n - k + 1 elements
+    * (the prefix lemma), which is exactly the join's position filter.
+    * The verify step then applies the operator's own rounded predicate,
+    * so false candidates cost shuffle rows, never wrong output.
+    */
+  private[graft] def containmentPairsPrefix(df: DataFrame, textCol: String,
+                                            idCol: String, w: Int,
+                                            threshold: Double): DataFrame = {
+    val arrs = graft.core.CacheScope.cached(shingleArrays(df, textCol, idCol, w))
+    // position-annotated shingle rows; when() guard as in prefixRows
+    val pos = arrs.select(col("doc"), size(col("_arr")).as("n"),
+        posexplode(when(size(col("_arr")) > 0, col("_arr"))))
+      .select(col("doc"), col("n"), (col("pos") + lit(1)).as("pos"),
+        col("col").as("shingle"))
+      .repartition(wideShufflePartitions(df), col("shingle"))
+    val minN = least(col("a.n"), col("b.n"))
+    val k = greatest(lit(1L),
+      (ceil(lit(threshold - 5e-7) * minN) - 1).cast("long"))
+    val candidates = pos.as("a").hint("merge")
+      .join(pos.as("b"),
+        col("a.shingle") === col("b.shingle") && col("a.doc") < col("b.doc") &&
+          col("a.pos") <= col("a.n") - k + 1 &&
+          col("b.pos") <= col("b.n") - k + 1)
+      .select(col("a.doc").as("doc_a"), col("b.doc").as("doc_b"))
+      .distinct()
+    candidates.hint("merge")
+      .join(arrs.select(col("doc").as("doc_a"), col("_arr").as("_arr_a")),
+        Seq("doc_a"))
+      .hint("merge")
+      .join(arrs.select(col("doc").as("doc_b"), col("_arr").as("_arr_b")),
+        Seq("doc_b"))
+      .select(col("doc_a"), col("doc_b"),
+        org.apache.spark.sql.GraftBridge
+          .intersectCount(col("_arr_a"), col("_arr_b")).as("i"),
+        size(col("_arr_a")).as("na"), size(col("_arr_b")).as("nb"))
       .withColumn("c_ab", round(col("i").cast("double") / col("na"), 6))
       .withColumn("c_ba", round(col("i").cast("double") / col("nb"), 6))
       .filter(col("c_ab") >= threshold || col("c_ba") >= threshold)

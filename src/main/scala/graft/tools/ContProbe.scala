@@ -14,6 +14,8 @@ object ContProbe {
     val reps = args.lift(1).map(_.toInt).getOrElse(2)
     val partList = args.lift(2).map(_.split(",").toSeq.map(_.toInt))
       .getOrElse(Seq(12, 32))
+    // 5th arg: containment threshold (default 0.8; the exact gate runs 0.6)
+    val thr = args.lift(4).map(_.toDouble).getOrElse(0.8)
     val spark = graft.Bench.session("32")
     val taskMs = new java.util.concurrent.atomic.AtomicLong
     spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
@@ -39,19 +41,22 @@ object ContProbe {
         .agg(count(lit(1)).as("i"))
         .withColumn("c_ab", round(col("i").cast("double") / col("na"), 6))
         .withColumn("c_ba", round(col("i").cast("double") / col("nb"), 6))
-        .filter(col("c_ab") >= 0.8 || col("c_ba") >= 0.8)
+        .filter(col("c_ab") >= thr || col("c_ba") >= thr)
       val n = time(s"$hintName p=$wide join+agg")(agg.count())
       println(s"[cont] $hintName p=$wide pairs=$n")
       sh.unpersist()
     }
-    // Candidate-generation arm (round-13 A/B, REJECTED by measurement:
-    // 2163 vs 1081 task-core-s at sf10): per-pair two-sided prefix
-    // filter — position + both sizes ride the join, so the Bayardo
-    // prefix bound with k = ceil(t*min(na,nb)) is evaluated exactly —
-    // then distinct candidates + array-fetch verify. Kept runnable so
-    // the Dedup.containmentPairs scaladoc's verdict stays reproducible.
+    // Candidate-generation arm: per-pair two-sided prefix filter —
+    // position + both sizes ride the join, so the Bayardo prefix bound
+    // with k = ceil(t*min(na,nb)) is evaluated exactly — then distinct
+    // candidates + array-fetch verify. Verdict history: REJECTED at r13
+    // (2163 vs 1081 task-core-s at sf10, t=0.8); re-measured r18 under
+    // the sorted-array natives, the verdict is THRESHOLD-dependent —
+    // WINS at t=0.8 (median 464 vs 778 task-s over 10 alternated warm
+    // reps), LOSES at t=0.6 (1651-2732 vs 931-1180, every rep) — which
+    // is exactly the dispatch Dedup.containmentPairs now ships.
     def runPrefix(): Unit = {
-      val t = 0.8
+      val t = thr
       val arrs = graft.core.CacheScope.cached(
         graft.operators.Dedup.shingleArrays(docs, "text", "doc_id", 3))
       val pos = arrs.select(col("doc"), size(col("_arr")).as("n"),
@@ -106,7 +111,7 @@ object ContProbe {
         .agg(count(lit(1)).as("i"))
         .withColumn("c_ab", round(col("i").cast("double") / col("na"), 6))
         .withColumn("c_ba", round(col("i").cast("double") / col("nb"), 6))
-        .filter(col("c_ab") >= 0.8 || col("c_ba") >= 0.8)
+        .filter(col("c_ab") >= thr || col("c_ba") >= thr)
       val n = time(s"group-local p=$wide")(agg.count())
       println(s"[cont] group-local p=$wide pairs=$n")
       sh.unpersist()
@@ -116,7 +121,10 @@ object ContProbe {
       runPrefix()
       partList.foreach { p =>
         run("merge", p)
-        runGroupLocal(p)
+        // arms arg (4th): csv subset {prefix,merge,group} — default all;
+        // a focused prefix/merge alternation needs group-local's 50 s of
+        // noise out of the window
+        if (args.lift(3).forall(_.contains("group"))) runGroupLocal(p)
       }
     }
     spark.stop()

@@ -78,6 +78,51 @@ class OperatorsSpec extends SparkSpec {
     assert(pairs === Set((5L, 6L)))
   }
 
+  test("containment: prefix-filtered form equals the aggregation form, boundary pairs included") {
+    val s = spark
+    import s.implicits._
+    // docs 10/11 share EXACTLY 4 of doc 10's 5 shingles: c_ab = 4/5 =
+    // 0.8 — ON the threshold after rounding, the case the conservative
+    // prefix bound k = ceil((t-5e-7)*min)-1 must not drop
+    val boundary = Seq(
+      (10L, "a b c d e f g"),
+      (11L, "a b c d e f x and some extra tail words here")
+    ).toDF("doc_id", "text")
+    val corpus = docs.unionByName(boundary)
+    Seq(0.5, 0.8).foreach { t =>
+      def run(f: => org.apache.spark.sql.DataFrame) = {
+        val r = f.collect().map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"),
+          r.getAs[Double]("c_ab"), r.getAs[Double]("c_ba"))).toSet
+        graft.core.CacheScope.release(); r
+      }
+      val agg = run(Dedup.containmentPairsAgg(corpus, "text", "doc_id", 3, t))
+      val pre = run(Dedup.containmentPairsPrefix(corpus, "text", "doc_id", 3, t))
+      assert(pre === agg, s"threshold $t")
+      assert(agg.exists { case (a, b, _, _) => (a, b) == (10L, 11L) },
+        s"boundary pair missing at threshold $t")
+    }
+  }
+
+  test("containment dispatch: agg below cutoff or under t=0.8; prefix only at scale-unknown high threshold") {
+    // a Generate defeats the row-bound walker (row-multiplying operator)
+    // -> upperBound None -> "assume huge", the scale-safe default; the
+    // single-element explode keeps the rows themselves identical
+    val unknown = docs.select(col("doc_id"),
+      explode(array(col("text"))).as("text"))
+    def shape(df: org.apache.spark.sql.DataFrame): String = {
+      val s = df.queryExecution.executedPlan.toString
+      graft.core.CacheScope.release(); s
+    }
+    // prefix form's signature operator: the in-row sorted-merge verify
+    val marker = "graft_intersect_count"
+    assert(!shape(Dedup.containmentPairs(docs, "text", "doc_id", 3, 0.8))
+      .contains(marker), "bounded-small corpus must take the agg form")
+    assert(!shape(Dedup.containmentPairs(unknown, "text", "doc_id", 3, 0.6))
+      .contains(marker), "t<0.8 must take the agg form at any size (measured loss)")
+    assert(shape(Dedup.containmentPairs(unknown, "text", "doc_id", 3, 0.8))
+      .contains(marker), "scale-unknown t>=0.8 must take the prefix form")
+  }
+
   test("simhash pairs: folded identity-pair expansion matches brute force on a template-heavy corpus") {
     val s = spark
     import s.implicits._
